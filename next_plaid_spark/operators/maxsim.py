@@ -1,0 +1,123 @@
+"""MaxSim scoring — the core late-interaction relevance kernel.
+
+Semantics (next-plaid/src/maxsim.rs:270-328, search.rs:82-90): for each query
+token, take the max dot-product over all of a document's token vectors, then
+sum over query tokens:
+
+    score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} q·d
+
+Two implementations:
+
+1. ``maxsim_relational`` — pure DataFrame ops (join → groupBy max → groupBy
+   sum). Oracle-checkable in ANSI SQL, and the brute-force *exact* baseline
+   used to validate the ANN funnel (SURVEY.md §7 phase 1).
+
+2. ``maxsim_pandas`` — Arrow-batched grouped kernel: one BLAS GEMM
+   ``Q @ D.T`` per (query, doc-chunk), ``max(axis)`` + ``sum`` — the Spark
+   analog of the reference's rayon/BLAS path. Used by the funnel's exact
+   rerank stage (search.rs:481-493) where the candidate set is small.
+
+Scale note: the relational form shuffles |q_tokens × candidate_doc_tokens|
+rows; it is intended for *post-candidate-generation* scoring (thousands of
+candidate docs per query), never the full corpus at 100 TB — that is what the
+IVF funnel (operators/search.py) is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from next_plaid_spark.functions.vector import dot
+
+
+def maxsim_scores_relational(query_tokens: DataFrame, doc_tokens: DataFrame) -> DataFrame:
+    """Exact MaxSim for every (query_id, doc_id) pair present in the inputs.
+
+    Returns ``(query_id, doc_id, score DOUBLE)``.
+
+    ``doc_tokens`` may be pre-restricted to candidates (semi-joined) — the
+    funnel does exactly that; passing the full corpus gives the brute-force
+    oracle.
+    """
+    qt = query_tokens.select(
+        "query_id", F.col("token_idx").alias("q_token_idx"), F.col("vec").alias("q_vec")
+    )
+    dt = doc_tokens.select("doc_id", F.col("vec").alias("d_vec"))
+    pairs = qt.crossJoin(dt).select(
+        "query_id",
+        "doc_id",
+        "q_token_idx",
+        dot(F.col("q_vec"), F.col("d_vec")).alias("dp"),
+    )
+    per_qtoken = pairs.groupBy("query_id", "doc_id", "q_token_idx").agg(
+        F.max("dp").alias("max_dp")
+    )
+    # Deterministic float sum: max is exact under reordering, but the final
+    # Σ over query tokens is not — fold the per-token maxima in sorted order
+    # so the score is bit-identical across partitionings (and to the DuckDB
+    # oracle, which does the same `list_reduce(list_sort(list(...)))`).
+    return per_qtoken.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("max_dp")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ).alias("score")
+    )
+
+
+def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """Per-query top-k with deterministic tie-break (score desc, doc_id asc).
+
+    Reference sorts by score desc with non-finite ranked last
+    (search.rs:92-133); synthetic scores are always finite. Spark's
+    ``desc_nulls_last`` + NaN discipline is enforced upstream.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_search(
+    query_tokens: DataFrame, doc_tokens: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k MaxSim over the full corpus — the funnel's recall oracle."""
+    return topk(maxsim_scores_relational(query_tokens, doc_tokens), k)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized kernel (NumPy/BLAS inside applyInPandas) — exact rerank stage.
+# ---------------------------------------------------------------------------
+
+MAXSIM_RESULT_SCHEMA = "query_id long, doc_id long, score double"
+
+
+def maxsim_pandas(pairs_with_vecs: DataFrame) -> DataFrame:
+    """Exact MaxSim over a pre-joined pair DF.
+
+    Input columns: ``query_id, doc_id, q_vecs ARRAY<ARRAY<DOUBLE>>,
+    d_vecs ARRAY<ARRAY<DOUBLE>>`` (one row per pair, vectors pre-collected).
+    One GEMM per pair batch; grouped by query so each Arrow batch holds one
+    query's candidates (reference chunks candidates by 128 docs,
+    search.rs:21-24 — Arrow batch sizing plays that role here).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for row in pdf.itertuples(index=False):
+            q = np.asarray([np.asarray(v, dtype=np.float64) for v in row.q_vecs])
+            d = np.asarray([np.asarray(v, dtype=np.float64) for v in row.d_vecs])
+            s = float((q @ d.T).max(axis=1).sum()) if len(d) and len(q) else 0.0
+            out.append((row.query_id, row.doc_id, s))
+        return pd.DataFrame(out, columns=["query_id", "doc_id", "score"])
+
+    return pairs_with_vecs.groupBy("query_id").applyInPandas(
+        score_group, schema=MAXSIM_RESULT_SCHEMA
+    )

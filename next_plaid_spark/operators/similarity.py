@@ -1,0 +1,135 @@
+"""Single-vector similarity search over an embedding column.
+
+Not in the reference (its unit is the multi-vector doc), but a first-class
+100 TB-pipeline operator (ANN over ``embeddings.embedding ARRAY<FLOAT>``).
+
+- ``cosine_topk`` — brute-force exact baseline: broadcast the (small) query
+  set, one shuffle for the per-query top-k window. At cluster scale the scan
+  side stays fully parallel and the broadcast avoids shuffling the corpus.
+- ``lsh_bucket_topk`` — scale path: random-hyperplane LSH (SimHash family)
+  buckets both sides; only same-bucket pairs are scored. Recall is tunable
+  via ``n_tables`` × ``n_bits``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from next_plaid_spark.functions.vector import cosine, dot, l2_normalize
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: returns (query_id, vec_id, cos_sim, rank).
+
+    ``queries`` is expected to be small (it is broadcast); the corpus side
+    streams. Tie-break: cos desc, vec_id asc — deterministic.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+        )
+    )
+    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    pairs = c.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def simhash_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature of ``vec`` against fixed hyperplanes → BIGINT.
+
+    Planes are plain Python constants (deterministic, seeded by caller), so
+    the whole expression stays JVM-side.
+    """
+    bits = [
+        F.when(dot(vec_col, F.array([F.lit(float(x)) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        * F.lit(2 ** i)
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def _planes(dim: int, n_bits: int, seed: int, table: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed + 7919 * table)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN cosine top-k via multi-table hyperplane LSH.
+
+    Corpus and queries are hashed into ``n_tables`` independent bucket
+    columns; candidates = union over tables of same-bucket pairs (dedup),
+    then exact cosine + top-k. The bucket equi-join is an ordinary shuffle
+    join on (table, bucket) — partition-parallel at any scale, no crossJoin.
+    """
+    def with_buckets(df, idc, vc):
+        rows = []
+        for t in range(n_tables):
+            sig = simhash_signature(F.col(vc), _planes(dim, n_bits, seed, t))
+            rows.append(
+                df.select(
+                    F.col(idc).alias("_id"),
+                    F.col(vc).alias("_vec"),
+                    F.lit(t).alias("_table"),
+                    sig.alias("_bucket"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    c = with_buckets(embeddings, id_col, vec_col)
+    q = with_buckets(queries, query_id_col, query_vec_col)
+    cand = (
+        c.join(
+            q.withColumnRenamed("_id", "query_id")
+            .withColumnRenamed("_vec", "_qvec"),
+            on=["_table", "_bucket"],
+        )
+        .select("query_id", F.col("_id").alias("vec_id"), "_qvec", "_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("_qvec"), F.col("_vec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,261 @@
+"""The engine's query surface as (spark, sf_dir) -> DataFrame callables,
+paired with DuckDB oracle SQL — the correctness contract consumed by
+``__spark_entry__.py``.
+
+Every entry here exercises a SURVEY.md §2 operator (or a §"LLM-pipeline"
+extension operator) end-to-end on the driver's tables. Column names are
+aliased identically on both sides; float aggregates either fold in a
+deterministic order (bit-identical) or are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from next_plaid_spark.encoding import (
+    encode_documents,
+    encode_queries,
+    token_vector_sql,
+)
+from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
+from next_plaid_spark.operators.maxsim import brute_force_search
+from next_plaid_spark.operators.similarity import cosine_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic search — brute-force exact MaxSim (SURVEY §2.4 Q9/Q10/Q11 oracle)
+# ---------------------------------------------------------------------------
+
+N_SELF_QUERIES = 10
+MAXSIM_TOPK = 10
+
+
+def q_maxsim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    doc_tokens = encode_documents(docs)
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    query_tokens = encode_queries(queries)
+    return brute_force_search(query_tokens, doc_tokens, k=MAXSIM_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def _sql_tokens_cte(dim: int, doc_max: int, q_max: int, n_queries: int) -> str:
+    """Shared CTEs: tokenized docs/queries with per-token unit vectors."""
+    return f"""
+WITH doc_toks AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks))) AS token_idx,
+         unnest(toks) AS token
+  FROM (
+    SELECT doc_id,
+           list_slice(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> ''), 1, {doc_max}) AS toks
+    FROM documents
+  )
+),
+query_toks AS (
+  SELECT doc_id AS query_id,
+         unnest(range(0, len(toks))) AS token_idx,
+         unnest(toks) AS token
+  FROM (
+    SELECT doc_id,
+           list_slice(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> ''), 1, {q_max}) AS toks
+    FROM documents WHERE doc_id < {n_queries}
+  )
+),
+dt AS (
+  SELECT doc_id, token_idx, {token_vector_sql('token', dim)} AS vec FROM doc_toks
+),
+qt AS (
+  SELECT query_id, token_idx, {token_vector_sql('token', dim)} AS vec FROM query_toks
+)
+""".strip()
+
+
+def sql_maxsim_brute_topk(dim: int = 16, doc_max: int = 48, q_max: int = 8,
+                          n_queries: int = N_SELF_QUERIES, k: int = MAXSIM_TOPK) -> str:
+    return f"""
+{_sql_tokens_cte(dim, doc_max, q_max, n_queries)},
+dots AS (
+  SELECT qt.query_id, dt.doc_id, qt.token_idx AS q_token_idx,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * dt.vec[i]), (a, b) -> a + b) AS dp
+  FROM qt CROSS JOIN dt
+),
+per_qtoken AS (
+  SELECT query_id, doc_id, q_token_idx, max(dp) AS max_dp
+  FROM dots GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(max_dp))), (a, b) -> a + b) AS score
+  FROM per_qtoken GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Single-vector similarity search — exact cosine top-k (extension operator)
+# ---------------------------------------------------------------------------
+
+COSINE_N_QUERIES = 10
+COSINE_TOPK = 10
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=COSINE_TOPK).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+def sql_cosine_topk(n_queries: int = COSINE_N_QUERIES, k: int = COSINE_TOPK) -> str:
+    # Identical fold order to functions/vector.py: products left-to-right,
+    # norms as Σ v*v left-to-right, cos = dot/(na*nb).
+    dot = "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.v) + 1), i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))), (a,b) -> a+b)"
+    norm = "sqrt(list_reduce(list_prepend(0.0, list_transform({arr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))"
+    nq, nc = norm.format(arr="q.v"), norm.format(arr="c.v")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id < {n_queries}
+),
+c AS (
+  SELECT vec_id, embedding AS v FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CASE WHEN {nq} = 0.0 OR {nc} = 0.0 THEN 0.0
+              ELSE {dot} / ({nq} * {nc}) END AS cos_sim
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (extension operator: hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting (extension operator)
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokenize_unicode61(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Relational aggregation sanity (SURVEY §2.9 groupBy/agg cheat-sheet ops)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavored aggregation over lineitem (float sums rounded on
+    both sides — groupBy-sum order is engine-dependent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "maxsim_brute_topk": q_maxsim_brute_topk,
+        "cosine_topk": q_cosine_topk,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "pricing_summary": q_pricing_summary,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "maxsim_brute_topk": sql_maxsim_brute_topk(),
+        "cosine_topk": sql_cosine_topk(),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_count": SQL_TOKEN_COUNT,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+    }

@@ -1,0 +1,121 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 and compares against
+``oracle_sql()`` via DuckDB: row count, sorted column names, and an
+order-insensitive value comparison (exact for ints/strings, bitwise-first
+then tolerance-reported for floats so parity regressions are visible).
+
+Usage: python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=lambda t: tuple((str(type(v)), str(v)) for v in t))
+
+
+def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    problems = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return problems
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount mismatch: spark={len(spark_rows)} duck={len(duck_rows)}")
+    a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+    n = min(len(a), len(b))
+    max_float_diff = 0.0
+    mismatches = 0
+    for i in range(n):
+        ra, rb = a[i], b[i]
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if va != vb:
+                    d = abs(va - vb)
+                    max_float_diff = max(max_float_diff, d)
+                    if not math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-12):
+                        mismatches += 1
+            elif va != vb:
+                mismatches += 1
+                if mismatches <= 3:
+                    problems.append(f"  value mismatch row {i}: {ra} vs {rb}")
+    if mismatches:
+        problems.append(f"{mismatches} mismatched values (max float diff {max_float_diff:g})")
+    elif max_float_diff > 0:
+        problems.append(f"NOTE: floats not bitwise equal, max diff {max_float_diff:g} (within tol)")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from next_plaid_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"PASS(rows-only) {name}: {len(spark_rows)} rows [{t1-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        hard = [p for p in problems if not p.startswith("NOTE")]
+        status = "FAIL" if hard else "PASS"
+        if hard:
+            failed.append(name)
+        print(f"{status} {name}: {len(spark_rows)} rows [spark {t1-t0:.1f}s, duck {time.time()-t1:.1f}s]")
+        for p in problems:
+            print(f"    {p}")
+    print()
+    print(f"{'ALL PASS' if not failed else 'FAILURES: ' + ', '.join(failed)}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
