@@ -1,0 +1,157 @@
+"""Residual product-quantization codec — B5/B6/B7 (SURVEY.md §2.3).
+
+Semantics (next-plaid/src/index.rs:182-287, codec.rs:356-470):
+- train: residual = vec − centroid[code] over a held-out sample;
+  ``bucket_cutoffs`` = quantiles of all residual values at i/2^nbits
+  (i = 1..2^nbits−1); ``bucket_weights`` = quantile midpoints at
+  (2i+1)/2^(nbits+1); ``avg_residual`` = per-dim mean |residual|;
+  ``cluster_threshold`` = 0.75-quantile of residual L2 norms (update-path
+  outlier gate, index.rs:632-638).
+- quantize: bucket index = searchsorted(cutoffs, value); pack nbits per value
+  big-endian into bytes (codec.rs:356-411).
+- decompress: unpack → centroid[code] + bucket_weights[idx] → L2-renormalize
+  (codec.rs:423-470).
+
+Quantiles use linear interpolation to match utils.rs:94-157 (== np.quantile
+default). Training collects ≤ ``HELDOUT_CAP`` residual rows to the driver —
+the reference uses the same bounded heldout (5% capped 50k, index.rs:571-666).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HELDOUT_FRAC = 0.05
+HELDOUT_CAP = 50_000
+
+
+@dataclass
+class CodecArtifacts:
+    nbits: int
+    bucket_cutoffs: np.ndarray   # [2^nbits - 1] float32
+    bucket_weights: np.ndarray   # [2^nbits] float32
+    avg_residual: np.ndarray     # [dim] float32
+    cluster_threshold: float
+
+    def to_dict(self) -> dict:
+        return {
+            "nbits": self.nbits,
+            "bucket_cutoffs": self.bucket_cutoffs.tolist(),
+            "bucket_weights": self.bucket_weights.tolist(),
+            "avg_residual": self.avg_residual.tolist(),
+            "cluster_threshold": float(self.cluster_threshold),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CodecArtifacts":
+        return cls(
+            nbits=int(d["nbits"]),
+            bucket_cutoffs=np.asarray(d["bucket_cutoffs"], dtype=np.float32),
+            bucket_weights=np.asarray(d["bucket_weights"], dtype=np.float32),
+            avg_residual=np.asarray(d["avg_residual"], dtype=np.float32),
+            cluster_threshold=float(d["cluster_threshold"]),
+        )
+
+
+def _residuals_sample(doc_tokens_coded: DataFrame, centroids: np.ndarray,
+                      seed: int, vec_col: str) -> np.ndarray:
+    n = doc_tokens_coded.count()
+    frac = min(1.0, max(HELDOUT_FRAC, HELDOUT_CAP / max(n, 1)))
+    sampled = doc_tokens_coded.select(vec_col, "code")
+    if frac < 1.0:
+        sampled = sampled.sample(fraction=min(1.0, frac * 1.1), seed=seed)
+    rows = sampled.limit(HELDOUT_CAP * 2).collect()
+    vecs = np.asarray([r[0] for r in rows], dtype=np.float32)
+    codes = np.asarray([r[1] for r in rows], dtype=np.int64)
+    if len(vecs) > HELDOUT_CAP:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(len(vecs), size=HELDOUT_CAP, replace=False)
+        vecs, codes = vecs[keep], codes[keep]
+    return vecs - centroids[codes]
+
+
+def train_codec(doc_tokens_coded: DataFrame, centroids: np.ndarray,
+                *, nbits: int = 4, seed: int = 42,
+                vec_col: str = "vec") -> CodecArtifacts:
+    res = _residuals_sample(doc_tokens_coded, centroids, seed, vec_col)
+    flat = res.ravel()
+    n_buckets = 2 ** nbits
+    cut_q = np.arange(1, n_buckets) / n_buckets
+    w_q = (2 * np.arange(n_buckets) + 1) / (2 * n_buckets)
+    cutoffs = np.quantile(flat, cut_q).astype(np.float32)
+    weights = np.quantile(flat, w_q).astype(np.float32)
+    avg_residual = np.abs(res).mean(axis=0).astype(np.float32)
+    norms = np.linalg.norm(res, axis=1)
+    threshold = float(np.quantile(norms, 0.75))
+    return CodecArtifacts(nbits, cutoffs, weights, avg_residual, threshold)
+
+
+def _pack(bucket_idx: np.ndarray, nbits: int) -> bytes:
+    """Pack one token's per-dim bucket indices, nbits each, big-endian."""
+    bits = ((bucket_idx[:, None] >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack(raw: bytes, dim: int, nbits: int) -> np.ndarray:
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[: dim * nbits]
+    bits = bits.reshape(dim, nbits)
+    return (bits * (1 << np.arange(nbits - 1, -1, -1))).sum(axis=1)
+
+
+def quantize_residuals(doc_tokens_coded: DataFrame, centroids: np.ndarray,
+                       codec: CodecArtifacts, *, vec_col: str = "vec") -> DataFrame:
+    """B6: add ``residual BINARY`` (packed bucket indices), drop the raw vec.
+
+    Output: all input columns except vec_col, plus ``residual``.
+    """
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    cutoffs = codec.bucket_cutoffs.astype(np.float32)
+    nbits = codec.nbits
+    keep = [f for f in doc_tokens_coded.schema.fields if f.name != vec_col]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep) + ", residual binary"
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            codes = pdf["code"].to_numpy()
+            res = x - c[codes]
+            idx = np.searchsorted(cutoffs, res, side="left")
+            out = pdf.drop(columns=[vec_col]).copy()
+            out["residual"] = [_pack(row, nbits) for row in idx]
+            yield out
+
+    return doc_tokens_coded.mapInPandas(enc, schema=out_schema)
+
+
+def decompress(coded: DataFrame, centroids: np.ndarray,
+               codec: CodecArtifacts) -> DataFrame:
+    """B7: ``(…, code, residual)`` → adds ``vec ARRAY<DOUBLE>`` (unit-norm)."""
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    weights = codec.bucket_weights.astype(np.float32)
+    nbits = codec.nbits
+    dim = c.shape[1]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in coded.schema.fields
+    ) + ", vec array<double>"
+
+    def dec(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = pdf["code"].to_numpy()
+            idx = np.asarray([_unpack(r, dim, nbits) for r in pdf["residual"]])
+            vecs = c[codes] + weights[idx]
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = (vecs / norms).astype(np.float64)
+            out = pdf.copy()
+            out["vec"] = list(vecs)
+            yield out
+
+    return coded.mapInPandas(dec, schema=out_schema)

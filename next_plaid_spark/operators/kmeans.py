@@ -1,0 +1,149 @@
+"""Coarse quantizer training — B1/B2/B3/B4 (SURVEY.md §2.3).
+
+Parity targets:
+- K heuristic: ``K = 2^⌊log2(16·√total_tokens)⌋`` (next-plaid/src/kmeans.rs:303-312).
+- Sampling budget: ``n_samples = min(1 + 16·√(120·n_docs), n_docs)`` documents
+  (kmeans.rs:272-301) — we sample *tokens* with an equivalent budget since the
+  exploded layout has no per-doc matrices.
+- Lloyd's: 4 iterations, seed 42, centroids L2-normalized afterwards
+  (kmeans.rs:261-422). We test invariants (normalization, K, assignment =
+  argmax dot), not bit-parity with fastkmeans-rs (SURVEY §7 risk register).
+
+Execution model: train on a driver-side sample (small), broadcast the
+centroid matrix, assign codes executor-side with one BLAS GEMM per Arrow
+batch. At K beyond ~1M centroids the broadcast stops being viable and
+assignment becomes a bucketed join — out of scope for this corpus, noted in
+plans/builder.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEED = 42
+DEFAULT_ITERS = 4
+MAX_POINTS_PER_CENTROID = 256  # kmeans.rs:58-71
+
+
+def estimate_k(total_tokens: int) -> int:
+    """2^⌊log2(16·√tokens)⌋ (kmeans.rs:303-309); ≥1."""
+    if total_tokens <= 0:
+        return 1
+    return max(1, 2 ** int(math.floor(math.log2(16.0 * math.sqrt(total_tokens)))))
+
+
+def sample_token_budget(n_docs: int, avg_doclen: float) -> int:
+    """Token-count equivalent of the reference's doc sampling budget."""
+    n_doc_samples = min(1 + int(16.0 * math.sqrt(120.0 * n_docs)), max(n_docs, 1))
+    return max(1, int(n_doc_samples * max(avg_doclen, 1.0)))
+
+
+@dataclass
+class KMeansModel:
+    centroids: np.ndarray  # [K, dim] float32, L2-normalized rows
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[1]
+
+
+def lloyds(points: np.ndarray, k: int, *, iters: int = DEFAULT_ITERS,
+           seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Plain Lloyd's on unit vectors (argmax-dot assignment ≡ min-L2).
+
+    Deterministic under (points, k, seed). Empty clusters keep their previous
+    centroid. Returns L2-normalized [k, dim] float32.
+    """
+    pts = np.asarray(points, dtype=np.float32)
+    n = pts.shape[0]
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centroids = pts[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # batched GEMM to bound memory (codec.rs 1 GB cap analog)
+        assign = np.empty(n, dtype=np.int64)
+        bs = max(1, int(64_000_000 / max(k, 1)))
+        for s in range(0, n, bs):
+            assign[s : s + bs] = np.argmax(pts[s : s + bs] @ centroids.T, axis=1)
+        sums = np.zeros_like(centroids, dtype=np.float64)
+        np.add.at(sums, assign, pts)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        centroids[nonempty] = (sums[nonempty] / counts[nonempty, None]).astype(np.float32)
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (centroids / norms).astype(np.float32)
+
+
+def train_kmeans(
+    doc_tokens: DataFrame,
+    *,
+    vec_col: str = "vec",
+    k: int | None = None,
+    seed: int = DEFAULT_SEED,
+    iters: int = DEFAULT_ITERS,
+    sample_budget: int | None = None,
+) -> KMeansModel:
+    """Sample tokens → driver Lloyd's → KMeansModel.
+
+    One aggregate + one sampled collect; everything else stays distributed.
+    """
+    stats = doc_tokens.agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).collect()[0]
+    n_tokens, n_docs = stats.n_tokens, stats.n_docs
+    if k is None:
+        k = estimate_k(n_tokens)
+    if sample_budget is None:
+        sample_budget = sample_token_budget(n_docs, n_tokens / max(n_docs, 1))
+    sample_budget = max(sample_budget, min(n_tokens, k * 4))
+    frac = min(1.0, sample_budget / max(n_tokens, 1))
+    sampled = doc_tokens.select(vec_col)
+    if frac < 1.0:
+        sampled = sampled.sample(fraction=min(1.0, frac * 1.1), seed=seed)
+    pts = np.asarray([r[0] for r in sampled.collect()], dtype=np.float32)
+    # cap points per centroid like the reference's subsample (kmeans.rs:58-71)
+    cap = MAX_POINTS_PER_CENTROID * k
+    if pts.shape[0] > cap:
+        rng = np.random.default_rng(seed)
+        pts = pts[rng.choice(pts.shape[0], size=cap, replace=False)]
+    k = min(k, pts.shape[0])
+    return KMeansModel(centroids=lloyds(pts, k, iters=iters, seed=seed))
+
+
+def assign_codes(doc_tokens: DataFrame, centroids: np.ndarray,
+                 *, vec_col: str = "vec") -> DataFrame:
+    """B4 ``compress_into_codes`` (codec.rs:260-343): nearest-centroid id per
+    token via argmax(X @ Cᵀ), one GEMM per Arrow batch, executor-side.
+
+    Adds ``code BIGINT``. The centroid matrix rides the closure (Spark
+    broadcasts the serialized function once per executor).
+    """
+    import pandas as pd
+
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in doc_tokens.schema.fields
+    ) + ", code long"
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            if len(x):
+                pdf = pdf.copy()
+                pdf["code"] = np.argmax(x @ c.T, axis=1).astype(np.int64)
+            else:
+                pdf = pdf.assign(code=pd.Series([], dtype="int64"))
+            yield pdf
+
+    return doc_tokens.mapInPandas(assign, schema=out_schema)

@@ -1,0 +1,74 @@
+"""Batch PLAID index build as a DataFrame pipeline — SURVEY.md §3.3.
+
+The reference factors its build into prepare (train small models on a
+sample, driver) / encode (pure map over chunks, executors) / write (reduce
+to IVF + metadata) — ``prepare_codec_artifacts`` / ``encode_index_chunk`` /
+``write_index_from_encoded_chunks`` (next-plaid/src/index.rs:182-528). That
+seam *is* driver-coordinated map-reduce, and this builder follows it:
+
+  1. stats + K heuristic            (one agg)                 — B2
+  2. sample → Lloyd's k-means       (driver, seeded)          — B1/B3
+  3. codec training quantiles       (driver, bounded sample)  — B5
+  4. assign + quantize              (mapInPandas, one pass)   — B4/B6/B10
+  5. IVF + doclens + write          (shuffle by key, Parquet) — B8/B9/S1
+
+Scale notes: steps 2-3 touch bounded samples regardless of corpus size; step
+4 is embarrassingly parallel (one GEMM per Arrow batch, centroids shipped
+once per executor); step 5's shuffles are on (doc_id) and (code) — the only
+all-data shuffles in the build, both unavoidable and both AQE-coalesced.
+Broadcast assignment holds to K≈1M (512 MB at dim=128 f32); past that,
+assignment becomes an LSH-bucketed join against a centroids table — hook
+left in assign_codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.codec import quantize_residuals, train_codec
+from next_plaid_spark.operators.kmeans import assign_codes, estimate_k, train_kmeans
+from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_index
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, *, nbits: int = 4, seed: int = 42,
+                 k: int | None = None, kmeans_iters: int = 4):
+        self.spark = spark
+        self.nbits = nbits
+        self.seed = seed
+        self.k = k
+        self.kmeans_iters = kmeans_iters
+
+    def build(self, doc_tokens: DataFrame, path: str) -> PlaidIndex:
+        """doc_tokens(doc_id, token_idx, vec) → persisted PlaidIndex."""
+        doc_tokens = doc_tokens.select(
+            F.col("doc_id").cast("long"),
+            F.col("token_idx").cast("int"),
+            F.col("vec"),
+        ).cache()
+        stats = doc_tokens.agg(
+            F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")
+        ).collect()[0]
+        n_tokens, n_docs = stats.n, stats.d
+
+        model = train_kmeans(
+            doc_tokens, k=self.k or estimate_k(n_tokens),
+            seed=self.seed, iters=self.kmeans_iters,
+        )
+        coded = assign_codes(doc_tokens, model.centroids).cache()
+        codec = train_codec(coded, model.centroids, nbits=self.nbits, seed=self.seed)
+        tokens_out = quantize_residuals(coded, model.centroids, codec)
+
+        meta = IndexMeta(
+            k=model.k, dim=model.dim, nbits=self.nbits,
+            num_documents=n_docs, num_embeddings=n_tokens,
+            avg_doclen=n_tokens / max(n_docs, 1), codec=codec,
+        )
+        idx = write_index(
+            self.spark, path, tokens_coded=tokens_out,
+            centroids=model.centroids, meta=meta,
+        )
+        coded.unpersist()
+        doc_tokens.unpersist()
+        return idx

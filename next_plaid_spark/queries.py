@@ -111,6 +111,44 @@ FROM ranked WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# PLAID ANN funnel over a built index (SURVEY §2.3 build + §2.4 search).
+# No oracle SQL: the k-means coarse quantizer is iterative/non-SQL-expressible
+# (driver records rows-only). Funnel correctness is gated in
+# tests/test_index_build.py against the brute-force exact-MaxSim oracle.
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _plaid_index(spark: SparkSession, sf_dir: str):
+    from next_plaid_spark.plans.builder import IndexBuilder
+    from next_plaid_spark.sources.index_store import PlaidIndex
+
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        path = os.path.join(tempfile.mkdtemp(prefix="plaid_idx_"), "index")
+        docs = _t(spark, sf_dir, "documents")
+        idx = IndexBuilder(spark, nbits=4, seed=42).build(encode_documents(docs), path)
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx = _plaid_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    qt = encode_queries(queries)
+    searcher = BatchSearcher(idx, SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256))
+    return searcher.search(qt).select("query_id", "doc_id", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Single-vector similarity search — exact cosine top-k (extension operator)
 # ---------------------------------------------------------------------------
 
@@ -244,6 +282,7 @@ ORDER BY l_returnflag, l_linestatus
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maxsim_brute_topk": q_maxsim_brute_topk,
+        "plaid_search_topk": q_plaid_search_topk,
         "cosine_topk": q_cosine_topk,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,

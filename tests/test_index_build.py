@@ -1,0 +1,128 @@
+"""Index build invariants + codec roundtrip + funnel recall vs brute force.
+
+Mirrors the reference's test strategy (SURVEY.md §5): invariants not
+bit-parity for k-means; codec roundtrip (codec.rs:615-753); end-to-end
+recall against exact MaxSim as the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from next_plaid_spark.encoding import encode_documents, encode_queries
+from next_plaid_spark.operators.codec import CodecArtifacts, _pack, _unpack
+from next_plaid_spark.operators.kmeans import estimate_k, lloyds
+from next_plaid_spark.operators.maxsim import brute_force_search
+from next_plaid_spark.plans.builder import IndexBuilder
+from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+from next_plaid_spark.sources.index_store import PlaidIndex
+
+
+def test_estimate_k():
+    # FIXTURES.md §8: 6000 tokens → 2^⌊log2(16·√6000)⌋ = 1024
+    assert estimate_k(6000) == 1024
+    assert estimate_k(1) == 16
+    assert estimate_k(0) == 1
+
+
+def test_lloyds_normalized_and_deterministic():
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((500, 8)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    c1 = lloyds(pts, 16, seed=42)
+    c2 = lloyds(pts, 16, seed=42)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
+def test_pack_unpack_roundtrip():
+    for nbits in (2, 4):
+        rng = np.random.default_rng(1)
+        idx = rng.integers(0, 2 ** nbits, size=32)
+        assert np.array_equal(_unpack(_pack(idx, nbits), 32, nbits), idx)
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, documents, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plaid_index"))
+    docs = documents.limit(200)
+    dt = encode_documents(docs)
+    idx = IndexBuilder(spark, nbits=4, seed=42).build(dt, path)
+    return idx, docs, dt
+
+
+def test_index_artifacts(spark, built_index):
+    idx, docs, dt = built_index
+    n_docs = docs.count()
+    assert idx.meta.num_documents == n_docs
+    assert idx.meta.num_embeddings == dt.count()
+    assert idx.meta.dim == 16
+    # centroids normalized
+    c = idx.centroids_np()
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-5)
+    # ivf covers every code present in tokens; doc lists sorted & deduped
+    ivf = {r.code: r.doc_ids for r in idx.ivf.collect()}
+    for code, ids in ivf.items():
+        assert ids == sorted(set(ids))
+    token_codes = {r.code for r in idx.tokens.select("code").distinct().collect()}
+    assert token_codes == set(ivf)
+    # doclens sum = num embeddings
+    total = idx.doclens.agg(F.sum("num_tokens")).collect()[0][0]
+    assert total == idx.meta.num_embeddings
+
+
+def test_codec_roundtrip_quality(spark, built_index):
+    """Decompressed vectors must stay close to originals (4-bit residuals)."""
+    from next_plaid_spark.operators.codec import decompress
+
+    idx, docs, dt = built_index
+    dec = decompress(idx.tokens, idx.centroids_np(), idx.meta.codec)
+    joined = (
+        dec.select("doc_id", "token_idx", F.col("vec").alias("dvec"))
+        .join(dt.select("doc_id", "token_idx", F.col("vec").alias("ovec")),
+              ["doc_id", "token_idx"])
+        .collect()
+    )
+    assert len(joined) == dt.count()
+    cos = [
+        float(np.dot(r.dvec, r.ovec) / (np.linalg.norm(r.dvec) * np.linalg.norm(r.ovec)))
+        for r in joined
+    ]
+    assert np.mean(cos) > 0.95, f"mean reconstruction cosine {np.mean(cos):.4f}"
+
+
+def test_funnel_recall_vs_brute_force(spark, built_index):
+    idx, docs, dt = built_index
+    queries = docs.limit(20).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+
+    oracle = brute_force_search(qt, dt, k=10).collect()
+    searcher = BatchSearcher(idx, SearchParams(top_k=10, n_full_scores=256))
+    got = searcher.search(qt).collect()
+
+    oracle_by_q, got_by_q = {}, {}
+    for r in oracle:
+        oracle_by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    for r in got:
+        got_by_q.setdefault(r.query_id, set()).add(r.doc_id)
+
+    # The synthetic corpus is tie-heavy (many docs share all query tokens),
+    # so set-recall@10 vs the oracle's tie-broken top-10 is a soft target;
+    # score-recall is the hard invariant: top-1 exact score must match.
+    recalls = [
+        len(oracle_by_q[q] & got_by_q.get(q, set())) / len(oracle_by_q[q])
+        for q in oracle_by_q
+    ]
+    assert np.mean(recalls) >= 0.6, f"mean recall@10 {np.mean(recalls):.3f}"
+
+    oracle_top1 = {r.query_id: r.score for r in oracle if r.rank == 1}
+    got_top1 = {r.query_id: r.score for r in got if r.rank == 1}
+    close = [
+        math.isclose(oracle_top1[q], got_top1.get(q, -1), rel_tol=0.05)
+        for q in oracle_top1
+    ]
+    assert np.mean(close) >= 0.8, f"top-1 score agreement {np.mean(close):.2f}"
