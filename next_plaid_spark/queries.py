@@ -196,6 +196,187 @@ FROM ranked WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# Keyword search (BM25) + hybrid fusion (SURVEY §2.5 K1/K3/K6/K7/K8)
+# ---------------------------------------------------------------------------
+
+BM25_TOPK = 10
+FETCH_K = 3 * BM25_TOPK  # semantic/keyword over-fetch (handlers/search.rs:289-293)
+
+
+def _doc_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = BM25Index.build(docs)
+    return idx.search(_doc_queries(spark, sf_dir), k=BM25_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def sql_bm25_topk() -> str:
+    from next_plaid_spark.operators.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        n_queries=N_SELF_QUERIES, k=BM25_TOPK, split_re=TOKEN_SPLIT_RE
+    )
+
+
+def _hybrid_lists(spark: SparkSession, sf_dir: str):
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = _doc_queries(spark, sf_dir)
+    sem = brute_force_search(
+        encode_queries(queries), encode_documents(docs), k=FETCH_K
+    ).select("query_id", "doc_id", "score")
+    kw = BM25Index.build(docs).search(queries, k=FETCH_K).select(
+        "query_id", "doc_id", "score"
+    )
+    return sem, kw
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.fusion import fuse_rrf
+
+    sem, kw = _hybrid_lists(spark, sf_dir)
+    return fuse_rrf(sem, kw, alpha=0.75, k=BM25_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def q_hybrid_relative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.fusion import fuse_relative_score
+
+    sem, kw = _hybrid_lists(spark, sf_dir)
+    return fuse_relative_score(sem, kw, alpha=0.75, k=BM25_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def _sql_hybrid_lists_cte(dim: int = 16) -> str:
+    """CTE prefix producing sem_list / kw_list (query_id, doc_id, score, r),
+    both cut at FETCH_K — mirrors _hybrid_lists."""
+    from next_plaid_spark.operators.bm25 import B, K1, SCORE_DECIMALS
+
+    maxsim = _sql_tokens_cte(dim, 48, 8, N_SELF_QUERIES)
+    return f"""
+{maxsim},
+dots AS (
+  SELECT qt.query_id, dt.doc_id, qt.token_idx AS q_token_idx,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * dt.vec[i]), (a, b) -> a + b) AS dp
+  FROM qt CROSS JOIN dt
+),
+per_qtoken AS (
+  SELECT query_id, doc_id, q_token_idx, max(dp) AS max_dp FROM dots GROUP BY 1, 2, 3
+),
+sem_scored AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(max_dp))), (a, b) -> a + b) AS score
+  FROM per_qtoken GROUP BY 1, 2
+),
+sem_list AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r
+    FROM sem_scored
+  ) WHERE r <= {FETCH_K}
+),
+kw_tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS term
+  FROM documents
+),
+kw_postings AS (SELECT term, doc_id, count(*) AS tf FROM kw_tok GROUP BY 1, 2),
+kw_doclens AS (SELECT doc_id, count(*) AS dl FROM kw_tok GROUP BY 1),
+kw_stats AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM kw_doclens),
+kw_dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM kw_postings GROUP BY 1),
+kw_qterms AS (
+  SELECT query_id, term, count(*) AS qtf FROM (
+    SELECT doc_id AS query_id, unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS term
+    FROM documents WHERE doc_id < {N_SELF_QUERIES}
+  ) GROUP BY 1, 2
+),
+kw_contribs AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM kw_qterms q
+  JOIN kw_postings p USING (term)
+  JOIN kw_dfreq d USING (term)
+  JOIN kw_doclens l ON p.doc_id = l.doc_id
+  CROSS JOIN kw_stats s
+),
+kw_scored AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list_prepend(0.0, list_sort(list(contrib))), (a, b) -> a + b), {SCORE_DECIMALS}) AS score
+  FROM kw_contribs GROUP BY 1, 2
+),
+kw_list AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r
+    FROM kw_scored
+  ) WHERE r <= {FETCH_K}
+)
+""".strip()
+
+
+def sql_hybrid_rrf_topk(alpha: float = 0.75, k: int = BM25_TOPK) -> str:
+    return f"""
+{_sql_hybrid_lists_cte()},
+fused AS (
+  SELECT coalesce(s.query_id, w.query_id) AS query_id,
+         coalesce(s.doc_id, w.doc_id) AS doc_id,
+         coalesce({alpha} / (60.0 + s.r), 0.0) + coalesce({1.0 - alpha} / (60.0 + w.r), 0.0) AS score
+  FROM sem_list s FULL OUTER JOIN kw_list w
+    ON s.query_id = w.query_id AND s.doc_id = w.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def sql_hybrid_relative_topk(alpha: float = 0.75, k: int = BM25_TOPK) -> str:
+    norm = """
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 1.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END AS n
+  FROM {src}
+"""
+    return f"""
+{_sql_hybrid_lists_cte()},
+sem_norm AS ({norm.format(src="sem_list")}),
+kw_norm AS ({norm.format(src="kw_list")}),
+fused AS (
+  SELECT coalesce(s.query_id, w.query_id) AS query_id,
+         coalesce(s.doc_id, w.doc_id) AS doc_id,
+         {alpha} * coalesce(s.n, 0.0) + {1.0 - alpha} * coalesce(w.n, 0.0) AS score
+  FROM sem_norm s FULL OUTER JOIN kw_norm w
+    ON s.query_id = w.query_id AND s.doc_id = w.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Exact deduplication (extension operator: hash-groupBy)
 # ---------------------------------------------------------------------------
 
@@ -284,6 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_brute_topk": q_maxsim_brute_topk,
         "plaid_search_topk": q_plaid_search_topk,
         "cosine_topk": q_cosine_topk,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_relative_topk": q_hybrid_relative_topk,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "pricing_summary": q_pricing_summary,
@@ -294,6 +478,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
         "cosine_topk": sql_cosine_topk(),
+        "bm25_topk": sql_bm25_topk(),
+        "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
+        "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_count": SQL_TOKEN_COUNT,
         "pricing_summary": SQL_PRICING_SUMMARY,

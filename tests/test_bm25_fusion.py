@@ -1,0 +1,90 @@
+"""BM25 + fusion unit tests: hand-computed toy cases (FIXTURES.md §8)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.bm25 import B, K1, BM25Index
+from next_plaid_spark.operators.fusion import fuse_relative_score, fuse_rrf
+
+LIST_SCHEMA = "query_id long, doc_id long, score double"
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"), (2, "durian")],
+        "doc_id long, text string",
+    )
+    idx = BM25Index.build(docs)
+    assert idx.n_docs == 3 and math.isclose(idx.avgdl, 2.0)
+    res = idx.search(
+        spark.createDataFrame([(0, "apple")], "query_id long, text string"), k=3
+    ).collect()
+    # only doc 0 contains 'apple': tf=2, df=1, dl=3
+    assert len(res) == 1 and res[0].doc_id == 0
+    idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    sat = 2 * (K1 + 1) / (2 + K1 * (1 - B + B * 3 / 2.0))
+    assert math.isclose(res[0].score, round(idf * sat, 6), rel_tol=1e-9)
+
+
+@pytest.fixture()
+def toy_lists(spark):
+    sem = spark.createDataFrame(
+        [(0, 10, 5.0), (0, 11, 4.0), (0, 12, 3.0)], LIST_SCHEMA
+    )
+    kw = spark.createDataFrame(
+        [(0, 11, 9.0), (0, 13, 6.0)], LIST_SCHEMA
+    )
+    return sem, kw
+
+
+def test_rrf_hand_computed(spark, toy_lists):
+    sem, kw = toy_lists
+    got = {r.doc_id: r.score for r in fuse_rrf(sem, kw, alpha=0.75, k=10).collect()}
+    # sem ranks: 10→1, 11→2, 12→3 ; kw ranks: 11→1, 13→2
+    exp = {
+        10: 0.75 / 61,
+        11: 0.75 / 62 + 0.25 / 61,
+        12: 0.75 / 63,
+        13: 0.25 / 62,
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert math.isclose(got[d], exp[d], rel_tol=1e-12), d
+
+
+def test_relative_score_hand_computed(spark, toy_lists):
+    sem, kw = toy_lists
+    got = {
+        r.doc_id: r.score
+        for r in fuse_relative_score(sem, kw, alpha=0.75, k=10).collect()
+    }
+    # sem minmax: 10→1.0, 11→0.5, 12→0.0 ; kw minmax: 11→1.0, 13→0.0
+    exp = {10: 0.75, 11: 0.75 * 0.5 + 0.25, 12: 0.0, 13: 0.0}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert math.isclose(got[d], exp[d], rel_tol=1e-12), d
+
+
+def test_relative_score_constant_list_normalizes_to_one(spark):
+    sem = spark.createDataFrame([(0, 1, 2.0), (0, 2, 2.0)], LIST_SCHEMA)
+    kw = spark.createDataFrame([(0, 3, 1.0)], LIST_SCHEMA)
+    got = {r.doc_id: r.score for r in fuse_relative_score(sem, kw, k=10).collect()}
+    # constant sem list → both docs norm 1.0 (text_search.rs:1042-1057)
+    assert math.isclose(got[1], 0.75) and math.isclose(got[2], 0.75)
+    assert math.isclose(got[3], 0.25)
+
+
+def test_bm25_filtered_subset(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple pie"), (1, "apple tart"), (2, "apple cake")],
+        "doc_id long, text string",
+    )
+    idx = BM25Index.build(docs)
+    q = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+    subset = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    res = idx.search(q, k=10, subset=subset).collect()
+    assert {r.doc_id for r in res} == {1, 2}
