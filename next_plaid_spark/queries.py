@@ -196,6 +196,55 @@ FROM ranked WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# Filtered search (SURVEY §2.2 F1/F2/F9): metadata predicate → subset →
+# subset-restricted semantic search. The predicate goes through the
+# reference's WHERE-grammar validator before Catalyst sees it.
+# ---------------------------------------------------------------------------
+
+FILTER_COND = "lang = ? AND n_chars > ?"
+FILTER_PARAMS = ["en", 250]
+
+
+def q_filtered_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.filtering import MetadataStore
+
+    docs = _t(spark, sf_dir, "documents")
+    subset = MetadataStore(docs).where_condition(FILTER_COND, FILTER_PARAMS)
+    doc_tokens = encode_documents(docs).join(subset, "doc_id", "left_semi")
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return brute_force_search(encode_queries(queries), doc_tokens, k=MAXSIM_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def sql_filtered_search_topk(dim: int = 16) -> str:
+    from next_plaid_spark.filtering import bind_condition_duckdb
+
+    pred = bind_condition_duckdb(FILTER_COND, FILTER_PARAMS)
+    base = sql_maxsim_brute_topk(dim=dim)
+    # restrict the document-token CTE to the metadata subset — same seam as
+    # the Spark semi-join (search.rs:433-437 subset intersection)
+    return base.replace(
+        "    FROM documents\n  )\n),\nquery_toks",
+        f"    FROM documents WHERE {pred}\n  )\n),\nquery_toks",
+        1,
+    )
+
+
+def q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 get_distinct_strings."""
+    from next_plaid_spark.filtering import MetadataStore
+
+    docs = _t(spark, sf_dir, "documents")
+    return MetadataStore(docs).get_distinct_strings("lang")
+
+
+SQL_DISTINCT_LANGS = "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL"
+
+
+# ---------------------------------------------------------------------------
 # Keyword search (BM25) + hybrid fusion (SURVEY §2.5 K1/K3/K6/K7/K8)
 # ---------------------------------------------------------------------------
 
@@ -465,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_brute_topk": q_maxsim_brute_topk,
         "plaid_search_topk": q_plaid_search_topk,
         "cosine_topk": q_cosine_topk,
+        "filtered_search_topk": q_filtered_search_topk,
+        "distinct_langs": q_distinct_langs,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_relative_topk": q_hybrid_relative_topk,
@@ -478,6 +529,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
         "cosine_topk": sql_cosine_topk(),
+        "filtered_search_topk": sql_filtered_search_topk(),
+        "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
