@@ -1,0 +1,374 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface — these are the LLM-pipeline extension
+operators (BASELINE.json north star), built on the same token machinery as
+the search engine. All hash derivations use md5 so the DuckDB oracle can
+reproduce them bit-for-bit.
+
+Scale discipline:
+- exact: one groupBy on a 128-bit content hash — the only full shuffle.
+- n-gram Jaccard: docs never pair all-vs-all; pairs materialize only through
+  the shared-shingle equi-join (doc pairs with zero overlap never meet),
+  counts are map-side combinable.
+- MinHash+LSH: signature is a groupBy over (doc × n_hashes) rows; candidate
+  pairs come from the banded bucket join — the classic
+  shingle→minhash→band→bucket-join pipeline; exact Jaccard verifies
+  candidates only.
+- SimHash: fingerprint is one aggregation; near-pairs via band-exact match
+  on fingerprint quarters (a Hamming-ball prefilter), then bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
+
+# 60-bit hashes: 15 hex chars of md5 → fits BIGINT exactly in both engines.
+HASH_HEX_LEN = 15
+SIMHASH_BITS = 60
+
+
+def _hash60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, HASH_HEX_LEN), 16, 10).cast("long")
+
+
+def shingles(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokenize_unicode61(F.col(text_col))
+    # guard: Spark sequence(0, stop) DESCENDS when stop < 0 — short docs
+    # must yield an empty shingle list, not [0, -1].
+    sh = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), sh.alias("_sh"))
+        .select("doc_id", F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def _sql_shingles(n: int = 3) -> str:
+    """DuckDB CTE body mirroring shingles() (1-based list indexing)."""
+    return f"""
+  SELECT DISTINCT doc_id, concat_ws(' ', {", ".join(f"toks[i + {j}]" for j in range(n))}) AS shingle
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+    FROM documents
+  ), unnest(range(1, greatest(len(toks) - {n}, -1) + 2)) AS r(i)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: pairs meeting only through shared shingles
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard(shingles) ≥ threshold.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer ratio, bit-identical
+    cross-engine.
+    """
+    sh = shingles(docs, n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_ngram_jaccard_pairs(*, n: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+WITH sh AS (
+{_sql_shingles(n)}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame, *, n: int = 3,
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, h BIGINT[n_hashes]): h_i = min over shingles of
+    hash60(i ‖ ':' ‖ shingle)."""
+    sh = shingles(docs, n=n)
+    hashed = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: _hash60(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))),
+            )
+        ).alias("h_idx", "h"),
+    )
+    return (
+        hashed.groupBy("doc_id", "h_idx")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(F.transform(F.array_sort(
+            F.collect_list(F.struct("h_idx", "mh"))), lambda s: s["mh"]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, n: int = 3, n_hashes: int = N_HASHES,
+                      n_bands: int = N_BANDS, threshold: float = 0.0) -> DataFrame:
+    """Banded-LSH candidate pairs with exact-Jaccard verification:
+    (doc_a, doc_b, jaccard ≥ threshold). Pairs collide when any band of the
+    minhash signature matches exactly."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(docs, n=n, n_hashes=n_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.band") == F.col("y.band")) & (F.col("x.key") == F.col("y.key"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (candidates only — never all pairs)
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0)
+    return cand.join(exact, ["doc_a", "doc_b"]).filter(
+        F.col("jaccard") >= threshold
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def sql_minhash_lsh_pairs(*, n: int = 3, n_hashes: int = N_HASHES,
+                          n_bands: int = N_BANDS, threshold: float = 0.0) -> str:
+    rpb = n_hashes // n_bands
+    return f"""
+WITH sh AS (
+{_sql_shingles(n)}
+),
+hashed AS (
+  SELECT doc_id, i AS h_idx,
+         CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', shingle)), 1, {HASH_HEX_LEN})) AS BIGINT) AS h
+  FROM sh, unnest(range(0, {n_hashes})) AS r(i)
+),
+sig AS (
+  SELECT doc_id, h_idx, min(h) AS mh FROM hashed GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, h_idx // {rpb} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h_idx)) AS key
+  FROM sig GROUP BY doc_id, h_idx // {rpb}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
+FROM cand c
+JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash BIGINT): 60-bit simhash over word unigrams weighted
+    by term frequency. Bit j is 1 iff Σ_t tf(t)·(2·bit_j(hash60(t))−1) ≥ 0."""
+    terms = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.explode(tokenize_unicode61(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _hash60(F.col("term")))
+    )
+    # shift amounts must be Python ints (shiftright doesn't take a Column),
+    # so unroll the bit positions driver-side — stays exact long arithmetic.
+    bits = terms.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.col("tf") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+                for j in range(SIMHASH_BITS)
+            ])
+        ).alias("bit_pos", "w"),
+    )
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    return (
+        bits.groupBy("doc_id", "bit_pos")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.element_at(pow2, F.col("bit_pos") + 1))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+_SQL_SIMHASH_CTES = f"""
+terms AS (
+  SELECT doc_id, term, count(*) AS tf,
+         CAST(concat('0x', substr(md5(term), 1, {HASH_HEX_LEN})) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id, j AS bit_pos, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
+  FROM terms, unnest(range(0, {SIMHASH_BITS})) AS r(j)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit_pos) ELSE 0 END) AS simhash
+  FROM bits GROUP BY 1
+)
+""".strip()
+
+
+def sql_simhash_fingerprints() -> str:
+    return f"WITH {_SQL_SIMHASH_CTES}\nSELECT doc_id, simhash FROM fp"
+
+
+def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within a Hamming ball, prefiltered by
+    exact match on one of 4 fingerprint bands (any pair with hamming ≤ 3
+    must agree on ≥1 of 4 15-bit bands — pigeonhole)."""
+    fp = simhash_fingerprints(docs)
+    band_w = SIMHASH_BITS // 4
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), b * band_w)
+                .bitwiseAND(F.lit((1 << band_w) - 1))
+                for b in range(4)
+            ])
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.band") == F.col("y.band")) & (F.col("x.key") == F.col("y.key"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a", "doc_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def sql_simhash_near_pairs(*, max_hamming: int = 3) -> str:
+    band_w = SIMHASH_BITS // 4
+    return f"""
+WITH {_SQL_SIMHASH_CTES},
+banded AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b * {band_w})) & {(1 << band_w) - 1} AS key
+  FROM fp, unnest(range(0, 4)) AS r(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  x.simhash AS ha, y.simhash AS hb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine over the embeddings table)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.99,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, cos_sim ≥ threshold). Brute-force baseline; the LSH
+    variant in operators/similarity.py is the scale path."""
+    from next_plaid_spark.functions.vector import cosine
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def sql_embedding_near_dup_pairs(*, threshold: float = 0.99) -> str:
+    dot = "list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))), (x,y) -> x+y)"
+    norm = "sqrt(list_reduce(list_prepend(0.0, list_transform({arr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,q) -> p+q))"
+    na, nb = norm.format(arr="a.v"), norm.format(arr="b.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END >= {threshold}
+""".strip()

@@ -453,6 +453,42 @@ HAVING count(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# Near-duplicate detection suite (extension operators; corpus has planted
+# ~0.99-Jaccard duplicate pairs). Thresholds: jaccard 0.8 for "same doc",
+# cosine 0.45 tuned to the synthetic embedding distribution (max ≈ 0.51).
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.0)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: token counting (extension operator)
 # ---------------------------------------------------------------------------
 
@@ -505,6 +541,24 @@ ORDER BY l_returnflag, l_linestatus
 """.strip()
 
 
+def _dedup_sqls() -> tuple[str, str, str, str, str]:
+    from next_plaid_spark.operators.dedup import (
+        sql_embedding_near_dup_pairs,
+        sql_minhash_lsh_pairs,
+        sql_ngram_jaccard_pairs,
+        sql_simhash_fingerprints,
+        sql_simhash_near_pairs,
+    )
+
+    return (
+        sql_ngram_jaccard_pairs(n=3, threshold=0.8),
+        sql_minhash_lsh_pairs(threshold=0.0),
+        sql_simhash_fingerprints(),
+        sql_simhash_near_pairs(max_hamming=3),
+        sql_embedding_near_dup_pairs(threshold=0.45),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -520,6 +574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_relative_topk": q_hybrid_relative_topk,
         "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "token_count": q_token_count,
         "pricing_summary": q_pricing_summary,
     }
@@ -535,6 +594,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _dedup_sqls()[0],
+        "dedup_minhash_lsh": _dedup_sqls()[1],
+        "simhash_fingerprints": _dedup_sqls()[2],
+        "dedup_simhash": _dedup_sqls()[3],
+        "dedup_embedding": _dedup_sqls()[4],
         "token_count": SQL_TOKEN_COUNT,
         "pricing_summary": SQL_PRICING_SUMMARY,
     }

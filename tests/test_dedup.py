@@ -1,0 +1,74 @@
+"""Dedup suite invariants: methods agree on planted near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, documents):
+    return documents.cache()
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(0, "one two"), (1, "a b c d")], "doc_id long, text string")
+    got = shingles(df, n=3).collect()
+    # 2 tokens → no 3-gram shingles; 4 tokens → 2 shingles
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 0 not in by_doc
+    assert by_doc[1] == {"a b c", "b c d"}
+
+
+def test_exact_duplicates_have_jaccard_one(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "the quick brown fox jumps"),
+         (2, "something else entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, threshold=0.99).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b) == (0, 1)
+    assert pairs[0].jaccard == 1.0
+
+
+def test_minhash_finds_planted_dups(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    # LSH with 4 bands × 4 rows at j≥0.9: collision prob ≈ 1-(1-0.9^4)^4 ≈ 0.99
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_simhash_flags_planted_dups(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    if exact:
+        recall = len(exact & sim) / len(exact)
+        assert recall >= 0.5, f"simhash recall {recall:.2f}"
+    # fingerprints are total and unique per doc
+    fps = simhash_fingerprints(docs).collect()
+    assert len(fps) == docs.filter(F.size(F.split(F.lower("text"), "[^a-z0-9]+")) > 0).count()
