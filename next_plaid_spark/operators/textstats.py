@@ -1,0 +1,199 @@
+"""Text analysis operators for training-data pipelines (extension surface):
+language ID, quality scoring, document fingerprinting, token stats.
+
+All pure built-in-function pipelines (whole-stage codegen, no UDFs), each
+with a DuckDB oracle generator. Ratios are exact int/int divisions and the
+composite quality score is a fixed-order weighted sum — bit-identical
+cross-engine.
+
+Note: the driver's synthetic ``documents.lang`` labels are noise (every
+language shares one vocabulary), so language ID is specified as a
+deterministic character-trigram-profile scorer; the *prediction* is the
+contract, accuracy against the synthetic label is not meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
+
+# -- language ID -------------------------------------------------------------
+
+# Tiny, fixed character-trigram profiles (public linguistic commonplaces).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ed ", " th", "er "),
+    "es": ("de ", "la ", "os ", "ión", "ent", " de", "ar "),
+    "de": ("der", "ein", "sch", "und", "ich", "en ", " ge"),
+    "fr": ("le ", "es ", "ent", "ion", " de", "que", "eur"),
+    "zh": ("de5", "shi", "zho", "ng ", "ian", "ang", "eng"),
+}
+
+
+def _profile_score(text_col, grams: tuple[str, ...]):
+    """Number of occurrences of any profile trigram in lower(text):
+    Σ_g (len(t) − len(replace(t, g, ''))) / 3 — overlap-free counting via
+    replace, identical in both engines."""
+    t = F.lower(text_col)
+    score = F.lit(0).cast("long")
+    for g in grams:
+        score = score + (
+            (F.length(t) - F.length(F.replace(t, F.lit(g), F.lit("")))) / F.lit(3)
+        ).cast("long")
+    return score
+
+
+def language_id(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax profile score, ties broken by
+    language code ascending."""
+    scores = F.array(*[
+        F.struct(
+            _profile_score(F.col(text_col), LANG_PROFILES[lang]).alias("s"),
+            F.lit(lang).alias("l"),
+        )
+        for lang in sorted(LANG_PROFILES)
+    ])
+    # max over (score, inverted tie-break): sort ascending, take last with
+    # reversed lang comparison → emulate (s desc, l asc) by sorting on
+    # (s asc, l desc) and taking the last element. Simpler: aggregate fold.
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(-1).cast("long").alias("s"), F.lit("~").alias("l")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["l"] < acc["l"])), x
+        ).otherwise(acc),
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        best["l"].alias("pred_lang"),
+        best["s"].alias("lang_score"),
+    )
+
+
+def sql_language_id() -> str:
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"CAST((length(lower(text)) - length(replace(lower(text), '{g}', ''))) / 3 AS BIGINT)"
+            for g in LANG_PROFILES[lang]
+        )
+        return f"({terms})"
+
+    structs = ", ".join(
+        f"{{'s': {score(lang)}, 'l': '{lang}'}}" for lang in sorted(LANG_PROFILES)
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend({{'s': CAST(-1 AS BIGINT), 'l': '~'}}, [{structs}]),
+           (acc, x) -> CASE WHEN x.s > acc.s OR (x.s = acc.s AND x.l < acc.l) THEN x ELSE acc END
+         ) AS best
+  FROM documents
+)
+SELECT doc_id, best.l AS pred_lang, best.s AS lang_score FROM scored
+""".strip()
+
+
+# -- quality scoring ----------------------------------------------------------
+
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this",
+)
+# documented spec: quality = 0.3·len_norm + 0.3·(1−stop_ratio_excess)
+#   + 0.2·(1−punct_ratio) + 0.2·alpha_ratio, where
+#   len_norm = least(n_tokens, 256)/256, stop_ratio_excess =
+#   |stop_ratio − 0.4| (ideal prose ≈ 40% stopwords), ratios over chars.
+W_LEN, W_STOP, W_PUNCT, W_ALPHA = 0.3, 0.3, 0.2, 0.2
+IDEAL_STOP = 0.4
+LEN_CAP = 256
+
+
+def quality_score(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    t = F.lower(F.col(text_col))
+    toks = tokenize_unicode61(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-z0-9]", ""))
+    n_alpha_space = F.length(F.regexp_replace(t, "[^a-z0-9 ]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - n_alpha_space) / n_chars
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    len_norm = F.least(n_tokens, F.lit(LEN_CAP)) / F.lit(float(LEN_CAP))
+    q = (
+        F.lit(W_LEN) * len_norm
+        + F.lit(W_STOP) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(IDEAL_STOP)))
+        + F.lit(W_PUNCT) * (F.lit(1.0) - punct_ratio)
+        + F.lit(W_ALPHA) * alpha_ratio
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tokens.cast("int").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        q.alias("quality"),
+    )
+
+
+def sql_quality_score() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         lower(text) AS t,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(t) AS n_chars,
+         length(regexp_replace(t, '[^a-z0-9]', '', 'g')) AS n_alpha,
+         length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS n_alpha_space,
+         len(list_filter(toks, x -> list_contains([{stop_list}], x))) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_chars > 0 THEN (n_chars - n_alpha_space) * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
+       {W_LEN} * (least(n_tokens, {LEN_CAP}) / {float(LEN_CAP)})
+         + {W_STOP} * (1.0 - abs((CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END) - {IDEAL_STOP}))
+         + {W_PUNCT} * (1.0 - (CASE WHEN n_chars > 0 THEN (n_chars - n_alpha_space) * 1.0 / n_chars ELSE 0.0 END))
+         + {W_ALPHA} * (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END) AS quality
+FROM m
+""".strip()
+
+
+# -- document fingerprinting ---------------------------------------------------
+
+def fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, fp, fp_bucket): md5 of the normalized token stream (content
+    fingerprint robust to whitespace/punctuation/case), plus a 60-bit
+    integer bucket for joining/sharding."""
+    norm = F.concat_ws(" ", tokenize_unicode61(F.col(text_col)))
+    fp = F.md5(norm)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        fp.alias("fp"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_bucket"),
+    )
+
+
+def sql_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> ''), ' ')) AS fp,
+       CAST(concat('0x', substr(md5(array_to_string(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> ''), ' ')), 1, 15)) AS BIGINT) AS fp_bucket
+FROM documents
+""".strip()

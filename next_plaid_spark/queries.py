@@ -509,6 +509,169 @@ FROM documents
 """.strip()
 
 
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _textstats_sqls() -> tuple[str, str, str]:
+    from next_plaid_spark.operators.textstats import (
+        sql_fingerprint,
+        sql_language_id,
+        sql_quality_score,
+    )
+
+    return sql_language_id(), sql_quality_score(), sql_fingerprint()
+
+
+# ---------------------------------------------------------------------------
+# ANN via hyperplane LSH (scale path for similarity search) — rows-only
+# (seeded random planes are Python constants; recall vs exact top-k is
+# gated in tests/test_similarity.py)
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # 16 tables × 4 bits measures ≈0.85 recall@10 on the near-isotropic
+    # synthetic embeddings (tighter buckets drop recall fast at dim=64)
+    return lsh_bucket_topk(
+        emb, queries, k=COSINE_TOPK, dim=dim, n_tables=16, n_bits=4, seed=42
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (window functions, sessionization, JSON props —
+# SURVEY §2.9 window/cumulative ops; streaming ingest uses the same logic
+# via foreachBatch)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+_NS_PER_HOUR = 3_600_000_000_000
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts arrives as BIGINT nanos (nanosAsLong) — hour buckets via exact
+    # integer division, cross-engine identical (DuckDB: epoch_ns // same)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            # DIV = true integer division; '/' would round-trip through
+            # double and lose precision above 2^53 ns
+            F.expr(f"ts DIV {_NS_PER_HOUR}").alias("hour_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS hour_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+_GAP_NS = SESSION_GAP_MIN * 60 * 1_000_000_000
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize per user with a 30-min inactivity gap (lag window +
+    cumulative sum), then count sessions + events per user. All arithmetic
+    on BIGINT nanos — exact."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts", 1).over(w).isNull(), 1)
+        .when(F.col("ts") - F.lag("ts", 1).over(w) > _GAP_NS, 1)
+        .otherwise(0),
+    )
+    sess = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {_GAP_NS} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY 1
+""".strip()
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (the reference's dynamic JSON
+    metadata semantics, filtering.rs:1178-1198, as plain Spark SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Relational aggregation sanity (SURVEY §2.9 groupBy/agg cheat-sheet ops)
 # ---------------------------------------------------------------------------
@@ -580,7 +743,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "token_count": q_token_count,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_fingerprint,
         "pricing_summary": q_pricing_summary,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_props": q_events_props,
     }
 
 
@@ -600,5 +770,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
         "token_count": SQL_TOKEN_COUNT,
+        "language_id": _textstats_sqls()[0],
+        "quality_score": _textstats_sqls()[1],
+        "doc_fingerprint": _textstats_sqls()[2],
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_props": SQL_EVENTS_PROPS,
     }

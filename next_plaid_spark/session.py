@@ -28,6 +28,10 @@ def get_spark(app_name: str = "next-plaid-spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
+        # rejects by default; read as long (ns since epoch) and do exact
+        # integer bucket arithmetic on it (oracle parity: DuckDB epoch_ns)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
 
