@@ -1,0 +1,86 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop write (full plan execution, no driver-side
+result transfer). ``plaid_index_build`` is timed separately from
+``plaid_search_topk`` (build is a one-time cost; search reuses the index —
+mirroring BASELINE.md's indexing-throughput vs search-QPS split).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "maxsim_brute_topk",
+    "plaid_search_topk",
+    "bm25_topk",
+    "hybrid_relative_topk",
+    "filtered_search_topk",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "quality_score",
+    "events_sessions",
+    "pricing_summary",
+]
+
+
+def force(df) -> int:
+    try:
+        df.write.mode("overwrite").format("noop").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from next_plaid_spark import queries as q
+    from next_plaid_spark.session import get_spark
+
+    spark = get_spark("next-plaid-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # index build timed on its own (populates the cache plaid_search uses)
+    t0 = time.time()
+    q._plaid_index(spark, sf_dir)
+    timings["plaid_index_build"] = round(time.time() - t0, 3)
+
+    registry = q.queries()
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Code-search layer — the colgrep equivalents (SURVEY.md §2.6/§2.7).
+
+Implements, over a ``code_units`` DataFrame (FIXTURES.md §6 schema):
+- K1 identifier-aware tokenization: camelCase/snake_case splitting with
+  compound + adjacent-bigram tokens (behavioral spec of
+  colgrep text_search.rs:115-247, reimplemented from the description).
+- P2 embedding-text builder: structured "Function: … / Signature: … /
+  File: … / Code: …" text with an 8 KiB cap, path placed before code so
+  truncation keeps it (colgrep/src/embed.rs:115-207).
+- R1-R5 ranking boosts + collapse-by-file
+  (colgrep/src/ranking.rs:42-444, index/mod.rs:4093-4416).
+
+All boosts are Catalyst expressions over the scored results; the only UDF
+surface is the tokenizer (kept as a plain Python function + array column
+builder so BM25Index can reuse it).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.window import Window
+
+# -- K1: identifier-aware tokenizer -------------------------------------------
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_CAMEL_RE = re.compile(
+    r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
+)
+
+
+def split_identifier(word: str) -> list[str]:
+    """'getHTTPResponse_code' → ['get', 'http', 'response', 'code']."""
+    parts: list[str] = []
+    for seg in word.split("_"):
+        parts.extend(m.group(0).lower() for m in _CAMEL_RE.finditer(seg))
+    return [p for p in parts if p]
+
+
+def tokenize_identifiers(text: str) -> list[str]:
+    """Per word: its lowered form, its parts, and adjacent-part bigrams
+    (compound tokens let 'getuser' match 'get_user'; bigrams let
+    'user name' match 'userName')."""
+    out: list[str] = []
+    for m in _WORD_RE.finditer(text or ""):
+        word = m.group(0)
+        parts = split_identifier(word)
+        lowered = word.lower()
+        out.append(lowered)
+        if len(parts) > 1:
+            out.extend(parts)
+            compound = "".join(parts)
+            if compound != lowered:
+                out.append(compound)
+            out.extend(parts[i] + parts[i + 1] for i in range(len(parts) - 1))
+    return out
+
+
+identifier_tokens_udf = F.udf(tokenize_identifiers, ArrayType(StringType()))
+
+
+# -- P2: embedding-text builder ------------------------------------------------
+
+EMBED_TEXT_CAP = 8192
+
+
+def build_embedding_text(units: DataFrame) -> DataFrame:
+    """Adds ``embed_text``: structured description, path before code so the
+    8 KiB truncation keeps it (embed.rs:115-207)."""
+    parts = F.concat_ws(
+        "\n",
+        F.concat(F.coalesce("unit_type", F.lit("Code")), F.lit(": "),
+                 F.coalesce("name", F.lit(""))),
+        F.when(F.col("signature").isNotNull(),
+               F.concat(F.lit("Signature: "), F.col("signature"))),
+        F.when(F.col("parent_class").isNotNull(),
+               F.concat(F.lit("Class: "), F.col("parent_class"))),
+        F.when(F.col("docstring").isNotNull(),
+               F.concat(F.lit("Description: "), F.col("docstring"))),
+        F.when(F.size(F.coalesce("calls", F.array())) > 0,
+               F.concat(F.lit("Calls: "), F.concat_ws(", ", "calls"))),
+        F.concat(F.lit("File: "), F.col("file")),
+        F.concat(F.lit("Code: "), F.coalesce("code", F.lit(""))),
+    )
+    return units.withColumn("embed_text", F.substring(parts, 1, EMBED_TEXT_CAP))
+
+
+# -- R1-R5: ranking ------------------------------------------------------------
+
+# path-noise classes and multiplicative penalties (ranking.rs:42-166)
+PENALTY_TEST = 0.30
+PENALTY_COMPAT = 0.50
+PENALTY_BARREL = 0.70
+
+_TEST_PATH_RE = r"(^|/)(tests?|spec|specs|__tests__)(/|$)|_test\.|\.test\.|\.spec\.|_spec\."
+_COMPAT_PATH_RE = r"(^|/)(compat|examples?|samples?|fixtures|vendor|third_party)(/|$)"
+_BARREL_PATH_RE = r"(^|/)(__init__\.py|index\.(js|ts)|mod\.rs|lib\.rs)$|\.d\.ts$"
+
+_QUERY_WANTS_TEST_RE = r"\b(test|tests|spec|specs|benchmark|benchmarks)\b"
+
+DEF_BOOST = 0.25          # R2 (ranking.rs:191-232)
+STEM_EXACT_BOOST = 0.40   # R3 exact (ranking.rs:280-372)
+STEM_PREFIX_BOOST = 0.20  # R3 ≥3-char prefix
+COHERENCE_BOOST = 0.20    # R4 (ranking.rs:396-444)
+DEF_TYPES = ("Function", "Method", "Class", "Constant")
+_STEM_STOPWORDS = ("index", "main", "mod", "lib", "util", "utils", "common", "core")
+
+
+def path_penalty(file_col: Column, query_text: str) -> Column:
+    """R1: multiplicative penalty unless the query itself asks for tests."""
+    if re.search(_QUERY_WANTS_TEST_RE, (query_text or "").lower()):
+        return F.lit(1.0)
+    return (
+        F.when(file_col.rlike(_TEST_PATH_RE), F.lit(PENALTY_TEST))
+        .when(file_col.rlike(_COMPAT_PATH_RE), F.lit(PENALTY_COMPAT))
+        .when(file_col.rlike(_BARREL_PATH_RE), F.lit(PENALTY_BARREL))
+        .otherwise(F.lit(1.0))
+    )
+
+
+def _stem(file_col: Column) -> Column:
+    return F.regexp_replace(
+        F.element_at(F.split(file_col, "/"), -1), r"\.[A-Za-z0-9.]+$", ""
+    )
+
+
+def apply_ranking(
+    results: DataFrame,
+    units: DataFrame,
+    query_text: str,
+    *,
+    top_k: int = 10,
+    collapse: bool = True,
+) -> DataFrame:
+    """R1→R4 re-scoring + R5 collapse for ONE query's result list.
+
+    ``results``: (unit_id, score); ``units``: code_units metadata. Returns
+    (unit_id, file, name, line, end_line, score, rank).
+    """
+    qtokens = set(tokenize_identifiers(query_text))
+    qtok_arr = F.array(*[F.lit(t) for t in sorted(qtokens)]) if qtokens else F.array()
+
+    r = results.join(
+        units.select("unit_id", "file", "name", "unit_type", "line", "end_line"),
+        "unit_id",
+    )
+    max_score = r.agg(F.max("score")).collect()[0][0] or 0.0
+
+    # R1 path-noise penalty
+    r = r.withColumn("score", F.col("score") * path_penalty(F.col("file"), query_text))
+
+    # R2 definition boost: unit name tokens ∩ query tokens, definition types only
+    name_tokens = identifier_tokens_udf(F.coalesce("name", F.lit("")))
+    r = r.withColumn(
+        "score",
+        F.col("score")
+        + F.when(
+            F.col("unit_type").isin(*DEF_TYPES)
+            & (F.size(F.array_intersect(name_tokens, qtok_arr)) > 0),
+            F.lit(DEF_BOOST * max_score),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    # R3 path-stem boost (stopword-filtered; exact > prefix≥3)
+    stem_tokens = identifier_tokens_udf(_stem(F.col("file")))
+    stem_tokens = F.filter(
+        stem_tokens, lambda t: ~t.isin(*_STEM_STOPWORDS)
+    )
+    exact_hit = F.size(F.array_intersect(stem_tokens, qtok_arr)) > 0
+    prefix_hit = F.exists(
+        stem_tokens,
+        lambda s: F.exists(
+            qtok_arr, lambda q: (F.length(q) >= 3) & s.startswith(q)
+        ),
+    )
+    r = r.withColumn(
+        "score",
+        F.col("score")
+        + F.when(exact_hit, F.lit(STEM_EXACT_BOOST * max_score))
+        .when(prefix_hit, F.lit(STEM_PREFIX_BOOST * max_score))
+        .otherwise(F.lit(0.0)),
+    )
+
+    # R4 file-coherence: bonus to each file's best unit ∝ file score mass
+    fstats = r.groupBy("file").agg(F.sum("score").alias("_fsum"))
+    best_fsum = fstats.agg(F.max("_fsum")).collect()[0][0] or 1.0
+    wfile = Window.partitionBy("file").orderBy(
+        F.col("score").desc(), F.col("unit_id").asc()
+    )
+    r = (
+        r.join(fstats, "file")
+        .withColumn("_file_rank", F.row_number().over(wfile))
+        .withColumn(
+            "score",
+            F.col("score")
+            + F.when(
+                F.col("_file_rank") == 1,
+                F.lit(COHERENCE_BOOST * max_score) * F.col("_fsum") / F.lit(best_fsum),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_fsum", "_file_rank")
+    )
+
+    # R5 collapse-by-file: keep each file's best unit, merge line ranges
+    if collapse:
+        wf = Window.partitionBy("file").orderBy(
+            F.col("score").desc(), F.col("unit_id").asc()
+        )
+        agg_lines = r.groupBy("file").agg(
+            F.min("line").alias("line"), F.max("end_line").alias("end_line")
+        )
+        r = (
+            r.withColumn("_rk", F.row_number().over(wf))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "line", "end_line")
+            .join(agg_lines, "file")
+        )
+
+    w = Window.orderBy(F.col("score").desc(), F.col("unit_id").asc())
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("unit_id", "file", "name", "line", "end_line", "score", "rank")
+    )

@@ -67,6 +67,48 @@ def maxsim_scores_relational(query_tokens: DataFrame, doc_tokens: DataFrame) -> 
     )
 
 
+def maxsim_scores_by_token(query_tokens: DataFrame, doc_tokens: DataFrame) -> DataFrame:
+    """Exact MaxSim exploiting encoder determinism: identical token text ⇒
+    identical vector, so dot products are computed once per distinct
+    (query-token, doc-token) *text* pair and per-doc maxima once per distinct
+    (query-token, doc) pair — a common-subexpression elimination that cuts
+    the sf0.1 brute-force pass ~10× while staying bit-identical (max over
+    the same value set; the final sum folds the same multiset in the same
+    sorted order).
+
+    Requires a ``token`` column on both inputs (encoding.py provides it).
+    At 100 TB this is the difference between |q_tokens × d_tokens| fold
+    evaluations and |q_vocab × d_vocab| — Zipfian text makes the vocab side
+    tiny relative to the corpus.
+    """
+    q_vocab = query_tokens.select("token", "vec").dropDuplicates(["token"])
+    d_vocab = doc_tokens.select(
+        F.col("token").alias("d_token"), F.col("vec").alias("d_vec")
+    ).dropDuplicates(["d_token"])
+    pair_scores = q_vocab.crossJoin(d_vocab).select(
+        "token", "d_token", dot(F.col("vec"), F.col("d_vec")).alias("dp")
+    )
+    doc_token_set = doc_tokens.select("doc_id", F.col("token").alias("d_token")).distinct()
+    # max over each doc's token set, per query-token text
+    per_doc_max = (
+        pair_scores.join(doc_token_set, "d_token")
+        .groupBy("token", "doc_id")
+        .agg(F.max("dp").alias("max_dp"))
+    )
+    qt = query_tokens.select("query_id", "token_idx", "token")
+    return (
+        qt.join(per_doc_max, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("max_dp")),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("score")
+        )
+    )
+
+
 def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
     """Per-query top-k with deterministic tie-break (score desc, doc_id asc).
 
@@ -86,8 +128,15 @@ def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
 def brute_force_search(
     query_tokens: DataFrame, doc_tokens: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Exact top-k MaxSim over the full corpus — the funnel's recall oracle."""
-    return topk(maxsim_scores_relational(query_tokens, doc_tokens), k)
+    """Exact top-k MaxSim over the full corpus — the funnel's recall oracle.
+
+    Dispatches to the token-deduped fast path when both sides carry the
+    ``token`` column (bit-identical results, see maxsim_scores_by_token)."""
+    if "token" in query_tokens.columns and "token" in doc_tokens.columns:
+        scores = maxsim_scores_by_token(query_tokens, doc_tokens)
+    else:
+        scores = maxsim_scores_relational(query_tokens, doc_tokens)
+    return topk(scores, k)
 
 
 # ---------------------------------------------------------------------------

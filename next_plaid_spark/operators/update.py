@@ -1,0 +1,167 @@
+"""Incremental index maintenance — U1-U8 (SURVEY.md §2.8).
+
+Reference policy (next-plaid/src/index.rs:1431-1591, update.rs:95-108,
+lib.rs:47-62):
+  (a) corpus ≤ ``rebuild_threshold`` (999) docs → full rebuild from raw
+      embeddings;
+  (b) fewer than ``buffer_threshold`` (100) new docs → plain append with the
+      existing codec (no centroid expansion);
+  (c) otherwise → find outlier tokens (min centroid distance >
+      cluster_threshold), train ``max(1, ⌈n/256⌉)·4`` new centroids on them
+      (update.rs:621-770), append to the codebook, then append-encode.
+
+Spark translation: indexes are immutable snapshots — every update writes a
+NEW index directory (functional, concurrent-reader-safe; the Spark analog of
+the reference's atomic temp-file rename + arc-swap hot reload). The raw
+``doc_tokens`` DataFrame plays the role of the raw-embedding sidecar (S7):
+at cluster scale the source table always exists upstream, so path (a) is
+just "rerun the builder".
+
+Delete (U5/U6): stable-id mode — survivors keep their ids and only the
+tokens/ivf/doclens tables are filtered; the reference's dense-id
+re-sequencing (filtering.rs:52-63) exists for NPY positional alignment,
+which Parquet join-by-key makes unnecessary. A dense view is provided for
+parity via ``dense_id_mapping``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.codec import quantize_residuals
+from next_plaid_spark.operators.kmeans import assign_codes, lloyds
+from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_index
+
+REBUILD_THRESHOLD = 999   # lib.rs:47 start_from_scratch
+BUFFER_THRESHOLD = 100    # update.rs:95-108
+EXPAND_PTS_PER_CENTROID = 256
+EXPAND_FACTOR = 4
+
+
+def find_outliers(new_tokens: DataFrame, centroids: np.ndarray,
+                  threshold: float) -> DataFrame:
+    """U2: tokens whose min distance to any centroid exceeds the codec's
+    cluster_threshold. On unit vectors min_dist² = 2 − 2·max_dot, so the
+    existing assignment GEMM yields it for free (update.rs:490-610)."""
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    t2 = float(threshold) ** 2
+
+    def flag(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+            max_dot = (x @ c.T).max(axis=1)
+            x_sq = (x * x).sum(axis=1)
+            min_d2 = x_sq + 1.0 - 2.0 * max_dot  # ||x||² + ||c||² − 2x·c
+            yield pdf[min_d2 > t2]
+
+    return new_tokens.mapInPandas(flag, schema=new_tokens.schema)
+
+
+def expand_centroids(outliers: DataFrame, centroids: np.ndarray,
+                     *, seed: int = 42) -> np.ndarray:
+    """U3: cluster outlier tokens and append the new centroids
+    (k = max(1, ⌈n/256⌉)·4, update.rs:621-770)."""
+    pts = np.asarray([r.vec for r in outliers.select("vec").collect()],
+                     dtype=np.float32)
+    if len(pts) == 0:
+        return centroids
+    k_new = max(1, int(np.ceil(len(pts) / EXPAND_PTS_PER_CENTROID))) * EXPAND_FACTOR
+    k_new = min(k_new, len(pts))
+    fresh = lloyds(pts, k_new, seed=seed)
+    return np.vstack([centroids, fresh])
+
+
+def update_index(
+    spark: SparkSession,
+    index: PlaidIndex,
+    new_doc_tokens: DataFrame,
+    out_path: str,
+    *,
+    full_rebuild_tokens: DataFrame | None = None,
+    rebuild_threshold: int = REBUILD_THRESHOLD,
+    buffer_threshold: int = BUFFER_THRESHOLD,
+    seed: int = 42,
+) -> PlaidIndex:
+    """U1 dispatcher + U4 append re-index → new snapshot at ``out_path``."""
+    new_doc_tokens = new_doc_tokens.select(
+        F.col("doc_id").cast("long"), F.col("token_idx").cast("int"), "vec"
+    ).cache()
+    n_new_docs = new_doc_tokens.select("doc_id").distinct().count()
+    n_new_tokens = new_doc_tokens.count()
+    total_docs = index.meta.num_documents + n_new_docs
+
+    # path (a): small corpus → rebuild everything with fresh k-means
+    if total_docs <= rebuild_threshold and full_rebuild_tokens is not None:
+        from next_plaid_spark.plans.builder import IndexBuilder
+
+        allt = full_rebuild_tokens.unionByName(new_doc_tokens)
+        return IndexBuilder(spark, nbits=index.meta.nbits, seed=seed).build(
+            allt, out_path
+        )
+
+    centroids = index.centroids_np()
+    # path (c): enough new docs → centroid expansion on outliers
+    if n_new_docs >= buffer_threshold:
+        outliers = find_outliers(
+            new_doc_tokens, centroids, index.meta.codec.cluster_threshold
+        )
+        centroids = expand_centroids(outliers, centroids, seed=seed)
+
+    # append-encode with (possibly expanded) codebook + existing codec
+    coded = assign_codes(new_doc_tokens, centroids)
+    quantized = quantize_residuals(coded, centroids, index.meta.codec)
+    all_tokens = index.tokens.unionByName(quantized)
+
+    meta = IndexMeta(
+        k=centroids.shape[0], dim=index.meta.dim, nbits=index.meta.nbits,
+        num_documents=total_docs,
+        num_embeddings=index.meta.num_embeddings + n_new_tokens,
+        avg_doclen=(index.meta.num_embeddings + n_new_tokens) / max(total_docs, 1),
+        codec=index.meta.codec,
+    )
+    return write_index(spark, out_path, tokens_coded=all_tokens,
+                       centroids=centroids, meta=meta)
+
+
+def delete_from_index(
+    spark: SparkSession,
+    index: PlaidIndex,
+    doc_ids: list[int] | DataFrame,
+    out_path: str,
+) -> PlaidIndex:
+    """U5: drop documents → new snapshot. Stable ids; IVF/doclens/meta are
+    recomputed by write_index from the filtered tokens table."""
+    if isinstance(doc_ids, DataFrame):
+        gone = doc_ids.select(F.col("doc_id").cast("long"))
+        survivors = index.tokens.join(gone, "doc_id", "left_anti")
+        n_gone = gone.distinct().count()
+    else:
+        ids = [int(i) for i in doc_ids]
+        survivors = index.tokens.filter(~F.col("doc_id").isin(ids))
+        n_gone = index.doclens.filter(F.col("doc_id").isin(ids)).count()
+
+    n_tokens = survivors.count()
+    n_docs = index.meta.num_documents - n_gone
+    meta = IndexMeta(
+        k=index.meta.k, dim=index.meta.dim, nbits=index.meta.nbits,
+        num_documents=n_docs, num_embeddings=n_tokens,
+        avg_doclen=n_tokens / max(n_docs, 1), codec=index.meta.codec,
+    )
+    return write_index(spark, out_path, tokens_coded=survivors,
+                       centroids=index.centroids_np(), meta=meta)
+
+
+def dense_id_mapping(index: PlaidIndex) -> DataFrame:
+    """U6 parity view: stable doc_id → dense 0..N−1 ``_subset_`` id
+    (row_number over doc_id order — the deterministic equivalent of the
+    reference's delete-time re-sequencing)."""
+    from pyspark.sql.window import Window
+
+    return index.doclens.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("dense_id"),
+    )

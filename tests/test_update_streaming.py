@@ -1,0 +1,138 @@
+"""Incremental maintenance (U1-U6) + streaming ingest invariants.
+
+Core invariant (reference metadata_sync_test.rs:54-300): the update-path
+index must be *semantically* equivalent to a batch rebuild of the same
+corpus — same documents retrievable, same doclens, search still finds the
+appended docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from next_plaid_spark.encoding import encode_documents, encode_queries
+from next_plaid_spark.operators.update import (
+    delete_from_index,
+    dense_id_mapping,
+    find_outliers,
+    update_index,
+)
+from next_plaid_spark.plans.builder import IndexBuilder
+from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+
+@pytest.fixture(scope="module")
+def base(spark, documents, tmp_path_factory):
+    root = tmp_path_factory.mktemp("upd")
+    old_docs = documents.filter(F.col("doc_id") < 150)
+    new_docs = documents.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 180))
+    old_tokens = encode_documents(old_docs).cache()
+    idx = IndexBuilder(spark, nbits=4, seed=42).build(old_tokens, str(root / "v0"))
+    return root, idx, old_docs, new_docs, old_tokens
+
+
+def test_append_small_batch(spark, base):
+    """Path (b): < buffer_threshold new docs → append, codebook unchanged."""
+    root, idx, old_docs, new_docs, old_tokens = base
+    new_tokens = encode_documents(new_docs)
+    idx2 = update_index(spark, idx, new_tokens, str(root / "v1"))
+    assert idx2.meta.num_documents == idx.meta.num_documents + 30
+    assert idx2.meta.k == idx.meta.k  # no expansion below threshold
+    # appended docs are searchable: restrict to the new docs (subset
+    # semantics) — every query over its own text must find a near-perfect
+    # match (score ≈ n query tokens; quantization costs a few %). An
+    # unrestricted top-1 would be tie-ambiguous (the synthetic corpus has
+    # many all-token-matching docs and ties break by doc_id asc).
+    queries = new_docs.limit(5).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    n_qtokens = {
+        r.query_id: r.n
+        for r in qt.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    subset = new_docs.select("doc_id")
+    got = BatchSearcher(idx2, SearchParams(top_k=5, n_full_scores=64)).search(
+        qt, subset=subset
+    ).collect()
+    new_ids = {r.doc_id for r in new_docs.collect()}
+    top1 = {r.query_id: r for r in got if r.rank == 1}
+    assert set(top1) == set(n_qtokens)
+    for qid, r in top1.items():
+        assert r.doc_id in new_ids
+        assert r.score >= 0.9 * n_qtokens[qid], (qid, r.score, n_qtokens[qid])
+
+
+def test_delete(spark, base):
+    root, idx, old_docs, *_ = base
+    victims = [0, 1, 2]
+    idx3 = delete_from_index(spark, idx, victims, str(root / "vdel"))
+    assert idx3.meta.num_documents == idx.meta.num_documents - 3
+    remaining = {r.doc_id for r in idx3.doclens.collect()}
+    assert not (remaining & set(victims))
+    # IVF no longer references the victims
+    ivf_docs = {
+        d for r in idx3.ivf.collect() for d in r.doc_ids
+    }
+    assert not (ivf_docs & set(victims))
+
+
+def test_dense_id_mapping(spark, base):
+    _, idx, *_ = base
+    m = dense_id_mapping(idx).collect()
+    dense = sorted(r.dense_id for r in m)
+    assert dense == list(range(len(m)))
+    by_doc = sorted(m, key=lambda r: r.doc_id)
+    assert [r.dense_id for r in by_doc] == list(range(len(m)))
+
+
+def test_find_outliers_flags_far_vectors(spark):
+    rng = np.random.default_rng(0)
+    centroids = np.eye(4, dtype=np.float32)  # unit axes
+    near = [0.99, 0.1, 0.0, 0.0]
+    far = [-0.7, -0.7, 0.1, 0.0]
+    df = spark.createDataFrame(
+        [(0, 0, [float(x) for x in near]), (1, 0, [float(x) for x in far])],
+        "doc_id long, token_idx int, vec array<double>",
+    )
+    out = find_outliers(df, centroids, threshold=0.5).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_streaming_ingest_matches_batch(spark, documents, tmp_path_factory):
+    """Stream the corpus in two chunks via foreachBatch; final index state
+    must match a batch build of the full corpus (doc/token counts, doclens)."""
+    import os
+
+    from next_plaid_spark.streaming.ingest import StreamingIndexWriter, latest_index
+
+    tmp = tmp_path_factory.mktemp("stream")
+    src_dir, idx_root, ckpt = str(tmp / "in"), str(tmp / "idx"), str(tmp / "ck")
+    os.makedirs(src_dir)
+
+    docs = documents.filter(F.col("doc_id") < 240).cache()
+    # two files → two availableNow micro-batches (maxFilesPerTrigger=1)
+    docs.filter(F.col("doc_id") < 120).coalesce(1).write.parquet(f"{src_dir}/part1")
+    docs.filter(F.col("doc_id") >= 120).coalesce(1).write.parquet(f"{src_dir}/part2")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/part*")
+    )
+    writer = StreamingIndexWriter(spark, idx_root)
+    q = writer.attach(stream, ckpt)
+    q.awaitTermination(300)
+
+    final = latest_index(spark, idx_root)
+    assert final is not None
+    batch_tokens = encode_documents(docs)
+    assert final.meta.num_documents == 240
+    assert final.meta.num_embeddings == batch_tokens.count()
+    # per-doc token counts identical to batch encode
+    streamed = {r.doc_id: r.num_tokens for r in final.doclens.collect()}
+    expected = {
+        r.doc_id: r.cnt
+        for r in batch_tokens.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert streamed == expected
