@@ -90,7 +90,18 @@ def encode_tokens(
         df.select(F.col(id_col).cast("long").alias(out_id), toks.alias("_toks"))
         .select(out_id, F.posexplode("_toks").alias("token_idx", "token"))
     )
-    return exploded.withColumn("vec", token_vector(F.col("token"), dim))
+    # Vectors are a pure function of token text: hash only the distinct
+    # vocabulary and broadcast-join it back. Zipfian text makes |vocab| ≪
+    # |token rows|, and every downstream DAG branch re-evaluates its encode
+    # subtree — vocab-side hashing turns that from O(corpus·dim) md5 calls
+    # per branch into O(vocab·dim).
+    vocab = (
+        exploded.select("token").distinct()
+        .withColumn("vec", token_vector(F.col("token"), dim))
+    )
+    return exploded.join(F.broadcast(vocab), "token").select(
+        out_id, "token_idx", "token", "vec"
+    )
 
 
 def encode_documents(documents: DataFrame, *, dim: int = DEFAULT_DIM,

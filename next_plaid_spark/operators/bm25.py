@@ -31,11 +31,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from next_plaid_spark.functions.text import tokenize_unicode61
+from next_plaid_spark.functions.text import tokenize_trigram, tokenize_unicode61
 
 K1 = 1.2
 B = 0.75
 SCORE_DECIMALS = 6
+
+# K1 tokenizer registry (text_search.rs:52-267): unicode61 (words), trigram
+# (substring search), identifier_aware (code; see operators/colgrep.py)
+TOKENIZERS = {
+    "unicode61": tokenize_unicode61,
+    "trigram": tokenize_trigram,
+}
+
+
+def _tokenizer(name: str):
+    if name == "identifier_aware":
+        from next_plaid_spark.operators.colgrep import identifier_tokens_udf
+
+        return identifier_tokens_udf
+    return TOKENIZERS[name]
 
 
 @dataclass
@@ -44,13 +59,15 @@ class BM25Index:
     doclens: DataFrame    # (doc_id, dl)
     n_docs: int
     avgdl: float
+    tokenizer: str = "unicode61"
 
     @classmethod
     def build(cls, docs: DataFrame, *, id_col: str = "doc_id",
-              text_col: str = "text") -> "BM25Index":
+              text_col: str = "text", tokenizer: str = "unicode61") -> "BM25Index":
+        tok_fn = _tokenizer(tokenizer)
         toks = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(tokenize_unicode61(F.col(text_col))).alias("term"),
+            F.explode(tok_fn(F.col(text_col))).alias("term"),
         )
         postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
         doclens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -59,7 +76,7 @@ class BM25Index:
         ).collect()[0]
         n_docs = stats.n or 0
         avgdl = (stats.total / n_docs) if n_docs else 0.0
-        return cls(postings.cache(), doclens.cache(), n_docs, avgdl)
+        return cls(postings.cache(), doclens.cache(), n_docs, avgdl, tokenizer)
 
     def search(self, queries: DataFrame, k: int = 10, *,
                query_id_col: str = "query_id", text_col: str = "text",
@@ -72,7 +89,7 @@ class BM25Index:
         qterms = (
             queries.select(
                 F.col(query_id_col).cast("long").alias("query_id"),
-                F.explode(tokenize_unicode61(F.col(text_col))).alias("term"),
+                F.explode(_tokenizer(self.tokenizer)(F.col(text_col))).alias("term"),
             )
             .groupBy("query_id", "term")
             .agg(F.count("*").alias("qtf"))

@@ -225,3 +225,89 @@ def apply_ranking(
         .filter(F.col("rank") <= top_k)
         .select("unit_id", "file", "name", "line", "end_line", "score", "rank")
     )
+
+
+# -- the end-to-end code search (colgrep's CLI pipeline, SURVEY §3.2) ----------
+
+def _glob_to_like(glob: str) -> str:
+    return glob.replace("%", r"\%").replace("_", r"\_").replace("*", "%").replace("?", "_")
+
+
+def search_code(
+    units: DataFrame,
+    query_text: str,
+    *,
+    regex: str | None = None,
+    include_glob: str | None = None,
+    exclude_glob: str | None = None,
+    top_k: int = 10,
+    alpha: float = 0.75,
+    collapse: bool = True,
+) -> DataFrame:
+    """The colgrep query lifecycle as one DataFrame job
+    (index/mod.rs:4093-4290): regex/glob pre-filter (F10/F11) → semantic
+    MaxSim over structured embedding text + identifier-aware BM25 →
+    relative-score fusion → R1-R5 boosts → collapse → top-k.
+
+    fetch_k = min(max(20·top_k, 200), n_units) (index/mod.rs:4104-4114).
+    """
+    from next_plaid_spark.encoding import encode_queries, encode_tokens
+    from next_plaid_spark.operators.bm25 import BM25Index
+    from next_plaid_spark.operators.fusion import fuse_relative_score
+    from next_plaid_spark.operators.maxsim import brute_force_search
+
+    subset = units
+    if regex is not None:
+        subset = subset.filter(F.col("code").rlike(regex))
+    if include_glob is not None:
+        subset = subset.filter(F.col("file").like(_glob_to_like(include_glob)))
+    if exclude_glob is not None:
+        subset = subset.filter(~F.col("file").like(_glob_to_like(exclude_glob)))
+    subset = build_embedding_text(subset).cache()
+
+    n_units = subset.count()
+    if n_units == 0:
+        spark = units.sparkSession
+        return spark.createDataFrame(
+            [], "unit_id long, file string, name string, line int, end_line int, "
+                "score double, rank int"
+        )
+    fetch_k = min(max(20 * top_k, 200), n_units)
+
+    spark = units.sparkSession
+    qdf = spark.createDataFrame([(0, query_text)], "query_id long, text string")
+    sem = brute_force_search(
+        encode_queries(qdf, max_tokens=16),
+        encode_tokens(subset, "unit_id", "embed_text", out_id="doc_id"),
+        k=fetch_k,
+    ).select("query_id", "doc_id", "score")
+    kw = (
+        BM25Index.build(subset, id_col="unit_id", text_col="embed_text",
+                        tokenizer="identifier_aware")
+        .search(qdf, k=fetch_k)
+        .select("query_id", "doc_id", "score")
+    )
+    fused = fuse_relative_score(sem, kw, alpha=alpha, k=fetch_k).select(
+        F.col("doc_id").alias("unit_id"), "score"
+    )
+    return apply_ranking(fused, units, query_text, top_k=top_k, collapse=collapse)
+
+
+# -- P3: incremental change detection (colgrep/src/index/state.rs:18-136) ------
+
+def detect_changes(old_state: DataFrame, new_state: DataFrame) -> DataFrame:
+    """(path, content_hash, size) × 2 → (path, change) with change ∈
+    {added, removed, modified}: hash-diff via anti-joins — the distributed
+    analog of the xxh3 + size/mtime probe."""
+    o = old_state.select(F.col("path"), F.col("content_hash").alias("_oh"),
+                         F.col("size").alias("_os"))
+    n = new_state.select(F.col("path"), F.col("content_hash").alias("_nh"),
+                         F.col("size").alias("_ns"))
+    added = n.join(o, "path", "left_anti").select("path", F.lit("added").alias("change"))
+    removed = o.join(n, "path", "left_anti").select("path", F.lit("removed").alias("change"))
+    modified = (
+        o.join(n, "path")
+        .filter((F.col("_oh") != F.col("_nh")) | (F.col("_os") != F.col("_ns")))
+        .select("path", F.lit("modified").alias("change"))
+    )
+    return added.unionByName(removed).unionByName(modified)

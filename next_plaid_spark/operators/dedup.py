@@ -73,7 +73,10 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
     jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer ratio, bit-identical
     cross-engine.
     """
-    sh = shingles(docs, n=n).cache()
+    return _jaccard_from_shingles(shingles(docs, n=n), threshold)
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -127,7 +130,10 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3,
                        n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, h BIGINT[n_hashes]): h_i = min over shingles of
     hash60(i ‖ ':' ‖ shingle)."""
-    sh = shingles(docs, n=n)
+    return _minhash_from_shingles(shingles(docs, n=n), n_hashes)
+
+
+def _minhash_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
     hashed = sh.select(
         "doc_id",
         F.posexplode(
@@ -152,7 +158,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, n: int = 3, n_hashes: int = N_HASHES,
     (doc_a, doc_b, jaccard ≥ threshold). Pairs collide when any band of the
     minhash signature matches exactly."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(docs, n=n, n_hashes=n_hashes)
+    sh = shingles(docs, n=n).cache()
+    sigs = _minhash_from_shingles(sh, n_hashes)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -175,8 +182,9 @@ def minhash_lsh_pairs(docs: DataFrame, *, n: int = 3, n_hashes: int = N_HASHES,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (candidates only — never all pairs)
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0)
+    # verify candidates with exact Jaccard (candidates only — never all
+    # pairs), reusing the cached shingle table
+    exact = _jaccard_from_shingles(sh, 0.0)
     return cand.join(exact, ["doc_a", "doc_b"]).filter(
         F.col("jaccard") >= threshold
     ).select("doc_a", "doc_b", "jaccard")

@@ -101,21 +101,17 @@ def lsh_bucket_topk(
     join on (table, bucket) — partition-parallel at any scale, no crossJoin.
     """
     def with_buckets(df, idc, vc):
-        rows = []
-        for t in range(n_tables):
-            sig = simhash_signature(F.col(vc), _planes(dim, n_bits, seed, t))
-            rows.append(
-                df.select(
-                    F.col(idc).alias("_id"),
-                    F.col(vc).alias("_vec"),
-                    F.lit(t).alias("_table"),
-                    sig.alias("_bucket"),
-                )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        # one scan: all table signatures as an array column, posexploded —
+        # a 16-way union would scan the source 16 times
+        sigs = F.array(*[
+            simhash_signature(F.col(vc), _planes(dim, n_bits, seed, t))
+            for t in range(n_tables)
+        ])
+        return df.select(
+            F.col(idc).alias("_id"),
+            F.col(vc).alias("_vec"),
+            F.posexplode(sigs).alias("_table", "_bucket"),
+        )
 
     c = with_buckets(embeddings, id_col, vec_col)
     q = with_buckets(queries, query_id_col, query_vec_col)

@@ -426,6 +426,160 @@ SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank
 
 
 # ---------------------------------------------------------------------------
+# Trigram (substring) BM25 — K1's trigram tokenizer end-to-end
+# ---------------------------------------------------------------------------
+
+def q_bm25_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = BM25Index.build(docs, tokenizer="trigram")
+    # short substring-ish queries: first 12 chars of each query doc's text
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.substring("text", 1, 12).alias("text")
+    )
+    return idx.search(queries, k=BM25_TOPK).select("query_id", "doc_id", "score", "rank")
+
+
+def sql_bm25_trigram_topk() -> str:
+    from next_plaid_spark.operators.bm25 import B, K1, SCORE_DECIMALS
+
+    trigram = """
+  SELECT doc_id, substr(t, i, 3) AS term
+  FROM (SELECT doc_id, lower({src}) AS t FROM documents {where}),
+       unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS r(i)
+"""
+    doc_tok = trigram.format(src="text", where="")
+    q_tok = trigram.format(
+        src="substr(text, 1, 12)", where=f"WHERE doc_id < {N_SELF_QUERIES}"
+    ).replace("doc_id,", "doc_id AS query_id,", 1).replace(
+        "SELECT doc_id AS query_id", "SELECT doc_id AS query_id", 1
+    )
+    return f"""
+WITH tok AS (
+{doc_tok}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+doclens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM doclens),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+qtok AS (
+{q_tok}),
+qterms AS (SELECT query_id, term, count(*) AS qtf FROM qtok GROUP BY 1, 2),
+contribs AS (
+  SELECT q.query_id, p.doc_id,
+         q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN doclens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list_prepend(0.0, list_sort(list(contrib))), (a, b) -> a + b), {SCORE_DECIMALS}) AS score
+  FROM contribs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {BM25_TOPK}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Standalone rerank (Q12): exact MaxSim re-scoring of BM25 candidates
+# ---------------------------------------------------------------------------
+
+def q_rerank_bm25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.bm25 import BM25Index
+    from next_plaid_spark.operators.rerank import rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = _doc_queries(spark, sf_dir)
+    kw = BM25Index.build(docs).search(queries, k=FETCH_K).select("query_id", "doc_id")
+    out = rerank(
+        encode_queries(queries), encode_documents(docs), pairs=kw, top_k=BM25_TOPK
+    )
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
+def sql_rerank_bm25_candidates(dim: int = 16) -> str:
+    return f"""
+{_sql_hybrid_lists_cte(dim)},
+pair_scores AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM sem_scored s
+  JOIN kw_list w ON s.query_id = w.query_id AND s.doc_id = w.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM pair_scores
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {BM25_TOPK}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Relational join/window coverage (§2.9): broadcast-dim star join + per-group
+# top-k window over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""".strip()
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").alias("rank"))
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Exact deduplication (extension operator: hash-groupBy)
 # ---------------------------------------------------------------------------
 
@@ -736,6 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_relative_topk": q_hybrid_relative_topk,
+        "bm25_trigram_topk": q_bm25_trigram_topk,
+        "rerank_bm25_candidates": q_rerank_bm25_candidates,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -763,6 +921,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": sql_bm25_topk(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
+        "bm25_trigram_topk": sql_bm25_trigram_topk(),
+        "rerank_bm25_candidates": sql_rerank_bm25_candidates(),
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _dedup_sqls()[0],
         "dedup_minhash_lsh": _dedup_sqls()[1],

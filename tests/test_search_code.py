@@ -1,0 +1,74 @@
+"""End-to-end code search (the colgrep CLI pipeline) + change detection."""
+
+from __future__ import annotations
+
+import pytest
+
+from next_plaid_spark.operators.colgrep import detect_changes, search_code
+
+UNITS_SCHEMA = (
+    "unit_id long, name string, file string, unit_type string, line int, "
+    "end_line int, signature string, docstring string, parent_class string, "
+    "calls array<string>, code string"
+)
+
+
+@pytest.fixture(scope="module")
+def units(spark):
+    rows = [
+        (0, "parse_config", "src/config.py", "Function", 10, 40,
+         "def parse_config(path)", "Parse the configuration file into a dict",
+         None, ["open"], "def parse_config(path):\n    data = open(path).read()"),
+        (1, "write_config", "src/config.py", "Function", 50, 70,
+         "def write_config(cfg)", "Serialize configuration", None, [],
+         "def write_config(cfg):\n    json.dump(cfg)"),
+        (2, "HttpClient", "src/http/client.py", "Class", 1, 120,
+         None, "Async http client with retries", None, ["request"],
+         "class HttpClient:\n    def request(self):\n        pass"),
+        (3, "test_parse", "tests/test_config.py", "Function", 5, 25,
+         None, None, None, ["parse_config"], "def test_parse():\n    parse_config('x')"),
+        (4, "retry_request", "src/http/retry.py", "Function", 8, 30,
+         "def retry_request(fn, n)", "Retry helper with backoff", None, [],
+         "def retry_request(fn, n):\n    for i in range(n): fn()"),
+    ]
+    return spark.createDataFrame(rows, UNITS_SCHEMA).cache()
+
+
+def test_search_code_finds_relevant_unit(spark, units):
+    out = search_code(units, "parse configuration file", top_k=3).collect()
+    assert out, "non-empty results"
+    assert out[0].file == "src/config.py"
+    assert out[0].rank == 1
+
+
+def test_search_code_regex_prefilter(spark, units):
+    out = search_code(units, "config", regex=r"json\.dump", top_k=5,
+                      collapse=False).collect()
+    assert [r.unit_id for r in out] == [1]
+
+
+def test_search_code_globs(spark, units):
+    out = search_code(units, "http retry", include_glob="src/http/*",
+                      top_k=5, collapse=False).collect()
+    assert {r.unit_id for r in out} <= {2, 4}
+    out2 = search_code(units, "config", exclude_glob="tests/*", top_k=10,
+                       collapse=False).collect()
+    assert all(not r.file.startswith("tests/") for r in out2)
+
+
+def test_search_code_empty_prefilter(spark, units):
+    out = search_code(units, "anything", regex="zzz_no_match_zzz").collect()
+    assert out == []
+
+
+def test_detect_changes(spark):
+    old = spark.createDataFrame(
+        [("a.py", "h1", 10), ("b.py", "h2", 20), ("c.py", "h3", 30)],
+        "path string, content_hash string, size long",
+    )
+    new = spark.createDataFrame(
+        [("a.py", "h1", 10), ("b.py", "h2x", 21), ("d.py", "h4", 5)],
+        "path string, content_hash string, size long",
+    )
+    got = {(r.path, r.change) for r in detect_changes(old, new).collect()}
+    assert got == {("d.py", "added"), ("c.py", "removed"), ("b.py", "modified")}
