@@ -96,6 +96,9 @@ class BatchSearcher:
         → (query_id, doc_id, score, rank) top-k per query."""
         p = params or self.params
         idx = self.index
+        # the query-token DF feeds four plan branches (probe, approx-score
+        # join, rerank join, top-k) — cache it once; it is query-batch-sized
+        query_tokens = query_tokens.cache()
 
         n_probe = p.n_ivf_probe
         if subset is not None:

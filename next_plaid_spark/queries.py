@@ -148,6 +148,113 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return searcher.search(qt).select("query_id", "doc_id", "score", "rank")
 
 
+def q_plaid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel under a metadata filter (Q4 subset probe scaling +
+    eligible-centroid pruning). Rows-only: k-means is non-SQL-expressible."""
+    from next_plaid_spark.filtering import MetadataStore
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx = _plaid_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    subset = MetadataStore(docs).where_condition(FILTER_COND, FILTER_PARAMS)
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    searcher = BatchSearcher(idx, SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256))
+    return searcher.search(encode_queries(queries), subset=subset).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Update/delete paths, oracle-checked through their post-state: the final
+# doclens of a real append (build on a prefix, append the rest) and of a
+# delete must equal trivially-SQL-computable token counts (U4/U5 end-to-end;
+# the pipeline side-effects go to a temp dir).
+# ---------------------------------------------------------------------------
+
+UPDATE_SPLIT = 100
+UPDATE_END = 130
+DELETE_IDS = tuple(range(10))
+
+
+def q_update_append_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from next_plaid_spark.operators.update import update_index
+    from next_plaid_spark.plans.builder import IndexBuilder
+
+    docs = _t(spark, sf_dir, "documents")
+    base_tokens = encode_documents(docs.filter(F.col("doc_id") < UPDATE_SPLIT))
+    new_tokens = encode_documents(
+        docs.filter((F.col("doc_id") >= UPDATE_SPLIT) & (F.col("doc_id") < UPDATE_END))
+    )
+    root = tempfile.mkdtemp(prefix="plaid_upd_")
+    idx = IndexBuilder(spark, nbits=4, seed=42).build(base_tokens, f"{root}/v0")
+    idx2 = update_index(spark, idx, new_tokens, f"{root}/v1")
+    return idx2.doclens.select("doc_id", "num_tokens")
+
+
+def sql_update_append_doclens() -> str:
+    return f"""
+SELECT doc_id,
+       least(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')), 48) AS num_tokens
+FROM documents WHERE doc_id < {UPDATE_END}
+  AND len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) > 0
+""".strip()
+
+
+def q_delete_survivor_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from next_plaid_spark.operators.update import delete_from_index
+    from next_plaid_spark.plans.builder import IndexBuilder
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < UPDATE_SPLIT)
+    root = tempfile.mkdtemp(prefix="plaid_del_")
+    idx = IndexBuilder(spark, nbits=4, seed=42).build(encode_documents(docs), f"{root}/v0")
+    idx2 = delete_from_index(spark, idx, list(DELETE_IDS), f"{root}/v1")
+    return idx2.doclens.select("doc_id", "num_tokens")
+
+
+def sql_delete_survivor_doclens() -> str:
+    ids = ", ".join(str(i) for i in DELETE_IDS)
+    return f"""
+SELECT doc_id,
+       least(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')), 48) AS num_tokens
+FROM documents WHERE doc_id < {UPDATE_SPLIT} AND doc_id NOT IN ({ids})
+  AND len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) > 0
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.9): INTERSECT/EXCEPT over metadata values
+# ---------------------------------------------------------------------------
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source").distinct()
+    fr = docs.filter(F.col("lang") == "fr").select("source").distinct()
+    return en.intersect(fr).unionByName(
+        en.exceptAll(fr).withColumn("source", F.concat(F.lit("only_en:"), "source"))
+    )
+
+
+SQL_SOURCE_OVERLAP = """
+SELECT source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  INTERSECT
+  SELECT DISTINCT source FROM documents WHERE lang = 'fr'
+)
+UNION ALL
+SELECT concat('only_en:', source) AS source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  EXCEPT
+  SELECT DISTINCT source FROM documents WHERE lang = 'fr'
+)
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Single-vector similarity search — exact cosine top-k (extension operator)
 # ---------------------------------------------------------------------------
@@ -884,6 +991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maxsim_brute_topk": q_maxsim_brute_topk,
         "plaid_search_topk": q_plaid_search_topk,
+        "plaid_filtered_topk": q_plaid_filtered_topk,
+        "update_append_doclens": q_update_append_doclens,
+        "delete_survivor_doclens": q_delete_survivor_doclens,
+        "source_overlap": q_source_overlap,
         "cosine_topk": q_cosine_topk,
         "filtered_search_topk": q_filtered_search_topk,
         "distinct_langs": q_distinct_langs,
@@ -915,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
+        "update_append_doclens": sql_update_append_doclens(),
+        "delete_survivor_doclens": sql_delete_survivor_doclens(),
+        "source_overlap": SQL_SOURCE_OVERLAP,
         "cosine_topk": sql_cosine_topk(),
         "filtered_search_topk": sql_filtered_search_topk(),
         "distinct_langs": SQL_DISTINCT_LANGS,
