@@ -27,6 +27,9 @@ from next_plaid_spark.operators.similarity import cosine_topk
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS); the driver may hand us a
+    # session without our defaults, and this conf is runtime-settable
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
