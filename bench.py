@@ -68,6 +68,27 @@ def main() -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # batch-search throughput: the Spark-native operating mode is a large
+    # query DataFrame through the funnel (BASELINE's QPS analog); every doc
+    # doubles as a query here.
+    from pyspark.sql import functions as F
+
+    from next_plaid_spark.encoding import encode_queries
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx = q._plaid_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_q = 500
+    batch_queries = docs.filter(F.col("doc_id") < n_q).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    searcher = BatchSearcher(idx, SearchParams(top_k=10, n_full_scores=256))
+    t0 = time.time()
+    force(searcher.search(encode_queries(batch_queries)))
+    dt = time.time() - t0
+    timings[f"plaid_search_batch{n_q}"] = round(dt, 3)
+    qps = round(n_q / dt, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -77,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "batch_search_qps": qps,
             }
         )
     )

@@ -134,21 +134,22 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3,
 
 
 def _minhash_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
+    # one wide aggregation instead of a 16× posexplode: each hash index is
+    # its own min() column, so the signature costs a single shuffle of
+    # |doc_shingles| rows (values identical to the exploded formulation,
+    # which is what the DuckDB oracle computes)
     hashed = sh.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: _hash60(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))),
-            )
-        ).alias("h_idx", "h"),
+        *[
+            _hash60(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ],
     )
-    return (
-        hashed.groupBy("doc_id", "h_idx")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.transform(F.array_sort(
-            F.collect_list(F.struct("h_idx", "mh"))), lambda s: s["mh"]).alias("sig"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 

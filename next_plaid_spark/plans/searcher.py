@@ -140,8 +140,16 @@ class BatchSearcher:
         )
 
         # Q6: approximate scoring on codes only — never touches residuals,
-        # so the tokens scan prunes to (doc_id, code).
-        doc_codes = idx.tokens.select("doc_id", "code").distinct()
+        # so the tokens scan prunes to (doc_id, code). Order matters at
+        # scale: semi-join the corpus down to candidate docs BEFORE the
+        # distinct, otherwise the dedup shuffles the full corpus per batch
+        # (Catalyst won't push a join under an aggregate on its own).
+        cand_docs = candidates.select("doc_id").distinct()
+        doc_codes = (
+            idx.tokens.join(cand_docs, "doc_id", "left_semi")
+            .select("doc_id", "code")
+            .distinct()
+        )
         cand_codes = candidates.join(doc_codes, "doc_id").select(
             "query_id", "doc_id", "code"
         )
