@@ -51,20 +51,142 @@ class SearchParams:
 
 
 class BatchSearcher:
-    def __init__(self, index: PlaidIndex, params: SearchParams | None = None):
+    def __init__(self, index: PlaidIndex, params: SearchParams | None = None,
+                 *, approx_strategy: str = "kernel"):
+        """approx_strategy: 'kernel' (default — cogrouped Arrow kernel, the
+        analog of the reference's sparse codes-only scoring,
+        search.rs:256-302) or 'relational' (pure Catalyst joins; same
+        results, quadratically more shuffled rows on large query batches —
+        kept for plan-comparison and environments without Python workers)."""
         self.index = index
         self.params = params or SearchParams()
+        self.approx_strategy = approx_strategy
         self._centroids = index.centroids_np()
+
+    # -- Q6 strategies ------------------------------------------------------
+    def _approx_kernel(self, query_tokens: DataFrame, candidates: DataFrame,
+                       doc_codes: DataFrame) -> DataFrame:
+        """Codes-only approximate MaxSim as a cogrouped Arrow kernel: per
+        query, one [q_tokens, K] GEMM against the broadcast centroids, then
+        a vectorized gather+max over each candidate doc's code list. Row
+        volume is |candidates| (one row per (query, doc) with a small int
+        array), vs the relational strategy's |candidates × doc_codes ×
+        q_tokens| shuffle."""
+        import numpy as np
+        import pandas as pd
+
+        c = np.ascontiguousarray(self._centroids, dtype=np.float32)
+        cand_with_codes = candidates.join(
+            doc_codes.groupBy("doc_id").agg(F.collect_list("code").alias("codes")),
+            "doc_id",
+        )
+
+        def score(key, cand_pdf, qt_pdf):
+            if not len(cand_pdf) or not len(qt_pdf):
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "approx_score": []}
+                ).astype({"query_id": "int64", "doc_id": "int64",
+                          "approx_score": "float64"})
+            q = np.asarray(
+                [np.asarray(v, dtype=np.float32)
+                 for v in qt_pdf.sort_values("token_idx")["vec"]]
+            )
+            scores = q @ c.T  # [q_tokens, K]
+            out_docs, out_scores = [], []
+            for doc_id, codes in zip(cand_pdf["doc_id"], cand_pdf["codes"]):
+                cs = np.asarray(codes, dtype=np.int64)
+                out_docs.append(doc_id)
+                out_scores.append(float(scores[:, cs].max(axis=1).sum()))
+            return pd.DataFrame(
+                {"query_id": key[0], "doc_id": out_docs, "approx_score": out_scores}
+            )
+
+        # rename one side's key: candidates descends from query_tokens, and
+        # cogroup on the same attribute trips the ambiguous-self-join check
+        qt_side = query_tokens.select(
+            F.col("query_id").alias("qid"), "token_idx", "vec"
+        )
+        return cand_with_codes.groupBy("query_id").cogroup(
+            qt_side.groupBy("qid")
+        ).applyInPandas(
+            score, schema="query_id long, doc_id long, approx_score double"
+        )
+
+    def _approx_relational(self, query_tokens: DataFrame, candidates: DataFrame,
+                           doc_codes: DataFrame) -> DataFrame:
+        """Pure-Catalyst Q6 (token-deduped when the encoder is
+        deterministic); same values as the kernel strategy."""
+        idx = self.index
+        cand_codes = candidates.join(doc_codes, "doc_id").select(
+            "query_id", "doc_id", "code"
+        )
+        cdf = F.broadcast(idx.centroids_df.withColumnRenamed("vec", "cvec"))
+        if "token" in query_tokens.columns:
+            qt_toks = query_tokens.select(
+                "query_id", F.col("token_idx").alias("q_token_idx"), "token"
+            )
+            tc_pairs = (
+                qt_toks.join(cand_codes.select("query_id", "code").distinct(), "query_id")
+                .select("token", "code")
+                .distinct()
+                .join(cdf, "code")
+                .join(
+                    F.broadcast(
+                        query_tokens.select("token", "vec").dropDuplicates(["token"])
+                    ),
+                    "token",
+                )
+                .select("token", "code", dot(F.col("vec"), F.col("cvec")).alias("cscore"))
+            )
+            return (
+                cand_codes.join(qt_toks, "query_id")
+                .join(tc_pairs, ["token", "code"])
+                .groupBy("query_id", "doc_id", "q_token_idx")
+                .agg(F.max("cscore").alias("max_c"))
+                .groupBy("query_id", "doc_id")
+                .agg(F.sum("max_c").alias("approx_score"))
+            )
+        needed_scores = (
+            cand_codes.select("query_id", "code")
+            .distinct()
+            .join(cdf, "code")
+            .join(
+                query_tokens.select(
+                    "query_id",
+                    F.col("token_idx").alias("q_token_idx"),
+                    F.col("vec").alias("qvec"),
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id", "code", "q_token_idx",
+                dot(F.col("qvec"), F.col("cvec")).alias("cscore"),
+            )
+        )
+        return (
+            cand_codes.join(needed_scores, ["query_id", "code"])
+            .groupBy("query_id", "doc_id", "q_token_idx")
+            .agg(F.max("cscore").alias("max_c"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("max_c").alias("approx_score"))
+        )
 
     # -- Q1 + Q2: probe ----------------------------------------------------
     def _probe(self, query_tokens: DataFrame, n_probe: int) -> DataFrame:
         """(query_id, token_idx, vec) → (query_id, token_idx, code, cscore):
-        top n_probe centroids per query token."""
+        top n_probe centroids per query token.
+
+        When a ``token`` text column is present (deterministic encoder),
+        the centroid GEMM runs once per distinct token and the result joins
+        back — bit-identical, and for large query batches the probe cost
+        becomes O(|query vocab| · K) instead of O(|query tokens| · K)."""
         c = np.ascontiguousarray(self._centroids, dtype=np.float32)
+        by_token = "token" in query_tokens.columns
 
         def probe(batches):
             import pandas as pd
 
+            key_col = "token" if by_token else None
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -73,13 +195,27 @@ class BatchSearcher:
                 n = min(n_probe, scores.shape[1])
                 top = np.argpartition(scores, -n, axis=1)[:, -n:]
                 rows = []
-                for i, (qid, tid) in enumerate(zip(pdf["query_id"], pdf["token_idx"])):
-                    for j in top[i]:
-                        rows.append((qid, tid, int(j), float(scores[i, j])))
-                yield pd.DataFrame(
-                    rows, columns=["query_id", "token_idx", "code", "cscore"]
-                )
+                if key_col:
+                    for i, tok in enumerate(pdf[key_col]):
+                        for j in top[i]:
+                            rows.append((tok, int(j), float(scores[i, j])))
+                    yield pd.DataFrame(rows, columns=["token", "code", "cscore"])
+                else:
+                    for i, (qid, tid) in enumerate(zip(pdf["query_id"], pdf["token_idx"])):
+                        for j in top[i]:
+                            rows.append((qid, tid, int(j), float(scores[i, j])))
+                    yield pd.DataFrame(
+                        rows, columns=["query_id", "token_idx", "code", "cscore"]
+                    )
 
+        if by_token:
+            vocab = query_tokens.select("token", "vec").dropDuplicates(["token"])
+            per_token = vocab.mapInPandas(
+                probe, schema="token string, code long, cscore double"
+            )
+            return query_tokens.select("query_id", "token_idx", "token").join(
+                per_token, "token"
+            ).select("query_id", "token_idx", "code", "cscore")
         return query_tokens.select("query_id", "token_idx", "vec").mapInPandas(
             probe, schema="query_id long, token_idx int, code long, cscore double"
         )
@@ -150,33 +286,10 @@ class BatchSearcher:
             .select("doc_id", "code")
             .distinct()
         )
-        cand_codes = candidates.join(doc_codes, "doc_id").select(
-            "query_id", "doc_id", "code"
-        )
-        needed_scores = (
-            cand_codes.select("query_id", "code")
-            .distinct()
-            .join(F.broadcast(idx.centroids_df.withColumnRenamed("vec", "cvec")), "code")
-            .join(
-                query_tokens.select(
-                    "query_id",
-                    F.col("token_idx").alias("q_token_idx"),
-                    F.col("vec").alias("qvec"),
-                ),
-                "query_id",
-            )
-            .select(
-                "query_id", "code", "q_token_idx",
-                dot(F.col("qvec"), F.col("cvec")).alias("cscore"),
-            )
-        )
-        approx = (
-            cand_codes.join(needed_scores, ["query_id", "code"])
-            .groupBy("query_id", "doc_id", "q_token_idx")
-            .agg(F.max("cscore").alias("max_c"))
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum("max_c").alias("approx_score"))
-        )
+        if self.approx_strategy == "kernel":
+            approx = self._approx_kernel(query_tokens, candidates, doc_codes)
+        else:
+            approx = self._approx_relational(query_tokens, candidates, doc_codes)
 
         # Q7 + Q8: approx top n_full_scores, then decompress budget n/4
         budget = max(p.n_full_scores // 4, p.top_k)
