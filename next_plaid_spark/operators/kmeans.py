@@ -117,6 +117,12 @@ def train_kmeans(
     if pts.shape[0] > cap:
         rng = np.random.default_rng(seed)
         pts = pts[rng.choice(pts.shape[0], size=cap, replace=False)]
+    # duplicate points contribute nothing to Lloyd's but seed duplicate
+    # ("ghost") centroids that no token ever assigns to — the IVF probe then
+    # ranks cells that exist in no inverted list. Cap K by the distinct
+    # point count (real contextual embeddings are effectively all-distinct,
+    # so this is a no-op there; the deterministic synthetic encoder is not).
+    pts = np.unique(pts, axis=0)
     k = min(k, pts.shape[0])
     return KMeansModel(centroids=lloyds(pts, k, iters=iters, seed=seed))
 

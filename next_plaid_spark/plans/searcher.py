@@ -48,6 +48,11 @@ class SearchParams:
     centroid_score_threshold: float = 0.4
     # subset probe scaling cap (search.rs:370-382)
     max_probe_scale: int = 16
+    # extension (off = reference parity): never let t_cs prune a query to
+    # zero cells — keep its single best cell. With synthetic low-dim
+    # vectors a diffuse cluster can push every probed score below 0.4,
+    # which silently empties that query's results.
+    keep_best_cell: bool = False
 
 
 class BatchSearcher:
@@ -92,13 +97,25 @@ class BatchSearcher:
                  for v in qt_pdf.sort_values("token_idx")["vec"]]
             )
             scores = q @ c.T  # [q_tokens, K]
-            out_docs, out_scores = [], []
-            for doc_id, codes in zip(cand_pdf["doc_id"], cand_pdf["codes"]):
-                cs = np.asarray(codes, dtype=np.int64)
-                out_docs.append(doc_id)
-                out_scores.append(float(scores[:, cs].max(axis=1).sum()))
+            # segment-max over the flattened code lists — no per-doc Python
+            # loop (maximum.reduceat segments at each doc's offset)
+            code_lists = [np.asarray(cs, dtype=np.int64) for cs in cand_pdf["codes"]]
+            lens = np.fromiter((len(cs) for cs in code_lists), dtype=np.int64)
+            keep_mask = lens > 0
+            flat = np.concatenate([cs for cs in code_lists if len(cs)]) if keep_mask.any() else np.array([], dtype=np.int64)
+            if not len(flat):
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "approx_score": []}
+                ).astype({"query_id": "int64", "doc_id": "int64",
+                          "approx_score": "float64"})
+            offsets = np.zeros(int(keep_mask.sum()), dtype=np.int64)
+            np.cumsum(lens[keep_mask][:-1], out=offsets[1:])
+            seg_max = np.maximum.reduceat(scores[:, flat], offsets, axis=1)
+            approx = seg_max.sum(axis=0, dtype=np.float64)
             return pd.DataFrame(
-                {"query_id": key[0], "doc_id": out_docs, "approx_score": out_scores}
+                {"query_id": key[0],
+                 "doc_id": np.asarray(cand_pdf["doc_id"])[keep_mask],
+                 "approx_score": approx}
             )
 
         # rename one side's key: candidates descends from query_tokens, and
@@ -254,9 +271,14 @@ class BatchSearcher:
         cell_max = probed.groupBy("query_id", "code").agg(
             F.max("cscore").alias("cell_max")
         )
-        cells = cell_max.filter(
-            F.col("cell_max") >= p.centroid_score_threshold
-        ).select("query_id", "code")
+        keep = F.col("cell_max") >= p.centroid_score_threshold
+        if p.keep_best_cell:
+            wbest = Window.partitionBy("query_id").orderBy(
+                F.col("cell_max").desc(), F.col("code").asc()
+            )
+            cell_max = cell_max.withColumn("_best", F.row_number().over(wbest))
+            keep = keep | (F.col("_best") == 1)
+        cells = cell_max.filter(keep).select("query_id", "code")
 
         # Q5: candidates = ∪ IVF lists of surviving cells (∩ subset)
         ivf = idx.ivf
@@ -302,24 +324,30 @@ class BatchSearcher:
             .select("query_id", "doc_id")
         )
 
-        # Q9: decompress survivors and exact-MaxSim them
+        # Q9: decompress survivors and exact-MaxSim them. Quantization makes
+        # token vectors a pure function of (code, residual), so each distinct
+        # quantized vector is decompressed and dotted against the query side
+        # ONCE; the per-(query, doc, q_token) max then joins precomputed
+        # scalars instead of evaluating a dot fold per joined row.
         surv_tokens = idx.tokens.join(
             survivors.select("doc_id").distinct(), "doc_id", "left_semi"
+        ).select("doc_id", "code", "residual")
+        uniq_vecs = decompress(
+            surv_tokens.select("code", "residual").distinct(),
+            self._centroids, idx.meta.codec,
         )
-        decompressed = decompress(surv_tokens, self._centroids, idx.meta.codec)
-        pair_tokens = decompressed.join(survivors, "doc_id").select(
-            "query_id", "doc_id", "token_idx", "vec"
-        )
-        # restrict the MaxSim cross to each query's own survivor docs:
-        # tag doc vectors with query_id and reuse the relational kernel
-        # per (query, doc) pair via groupBy on both keys.
         qt = query_tokens.select(
             "query_id", F.col("token_idx").alias("q_token_idx"),
             F.col("vec").alias("q_vec"),
         )
-        pairs = pair_tokens.join(qt, "query_id").select(
-            "query_id", "doc_id", "q_token_idx",
+        pair_dots = uniq_vecs.crossJoin(qt).select(
+            "code", "residual", "query_id", "q_token_idx",
             dot(F.col("q_vec"), F.col("vec")).alias("dp"),
+        )
+        pairs = (
+            survivors.join(surv_tokens, "doc_id")
+            .join(pair_dots, ["query_id", "code", "residual"])
+            .select("query_id", "doc_id", "q_token_idx", "dp")
         )
         exact = (
             pairs.groupBy("query_id", "doc_id", "q_token_idx")

@@ -147,7 +147,7 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     qt = encode_queries(queries)
-    searcher = BatchSearcher(idx, SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256))
+    searcher = BatchSearcher(idx, SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256, keep_best_cell=True))
     return searcher.search(qt).select("query_id", "doc_id", "score", "rank")
 
 
@@ -163,7 +163,7 @@ def q_plaid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    searcher = BatchSearcher(idx, SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256))
+    searcher = BatchSearcher(idx, SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256, keep_best_cell=True))
     return searcher.search(encode_queries(queries), subset=subset).select(
         "query_id", "doc_id", "score", "rank"
     )
