@@ -169,6 +169,50 @@ def q_plaid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_plaid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 orchestration with the real ANN funnel as the semantic side:
+    PLAID funnel fetch 3·k + BM25 fetch 3·k → relative-score fusion → top-k
+    (handlers/search.rs:124-400). Rows-only (funnel side is ANN)."""
+    from next_plaid_spark.operators.bm25 import BM25Index
+    from next_plaid_spark.operators.fusion import fuse_relative_score
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx = _plaid_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    searcher = BatchSearcher(
+        idx, SearchParams(top_k=3 * MAXSIM_TOPK, n_full_scores=256, keep_best_cell=True)
+    )
+    sem = searcher.search(encode_queries(queries)).select("query_id", "doc_id", "score")
+    kw = BM25Index.build(docs).search(queries, k=3 * MAXSIM_TOPK).select(
+        "query_id", "doc_id", "score"
+    )
+    return fuse_relative_score(sem, kw, alpha=0.75, k=MAXSIM_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def q_monthly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup over lineitem (timestamp calendar-math parity;
+    l_shipdate is a microsecond TIMESTAMP_NTZ — only events uses NANOS)."""
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("ship_month")
+    return li.groupBy(month).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+SQL_MONTHLY_SHIPMENTS = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY 1
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Update/delete paths, oracle-checked through their post-state: the final
 # doclens of a real append (build on a prefix, append the rest) and of a
@@ -995,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_brute_topk": q_maxsim_brute_topk,
         "plaid_search_topk": q_plaid_search_topk,
         "plaid_filtered_topk": q_plaid_filtered_topk,
+        "hybrid_plaid_topk": q_hybrid_plaid_topk,
+        "monthly_shipments": q_monthly_shipments,
         "update_append_doclens": q_update_append_doclens,
         "delete_survivor_doclens": q_delete_survivor_doclens,
         "source_overlap": q_source_overlap,
@@ -1029,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
+        "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
         "update_append_doclens": sql_update_append_doclens(),
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
         "source_overlap": SQL_SOURCE_OVERLAP,
