@@ -37,16 +37,25 @@ def _hash60(col) -> F.Column:
 def shingles(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    from pyspark.sql.window import Window
+
+    # posexplode + lead() windows instead of transform(sequence, slice(…)):
+    # higher-order array functions are interpreted (no whole-stage codegen)
+    # and cost ~50× more per shingle; the window formulation produces the
+    # identical word n-grams inside codegen. Short docs (< n tokens) yield
+    # no rows because lead(n−1) is null.
     toks = tokenize_unicode61(F.col(text_col))
-    # guard: Spark sequence(0, stop) DESCENDS when stop < 0 — short docs
-    # must yield an empty shingle list, not [0, -1].
-    sh = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.posexplode(toks).alias("idx", "t0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    parts = [F.col("t0")] + [F.lead("t0", i).over(w) for i in range(1, n)]
     return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"), sh.alias("_sh"))
-        .select("doc_id", F.explode("_sh").alias("shingle"))
+        exploded.select(
+            "doc_id",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
@@ -136,12 +145,20 @@ def minhash_signatures(docs: DataFrame, *, n: int = 3,
 def _minhash_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
     # one wide aggregation instead of a 16× posexplode: each hash index is
     # its own min() column, so the signature costs a single shuffle of
-    # |doc_shingles| rows (values identical to the exploded formulation,
-    # which is what the DuckDB oracle computes)
+    # |doc_shingles| rows. Each md5 digest yields TWO 60-bit hashes (15 hex
+    # chars each) — half the digest work. The DuckDB oracle computes the
+    # identical derivation.
     hashed = sh.select(
         "doc_id",
         *[
-            _hash60(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"_h{i}")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 2}:"), F.col("shingle"))),
+                    1 + (i % 2) * HASH_HEX_LEN,
+                    HASH_HEX_LEN,
+                ),
+                16, 10,
+            ).cast("long").alias(f"_h{i}")
             for i in range(n_hashes)
         ],
     )
@@ -183,12 +200,30 @@ def minhash_lsh_pairs(docs: DataFrame, *, n: int = 3, n_hashes: int = N_HASHES,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (candidates only — never all
-    # pairs), reusing the cached shingle table
-    exact = _jaccard_from_shingles(sh, 0.0)
-    return cand.join(exact, ["doc_a", "doc_b"]).filter(
-        F.col("jaccard") >= threshold
-    ).select("doc_a", "doc_b", "jaccard")
+    # verify candidates with exact Jaccard computed for CANDIDATE PAIRS
+    # ONLY: restrict both sides of the shared-shingle join through the
+    # candidate list (an unrestricted self-join would count shared shingles
+    # for every overlapping pair in the corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def sql_minhash_lsh_pairs(*, n: int = 3, n_hashes: int = N_HASHES,
@@ -200,7 +235,7 @@ WITH sh AS (
 ),
 hashed AS (
   SELECT doc_id, i AS h_idx,
-         CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR), ':', shingle)), 1, {HASH_HEX_LEN})) AS BIGINT) AS h
+         CAST(concat('0x', substr(md5(concat(CAST(i // 2 AS VARCHAR), ':', shingle)), 1 + (i % 2) * {HASH_HEX_LEN}, {HASH_HEX_LEN})) AS BIGINT) AS h
   FROM sh, unnest(range(0, {n_hashes})) AS r(i)
 ),
 sig AS (
@@ -218,15 +253,16 @@ cand AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
-SELECT c.doc_a, c.doc_b, s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
-FROM cand c
-JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
+SELECT s.doc_a, s.doc_b, s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
 WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= {threshold}
 """.strip()
 

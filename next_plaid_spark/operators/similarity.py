@@ -100,17 +100,43 @@ def lsh_bucket_topk(
     then exact cosine + top-k. The bucket equi-join is an ordinary shuffle
     join on (table, bucket) — partition-parallel at any scale, no crossJoin.
     """
+    import numpy as np
+
+    # all tables' planes stacked: [n_tables*n_bits, dim] — one GEMM per
+    # Arrow batch computes every signature bit (the unrolled column-
+    # expression variant spent more time in codegen than in compute)
+    all_planes = np.concatenate(
+        [np.asarray(_planes(dim, n_bits, seed, t), dtype=np.float64)
+         for t in range(n_tables)]
+    )
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+
     def with_buckets(df, idc, vc):
-        # one scan: all table signatures as an array column, posexploded —
-        # a 16-way union would scan the source 16 times
-        sigs = F.array(*[
-            simhash_signature(F.col(vc), _planes(dim, n_bits, seed, t))
-            for t in range(n_tables)
-        ])
-        return df.select(
-            F.col(idc).alias("_id"),
-            F.col(vc).alias("_vec"),
-            F.posexplode(sigs).alias("_table", "_bucket"),
+        def sig(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vc]]
+                )
+                bits = (x @ all_planes.T) >= 0  # [rows, n_tables*n_bits]
+                bits = bits.reshape(len(x), n_tables, n_bits)
+                buckets = (bits * pow2).sum(axis=2)  # [rows, n_tables]
+                out = pd.DataFrame(
+                    {
+                        "_id": pdf[idc].to_numpy().repeat(n_tables),
+                        "_vec": [v for v in pdf[vc] for _ in range(n_tables)],
+                        "_table": np.tile(np.arange(n_tables), len(x)),
+                        "_bucket": buckets.ravel(),
+                    }
+                )
+                yield out
+
+        vec_type = df.schema[vc].dataType.simpleString()
+        return df.select(F.col(idc), F.col(vc)).mapInPandas(
+            sig, schema=f"_id long, _vec {vec_type}, _table int, _bucket long"
         )
 
     c = with_buckets(embeddings, id_col, vec_col)
