@@ -282,29 +282,29 @@ def simhash_fingerprints(docs: DataFrame, *, id_col: str = "doc_id",
         .agg(F.count("*").alias("tf"))
         .withColumn("h", _hash60(F.col("term")))
     )
-    # shift amounts must be Python ints (shiftright doesn't take a Column),
-    # so unroll the bit positions driver-side — stays exact long arithmetic.
-    bits = terms.select(
+    # one wide aggregation (60 sum columns) instead of a 60× explode: shift
+    # amounts must be Python ints anyway (shiftright doesn't take a Column),
+    # and the wide form shuffles |doc_terms| rows instead of 60×that.
+    # All exact long arithmetic; values identical to the oracle's exploded
+    # formulation.
+    weighted = terms.select(
         "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.col("tf") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-                for j in range(SIMHASH_BITS)
-            ])
-        ).alias("bit_pos", "w"),
+        *[
+            (F.col("tf") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1))
+            .alias(f"_w{j}")
+            for j in range(SIMHASH_BITS)
+        ],
     )
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
-    return (
-        bits.groupBy("doc_id", "bit_pos")
-        .agg(F.sum("w").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.element_at(pow2, F.col("bit_pos") + 1))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+    sums = weighted.groupBy("doc_id").agg(
+        *[F.sum(f"_w{j}").alias(f"_s{j}") for j in range(SIMHASH_BITS)]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"_s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 _SQL_SIMHASH_CTES = f"""

@@ -69,9 +69,20 @@ def main():
     import duckdb
 
     import __spark_entry__ as entry
-    from next_plaid_spark.session import get_spark
 
-    spark = get_spark("check")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # driver simulation: a vanilla session with none of our configs —
+        # queries must set what they need at runtime
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("check-plain")
+            .config("spark.ui.enabled", "false").getOrCreate()
+        )
+    else:
+        from next_plaid_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
