@@ -55,14 +55,28 @@ class SearchParams:
     keep_best_cell: bool = False
 
 
+# query-side size budget for the broadcast approx strategy: the precomputed
+# [q_tokens, K] centroid-score matrix must stay comfortably broadcastable
+BROADCAST_SCORES_BUDGET_BYTES = 128 << 20
+
+
 class BatchSearcher:
     def __init__(self, index: PlaidIndex, params: SearchParams | None = None,
-                 *, approx_strategy: str = "kernel"):
-        """approx_strategy: 'kernel' (default — cogrouped Arrow kernel, the
-        analog of the reference's sparse codes-only scoring,
-        search.rs:256-302) or 'relational' (pure Catalyst joins; same
-        results, quadratically more shuffled rows on large query batches —
-        kept for plan-comparison and environments without Python workers)."""
+                 *, approx_strategy: str = "auto"):
+        """approx_strategy:
+        'auto' (default) — 'broadcast' while the query batch's centroid-score
+        matrix fits BROADCAST_SCORES_BUDGET_BYTES, else 'kernel'.
+        'broadcast' — query side (token matrix + surviving cells) collected
+        and broadcast; one doc-parallel kernel scans each candidate doc's
+        code list exactly once for the whole batch. The scalable batch mode:
+        the query batch is the small side by construction, the corpus never
+        re-shuffles per query.
+        'kernel' — cogrouped Arrow kernel, the analog of the reference's
+        sparse codes-only scoring (search.rs:256-302); materializes the
+        (query × doc) candidate pairs. Unbounded query batches.
+        'relational' — pure Catalyst joins; same results, quadratically more
+        shuffled rows (kept for plan comparison and environments without
+        Python workers)."""
         self.index = index
         self.params = params or SearchParams()
         self.approx_strategy = approx_strategy
@@ -128,6 +142,149 @@ class BatchSearcher:
         ).applyInPandas(
             score, schema="query_id long, doc_id long, approx_score double"
         )
+
+    def _approx_broadcast(self, query_tokens: DataFrame, n_probe: int,
+                          p: "SearchParams", ivf: DataFrame) -> DataFrame:
+        """Q1–Q6 with the query side broadcast.
+
+        Collects the batch's query tokens to the driver (the small side of
+        batch search by construction) and precomputes the [q_tokens, K]
+        centroid-score matrix ONCE — which makes the probe (Q1/Q2: per-token
+        argpartition) and the t_cs prune (Q3) pure driver-side NumPy instead
+        of two extra Spark jobs. Candidacy — d ∈ ∪_{c∈cells(q)} ivf[c] — is
+        equivalent to codes(d) ∩ cells(q) ≠ ∅ (a doc is in a cell's IVF list
+        iff one of its tokens has that code, index.rs:479-508), so Q5 runs as
+        a segment-max over a boolean cell mask inside a doc-parallel kernel
+        that scans each candidate doc's code list exactly once per batch; the
+        exploded (query × doc) pair shuffle of the other strategies
+        disappears entirely. Scores are bit-identical to the cogrouped
+        kernel: same argpartition probe, same float32 maxima, same float64
+        token-order sum.
+        """
+        import pandas as pd
+
+        spark = query_tokens.sparkSession
+        c = np.ascontiguousarray(self._centroids, dtype=np.float32)
+        k_total = c.shape[0]
+
+        qt_pdf = (
+            query_tokens.select("query_id", "token_idx", "vec")
+            .sort("query_id", "token_idx")
+            .toPandas()
+        )
+        empty = pd.DataFrame(
+            {"query_id": [], "doc_id": [], "approx_score": []}
+        ).astype({"query_id": "int64", "doc_id": "int64", "approx_score": "float64"})
+        schema = "query_id long, doc_id long, approx_score double"
+        if not len(qt_pdf):
+            return spark.createDataFrame(empty, schema=schema)
+
+        q = np.asarray([np.asarray(v, dtype=np.float32) for v in qt_pdf["vec"]])
+        # token-dedup (the vectors are a pure function of the token text for
+        # a deterministic encoder; np.unique needs no token column): all
+        # score-matrix work — driver probe AND executor kernel — runs per
+        # distinct vector. The broadcast then carries the [V, dim] vocab
+        # (KBs) instead of the [q_tokens, K] score matrix (can be 100s of
+        # MB), and each executor rebuilds scores with one small GEMM.
+        qv, inverse = np.unique(q, axis=0, return_inverse=True)
+        inverse = inverse.astype(np.int64).ravel()
+        scores_v = qv @ c.T  # [V, K]
+        qids_per_row = qt_pdf["query_id"].to_numpy()
+        qids, starts = np.unique(qids_per_row, return_index=True)
+        bounds = np.append(starts, len(qids_per_row))
+
+        # Q2 probe + Q3 prune, driver-side (same np.argpartition as the
+        # probe UDF — identical cell selection, ties included)
+        n = min(n_probe, k_total)
+        top = np.argpartition(scores_v, -n, axis=1)[:, -n:]
+        cell_mask = np.zeros((len(qids), k_total), dtype=bool)
+        for qi in range(len(qids)):
+            rows = inverse[bounds[qi]:bounds[qi + 1]]
+            probed_cells = np.unique(top[rows])
+            cell_best = scores_v[rows][:, probed_cells].max(axis=0)
+            keep = cell_best >= p.centroid_score_threshold
+            if p.keep_best_cell and not keep.all():
+                # rank 1 by (cell_max desc, code asc) — always survives
+                best = probed_cells[np.lexsort((probed_cells, -cell_best))[0]]
+                keep |= probed_cells == best
+            cell_mask[qi, probed_cells[keep]] = True
+
+        b_qv = spark.sparkContext.broadcast(qv)
+        b_cent = spark.sparkContext.broadcast(c)
+        b_mask = spark.sparkContext.broadcast(cell_mask)
+        b_meta = spark.sparkContext.broadcast((qids, bounds, inverse))
+
+        def kern(batches):
+            S = b_qv.value @ b_cent.value.T  # [V, K], once per partition
+            Cm = b_mask.value
+            kqids, kbounds, kinv = b_meta.value
+            # bound the [V, F] gather below ~128 MB per chunk
+            chunk_flat = max(1024, (32 << 20) // max(1, S.shape[0]))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                code_lists = [np.asarray(cs, dtype=np.int64) for cs in pdf["codes"]]
+                lens = np.fromiter((len(cs) for cs in code_lists), dtype=np.int64)
+                keep = lens > 0
+                if not keep.any():
+                    continue
+                doc_ids = np.asarray(pdf["doc_id"])[keep]
+                kept = [cs for cs in code_lists if len(cs)]
+                klens = lens[keep]
+                # chunk docs so each flat-code gather stays bounded
+                start = 0
+                while start < len(kept):
+                    end = start
+                    tot = 0
+                    while end < len(kept) and (tot == 0 or tot + klens[end] <= chunk_flat):
+                        tot += klens[end]
+                        end += 1
+                    flat = np.concatenate(kept[start:end])
+                    offs = np.zeros(end - start, dtype=np.int64)
+                    np.cumsum(klens[start:end][:-1], out=offs[1:])
+                    seg_max = np.maximum.reduceat(S[:, flat], offs, axis=1)
+                    is_cand = np.maximum.reduceat(Cm[:, flat], offs, axis=1)
+                    d_chunk = doc_ids[start:end]
+                    out_q, out_d, out_s = [], [], []
+                    for qi in range(len(kqids)):
+                        m = is_cand[qi]
+                        if not m.any():
+                            continue
+                        rows = kinv[kbounds[qi]:kbounds[qi + 1]]
+                        out_q.append(np.full(int(m.sum()), kqids[qi], dtype=np.int64))
+                        out_d.append(d_chunk[m])
+                        out_s.append(
+                            seg_max[rows][:, m].sum(axis=0, dtype=np.float64)
+                        )
+                    if out_q:
+                        yield pd.DataFrame(
+                            {"query_id": np.concatenate(out_q),
+                             "doc_id": np.concatenate(out_d),
+                             "approx_score": np.concatenate(out_s)}
+                        )
+                    start = end
+
+        # Q5's corpus pruning: only docs in some surviving cell can be
+        # candidates for anyone — a broadcast semi-join on the (small)
+        # union of surviving cell ids; no query_id explode
+        cand_cell_codes = sorted(int(x) for x in np.nonzero(cell_mask.any(axis=0))[0])
+        codes_df = spark.createDataFrame(
+            [(x,) for x in cand_cell_codes], schema="code long"
+        )
+        cand_docs = (
+            F.broadcast(codes_df).join(ivf, "code")
+            .select(F.explode("doc_ids").alias("doc_id"))
+            .distinct()
+        )
+        doc_codes = (
+            self.index.tokens.join(cand_docs, "doc_id", "left_semi")
+            .select("doc_id", "code")
+            .distinct()
+        )
+        doc_lists = doc_codes.groupBy("doc_id").agg(
+            F.collect_list("code").alias("codes")
+        )
+        return doc_lists.mapInPandas(kern, schema=schema)
 
     def _approx_relational(self, query_tokens: DataFrame, candidates: DataFrame,
                            doc_codes: DataFrame) -> DataFrame:
@@ -265,22 +422,7 @@ class BatchSearcher:
                 )
                 n_probe = min(p.n_ivf_probe * scale, idx.meta.k)
 
-        probed = self._probe(query_tokens, n_probe)
-
-        # Q3: prune probed cells whose best score over query tokens < t_cs
-        cell_max = probed.groupBy("query_id", "code").agg(
-            F.max("cscore").alias("cell_max")
-        )
-        keep = F.col("cell_max") >= p.centroid_score_threshold
-        if p.keep_best_cell:
-            wbest = Window.partitionBy("query_id").orderBy(
-                F.col("cell_max").desc(), F.col("code").asc()
-            )
-            cell_max = cell_max.withColumn("_best", F.row_number().over(wbest))
-            keep = keep | (F.col("_best") == 1)
-        cells = cell_max.filter(keep).select("query_id", "code")
-
-        # Q5: candidates = ∪ IVF lists of surviving cells (∩ subset)
+        # subset-pruned IVF feeds Q5 under every strategy
         ivf = idx.ivf
         if subset is not None:
             # eligible-centroid pruning under filter (search.rs:350-364):
@@ -291,27 +433,63 @@ class BatchSearcher:
                 .groupBy("code")
                 .agg(F.collect_list("doc_id").alias("doc_ids"))
             )
-        candidates = (
-            cells.join(ivf, "code")
-            .select("query_id", F.explode("doc_ids").alias("doc_id"))
-            .distinct()
-        )
 
-        # Q6: approximate scoring on codes only — never touches residuals,
-        # so the tokens scan prunes to (doc_id, code). Order matters at
-        # scale: semi-join the corpus down to candidate docs BEFORE the
-        # distinct, otherwise the dedup shuffles the full corpus per batch
-        # (Catalyst won't push a join under an aggregate on its own).
-        cand_docs = candidates.select("doc_id").distinct()
-        doc_codes = (
-            idx.tokens.join(cand_docs, "doc_id", "left_semi")
-            .select("doc_id", "code")
-            .distinct()
-        )
-        if self.approx_strategy == "kernel":
-            approx = self._approx_kernel(query_tokens, candidates, doc_codes)
+        strategy = self.approx_strategy
+        if strategy == "auto":
+            # broadcast while the batch's [q_tokens, K] score matrix fits
+            est = query_tokens.count() * idx.meta.k * 4
+            strategy = "broadcast" if est <= BROADCAST_SCORES_BUDGET_BYTES else "kernel"
+
+        if strategy == "broadcast":
+            # Q1–Q6 in one shot: probe/prune driver-side, candidacy and
+            # approx scoring in the doc-parallel kernel
+            approx = self._approx_broadcast(query_tokens, n_probe, p, ivf)
         else:
-            approx = self._approx_relational(query_tokens, candidates, doc_codes)
+            probed = self._probe(query_tokens, n_probe)
+
+            # Q3: prune probed cells whose best score over query tokens <
+            # t_cs. Reference semantics (search.rs:417-425): the max runs
+            # over ALL query tokens, not just the tokens that probed the
+            # cell — so re-score the (small) probed-cell set against the
+            # full token list via the broadcast centroids.
+            cdf = F.broadcast(idx.centroids_df.withColumnRenamed("vec", "cvec"))
+            cell_max = (
+                probed.select("query_id", "code").distinct()
+                .join(cdf, "code")
+                .join(query_tokens.select("query_id", "vec"), "query_id")
+                .groupBy("query_id", "code")
+                .agg(F.max(dot(F.col("vec"), F.col("cvec"))).alias("cell_max"))
+            )
+            keep = F.col("cell_max") >= p.centroid_score_threshold
+            if p.keep_best_cell:
+                wbest = Window.partitionBy("query_id").orderBy(
+                    F.col("cell_max").desc(), F.col("code").asc()
+                )
+                cell_max = cell_max.withColumn("_best", F.row_number().over(wbest))
+                keep = keep | (F.col("_best") == 1)
+            cells = cell_max.filter(keep).select("query_id", "code")
+
+            # Q5: candidates = ∪ IVF lists of surviving cells (∩ subset)
+            candidates = (
+                cells.join(ivf, "code")
+                .select("query_id", F.explode("doc_ids").alias("doc_id"))
+                .distinct()
+            )
+            # Q6: approximate scoring on codes only — never touches residuals,
+            # so the tokens scan prunes to (doc_id, code). Order matters at
+            # scale: semi-join the corpus down to candidate docs BEFORE the
+            # distinct, otherwise the dedup shuffles the full corpus per batch
+            # (Catalyst won't push a join under an aggregate on its own).
+            cand_docs = candidates.select("doc_id").distinct()
+            doc_codes = (
+                idx.tokens.join(cand_docs, "doc_id", "left_semi")
+                .select("doc_id", "code")
+                .distinct()
+            )
+            if strategy == "kernel":
+                approx = self._approx_kernel(query_tokens, candidates, doc_codes)
+            else:
+                approx = self._approx_relational(query_tokens, candidates, doc_codes)
 
         # Q7 + Q8: approx top n_full_scores, then decompress budget n/4
         budget = max(p.n_full_scores // 4, p.top_k)
