@@ -58,8 +58,11 @@ def main() -> None:
 
     # index build timed on its own (populates the cache plaid_search uses)
     t0 = time.time()
-    q._plaid_index(spark, sf_dir)
+    idx0 = q._plaid_index(spark, sf_dir)
     timings["plaid_index_build"] = round(time.time() - t0, 3)
+    index_docs_per_sec = round(
+        idx0.meta.num_documents / max(timings["plaid_index_build"], 1e-9), 1
+    )
 
     registry = q.queries()
     for name in HEADLINE:
@@ -99,6 +102,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "batch_search_qps": qps,
+                "index_docs_per_sec": index_docs_per_sec,
             }
         )
     )

@@ -126,3 +126,23 @@ def test_funnel_recall_vs_brute_force(spark, built_index):
         for q in oracle_top1
     ]
     assert np.mean(close) >= 0.8, f"top-1 score agreement {np.mean(close):.2f}"
+
+
+def test_approx_strategies_agree(spark, built_index):
+    """broadcast / kernel / relational Q6 strategies produce identical
+    ranked results (the broadcast kernel replicates the cogrouped kernel's
+    argpartition probe, float32 maxima, and float64 token-order sum)."""
+    idx, docs, dt = built_index
+    queries = docs.limit(15).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    p = SearchParams(top_k=10, n_full_scores=256)
+
+    results = {
+        name: sorted(
+            (r.query_id, r.doc_id, r.rank)
+            for r in BatchSearcher(idx, p, approx_strategy=name).search(qt).collect()
+        )
+        for name in ("broadcast", "kernel", "relational")
+    }
+    assert results["broadcast"] == results["kernel"]
+    assert results["kernel"] == results["relational"]
