@@ -74,10 +74,7 @@ def _residuals_sample(doc_tokens_coded: DataFrame, centroids: np.ndarray,
     return vecs - centroids[codes]
 
 
-def train_codec(doc_tokens_coded: DataFrame, centroids: np.ndarray,
-                *, nbits: int = 4, seed: int = 42,
-                vec_col: str = "vec") -> CodecArtifacts:
-    res = _residuals_sample(doc_tokens_coded, centroids, seed, vec_col)
+def _artifacts_from_residuals(res: np.ndarray, nbits: int) -> CodecArtifacts:
     flat = res.ravel()
     n_buckets = 2 ** nbits
     cut_q = np.arange(1, n_buckets) / n_buckets
@@ -90,10 +87,27 @@ def train_codec(doc_tokens_coded: DataFrame, centroids: np.ndarray,
     return CodecArtifacts(nbits, cutoffs, weights, avg_residual, threshold)
 
 
+def train_codec(doc_tokens_coded: DataFrame, centroids: np.ndarray,
+                *, nbits: int = 4, seed: int = 42,
+                vec_col: str = "vec") -> CodecArtifacts:
+    res = _residuals_sample(doc_tokens_coded, centroids, seed, vec_col)
+    return _artifacts_from_residuals(res, nbits)
+
+
 def _pack(bucket_idx: np.ndarray, nbits: int) -> bytes:
     """Pack one token's per-dim bucket indices, nbits each, big-endian."""
     bits = ((bucket_idx[:, None] >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
     return np.packbits(bits.ravel()).tobytes()
+
+
+def _pack_batch(bucket_idx: np.ndarray, nbits: int) -> list[bytes]:
+    """Vectorized _pack over a [n, dim] index matrix: one packbits for the
+    whole batch (np.packbits(axis=1) pads each row to a byte boundary, so
+    the per-row bytes are identical to _pack's)."""
+    n = bucket_idx.shape[0]
+    bits = ((bucket_idx[:, :, None] >> np.arange(nbits - 1, -1, -1)) & 1).astype(np.uint8)
+    packed = np.packbits(bits.reshape(n, -1), axis=1)
+    return [row.tobytes() for row in packed]
 
 
 def _unpack(raw: bytes, dim: int, nbits: int) -> np.ndarray:
@@ -123,10 +137,69 @@ def quantize_residuals(doc_tokens_coded: DataFrame, centroids: np.ndarray,
             res = x - c[codes]
             idx = np.searchsorted(cutoffs, res, side="left")
             out = pdf.drop(columns=[vec_col]).copy()
-            out["residual"] = [_pack(row, nbits) for row in idx]
+            out["residual"] = _pack_batch(idx, nbits)
             yield out
 
     return doc_tokens_coded.mapInPandas(enc, schema=out_schema)
+
+
+def train_codec_from_tokens(doc_tokens: DataFrame, centroids: np.ndarray,
+                            *, nbits: int = 4, seed: int = 42,
+                            vec_col: str = "vec",
+                            n_rows: int | None = None) -> CodecArtifacts:
+    """B5 without materializing a fully-coded corpus: the seeded Bernoulli
+    sample runs on the raw tokens FIRST and only the sampled rows are
+    assigned — the same row set (and therefore bit-identical artifacts) as
+    sampling an assigned corpus, since assignment is row-wise pure, but the
+    full-corpus assign pass (and its cache) disappears from the build."""
+    from next_plaid_spark.operators.kmeans import assign_codes
+
+    n = n_rows if n_rows is not None else doc_tokens.count()
+    frac = min(1.0, max(HELDOUT_FRAC, HELDOUT_CAP / max(n, 1)))
+    sampled = doc_tokens.select(vec_col)
+    if frac < 1.0:
+        sampled = sampled.sample(fraction=min(1.0, frac * 1.1), seed=seed)
+    coded_sample = assign_codes(sampled, centroids, vec_col=vec_col)
+    # Arrow transfer (same partition-ordered rows as collect(), ~10× faster
+    # for wide vector columns)
+    pdf = coded_sample.limit(HELDOUT_CAP * 2).toPandas()
+    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+    codes = pdf["code"].to_numpy(dtype=np.int64)
+    if len(vecs) > HELDOUT_CAP:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(len(vecs), size=HELDOUT_CAP, replace=False)
+        vecs, codes = vecs[keep], codes[keep]
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    return _artifacts_from_residuals(vecs - c[codes], nbits)
+
+
+def assign_and_quantize(doc_tokens: DataFrame, centroids: np.ndarray,
+                        codec: CodecArtifacts, *, vec_col: str = "vec") -> DataFrame:
+    """B4 + B6 fused into one Arrow pass — the builder's hot path. One GEMM
+    argmax + one searchsorted per batch; the raw vec never crosses back.
+    Values identical to assign_codes → quantize_residuals composed."""
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    cutoffs = codec.bucket_cutoffs.astype(np.float32)
+    nbits = codec.nbits
+    keep = [f for f in doc_tokens.schema.fields if f.name != vec_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + ", code long, residual binary"
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            codes = np.argmax(x @ c.T, axis=1).astype(np.int64)
+            res = x - c[codes]
+            idx = np.searchsorted(cutoffs, res, side="left")
+            out = pdf.drop(columns=[vec_col]).copy()
+            out["code"] = codes
+            out["residual"] = _pack_batch(idx, nbits)
+            yield out
+
+    return doc_tokens.mapInPandas(enc, schema=out_schema)
 
 
 def decompress(coded: DataFrame, centroids: np.ndarray,

@@ -111,18 +111,23 @@ def train_kmeans(
     sampled = doc_tokens.select(vec_col)
     if frac < 1.0:
         sampled = sampled.sample(fraction=min(1.0, frac * 1.1), seed=seed)
-    pts = np.asarray([r[0] for r in sampled.collect()], dtype=np.float32)
-    # cap points per centroid like the reference's subsample (kmeans.rs:58-71)
-    cap = MAX_POINTS_PER_CENTROID * k
-    if pts.shape[0] > cap:
-        rng = np.random.default_rng(seed)
-        pts = pts[rng.choice(pts.shape[0], size=cap, replace=False)]
+    # dedup executor-side: Lloyd's input is np.unique'd anyway (ghost-centroid
+    # note below), so only distinct vectors need to reach the driver — on a
+    # repetitive corpus this collects KBs instead of the whole sample
+    pts = np.asarray([r[0] for r in sampled.distinct().collect()], dtype=np.float32)
     # duplicate points contribute nothing to Lloyd's but seed duplicate
     # ("ghost") centroids that no token ever assigns to — the IVF probe then
     # ranks cells that exist in no inverted list. Cap K by the distinct
     # point count (real contextual embeddings are effectively all-distinct,
     # so this is a no-op there; the deterministic synthetic encoder is not).
+    # unique() also sorts rows, making the result independent of the
+    # distinct() shuffle's collect order.
     pts = np.unique(pts, axis=0)
+    # cap points per centroid like the reference's subsample (kmeans.rs:58-71)
+    cap = MAX_POINTS_PER_CENTROID * k
+    if pts.shape[0] > cap:
+        rng = np.random.default_rng(seed)
+        pts = pts[np.sort(rng.choice(pts.shape[0], size=cap, replace=False))]
     k = min(k, pts.shape[0])
     return KMeansModel(centroids=lloyds(pts, k, iters=iters, seed=seed))
 

@@ -26,8 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from next_plaid_spark.operators.codec import quantize_residuals, train_codec
-from next_plaid_spark.operators.kmeans import assign_codes, estimate_k, train_kmeans
+from next_plaid_spark.operators.codec import (
+    assign_and_quantize,
+    train_codec_from_tokens,
+)
+from next_plaid_spark.operators.kmeans import estimate_k, train_kmeans
 from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_index
 
 
@@ -56,9 +59,15 @@ class IndexBuilder:
             doc_tokens, k=self.k or estimate_k(n_tokens),
             seed=self.seed, iters=self.kmeans_iters,
         )
-        coded = assign_codes(doc_tokens, model.centroids).cache()
-        codec = train_codec(coded, model.centroids, nbits=self.nbits, seed=self.seed)
-        tokens_out = quantize_residuals(coded, model.centroids, codec)
+        # codec trains on a pre-assigned sample (same seeded row set as
+        # sampling a fully-coded corpus); assign+quantize then run fused in
+        # a single Arrow pass — the corpus is touched exactly twice total
+        # (cache fill + fused encode), never materialized in coded form
+        codec = train_codec_from_tokens(
+            doc_tokens, model.centroids,
+            nbits=self.nbits, seed=self.seed, n_rows=n_tokens,
+        )
+        tokens_out = assign_and_quantize(doc_tokens, model.centroids, codec)
 
         meta = IndexMeta(
             k=model.k, dim=model.dim, nbits=self.nbits,
@@ -69,6 +78,5 @@ class IndexBuilder:
             self.spark, path, tokens_coded=tokens_out,
             centroids=model.centroids, meta=meta,
         )
-        coded.unpersist()
         doc_tokens.unpersist()
         return idx

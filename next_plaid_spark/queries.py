@@ -121,6 +121,22 @@ FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 
 _INDEX_CACHE: dict[str, object] = {}
+_BM25_CACHE: dict[tuple, object] = {}
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str, tokenizer: str = "unicode61"):
+    """Shared keyword index over the full documents table — built once per
+    (sf_dir, tokenizer), like the reference's persistent FTS5 table
+    (text_search.rs:41-50): every keyword/hybrid entry queries the same
+    postings instead of re-tokenizing the corpus."""
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    key = (os.path.abspath(sf_dir), tokenizer)
+    if key not in _BM25_CACHE:
+        _BM25_CACHE[key] = BM25Index.build(
+            _t(spark, sf_dir, "documents"), tokenizer=tokenizer
+        )
+    return _BM25_CACHE[key]
 
 
 def _plaid_index(spark: SparkSession, sf_dir: str):
@@ -186,7 +202,7 @@ def q_hybrid_plaid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, SearchParams(top_k=3 * MAXSIM_TOPK, n_full_scores=256, keep_best_cell=True)
     )
     sem = searcher.search(encode_queries(queries)).select("query_id", "doc_id", "score")
-    kw = BM25Index.build(docs).search(queries, k=3 * MAXSIM_TOPK).select(
+    kw = _bm25_index(spark, sf_dir).search(queries, k=3 * MAXSIM_TOPK).select(
         "query_id", "doc_id", "score"
     )
     return fuse_relative_score(sem, kw, alpha=0.75, k=MAXSIM_TOPK).select(
@@ -417,7 +433,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.bm25 import BM25Index
 
     docs = _t(spark, sf_dir, "documents")
-    idx = BM25Index.build(docs)
+    idx = _bm25_index(spark, sf_dir)
     return idx.search(_doc_queries(spark, sf_dir), k=BM25_TOPK).select(
         "query_id", "doc_id", "score", "rank"
     )
@@ -439,7 +455,7 @@ def _hybrid_lists(spark: SparkSession, sf_dir: str):
     sem = brute_force_search(
         encode_queries(queries), encode_documents(docs), k=FETCH_K
     ).select("query_id", "doc_id", "score")
-    kw = BM25Index.build(docs).search(queries, k=FETCH_K).select(
+    kw = _bm25_index(spark, sf_dir).search(queries, k=FETCH_K).select(
         "query_id", "doc_id", "score"
     )
     return sem, kw
@@ -587,7 +603,7 @@ def q_bm25_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.bm25 import BM25Index
 
     docs = _t(spark, sf_dir, "documents")
-    idx = BM25Index.build(docs, tokenizer="trigram")
+    idx = _bm25_index(spark, sf_dir, tokenizer="trigram")
     # short substring-ish queries: first 12 chars of each query doc's text
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.substring("text", 1, 12).alias("text")
@@ -654,7 +670,7 @@ def q_rerank_bm25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     queries = _doc_queries(spark, sf_dir)
-    kw = BM25Index.build(docs).search(queries, k=FETCH_K).select("query_id", "doc_id")
+    kw = _bm25_index(spark, sf_dir).search(queries, k=FETCH_K).select("query_id", "doc_id")
     out = rerank(
         encode_queries(queries), encode_documents(docs), pairs=kw, top_k=BM25_TOPK
     )
