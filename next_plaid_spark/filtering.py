@@ -280,6 +280,44 @@ class MetadataStore:
             F.col(self.id_col).alias("doc_id")
         )
 
+    def where_condition_regexp(self, column: str, pattern: str,
+                               *, extra_cond: str | None = None,
+                               extra_params: list | None = None) -> DataFrame:
+        """F3 full parity (filtering.rs:1969-2060): regex search with the
+        reference's fancy-regex semantics — lookarounds and backreferences —
+        which Spark's RLIKE (java.util.regex without backrefs-in-pattern
+        validation quirks) can't always express. Python ``re`` supports
+        both, so the predicate runs as an Arrow-batched pandas UDF with the
+        pattern compiled ONCE in the closure (the reference precompiles
+        too, filtering.rs:1984-2007). Runtime pattern errors degrade to
+        no-match, mirroring the backtrack-limit behavior.
+
+        ``extra_cond``/``extra_params`` AND a validated grammar condition
+        into the same scan (pushed to Parquet; the regex runs post-scan)."""
+        import re as _re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        try:
+            compiled = _re.compile(pattern)
+        except _re.error:
+            compiled = None
+
+        def _matches(s):
+            if compiled is None:
+                return pd.Series([False] * len(s))
+            return s.map(lambda v: v is not None and compiled.search(v) is not None)
+
+        matches = pandas_udf(_matches, "boolean")
+
+        out = self.df
+        if extra_cond is not None:
+            out = out.filter(F.expr(bind_condition(extra_cond, extra_params or [])))
+        return out.filter(matches(F.col(column))).select(
+            F.col(self.id_col).alias("doc_id")
+        )
+
     def get(self, *, ids: list[int] | None = None, cond: str | None = None,
             params: list | None = None) -> DataFrame:
         """F4: full rows by id list or by condition."""

@@ -101,3 +101,33 @@ def test_update_where(spark):
     out = MetadataStore(df).update_where("cat", "z", "score > ?", [1.5]).collect()
     by_id = {r.doc_id: r.cat for r in out}
     assert by_id == {0: "a", 1: "z"}
+
+
+def test_where_condition_regexp_fancy(spark, documents):
+    """F3 parity: lookahead + backreference patterns (fancy-regex features,
+    filtering.rs:1969-2060) run through the pandas-UDF regex path."""
+    store = MetadataStore(documents)
+    # lookahead: docs whose text contains 'data' followed somewhere by 'model'
+    got = store.where_condition_regexp("text", r"data(?=.*model)").collect()
+    oracle = [
+        r.doc_id for r in documents.collect()
+        if r.text and __import__("re").search(r"data(?=.*model)", r.text)
+    ]
+    assert sorted(r.doc_id for r in got) == sorted(oracle)
+
+    # backreference: any repeated word
+    got2 = store.where_condition_regexp("text", r"\b(\w+)\b \1\b").collect()
+    oracle2 = [
+        r.doc_id for r in documents.collect()
+        if r.text and __import__("re").search(r"\b(\w+)\b \1\b", r.text)
+    ]
+    assert sorted(r.doc_id for r in got2) == sorted(oracle2)
+
+    # invalid pattern degrades to no-match (backtrack-limit analog)
+    assert store.where_condition_regexp("text", r"(unclosed").count() == 0
+
+    # extra grammar condition composes (pushed to the scan)
+    got3 = store.where_condition_regexp(
+        "text", r"data", extra_cond="lang = ?", extra_params=["en"]
+    )
+    assert got3.count() <= store.where_condition("lang = ?", ["en"]).count()
