@@ -144,7 +144,8 @@ class BatchSearcher:
         )
 
     def _approx_broadcast(self, query_tokens: DataFrame, n_probe: int,
-                          p: "SearchParams", ivf: DataFrame) -> DataFrame:
+                          p: "SearchParams", ivf: DataFrame,
+                          prune_to: int | None = None) -> DataFrame:
         """Q1–Q6 with the query side broadcast.
 
         Collects the batch's query tokens to the driver (the small side of
@@ -251,11 +252,20 @@ class BatchSearcher:
                         if not m.any():
                             continue
                         rows = kinv[kbounds[qi]:kbounds[qi + 1]]
-                        out_q.append(np.full(int(m.sum()), kqids[qi], dtype=np.int64))
-                        out_d.append(d_chunk[m])
-                        out_s.append(
-                            seg_max[rows][:, m].sum(axis=0, dtype=np.float64)
-                        )
+                        d = d_chunk[m]
+                        sc = seg_max[rows][:, m].sum(axis=0, dtype=np.float64)
+                        # two-phase top-k (Q7 pre-prune): the global
+                        # top-prune_to per query is contained in every
+                        # chunk's local top-prune_to under the same
+                        # (score desc, doc_id asc) order, so the rank
+                        # window downstream shuffles O(chunks · prune_to)
+                        # rows per query instead of the full candidate set
+                        if prune_to is not None and len(sc) > prune_to:
+                            order = np.lexsort((d, -sc))[:prune_to]
+                            d, sc = d[order], sc[order]
+                        out_q.append(np.full(len(d), kqids[qi], dtype=np.int64))
+                        out_d.append(d)
+                        out_s.append(sc)
                     if out_q:
                         yield pd.DataFrame(
                             {"query_id": np.concatenate(out_q),
@@ -442,8 +452,12 @@ class BatchSearcher:
 
         if strategy == "broadcast":
             # Q1–Q6 in one shot: probe/prune driver-side, candidacy and
-            # approx scoring in the doc-parallel kernel
-            approx = self._approx_broadcast(query_tokens, n_probe, p, ivf)
+            # approx scoring in the doc-parallel kernel; chunk-local
+            # pre-prune to the Q7/Q8 cut
+            cut = min(p.n_full_scores, max(p.n_full_scores // 4, p.top_k))
+            approx = self._approx_broadcast(
+                query_tokens, n_probe, p, ivf, prune_to=cut
+            )
         else:
             probed = self._probe(query_tokens, n_probe)
 
