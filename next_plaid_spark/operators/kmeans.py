@@ -92,16 +92,20 @@ def train_kmeans(
     seed: int = DEFAULT_SEED,
     iters: int = DEFAULT_ITERS,
     sample_budget: int | None = None,
+    n_tokens: int | None = None,
+    n_docs: int | None = None,
 ) -> KMeansModel:
     """Sample tokens → driver Lloyd's → KMeansModel.
 
-    One aggregate + one sampled collect; everything else stays distributed.
+    At most one aggregate (skipped when the caller already has the corpus
+    stats) + one sampled distinct collect; everything else stays distributed.
     """
-    stats = doc_tokens.agg(
-        F.count("*").alias("n_tokens"),
-        F.countDistinct("doc_id").alias("n_docs"),
-    ).collect()[0]
-    n_tokens, n_docs = stats.n_tokens, stats.n_docs
+    if n_tokens is None or n_docs is None:
+        stats = doc_tokens.agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        ).collect()[0]
+        n_tokens, n_docs = stats.n_tokens, stats.n_docs
     if k is None:
         k = estimate_k(n_tokens)
     if sample_budget is None:

@@ -58,6 +58,7 @@ class IndexBuilder:
         model = train_kmeans(
             doc_tokens, k=self.k or estimate_k(n_tokens),
             seed=self.seed, iters=self.kmeans_iters,
+            n_tokens=n_tokens, n_docs=n_docs,
         )
         # codec trains on a pre-assigned sample (same seeded row set as
         # sampling a fully-coded corpus); assign+quantize then run fused in
