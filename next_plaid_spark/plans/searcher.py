@@ -286,14 +286,19 @@ class BatchSearcher:
             .select(F.explode("doc_ids").alias("doc_id"))
             .distinct()
         )
-        doc_codes = (
-            self.index.tokens.join(cand_docs, "doc_id", "left_semi")
-            .select("doc_id", "code")
-            .distinct()
-        )
-        doc_lists = doc_codes.groupBy("doc_id").agg(
-            F.collect_list("code").alias("codes")
-        )
+        pre = self.index.doc_codes
+        if pre is not None:
+            # per-doc code lists are an index artifact (the codes.npy
+            # analog): read + semi-join, no per-batch corpus aggregation
+            doc_lists = pre.join(cand_docs, "doc_id", "left_semi")
+        else:
+            doc_lists = (
+                self.index.tokens.join(cand_docs, "doc_id", "left_semi")
+                .select("doc_id", "code")
+                .distinct()
+                .groupBy("doc_id")
+                .agg(F.collect_list("code").alias("codes"))
+            )
         return doc_lists.mapInPandas(kern, schema=schema)
 
     def _approx_relational(self, query_tokens: DataFrame, candidates: DataFrame,

@@ -7,6 +7,7 @@ One index = one directory of Parquet tables + a JSON sidecar:
     <path>/centroids/   code, vec                           (small)
     <path>/ivf/         code, doc_ids                       (inverted file)
     <path>/doclens/     doc_id, num_tokens
+    <path>/doc_codes/   doc_id, codes                       (codes.npy analog)
     <path>/meta.json    k, dim, nbits, codec artifacts, counts
 
 Differences from the reference by design: no 50k-doc chunking (Spark
@@ -92,6 +93,19 @@ class PlaidIndex:
     def doclens(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "doclens"))
 
+    @property
+    def doc_codes(self) -> DataFrame | None:
+        """(doc_id, codes ARRAY<BIGINT>) — each doc's distinct sorted codes,
+        the Spark analog of the reference's per-doc contiguous codes.npy
+        rows (index.rs:812-818 + doclens offsets). Precomputed at write
+        time so the search-side codes-only stage is a read + semi-join, not
+        a per-query-batch corpus aggregation. None for indexes written
+        before this table existed (searcher falls back to aggregating)."""
+        p = os.path.join(self.path, "doc_codes")
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
     def centroids_np(self) -> np.ndarray:
         rows = self.centroids_df.orderBy("code").collect()
         return np.asarray([r.vec for r in rows], dtype=np.float32)
@@ -142,6 +156,14 @@ def write_index(
         .agg(F.count("*").alias("num_tokens"))
         .write.mode("overwrite")
         .parquet(os.path.join(path, "doclens"))
+    )
+    # per-doc distinct sorted codes (the codes.npy analog) — the approximate
+    # stage's input, precomputed once instead of per query batch
+    (
+        tokens.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("code")).alias("codes"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "doc_codes"))
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
         f.write(meta.to_json())
