@@ -146,3 +146,31 @@ def test_approx_strategies_agree(spark, built_index):
     }
     assert results["broadcast"] == results["kernel"]
     assert results["kernel"] == results["relational"]
+
+
+def test_search_without_doc_codes_artifact(spark, built_index, tmp_path):
+    """Indexes written before the doc_codes table existed fall back to
+    aggregating the tokens table — identical results."""
+    import shutil
+
+    idx, docs, dt = built_index
+    queries = docs.limit(5).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    p = SearchParams(top_k=5, n_full_scores=64)
+    want = sorted(
+        (r.query_id, r.doc_id, r.rank)
+        for r in BatchSearcher(idx, p, approx_strategy="broadcast").search(qt).collect()
+    )
+
+    legacy_path = str(tmp_path / "legacy_index")
+    shutil.copytree(idx.path, legacy_path)
+    shutil.rmtree(f"{legacy_path}/doc_codes")
+    from next_plaid_spark.sources.index_store import PlaidIndex
+
+    legacy = PlaidIndex.load(spark, legacy_path)
+    assert legacy.doc_codes is None
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank)
+        for r in BatchSearcher(legacy, p, approx_strategy="broadcast").search(qt).collect()
+    )
+    assert got == want
