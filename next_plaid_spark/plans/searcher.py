@@ -524,8 +524,11 @@ class BatchSearcher:
         # Q9: decompress survivors and exact-MaxSim them. Quantization makes
         # token vectors a pure function of (code, residual), so each distinct
         # quantized vector is decompressed and dotted against the query side
-        # ONCE; the per-(query, doc, q_token) max then joins precomputed
-        # scalars instead of evaluating a dot fold per joined row.
+        # ONCE. With a deterministic encoder (token column present) the dot
+        # table shrinks further to |query vocab| × |distinct quantized vecs|
+        # and the per-doc maxima are shared across queries — the same CSE as
+        # maxsim_scores_by_token, bit-identical (max over the same multiset,
+        # same sorted fold).
         surv_tokens = idx.tokens.join(
             survivors.select("doc_id").distinct(), "doc_id", "left_semi"
         ).select("doc_id", "code", "residual")
@@ -533,31 +536,52 @@ class BatchSearcher:
             surv_tokens.select("code", "residual").distinct(),
             self._centroids, idx.meta.codec,
         )
-        qt = query_tokens.select(
-            "query_id", F.col("token_idx").alias("q_token_idx"),
-            F.col("vec").alias("q_vec"),
-        )
-        pair_dots = uniq_vecs.crossJoin(qt).select(
-            "code", "residual", "query_id", "q_token_idx",
-            dot(F.col("q_vec"), F.col("vec")).alias("dp"),
-        )
-        pairs = (
-            survivors.join(surv_tokens, "doc_id")
-            .join(pair_dots, ["query_id", "code", "residual"])
-            .select("query_id", "doc_id", "q_token_idx", "dp")
-        )
-        exact = (
-            pairs.groupBy("query_id", "doc_id", "q_token_idx")
-            .agg(F.max("dp").alias("max_dp"))
-            .groupBy("query_id", "doc_id")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list("max_dp")),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ).alias("score")
+        fold = lambda col: F.aggregate(  # noqa: E731
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ).alias("score")
+        if "token" in query_tokens.columns:
+            q_vocab = query_tokens.select(
+                "token", F.col("vec").alias("q_vec")
+            ).dropDuplicates(["token"])
+            vocab_dots = uniq_vecs.crossJoin(F.broadcast(q_vocab)).select(
+                "code", "residual", "token",
+                dot(F.col("q_vec"), F.col("vec")).alias("dp"),
             )
-        )
+            doc_sets = surv_tokens.distinct()
+            per_doc_token = (
+                doc_sets.join(vocab_dots, ["code", "residual"])
+                .groupBy("doc_id", "token")
+                .agg(F.max("dp").alias("max_dp"))
+            )
+            exact = (
+                survivors.join(
+                    query_tokens.select("query_id", "token_idx", "token"),
+                    "query_id",
+                )
+                .join(per_doc_token, ["doc_id", "token"])
+                .groupBy("query_id", "doc_id")
+                .agg(fold("max_dp"))
+            )
+        else:
+            qt = query_tokens.select(
+                "query_id", F.col("token_idx").alias("q_token_idx"),
+                F.col("vec").alias("q_vec"),
+            )
+            pair_dots = uniq_vecs.crossJoin(qt).select(
+                "code", "residual", "query_id", "q_token_idx",
+                dot(F.col("q_vec"), F.col("vec")).alias("dp"),
+            )
+            exact = (
+                survivors.join(surv_tokens, "doc_id")
+                .join(pair_dots, ["query_id", "code", "residual"])
+                .select("query_id", "doc_id", "q_token_idx", "dp")
+                .groupBy("query_id", "doc_id", "q_token_idx")
+                .agg(F.max("dp").alias("max_dp"))
+                .groupBy("query_id", "doc_id")
+                .agg(fold("max_dp"))
+            )
 
         # Q10: final top-k (deterministic tie-break)
         return topk(exact, p.top_k)
