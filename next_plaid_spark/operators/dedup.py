@@ -323,7 +323,7 @@ bits AS (
 ),
 fp AS (
   SELECT doc_id,
-         sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit_pos) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit_pos) ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY 1
 )
 """.strip()
