@@ -145,7 +145,8 @@ class BatchSearcher:
 
     def _approx_broadcast(self, query_tokens: DataFrame, n_probe: int,
                           p: "SearchParams", ivf: DataFrame,
-                          prune_to: int | None = None) -> DataFrame:
+                          prune_to: int | None = None,
+                          eligible_mask: np.ndarray | None = None) -> DataFrame:
         """Q1–Q6 with the query side broadcast.
 
         Collects the batch's query tokens to the driver (the small side of
@@ -190,6 +191,13 @@ class BatchSearcher:
         qv, inverse = np.unique(q, axis=0, return_inverse=True)
         inverse = inverse.astype(np.int64).ravel()
         scores_v = qv @ c.T  # [V, K]
+        if eligible_mask is not None:
+            # Q4 under filter (search.rs:350-364): the probe pool is
+            # restricted to eligible centroids — cells holding subset docs —
+            # so no probe slot is wasted on a cell that cannot contribute.
+            # Caller caps n_probe ≤ eligible count, so argpartition never
+            # selects a masked (-inf) column.
+            scores_v = np.where(eligible_mask[None, :], scores_v, -np.inf)
         qids_per_row = qt_pdf["query_id"].to_numpy()
         qids, starts = np.unique(qids_per_row, return_index=True)
         bounds = np.append(starts, len(qids_per_row))
@@ -361,7 +369,8 @@ class BatchSearcher:
         )
 
     # -- Q1 + Q2: probe ----------------------------------------------------
-    def _probe(self, query_tokens: DataFrame, n_probe: int) -> DataFrame:
+    def _probe(self, query_tokens: DataFrame, n_probe: int,
+               eligible_mask: np.ndarray | None = None) -> DataFrame:
         """(query_id, token_idx, vec) → (query_id, token_idx, code, cscore):
         top n_probe centroids per query token.
 
@@ -371,6 +380,7 @@ class BatchSearcher:
         becomes O(|query vocab| · K) instead of O(|query tokens| · K)."""
         c = np.ascontiguousarray(self._centroids, dtype=np.float32)
         by_token = "token" in query_tokens.columns
+        emask = None if eligible_mask is None else np.asarray(eligible_mask, bool)
 
         def probe(batches):
             import pandas as pd
@@ -381,6 +391,9 @@ class BatchSearcher:
                     continue
                 x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
                 scores = x @ c.T  # [rows, K]
+                if emask is not None:
+                    # eligible-centroid probe restriction (search.rs:350-364)
+                    scores = np.where(emask[None, :], scores, -np.inf)
                 n = min(n_probe, scores.shape[1])
                 top = np.argpartition(scores, -n, axis=1)[:, -n:]
                 rows = []
@@ -439,6 +452,7 @@ class BatchSearcher:
 
         # subset-pruned IVF feeds Q5 under every strategy
         ivf = idx.ivf
+        eligible_mask = None
         if subset is not None:
             # eligible-centroid pruning under filter (search.rs:350-364):
             # only cells containing subset docs can contribute
@@ -447,7 +461,23 @@ class BatchSearcher:
                 .join(subset, "doc_id", "left_semi")
                 .groupBy("code")
                 .agg(F.collect_list("doc_id").alias("doc_ids"))
+            ).cache()
+            # the probe pool itself is restricted to those eligible cells
+            # (search.rs:350-364): rank probe slots among them only, and cap
+            # the scaled n_probe at the eligible-cell count. The collect is
+            # bounded by K — the same order as the centroid matrix already
+            # held driver-side.
+            eligible = np.fromiter(
+                (r.code for r in ivf.select("code").collect()), dtype=np.int64
             )
+            if len(eligible) == 0:
+                # filter excludes every indexed doc → empty result
+                return query_tokens.sparkSession.createDataFrame(
+                    [], schema="query_id long, doc_id long, score double, rank int"
+                )
+            eligible_mask = np.zeros(idx.meta.k, dtype=bool)
+            eligible_mask[eligible] = True
+            n_probe = min(n_probe, len(eligible))
 
         strategy = self.approx_strategy
         if strategy == "auto":
@@ -461,10 +491,11 @@ class BatchSearcher:
             # pre-prune to the Q7/Q8 cut
             cut = min(p.n_full_scores, max(p.n_full_scores // 4, p.top_k))
             approx = self._approx_broadcast(
-                query_tokens, n_probe, p, ivf, prune_to=cut
+                query_tokens, n_probe, p, ivf, prune_to=cut,
+                eligible_mask=eligible_mask,
             )
         else:
-            probed = self._probe(query_tokens, n_probe)
+            probed = self._probe(query_tokens, n_probe, eligible_mask=eligible_mask)
 
             # Q3: prune probed cells whose best score over query tokens <
             # t_cs. Reference semantics (search.rs:417-425): the max runs

@@ -128,6 +128,69 @@ def test_funnel_recall_vs_brute_force(spark, built_index):
     assert np.mean(close) >= 0.8, f"top-1 score agreement {np.mean(close):.2f}"
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "kernel"])
+def test_filtered_search_selective_subset_recall(spark, built_index, strategy):
+    """Highly selective filter (subset ≈ 2% of docs): the probe pool must be
+    restricted to eligible centroids (search.rs:350-364) so probe slots are
+    not wasted on cells with no subset docs. Oracle = exact MaxSim over the
+    *quantized* corpus restricted to the subset (isolates funnel loss from
+    codec loss). With the subset this small, every subset doc fits the
+    decompress budget, so the funnel's exact stage must reproduce the oracle
+    ranking for every doc it surfaces."""
+    from next_plaid_spark.operators.codec import decompress
+    from next_plaid_spark.operators.maxsim import maxsim_scores_relational, topk
+
+    idx, docs, dt = built_index
+    queries = docs.limit(12).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    subset_ids = [r.doc_id for r in docs.select("doc_id").collect()][::47][:4]
+    subset = spark.createDataFrame([(i,) for i in subset_ids], "doc_id long")
+
+    dec = decompress(idx.tokens, idx.centroids_np(), idx.meta.codec)
+    sub_corpus = dec.join(subset, "doc_id", "left_semi")
+    oracle = topk(
+        maxsim_scores_relational(qt.select("query_id", "token_idx", "vec"), sub_corpus), 4
+    ).collect()
+
+    searcher = BatchSearcher(
+        idx, SearchParams(top_k=4, n_full_scores=256), approx_strategy=strategy
+    )
+    got = searcher.search(qt, subset=subset).collect()
+
+    for r in got:  # subset containment is a hard invariant (F9)
+        assert r.doc_id in subset_ids
+    oracle_by_q, got_by_q = {}, {}
+    for r in oracle:
+        oracle_by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    for r in got:
+        got_by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    recalls = [
+        len(oracle_by_q[q] & got_by_q.get(q, set())) / len(oracle_by_q[q])
+        for q in oracle_by_q
+    ]
+    assert np.mean(recalls) >= 0.9, f"filtered recall {np.mean(recalls):.3f}"
+    # scores of surfaced docs must match the oracle exactly (same decompressed
+    # vectors, same sorted float64 fold)
+    oracle_scores = {(r.query_id, r.doc_id): r.score for r in oracle}
+    for r in got:
+        if (r.query_id, r.doc_id) in oracle_scores:
+            assert math.isclose(
+                r.score, oracle_scores[(r.query_id, r.doc_id)], rel_tol=1e-9
+            )
+
+
+def test_filtered_search_empty_subset(spark, built_index):
+    """A filter matching no indexed doc returns an empty, correctly-typed
+    result instead of probing anything."""
+    idx, docs, dt = built_index
+    queries = docs.limit(3).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    subset = spark.createDataFrame([(10**9,)], "doc_id long")
+    out = BatchSearcher(idx, SearchParams(top_k=5)).search(qt, subset=subset)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "score", "rank"]
+
+
 def test_approx_strategies_agree(spark, built_index):
     """broadcast / kernel / relational Q6 strategies produce identical
     ranked results (the broadcast kernel replicates the cogrouped kernel's
