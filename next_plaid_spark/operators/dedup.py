@@ -389,11 +389,89 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 # Embedding near-dup (cosine over the embeddings table)
 # ---------------------------------------------------------------------------
 
+def _lsh_params_for_threshold(threshold: float) -> tuple[int, int]:
+    """(n_tables, n_bits) sized so a pair exactly AT the cosine threshold
+    collides in ≥1 table with probability ≥ 1 − 1e-4.
+
+    Hyperplane LSH: P(one bit agrees) = 1 − θ/π with θ = arccos(τ).
+    n_bits targets a per-table collision prob ≈ 0.3 (finer buckets → fewer
+    candidates but more tables needed); n_tables then drives the miss
+    probability below 1e-4. High thresholds (real near-dup, ≥0.9) get fine
+    buckets and real pruning; low thresholds degrade gracefully toward
+    coarse buckets (at τ≈0.45 LSH prunes little — but the plan stays an
+    equi-join on (table, bucket), never a cartesian).
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p = max(0.55, min(0.999, p))
+    n_bits = max(1, min(16, round(math.log(0.3) / math.log(p))))
+    p1 = p ** n_bits
+    n_tables = max(4, min(32, math.ceil(math.log(1e-4) / math.log(1.0 - p1))))
+    return n_tables, n_bits
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.99,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """(id_a, id_b, cos_sim ≥ threshold). Brute-force baseline; the LSH
-    variant in operators/similarity.py is the scale path."""
+                             vec_col: str = "embedding",
+                             dim: int | None = None,
+                             n_tables: int | None = None,
+                             n_bits: int | None = None,
+                             seed: int = 42) -> DataFrame:
+    """(id_a, id_b, cos_sim ≥ threshold) via hyperplane-LSH candidates +
+    exact cosine verify — the 100 TB path.
+
+    Both "sides" are the same corpus hashed once into ``n_tables`` bucket
+    columns (shared machinery: ``similarity.lsh_bucket_assignments``);
+    candidate pairs materialize only through the (table, bucket) self
+    equi-join — an ordinary shuffle join, no crossJoin anywhere in the
+    plan. Each candidate is then verified with exact cosine, so false
+    positives never escape; recall is governed by the auto-derived
+    (n_tables, n_bits) (miss prob ≤ 1e-4 per qualifying pair; verified
+    exhaustively against the all-pairs oracle on the synthetic corpora).
+    For tiny-N exact semantics see ``embedding_near_dup_pairs_exact``.
+    """
+    from next_plaid_spark.functions.vector import cosine
+    from next_plaid_spark.operators.similarity import lsh_bucket_assignments
+
+    if n_tables is None or n_bits is None:
+        auto_t, auto_b = _lsh_params_for_threshold(threshold)
+        n_tables = n_tables if n_tables is not None else auto_t
+        n_bits = n_bits if n_bits is not None else auto_b
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).head()
+        if first is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double")
+        dim = first["d"]
+
+    banded = lsh_bucket_assignments(
+        embeddings, dim=dim, n_tables=n_tables, n_bits=n_bits, seed=seed,
+        id_col=id_col, vec_col=vec_col)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x._table") == F.col("y._table"))
+              & (F.col("x._bucket") == F.col("y._bucket"))
+              & (F.col("x._id") < F.col("y._id")))
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
+            F.col("x._vec").alias("va"), F.col("y._vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_exact(embeddings: DataFrame, *,
+                                   threshold: float = 0.99,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding") -> DataFrame:
+    """All-pairs exact variant — O(N²) cartesian, tiny-N oracle/debug use
+    ONLY. The shipped operator is the LSH-candidate ``embedding_near_dup_pairs``."""
     from next_plaid_spark.functions.vector import cosine
 
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -79,6 +79,61 @@ def _planes(dim: int, n_bits: int, seed: int, table: int) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
+def lsh_bucket_assignments(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_tables: int,
+    n_bits: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash each vector into ``n_tables`` hyperplane-LSH buckets.
+
+    Returns an exploded DF ``(_id long, _vec array, _table int, _bucket
+    long)`` — one row per (vector, table). All tables' planes are stacked
+    into one ``[n_tables*n_bits, dim]`` matrix so a single GEMM per Arrow
+    batch computes every signature bit (the unrolled column-expression
+    variant spent more time in codegen than in compute). Shared by
+    ``lsh_bucket_topk`` and ``dedup.embedding_near_dup_pairs``.
+    """
+    import numpy as np
+
+    all_planes = np.concatenate(
+        [np.asarray(_planes(dim, n_bits, seed, t), dtype=np.float64)
+         for t in range(n_tables)]
+    )
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (x @ all_planes.T) >= 0  # [rows, n_tables*n_bits]
+            bits = bits.reshape(len(x), n_tables, n_bits)
+            buckets = (bits * pow2).sum(axis=2)  # [rows, n_tables]
+            out = pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy().repeat(n_tables),
+                    "_vec": [v for v in pdf[vec_col] for _ in range(n_tables)],
+                    "_table": np.tile(np.arange(n_tables), len(x)),
+                    "_bucket": buckets.ravel(),
+                }
+            )
+            yield out
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        sig, schema=f"_id long, _vec {vec_type}, _table int, _bucket long"
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -100,47 +155,12 @@ def lsh_bucket_topk(
     then exact cosine + top-k. The bucket equi-join is an ordinary shuffle
     join on (table, bucket) — partition-parallel at any scale, no crossJoin.
     """
-    import numpy as np
-
-    # all tables' planes stacked: [n_tables*n_bits, dim] — one GEMM per
-    # Arrow batch computes every signature bit (the unrolled column-
-    # expression variant spent more time in codegen than in compute)
-    all_planes = np.concatenate(
-        [np.asarray(_planes(dim, n_bits, seed, t), dtype=np.float64)
-         for t in range(n_tables)]
-    )
-    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
-
-    def with_buckets(df, idc, vc):
-        def sig(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vc]]
-                )
-                bits = (x @ all_planes.T) >= 0  # [rows, n_tables*n_bits]
-                bits = bits.reshape(len(x), n_tables, n_bits)
-                buckets = (bits * pow2).sum(axis=2)  # [rows, n_tables]
-                out = pd.DataFrame(
-                    {
-                        "_id": pdf[idc].to_numpy().repeat(n_tables),
-                        "_vec": [v for v in pdf[vc] for _ in range(n_tables)],
-                        "_table": np.tile(np.arange(n_tables), len(x)),
-                        "_bucket": buckets.ravel(),
-                    }
-                )
-                yield out
-
-        vec_type = df.schema[vc].dataType.simpleString()
-        return df.select(F.col(idc), F.col(vc)).mapInPandas(
-            sig, schema=f"_id long, _vec {vec_type}, _table int, _bucket long"
-        )
-
-    c = with_buckets(embeddings, id_col, vec_col)
-    q = with_buckets(queries, query_id_col, query_vec_col)
+    c = lsh_bucket_assignments(
+        embeddings, dim=dim, n_tables=n_tables, n_bits=n_bits, seed=seed,
+        id_col=id_col, vec_col=vec_col)
+    q = lsh_bucket_assignments(
+        queries, dim=dim, n_tables=n_tables, n_bits=n_bits, seed=seed,
+        id_col=query_id_col, vec_col=query_vec_col)
     cand = (
         c.join(
             q.withColumnRenamed("_id", "query_id")

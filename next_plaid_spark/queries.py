@@ -809,7 +809,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.dedup import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, dim=64)
 
 
 # ---------------------------------------------------------------------------

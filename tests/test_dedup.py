@@ -72,3 +72,33 @@ def test_simhash_flags_planted_dups(spark, docs):
     # fingerprints are total and unique per doc
     fps = simhash_fingerprints(docs).collect()
     assert len(fps) == docs.filter(F.size(F.split(F.lower("text"), "[^a-z0-9]+")) > 0).count()
+
+
+def test_embedding_near_dup_lsh_matches_exact(spark, embeddings):
+    """The shipped LSH-candidate path must reproduce the exact all-pairs
+    result on the synthetic corpus (candidates ⊇ every qualifying pair)."""
+    from next_plaid_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup_pairs(embeddings, threshold=0.45, dim=64).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dup_pairs_exact(embeddings, threshold=0.45).collect()
+    }
+    assert set(lsh) == set(exact)
+    for k in exact:
+        assert abs(lsh[k] - exact[k]) < 1e-12
+
+
+def test_embedding_near_dup_no_cartesian(spark, embeddings):
+    from next_plaid_spark.operators.dedup import embedding_near_dup_pairs
+
+    df = embedding_near_dup_pairs(embeddings, threshold=0.45, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

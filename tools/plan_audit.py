@@ -35,6 +35,7 @@ AUDITED = [
     "bm25_topk",
     "hybrid_relative_topk",
     "dedup_minhash_lsh",
+    "dedup_embedding",
     "simhash_fingerprints",
     "pricing_summary",
     "events_sessions",
@@ -121,8 +122,9 @@ def main() -> int:
         if name == "bm25_topk" and s["broadcast_joins"] < 2:
             failures.append("A3 bm25_topk: query-term/df sides not broadcast")
         # A4: no unintended cartesian products
-        if name in ("bm25_topk", "dedup_minhash_lsh", "simhash_fingerprints",
-                    "pricing_summary", "events_sessions") and s["cartesian"]:
+        if name in ("bm25_topk", "dedup_minhash_lsh", "dedup_embedding",
+                    "simhash_fingerprints", "pricing_summary",
+                    "events_sessions") and s["cartesian"]:
             failures.append(f"A4 {name}: unexpected cartesian/nested-loop join")
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
