@@ -47,9 +47,9 @@ TOKENIZERS = {
 
 def _tokenizer(name: str):
     if name == "identifier_aware":
-        from next_plaid_spark.operators.colgrep import identifier_tokens_udf
+        from next_plaid_spark.operators.colgrep import identifier_tokens
 
-        return identifier_tokens_udf
+        return identifier_tokens
     return TOKENIZERS[name]
 
 

@@ -21,7 +21,6 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 
 # -- K1: identifier-aware tokenizer -------------------------------------------
@@ -59,7 +58,52 @@ def tokenize_identifiers(text: str) -> list[str]:
     return out
 
 
-identifier_tokens_udf = F.udf(tokenize_identifiers, ArrayType(StringType()))
+_CAMEL_RE_JAVA = r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
+
+
+def identifier_tokens(col: Column) -> Column:
+    """Pure-Catalyst ``tokenize_identifiers`` — same tokens, same order,
+    no Python workers (the former row-at-a-time ``F.udf`` was the K1 weak
+    spot; Java regex supports the identical lookahead, and ``_`` falls out
+    of the camel classes so the split-on-underscore step is implicit).
+
+    Higher-order array functions are interpreted (no codegen) but stay
+    JVM-side — orders of magnitude cheaper than a per-row Python UDF on
+    the BM25-build hot path.
+    """
+    words = F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(r"[A-Za-z0-9_]+"), F.lit(0)
+    )
+
+    def per_word(w):
+        lowered = F.lower(w)
+        parts = F.transform(
+            F.regexp_extract_all(w, F.lit(_CAMEL_RE_JAVA), F.lit(0)), F.lower
+        )
+        nparts = F.size(parts)
+        compound = F.array_join(parts, "")
+        bigrams = F.filter(
+            F.transform(
+                parts,
+                lambda p, i: F.when(
+                    i < nparts - 1, F.concat(p, F.element_at(parts, i + 2))
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return F.when(
+            nparts > 1,
+            F.concat(
+                F.array(lowered),
+                parts,
+                F.when(compound != lowered, F.array(compound)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                bigrams,
+            ),
+        ).otherwise(F.array(lowered))
+
+    return F.flatten(F.transform(words, per_word))
 
 
 # -- P2: embedding-text builder ------------------------------------------------
@@ -147,25 +191,32 @@ def apply_ranking(
         units.select("unit_id", "file", "name", "unit_type", "line", "end_line"),
         "unit_id",
     )
-    max_score = r.agg(F.max("score")).collect()[0][0] or 0.0
+    # normalization maxima as unpartitioned windows, NOT driver collects:
+    # the result list is one query's fetch_k rows, so the single-partition
+    # window is bounded and the whole ranking stays one Spark job (the
+    # former agg().collect() pair launched two extra jobs per query and
+    # broke multi-query batching).
+    w_all = Window.partitionBy()
+    max_score = F.coalesce(F.max("score").over(w_all), F.lit(0.0))
+    r = r.withColumn("_max_score", max_score)
 
     # R1 path-noise penalty
     r = r.withColumn("score", F.col("score") * path_penalty(F.col("file"), query_text))
 
     # R2 definition boost: unit name tokens ∩ query tokens, definition types only
-    name_tokens = identifier_tokens_udf(F.coalesce("name", F.lit("")))
+    name_tokens = identifier_tokens(F.col("name"))
     r = r.withColumn(
         "score",
         F.col("score")
         + F.when(
             F.col("unit_type").isin(*DEF_TYPES)
             & (F.size(F.array_intersect(name_tokens, qtok_arr)) > 0),
-            F.lit(DEF_BOOST * max_score),
+            F.lit(DEF_BOOST) * F.col("_max_score"),
         ).otherwise(F.lit(0.0)),
     )
 
     # R3 path-stem boost (stopword-filtered; exact > prefix≥3)
-    stem_tokens = identifier_tokens_udf(_stem(F.col("file")))
+    stem_tokens = identifier_tokens(_stem(F.col("file")))
     stem_tokens = F.filter(
         stem_tokens, lambda t: ~t.isin(*_STEM_STOPWORDS)
     )
@@ -179,29 +230,29 @@ def apply_ranking(
     r = r.withColumn(
         "score",
         F.col("score")
-        + F.when(exact_hit, F.lit(STEM_EXACT_BOOST * max_score))
-        .when(prefix_hit, F.lit(STEM_PREFIX_BOOST * max_score))
+        + F.when(exact_hit, F.lit(STEM_EXACT_BOOST) * F.col("_max_score"))
+        .when(prefix_hit, F.lit(STEM_PREFIX_BOOST) * F.col("_max_score"))
         .otherwise(F.lit(0.0)),
     )
 
     # R4 file-coherence: bonus to each file's best unit ∝ file score mass
-    fstats = r.groupBy("file").agg(F.sum("score").alias("_fsum"))
-    best_fsum = fstats.agg(F.max("_fsum")).collect()[0][0] or 1.0
     wfile = Window.partitionBy("file").orderBy(
         F.col("score").desc(), F.col("unit_id").asc()
     )
     r = (
-        r.join(fstats, "file")
+        r.withColumn("_fsum", F.sum("score").over(Window.partitionBy("file")))
+        .withColumn("_best_fsum", F.coalesce(F.max("_fsum").over(w_all), F.lit(1.0)))
         .withColumn("_file_rank", F.row_number().over(wfile))
         .withColumn(
             "score",
             F.col("score")
             + F.when(
-                F.col("_file_rank") == 1,
-                F.lit(COHERENCE_BOOST * max_score) * F.col("_fsum") / F.lit(best_fsum),
+                (F.col("_file_rank") == 1) & (F.col("_best_fsum") != 0.0),
+                F.lit(COHERENCE_BOOST) * F.col("_max_score")
+                * F.col("_fsum") / F.col("_best_fsum"),
             ).otherwise(F.lit(0.0)),
         )
-        .drop("_fsum", "_file_rank")
+        .drop("_fsum", "_best_fsum", "_file_rank", "_max_score")
     )
 
     # R5 collapse-by-file: keep each file's best unit, merge line ranges

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from next_plaid_spark.operators.colgrep import detect_changes, search_code
 
@@ -72,3 +73,52 @@ def test_detect_changes(spark):
     )
     got = {(r.path, r.change) for r in detect_changes(old, new).collect()}
     assert got == {("d.py", "added"), ("c.py", "removed"), ("b.py", "modified")}
+
+
+def test_identifier_tokens_catalyst_matches_python(spark):
+    """The Catalyst column tokenizer must reproduce tokenize_identifiers
+    exactly (tokens AND order) — it replaced the row-at-a-time UDF."""
+    from next_plaid_spark.operators.colgrep import (
+        identifier_tokens,
+        tokenize_identifiers,
+    )
+
+    samples = [
+        "getHTTPResponse_code", "parse_config", "userName userID",
+        "HTMLParser", "snake_case_id", "x", "", "a_b", "ABCdef",
+        "foo2Bar baz__qux", "UPPER lower MixedCase99", "with-dash.dots",
+        None, "_leading trailing_", "get_user plus getuser",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = df.select(
+        F.col("text"), identifier_tokens(F.col("text")).alias("toks")
+    ).collect()
+    for r in got:
+        assert list(r.toks) == tokenize_identifiers(r.text), r.text
+
+
+def test_no_python_udf_in_package():
+    """K1 gate: no row-at-a-time F.udf anywhere in next_plaid_spark."""
+    import pathlib
+
+    pkg = pathlib.Path("next_plaid_spark")
+    hits = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if "F.udf(" in p.read_text() or "functions.udf(" in p.read_text()
+    ]
+    assert hits == []
+
+
+def test_apply_ranking_single_job(spark, units):
+    """The ranking pass must not launch driver collects mid-plan: building
+    the ranked DataFrame triggers zero Spark jobs until an action runs."""
+    from next_plaid_spark.operators.colgrep import apply_ranking
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    results = units.select(F.col("unit_id"), F.lit(1.0).alias("score"))
+    ranked = apply_ranking(results, units, "parse config", top_k=5)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # plan construction is lazy, no hidden jobs
+    assert ranked.count() > 0

@@ -130,6 +130,43 @@ def main() -> int:
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
             failures.append(f"A5 {name}: no WholeStageCodegen span")
 
+    # A6: colgrep ranking builds lazily — no driver collects mid-plan
+    # (code_units isn't a driver table, so audit over an inline fixture)
+    units = spark.createDataFrame(
+        [(i, f"fn_{i}", f"src/m_{i % 3}.py", "Function", 1, 9, f"def fn_{i}()",
+          None, None, [], f"def fn_{i}(): pass")
+         for i in range(24)],
+        "unit_id long, name string, file string, unit_type string, line int, "
+        "end_line int, signature string, docstring string, parent_class string, "
+        "calls array<string>, code string",
+    )
+    from next_plaid_spark.operators.colgrep import apply_ranking
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    import pyspark.sql.functions as SF
+
+    ranked = apply_ranking(
+        units.select("unit_id", SF.lit(1.0).alias("score")), units, "fn source",
+        top_k=5,
+    )
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    rk_plan = plan_of(ranked)
+    rk = summarize(rk_plan)
+    if jobs_after != jobs_before:
+        failures.append("A6 apply_ranking: driver job launched during plan construction")
+    if rk["cartesian"]:
+        failures.append("A6 apply_ranking: cartesian/nested-loop join")
+    if "BatchEvalPython" in rk_plan or "PythonUDF" in rk_plan:
+        failures.append("A6 apply_ranking: row-at-a-time Python UDF in plan")
+    sections.append(
+        "## apply_ranking (colgrep R1-R5, inline fixture)\n\n"
+        f"- lazy construction: {'yes' if jobs_after == jobs_before else 'NO'}\n"
+        f"- joins: {rk['broadcast_joins']} broadcast, {rk['sortmerge_joins']} "
+        f"sort-merge, {rk['cartesian']} nested-loop/cartesian\n"
+        f"- row-Python-UDF-free: {'yes' if 'BatchEvalPython' not in rk_plan else 'NO'}\n"
+    )
+
     status = "ALL INVARIANTS HOLD" if not failures else "FAILURES:\n" + "\n".join(
         f"- {f}" for f in failures
     )
