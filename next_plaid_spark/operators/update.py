@@ -61,15 +61,32 @@ def find_outliers(new_tokens: DataFrame, centroids: np.ndarray,
     return new_tokens.mapInPandas(flag, schema=new_tokens.schema)
 
 
+EXPAND_SAMPLE_CAP = 65536  # driver-side bound on collected outlier tokens
+
+
 def expand_centroids(outliers: DataFrame, centroids: np.ndarray,
-                     *, seed: int = 42) -> np.ndarray:
+                     *, seed: int = 42,
+                     sample_cap: int = EXPAND_SAMPLE_CAP) -> np.ndarray:
     """U3: cluster outlier tokens and append the new centroids
-    (k = max(1, ⌈n/256⌉)·4, update.rs:621-770)."""
-    pts = np.asarray([r.vec for r in outliers.select("vec").collect()],
-                     dtype=np.float32)
-    if len(pts) == 0:
+    (k = max(1, ⌈n/256⌉)·4, update.rs:621-770).
+
+    The driver collect is bounded by ``sample_cap`` with a seeded sample
+    (the codec trainer's HELDOUT_CAP pattern, codec.py:60-75): at 100 TB an
+    append of heavily-drifted data can produce millions of outlier tokens,
+    and Lloyd's on a representative 64k-sample yields the same coverage
+    centroids as the full set. k_new still scales with the TRUE outlier
+    count so capacity matches drift volume (capped at sample size)."""
+    n_outliers = outliers.count()
+    if n_outliers == 0:
         return centroids
-    k_new = max(1, int(np.ceil(len(pts) / EXPAND_PTS_PER_CENTROID))) * EXPAND_FACTOR
+    sampled = outliers.select("vec")
+    if n_outliers > sample_cap:
+        # oversample the target fraction, then trim deterministically
+        frac = min(1.0, (sample_cap / n_outliers) * 1.1)
+        sampled = sampled.sample(fraction=frac, seed=seed)
+    rows = sampled.limit(sample_cap).collect()
+    pts = np.asarray([r.vec for r in rows], dtype=np.float32)
+    k_new = max(1, int(np.ceil(n_outliers / EXPAND_PTS_PER_CENTROID))) * EXPAND_FACTOR
     k_new = min(k_new, len(pts))
     fresh = lloyds(pts, k_new, seed=seed)
     return np.vstack([centroids, fresh])

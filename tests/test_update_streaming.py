@@ -136,3 +136,36 @@ def test_streaming_ingest_matches_batch(spark, documents, tmp_path_factory):
         for r in batch_tokens.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
     }
     assert streamed == expected
+
+
+def test_expand_centroids_bounded_collect(spark):
+    """U3 scale gate: when outliers ≫ sample_cap the driver collect stays
+    bounded but expansion still happens and k_new reflects the TRUE count."""
+    from next_plaid_spark.operators.update import (
+        EXPAND_FACTOR,
+        EXPAND_PTS_PER_CENTROID,
+        expand_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    n_out = 600
+    pts = rng.standard_normal((n_out, 8)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    outliers = spark.createDataFrame(
+        [(i, 0, [float(x) for x in pts[i]]) for i in range(n_out)],
+        "doc_id long, token_idx int, vec array<double>",
+    )
+    base = np.eye(8, dtype=np.float32)[:4]
+    cap = 50
+    expanded = expand_centroids(outliers, base, seed=42, sample_cap=cap)
+    k_new = expanded.shape[0] - base.shape[0]
+    # k_new derives from the true outlier count (600), clamped to the
+    # collected sample size (cap) — NOT from the capped sample count alone
+    expected = min(
+        max(1, int(np.ceil(n_out / EXPAND_PTS_PER_CENTROID))) * EXPAND_FACTOR, cap
+    )
+    assert k_new == expected
+    assert expanded.shape[1] == 8
+    # determinism: same seed → same centroids
+    again = expand_centroids(outliers, base, seed=42, sample_cap=cap)
+    assert np.array_equal(expanded, again)
