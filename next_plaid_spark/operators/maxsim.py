@@ -110,14 +110,22 @@ def maxsim_scores_by_token(query_tokens: DataFrame, doc_tokens: DataFrame) -> Da
 
 
 def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
-    """Per-query top-k with deterministic tie-break (score desc, doc_id asc).
+    """Per-query top-k: finite scores desc, NON-FINITE LAST, doc_id asc.
 
-    Reference sorts by score desc with non-finite ranked last
-    (search.rs:92-133); synthetic scores are always finite. Spark's
-    ``desc_nulls_last`` + NaN discipline is enforced upstream.
-    """
+    Q13 parity with search.rs:110-117 (cmp_score_ascending): every
+    non-finite score (NaN, ±inf, null) ranks below every finite score and
+    non-finites are mutually equal (doc_id breaks their ties). Spark's
+    native sort puts NaN ABOVE +inf, so a bare ``score desc`` would rank a
+    NaN-corrupted row FIRST — the explicit finite-last key makes upstream
+    numeric corruption degrade gracefully instead of silently winning."""
+    c = F.col(score_col)
+    finite = c.isNotNull() & ~F.isnan(c) & (c > F.lit(float("-inf"))) & (
+        c < F.lit(float("inf"))
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col(score_col).desc(), F.col("doc_id").asc()
+        finite.desc(),                            # finite block first
+        F.when(finite, c).desc_nulls_last(),      # value order within it
+        F.col("doc_id").asc(),
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

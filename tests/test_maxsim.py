@@ -90,3 +90,22 @@ def test_brute_force_self_retrieval(spark, corpus):
     # and top-1 returns a doc at that best score
     for r in brute_force_search(qt, dt, k=1).collect():
         assert math.isclose(r.score, best[r.query_id], rel_tol=1e-9)
+
+
+def test_topk_nonfinite_ranks_last(spark):
+    """Q13 parity (search.rs:110-117): NaN/±inf/null scores sort below
+    every finite score; ties among non-finites break by doc_id."""
+    from next_plaid_spark.operators.maxsim import topk
+
+    nan, inf = float("nan"), float("inf")
+    scored = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, nan), (0, 3, 7.0), (0, 4, inf),
+         (0, 5, -inf), (0, 6, None), (0, 7, 0.5)],
+        "query_id long, doc_id long, score double",
+    )
+    got = [(r.doc_id, r.rank) for r in topk(scored, 10).orderBy("rank").collect()]
+    # finite desc: 3 (7.0), 1 (5.0), 7 (0.5); then non-finite by doc_id: 2, 4, 5, 6
+    assert got == [(3, 1), (1, 2), (7, 3), (2, 4), (4, 5), (5, 6), (6, 7)]
+    # truncation still works with non-finites present
+    top2 = {r.doc_id for r in topk(scored, 2).collect()}
+    assert top2 == {3, 1}
