@@ -304,7 +304,7 @@ def search_code(
     """
     from next_plaid_spark.encoding import encode_queries, encode_tokens
     from next_plaid_spark.operators.bm25 import BM25Index
-    from next_plaid_spark.operators.fusion import fuse_relative_score
+    from next_plaid_spark.operators.fusion import hybrid_search
     from next_plaid_spark.operators.maxsim import brute_force_search
 
     subset = units
@@ -338,9 +338,12 @@ def search_code(
         .search(qdf, k=fetch_k)
         .select("query_id", "doc_id", "score")
     )
-    fused = fuse_relative_score(sem, kw, alpha=alpha, k=fetch_k).select(
-        F.col("doc_id").alias("unit_id"), "score"
-    )
+    # hybrid_search degrades to the surviving side when BM25 finds nothing
+    # (all-novel identifiers) or the semantic list is empty — K8 parity
+    # with handlers/search.rs:345-375
+    fused = hybrid_search(
+        sem, kw, mode="relative_score", alpha=alpha, k=fetch_k
+    ).select(F.col("doc_id").alias("unit_id"), "score")
     return apply_ranking(fused, units, query_text, top_k=top_k, collapse=collapse)
 
 

@@ -56,6 +56,44 @@ def fuse_rrf(semantic: DataFrame, keyword: DataFrame, *, alpha: float = DEFAULT_
     return fused.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hybrid_search(semantic: DataFrame, keyword: DataFrame, *,
+                  mode: str = "relative_score", alpha: float = DEFAULT_ALPHA,
+                  k: int = 10, score_col: str = "score") -> DataFrame:
+    """K8 orchestration with one-sided-failure degradation
+    (next-plaid-api/src/handlers/search.rs:345-375): queries present in
+    BOTH lists are fused; a query whose keyword side is empty/failed falls
+    back to its raw semantic ranking truncated to ``k`` (and vice versa) —
+    the batched analog of the reference's Option-match. Queries in neither
+    list simply produce no rows.
+
+    All routing is semi/anti joins on the (small, already-ranked) result
+    lists — no extra pass over the corpus."""
+    fuse = fuse_rrf if mode == "rrf" else fuse_relative_score
+    # one row per query — always broadcastable
+    sem_q = F.broadcast(semantic.select("query_id").distinct())
+    kw_q = F.broadcast(keyword.select("query_id").distinct())
+
+    fused = fuse(
+        semantic.join(kw_q, "query_id", "left_semi"),
+        keyword.join(sem_q, "query_id", "left_semi"),
+        alpha=alpha, k=k, score_col=score_col,
+    )
+
+    def _truncated(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col("doc_id").asc()
+        )
+        return (
+            df.select("query_id", "doc_id", F.col(score_col).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    sem_only = _truncated(semantic.join(kw_q, "query_id", "left_anti"))
+    kw_only = _truncated(keyword.join(sem_q, "query_id", "left_anti"))
+    return fused.unionByName(sem_only).unionByName(kw_only)
+
+
 def _minmax_norm(df: DataFrame) -> DataFrame:
     """Per-query min-max to [0,1]; constant lists → 1.0
     (text_search.rs:1042-1057)."""

@@ -462,19 +462,21 @@ def _hybrid_lists(spark: SparkSession, sf_dir: str):
 
 
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from next_plaid_spark.operators.fusion import fuse_rrf
+    from next_plaid_spark.operators.fusion import hybrid_search
 
     sem, kw = _hybrid_lists(spark, sf_dir)
-    return fuse_rrf(sem, kw, alpha=0.75, k=BM25_TOPK).select(
+    # hybrid_search adds K8 degradation routing; on this corpus every query
+    # has both sides, so the result (and the oracle SQL) is pure fusion
+    return hybrid_search(sem, kw, mode="rrf", alpha=0.75, k=BM25_TOPK).select(
         "query_id", "doc_id", "score", "rank"
     )
 
 
 def q_hybrid_relative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from next_plaid_spark.operators.fusion import fuse_relative_score
+    from next_plaid_spark.operators.fusion import hybrid_search
 
     sem, kw = _hybrid_lists(spark, sf_dir)
-    return fuse_relative_score(sem, kw, alpha=0.75, k=BM25_TOPK).select(
+    return hybrid_search(sem, kw, mode="relative_score", alpha=0.75, k=BM25_TOPK).select(
         "query_id", "doc_id", "score", "rank"
     )
 

@@ -88,3 +88,61 @@ def test_bm25_filtered_subset(spark):
     subset = spark.createDataFrame([(1,), (2,)], "doc_id long")
     res = idx.search(q, k=10, subset=subset).collect()
     assert {r.doc_id for r in res} == {1, 2}
+
+
+def test_hybrid_degrades_to_surviving_side(spark):
+    """K8 (handlers/search.rs:345-375): a query missing its keyword list
+    gets its raw semantic ranking truncated to k — and vice versa."""
+    from next_plaid_spark.operators.fusion import fuse_relative_score, hybrid_search
+
+    sem = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 11, 2.0), (1, 12, 1.0),
+         (2, 20, 9.0), (2, 21, 5.0), (2, 22, 4.0)],
+        "query_id long, doc_id long, score double",
+    )
+    kw = spark.createDataFrame(
+        [(1, 11, 7.0), (1, 13, 6.0),
+         (3, 30, 2.5), (3, 31, 1.5)],
+        "query_id long, doc_id long, score double",
+    )
+    got = hybrid_search(sem, kw, mode="relative_score", alpha=0.75, k=2)
+    rows = {q: [] for q in (1, 2, 3)}
+    for r in got.orderBy("query_id", "rank").collect():
+        rows[r.query_id].append((r.doc_id, r.score, r.rank))
+
+    # query 1: both sides present → identical to plain fusion
+    fused_q1 = [
+        (r.doc_id, r.score, r.rank)
+        for r in fuse_relative_score(
+            sem.filter("query_id = 1"), kw.filter("query_id = 1"), alpha=0.75, k=2
+        ).orderBy("rank").collect()
+    ]
+    assert rows[1] == fused_q1
+    # query 2: keyword side empty → raw semantic scores, top-2
+    assert rows[2] == [(20, 9.0, 1), (21, 5.0, 2)]
+    # query 3: semantic side empty → raw keyword scores, top-2
+    assert rows[3] == [(30, 2.5, 1), (31, 1.5, 2)]
+
+
+def test_hybrid_both_sides_matches_plain_fusion(spark):
+    """With every query on both sides, hybrid_search == fuse_* exactly
+    (the oracle-parity invariant for the shipped hybrid entries)."""
+    from next_plaid_spark.operators.fusion import fuse_rrf, hybrid_search
+
+    sem = spark.createDataFrame(
+        [(q, d, float(10 - d + q)) for q in (1, 2) for d in range(5)],
+        "query_id long, doc_id long, score double",
+    )
+    kw = spark.createDataFrame(
+        [(q, d, float(d * 2 + q)) for q in (1, 2) for d in range(2, 7)],
+        "query_id long, doc_id long, score double",
+    )
+    a = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in hybrid_search(sem, kw, mode="rrf", alpha=0.6, k=3).collect()
+    )
+    b = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in fuse_rrf(sem, kw, alpha=0.6, k=3).collect()
+    )
+    assert a == b
