@@ -75,14 +75,33 @@ def _sql_shingles(n: int = 3) -> str:
 # n-gram Jaccard near-dup: pairs meeting only through shared shingles
 # ---------------------------------------------------------------------------
 
+def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The web-scale guard: a stop-shingle ("in the of") appearing in d docs
+    fans the shared-shingle equi-join out d² — quadratic in corpus size.
+    Capping DF bounds every shingle's join contribution at max_df², making
+    total fan-out O(|shingles|·max_df). Near-dup pairs lose only their
+    least-discriminative shingles (both sizes AND intersection shrink
+    consistently — Jaccard over the capped shingle universe), so scores
+    barely move for real duplicates. Off (None) in oracle mode."""
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    keep = df_counts.filter(F.col("_df") <= max_df).select("shingle")
+    return sh.join(keep, "shingle", "left_semi")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard(shingles) ≥ threshold.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|) — exact integer ratio, bit-identical
-    cross-engine.
-    """
-    return _jaccard_from_shingles(shingles(docs, n=n), threshold)
+    cross-engine. ``max_shingle_df`` engages the stop-shingle fan-out cap
+    (see cap_shingle_df); at 100 TB leave it on (e.g. 10_000)."""
+    sh = shingles(docs, n=n)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    return _jaccard_from_shingles(sh, threshold)
 
 
 def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
@@ -171,12 +190,20 @@ def _minhash_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, n: int = 3, n_hashes: int = N_HASHES,
-                      n_bands: int = N_BANDS, threshold: float = 0.0) -> DataFrame:
+                      n_bands: int = N_BANDS, threshold: float = 0.0,
+                      max_shingle_df: int | None = None) -> DataFrame:
     """Banded-LSH candidate pairs with exact-Jaccard verification:
     (doc_a, doc_b, jaccard ≥ threshold). Pairs collide when any band of the
-    minhash signature matches exactly."""
+    minhash signature matches exactly.
+
+    ``max_shingle_df`` caps stop-shingle fan-out in BOTH the signature and
+    the verify join (applied once, so signatures and Jaccard agree on the
+    same capped shingle universe). Off (None) in oracle mode."""
     rows_per_band = n_hashes // n_bands
-    sh = shingles(docs, n=n).cache()
+    sh = shingles(docs, n=n)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    sh = sh.cache()
     sigs = _minhash_from_shingles(sh, n_hashes)
     banded = sigs.select(
         "doc_id",

@@ -102,3 +102,49 @@ def test_embedding_near_dup_no_cartesian(spark, embeddings):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shingle_df_cap_bounds_fanout(spark):
+    """Skewed fixture: one stop-shingle shared by every doc would fan the
+    join out N²; the cap removes it while planted dup pairs survive."""
+    from next_plaid_spark.operators.dedup import (
+        cap_shingle_df,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    stop = "in the of"  # every doc contains this 3-gram
+    docs = [(i, f"in the of unique{i} filler{i} words{i} here{i}") for i in range(40)]
+    # plant one true near-dup pair (docs 100/101 share almost all shingles)
+    docs += [(100, "in the of alpha beta gamma delta epsilon"),
+             (101, "in the of alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = shingles(df, n=3)
+    capped = cap_shingle_df(sh, max_df=10)
+    # the stop-shingle (df=42) is gone; discriminative shingles survive
+    remaining = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert stop not in remaining
+    assert "alpha beta gamma" in remaining
+
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=10).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (100, 101) in got
+    # without the planted pair, no unrelated docs pair up through the
+    # stop-shingle (uncapped they ALL share it and meet in the join)
+    assert all(p == (100, 101) for p in got)
+
+
+def test_shingle_df_cap_off_matches_oracle_mode(spark, docs):
+    """max_shingle_df=None (oracle mode) is byte-identical to the original."""
+    from next_plaid_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    )
+    b = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=None).collect()
+    )
+    assert a == b
