@@ -81,6 +81,24 @@ class BatchSearcher:
         self.params = params or SearchParams()
         self.approx_strategy = approx_strategy
         self._centroids = index.centroids_np()
+        # DataFrames cached by search() calls (query tokens, subset, pruned
+        # ivf). They must stay cached while the returned lazy plan is being
+        # consumed, so search() can't unpersist them itself; long-lived
+        # sessions issuing many filtered searches should call release()
+        # between batches to drop them.
+        self._live_caches: list[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every DataFrame cached by prior search() calls.
+
+        Call after the results of those searches have been fully consumed
+        (collected/written); the next search() re-caches what it needs."""
+        for df in self._live_caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._live_caches.clear()
 
     # -- Q6 strategies ------------------------------------------------------
     def _approx_kernel(self, query_tokens: DataFrame, candidates: DataFrame,
@@ -195,9 +213,9 @@ class BatchSearcher:
             # Q4 under filter (search.rs:350-364): the probe pool is
             # restricted to eligible centroids — cells holding subset docs —
             # so no probe slot is wasted on a cell that cannot contribute.
-            # Caller caps n_probe ≤ eligible count, so argpartition never
-            # selects a masked (-inf) column.
-            scores_v = np.where(eligible_mask[None, :], scores_v, -np.inf)
+            # In-place float32 fill (np.where with a Python float would
+            # promote the [V, K] matrix to float64 — 2× probe memory).
+            scores_v[:, ~eligible_mask] = np.float32("-inf")
         qids_per_row = qt_pdf["query_id"].to_numpy()
         qids, starts = np.unique(qids_per_row, return_index=True)
         bounds = np.append(starts, len(qids_per_row))
@@ -205,6 +223,10 @@ class BatchSearcher:
         # Q2 probe + Q3 prune, driver-side (same np.argpartition as the
         # probe UDF — identical cell selection, ties included)
         n = min(n_probe, k_total)
+        if eligible_mask is not None:
+            # belt-and-braces: never let argpartition select a masked -inf
+            # column even if a caller skips the n_probe ≤ eligible-count cap
+            n = max(1, min(n, int(eligible_mask.sum())))
         top = np.argpartition(scores_v, -n, axis=1)[:, -n:]
         cell_mask = np.zeros((len(qids), k_total), dtype=bool)
         for qi in range(len(qids)):
@@ -391,10 +413,13 @@ class BatchSearcher:
                     continue
                 x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
                 scores = x @ c.T  # [rows, K]
-                if emask is not None:
-                    # eligible-centroid probe restriction (search.rs:350-364)
-                    scores = np.where(emask[None, :], scores, -np.inf)
                 n = min(n_probe, scores.shape[1])
+                if emask is not None:
+                    # eligible-centroid probe restriction (search.rs:350-364);
+                    # in-place float32 fill, and clamp n so argpartition
+                    # never selects a masked -inf column
+                    scores[:, ~emask] = np.float32("-inf")
+                    n = max(1, min(n, int(emask.sum())))
                 top = np.argpartition(scores, -n, axis=1)[:, -n:]
                 rows = []
                 if key_col:
@@ -437,12 +462,14 @@ class BatchSearcher:
         # the query-token DF feeds four plan branches (probe, approx-score
         # join, rerank join, top-k) — cache it once; it is query-batch-sized
         query_tokens = query_tokens.cache()
+        self._live_caches.append(query_tokens)
 
         n_probe = p.n_ivf_probe
         if subset is not None:
             # Q4: widen the probe when the filter is selective
             # (n_probe · n_docs/|subset|, capped — search.rs:370-382)
             subset = subset.select(F.col("doc_id").cast("long")).distinct().cache()
+            self._live_caches.append(subset)
             subset_len = subset.count()
             if subset_len > 0:
                 scale = min(
@@ -462,6 +489,7 @@ class BatchSearcher:
                 .groupBy("code")
                 .agg(F.collect_list("doc_id").alias("doc_ids"))
             ).cache()
+            self._live_caches.append(ivf)
             # the probe pool itself is restricted to those eligible cells
             # (search.rs:350-364): rank probe slots among them only, and cap
             # the scaled n_probe at the eligible-cell count. The collect is

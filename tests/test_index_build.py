@@ -100,26 +100,35 @@ def test_funnel_recall_vs_brute_force(spark, built_index):
     queries = docs.limit(20).select(F.col("doc_id").alias("query_id"), "text")
     qt = encode_queries(queries).cache()
 
-    oracle = brute_force_search(qt, dt, k=10).collect()
+    # rank the WHOLE corpus so every returned doc has its true MaxSim score
+    n_docs = docs.count()
+    oracle_all = brute_force_search(qt, dt, k=n_docs).collect()
     searcher = BatchSearcher(idx, SearchParams(top_k=10, n_full_scores=256))
     got = searcher.search(qt).collect()
 
-    oracle_by_q, got_by_q = {}, {}
-    for r in oracle:
-        oracle_by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    # Score-multiset recall@10: the synthetic corpus is tie-heavy (many
+    # docs share all query tokens), so doc_id set-recall vs the oracle's
+    # tie-broken top-10 under-measures. A returned doc is a HIT iff its
+    # TRUE brute-force score reaches the oracle's 10th-best score — ties
+    # count by score, genuine misses (doc below the cut) don't.
+    true_score = {(r.query_id, r.doc_id): r.score for r in oracle_all}
+    kth = {}
+    for r in oracle_all:
+        if r.rank == 10:
+            kth[r.query_id] = r.score
+    got_by_q = {}
     for r in got:
-        got_by_q.setdefault(r.query_id, set()).add(r.doc_id)
+        got_by_q.setdefault(r.query_id, []).append(r.doc_id)
+    recalls = []
+    for q, cut in kth.items():
+        hits = sum(
+            1 for d in got_by_q.get(q, [])
+            if true_score.get((q, d), float("-inf")) >= cut - 1e-9
+        )
+        recalls.append(hits / 10.0)
+    assert np.mean(recalls) >= 0.95, f"score-multiset recall@10 {np.mean(recalls):.3f}"
 
-    # The synthetic corpus is tie-heavy (many docs share all query tokens),
-    # so set-recall@10 vs the oracle's tie-broken top-10 is a soft target;
-    # score-recall is the hard invariant: top-1 exact score must match.
-    recalls = [
-        len(oracle_by_q[q] & got_by_q.get(q, set())) / len(oracle_by_q[q])
-        for q in oracle_by_q
-    ]
-    assert np.mean(recalls) >= 0.6, f"mean recall@10 {np.mean(recalls):.3f}"
-
-    oracle_top1 = {r.query_id: r.score for r in oracle if r.rank == 1}
+    oracle_top1 = {r.query_id: r.score for r in oracle_all if r.rank == 1}
     got_top1 = {r.query_id: r.score for r in got if r.rank == 1}
     close = [
         math.isclose(oracle_top1[q], got_top1.get(q, -1), rel_tol=0.05)
