@@ -2,17 +2,26 @@
 
 The reference parses 25+ languages with tree-sitter
 (colgrep/src/parser/extract.rs:1-825) into CodeUnit rows. py-tree-sitter is
-not in this container, so Python sources are parsed for real with the
-stdlib ``ast`` module (functions/methods/classes with signature, docstring,
-params, calls, line spans — the FIXTURES.md §6 column contract); other
-languages fall through to a whole-file RawCode unit. Swapping in
-tree-sitter later only replaces ``_parse_one`` — the distributed shape
-(``mapInPandas`` over (path, content) rows) is the operator.
+not in this container, so:
+
+- Python is parsed for real with the stdlib ``ast`` module (functions /
+  methods / classes with signature, docstring, params, calls, line spans —
+  the FIXTURES.md §6 column contract);
+- Rust and JavaScript get an ast-lite line scanner (doc-comment capture,
+  brace-matched spans, impl/class method contexts) matching the unit
+  shapes asserted in colgrep/src/parser/tests/test_rust.rs and
+  test_javascript.rs;
+- anything else falls through to a whole-file RawCode unit.
+
+Swapping in tree-sitter later only replaces ``_parse_one`` — the
+distributed shape (``mapInPandas`` over (path, content) rows) is the
+operator.
 """
 
 from __future__ import annotations
 
 import ast
+import re
 
 from pyspark.sql import DataFrame
 
@@ -46,7 +55,295 @@ def _signature(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str:
     return f"def {fn.name}({', '.join(args)})"
 
 
+# -- Rust / JavaScript ast-lite extraction -------------------------------------
+
+_CALL_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+_NON_CALL_KEYWORDS = frozenset(
+    "if while for match switch return fn function catch loop unsafe "
+    "new async await typeof super constructor".split()
+)
+
+_RUST_FN_RE = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:const\s+)?(?:async\s+)?(?:unsafe\s+)?"
+    r"(?:extern\s+\"[^\"]*\"\s+)?fn\s+([A-Za-z_][A-Za-z0-9_]*)"
+)
+_RUST_TYPE_RE = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait)\s+([A-Za-z_][A-Za-z0-9_]*)"
+)
+_RUST_IMPL_RE = re.compile(
+    r"^\s*impl(?:\s*<[^>]*>)?\s+(?:[A-Za-z_][A-Za-z0-9_:<>, ]*\s+for\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)"
+)
+_RUST_CONST_RE = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:const|static)\s+([A-Z_][A-Z0-9_]*)\s*:"
+)
+
+_JS_FN_RE = re.compile(
+    r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function\s*\*?\s*"
+    r"([A-Za-z_$][A-Za-z0-9_$]*)\s*\("
+)
+_JS_ARROW_RE = re.compile(
+    r"^\s*(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*=\s*"
+    r"(?:async\s*)?(?:\([^)]*\)|[A-Za-z_$][A-Za-z0-9_$]*)\s*=>"
+)
+_JS_FNEXPR_RE = re.compile(
+    r"^\s*(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*=\s*"
+    r"(?:async\s+)?function\s*\*?\s*\("
+)
+_JS_CLASS_RE = re.compile(
+    r"^\s*(?:export\s+)?(?:default\s+)?class\s+([A-Za-z_$][A-Za-z0-9_$]*)"
+)
+_JS_METHOD_RE = re.compile(
+    r"^\s*(?:static\s+)?(?:async\s+)?(?:get\s+|set\s+)?\*?\s*"
+    r"([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^)]*\)\s*\{"
+)
+_JS_CONST_RE = re.compile(
+    r"^\s*(?:export\s+)?const\s+([A-Z_$][A-Z0-9_$]*)\s*="
+)
+_JS_KEYWORD_NOT_METHOD = frozenset("if for while switch catch function return".split())
+
+
+def _strip_code_line(line: str) -> str:
+    """Drop line comments and string contents so brace counting is sane."""
+    out = []
+    i, n = 0, len(line)
+    in_str: str | None = None
+    while i < n:
+        ch = line[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in "\"'`":
+            in_str = ch
+            i += 1
+            continue
+        if ch == "/" and i + 1 < n and line[i + 1] == "/":
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _brace_end(lines: list[str], start: int) -> int:
+    """1-based end line of the block opened at ``lines[start-1]``; falls back
+    to the start line if no brace opens there (expression-bodied)."""
+    depth = 0
+    opened = False
+    for i in range(start - 1, len(lines)):
+        s = _strip_code_line(lines[i])
+        for ch in s:
+            if ch == "{":
+                depth += 1
+                opened = True
+            elif ch == "}":
+                depth -= 1
+                if opened and depth == 0:
+                    return i + 1
+        if not opened and (";" in s or i > start + 2):
+            return i + 1
+    return len(lines)
+
+
+def _calls_in(text: str, own_name: str) -> list[str]:
+    names = {
+        m.group(1)
+        for m in _CALL_RE.finditer(text)
+        if m.group(1) not in _NON_CALL_KEYWORDS and m.group(1) != own_name
+    }
+    return sorted(names)
+
+
+def _params_rust(sig: str) -> list[str]:
+    m = re.search(r"\(([^)]*)\)", sig)
+    if not m:
+        return []
+    out = []
+    for part in m.group(1).split(","):
+        part = part.strip()
+        if not part or part in ("&self", "self", "&mut self", "mut self"):
+            continue
+        name = part.split(":")[0].strip().lstrip("&").replace("mut ", "").strip()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            out.append(name)
+    return out
+
+
+def _params_js(sig: str) -> list[str]:
+    m = re.search(r"\(([^)]*)\)", sig)
+    if not m:
+        # single-arg arrow without parens: const f = x => ...
+        m2 = re.search(r"=\s*(?:async\s*)?([A-Za-z_$][A-Za-z0-9_$]*)\s*=>", sig)
+        return [m2.group(1)] if m2 else []
+    out = []
+    for part in m.group(1).split(","):
+        name = part.strip().split("=")[0].strip().lstrip(".")
+        if re.fullmatch(r"[A-Za-z_$][A-Za-z0-9_$]*", name):
+            out.append(name)
+    return out
+
+
+def _doc_above(lines: list[str], start: int, kind: str) -> str | None:
+    """Doc comment ending on the line above ``start`` (1-based).
+
+    kind='rust': contiguous /// or //! lines; kind='js': a /** … */ block.
+    Joined with spaces the way the reference flattens them."""
+    i = start - 2
+    if kind == "rust":
+        doc: list[str] = []
+        while i >= 0 and re.match(r"\s*//[/!]", lines[i]):
+            doc.append(re.sub(r"\s*//[/!]\s?", "", lines[i]).strip())
+            i -= 1
+        if doc:
+            return " ".join(x for x in reversed(doc)).strip() or None
+        return None
+    if i >= 0 and lines[i].strip().endswith("*/"):
+        doc = []
+        while i >= 0:
+            t = lines[i].strip()
+            doc.append(re.sub(r"^/?\*+\s?|\s*\*+/$", "", t).strip())
+            if t.startswith("/**") or t.startswith("/*"):
+                break
+            i -= 1
+        return " ".join(x for x in reversed(doc) if x).strip() or None
+    return None
+
+
+def _parse_rust(path: str, content: str) -> list[tuple]:
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    impl_ctx: list[tuple[str, int]] = []  # (type name, end_line)
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        while impl_ctx and lineno > impl_ctx[-1][1]:
+            impl_ctx.pop()
+        m = _RUST_IMPL_RE.match(line)
+        if m and "{" in _strip_code_line(line):
+            impl_ctx.append((m.group(1), _brace_end(lines, lineno)))
+            i += 1
+            continue
+        m = _RUST_FN_RE.match(line)
+        if m:
+            name = m.group(1)
+            end = _brace_end(lines, lineno)
+            body = "\n".join(lines[lineno - 1:end])
+            parent = impl_ctx[-1][0] if impl_ctx else None
+            units.append((
+                path, name, f"{parent}.{name}" if parent else name,
+                "Method" if parent else "Function", lineno, end,
+                line.strip(), _doc_above(lines, lineno, "rust"),
+                _params_rust(line), parent, _calls_in(body, name), body, "rust",
+            ))
+            i = end
+            continue
+        m = _RUST_TYPE_RE.match(line)
+        if m:
+            name = m.group(1)
+            end = _brace_end(lines, lineno)
+            body = "\n".join(lines[lineno - 1:end])
+            units.append((
+                path, name, name, "Class", lineno, end, line.strip(),
+                _doc_above(lines, lineno, "rust"), [], None,
+                _calls_in(body, name), body, "rust",
+            ))
+            i = end
+            continue
+        m = _RUST_CONST_RE.match(line)
+        if m and not impl_ctx:
+            end = _brace_end(lines, lineno) if "{" in _strip_code_line(line) else lineno
+            units.append((
+                path, m.group(1), m.group(1), "Constant", lineno, end, None,
+                _doc_above(lines, lineno, "rust"), [], None, [],
+                "\n".join(lines[lineno - 1:end]), "rust",
+            ))
+        i += 1
+    return units
+
+
+def _parse_js(path: str, content: str) -> list[tuple]:
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    class_ctx: list[tuple[str, int]] = []
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        while class_ctx and lineno > class_ctx[-1][1]:
+            class_ctx.pop()
+        m = _JS_CLASS_RE.match(line)
+        if m:
+            name = m.group(1)
+            end = _brace_end(lines, lineno)
+            body = "\n".join(lines[lineno - 1:end])
+            units.append((
+                path, name, name, "Class", lineno, end, line.strip(),
+                _doc_above(lines, lineno, "js"), [], None,
+                _calls_in(body, name), body, "javascript",
+            ))
+            class_ctx.append((name, end))
+            i += 1
+            continue
+        m = _JS_FN_RE.match(line) or _JS_FNEXPR_RE.match(line) or _JS_ARROW_RE.match(line)
+        if m and not class_ctx:
+            name = m.group(1)
+            end = _brace_end(lines, lineno)
+            body = "\n".join(lines[lineno - 1:end])
+            units.append((
+                path, name, name, "Function", lineno, end, line.strip(),
+                _doc_above(lines, lineno, "js"), _params_js(line), None,
+                _calls_in(body, name), body, "javascript",
+            ))
+            i = end
+            continue
+        if class_ctx:
+            m = _JS_METHOD_RE.match(line)
+            if m and m.group(1) not in _JS_KEYWORD_NOT_METHOD:
+                name, parent = m.group(1), class_ctx[-1][0]
+                end = _brace_end(lines, lineno)
+                body = "\n".join(lines[lineno - 1:end])
+                units.append((
+                    path, name, f"{parent}.{name}", "Method", lineno, end,
+                    line.strip(), _doc_above(lines, lineno, "js"),
+                    _params_js(line), parent, _calls_in(body, name), body,
+                    "javascript",
+                ))
+                i = end
+                continue
+        m = _JS_CONST_RE.match(line)
+        if m and not class_ctx and not _JS_ARROW_RE.match(line) \
+                and not _JS_FNEXPR_RE.match(line):
+            units.append((
+                path, m.group(1), m.group(1), "Constant", lineno, lineno, None,
+                _doc_above(lines, lineno, "js"), [], None, [],
+                line.strip(), "javascript",
+            ))
+        i += 1
+    return units
+
+
+_EXT_PARSERS = {
+    ".rs": ("rust", _parse_rust),
+    ".js": ("javascript", _parse_js),
+    ".mjs": ("javascript", _parse_js),
+    ".jsx": ("javascript", _parse_js),
+}
+
+
 def _parse_one(path: str, content: str) -> list[tuple]:
+    for ext, (lang, parser) in _EXT_PARSERS.items():
+        if path.endswith(ext):
+            units = parser(path, content)
+            if units:
+                return units
+            lines = (content or "").count("\n") + 1
+            return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
+                     None, None, [], None, [], content, lang)]
     if not path.endswith(".py"):
         lines = (content or "").count("\n") + 1
         return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,

@@ -40,15 +40,145 @@ def test_parse_python_units(spark):
     assert top.line == 4 and top.end_line == 6
 
 
-def test_parse_non_python_rawcode(spark):
+def test_parse_unknown_lang_rawcode(spark):
     files = spark.createDataFrame(
-        [("a.rs", "fn main() {}\n"), ("b.py", "def broken(:\n")],
+        [("a.go", "func main() {}\n"), ("b.py", "def broken(:\n")],
         "path string, content string",
     )
     rows = parse_code_units(files).collect()
     by_file = {r.file: r for r in rows}
-    assert by_file["a.rs"].unit_type == "RawCode"
+    assert by_file["a.go"].unit_type == "RawCode"
     assert by_file["b.py"].unit_type == "RawCode"  # syntax error fallback
+
+
+RUST_SRC = '''\
+/// Calculates the sum of two numbers.
+///
+/// # Arguments
+pub fn add(a: i32, b: i32) -> i32 {
+    a + b
+}
+
+pub const MAX_RETRIES: usize = 3;
+
+pub struct Calculator {
+    value: i64,
+}
+
+impl Calculator {
+    pub fn new(value: i64) -> Self {
+        Self { value }
+    }
+
+    async fn fetch_data(&self, url: &str) -> Result<String, Error> {
+        let response = reqwest::get(url).await?;
+        response.text().await
+    }
+}
+
+fn read_file(path: &str) -> Result<String, io::Error> {
+    std::fs::read_to_string(path)
+}
+'''
+
+JS_SRC = '''\
+/**
+ * Calculates the sum of two numbers.
+ * @param {number} a - First number
+ */
+export function add(a, b) {
+    return a + b;
+}
+
+const multiply = (x, y) => {
+    return x * y;
+};
+
+const API_URL = "https://example.test";
+
+class Calculator {
+    constructor(value) {
+        this.value = value;
+    }
+
+    add(x) {
+        this.value += x;
+        return this.value;
+    }
+}
+'''
+
+
+def test_parse_rust_units(spark):
+    """Shapes match colgrep/src/parser/tests/test_rust.rs: functions with
+    signature/params/doc, impl methods with parent_class, types as Class."""
+    files = spark.createDataFrame([("src/calc.rs", RUST_SRC)], "path string, content string")
+    units = {r.qualified_name: r for r in parse_code_units(files).collect()}
+
+    add = units["add"]
+    assert add.unit_type == "Function" and add.language == "rust"
+    assert add.signature == "pub fn add(a: i32, b: i32) -> i32 {"
+    assert add.parameters == ["a", "b"]
+    assert "Calculates the sum" in add.docstring
+    assert (add.line, add.end_line) == (4, 6)
+
+    assert units["MAX_RETRIES"].unit_type == "Constant"
+    assert units["Calculator"].unit_type == "Class"
+
+    new = units["Calculator.new"]
+    assert new.unit_type == "Method" and new.parent_class == "Calculator"
+    assert new.parameters == ["value"]  # self-like receivers dropped
+
+    fetch = units["Calculator.fetch_data"]
+    assert fetch.unit_type == "Method" and fetch.parameters == ["url"]
+    assert "get" in fetch.calls and "text" in fetch.calls
+
+    rf = units["read_file"]
+    assert rf.unit_type == "Function" and "read_to_string" in rf.calls
+
+
+def test_parse_js_units(spark):
+    """Shapes match test_javascript.rs: function/arrow/class/method units."""
+    files = spark.createDataFrame([("src/calc.js", JS_SRC)], "path string, content string")
+    units = {r.qualified_name: r for r in parse_code_units(files).collect()}
+
+    add = units["add"]
+    assert add.unit_type == "Function" and add.language == "javascript"
+    assert add.signature == "export function add(a, b) {"
+    assert add.parameters == ["a", "b"]
+    assert "Calculates the sum" in add.docstring
+
+    mul = units["multiply"]
+    assert mul.unit_type == "Function" and mul.parameters == ["x", "y"]
+
+    assert units["API_URL"].unit_type == "Constant"
+    assert units["Calculator"].unit_type == "Class"
+    ctor = units["Calculator.constructor"]
+    assert ctor.unit_type == "Method" and ctor.parent_class == "Calculator"
+    m_add = units["Calculator.add"]
+    assert m_add.unit_type == "Method" and m_add.parameters == ["x"]
+
+
+def test_search_code_unit_level_hits_on_rust_js(spark):
+    """P1 gate: search over .rs/.js fixtures returns unit-level (not
+    whole-file RawCode) hits."""
+    from next_plaid_spark.operators.code_parse import with_unit_ids
+    from next_plaid_spark.operators.colgrep import search_code
+
+    files = spark.createDataFrame(
+        [("src/calc.rs", RUST_SRC), ("src/calc.js", JS_SRC)],
+        "path string, content string",
+    )
+    units = with_unit_ids(parse_code_units(files)).cache()
+    assert units.filter(F.col("unit_type") == "RawCode").count() == 0
+
+    got = search_code(units, "fetch data from url", top_k=5, collapse=False).collect()
+    assert len(got) > 0
+    names = {r.name for r in got}
+    assert "fetch_data" in names
+    # hits carry unit-level line spans, not whole-file ranges
+    by_name = {r.name: r for r in got}
+    assert by_name["fetch_data"].line > 1
 
 
 def test_parse_own_repo_and_search(spark):
