@@ -92,6 +92,28 @@ def main() -> None:
     timings[f"plaid_search_batch{n_q}"] = round(dt, 3)
     qps = round(n_q / dt, 1)
 
+    # the claimed 100×-scale fallbacks must carry numbers: the same batch
+    # through (a) the chunked-broadcast strategy forced to 4 chunks (what
+    # auto engages when the broadcast score matrix blows its budget) and
+    # (b) the cogrouped-kernel strategy
+    from next_plaid_spark.encoding import DEFAULT_DIM  # noqa: F401
+
+    est = 8 * n_q * idx.meta.k * 4  # QUERY_MAX_TOKENS * queries * K * 4B
+    chunked_searcher = BatchSearcher(
+        idx, SearchParams(top_k=10, n_full_scores=256),
+        approx_strategy="chunked", broadcast_budget_bytes=max(1, est // 4),
+    )
+    t0 = time.time()
+    force(chunked_searcher.search(encode_queries(batch_queries)))
+    timings[f"plaid_search_batch{n_q}_chunked4"] = round(time.time() - t0, 3)
+
+    kernel_searcher = BatchSearcher(
+        idx, SearchParams(top_k=10, n_full_scores=256), approx_strategy="kernel"
+    )
+    t0 = time.time()
+    force(kernel_searcher.search(encode_queries(batch_queries)))
+    timings[f"plaid_search_batch{n_q}_kernel"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

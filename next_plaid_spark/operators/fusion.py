@@ -68,41 +68,73 @@ def hybrid_search(semantic: DataFrame, keyword: DataFrame, *,
 
     All routing is semi/anti joins on the (small, already-ranked) result
     lists — no extra pass over the corpus."""
-    fuse = fuse_rrf if mode == "rrf" else fuse_relative_score
-    # one row per query — always broadcastable
-    sem_q = F.broadcast(semantic.select("query_id").distinct())
-    kw_q = F.broadcast(keyword.select("query_id").distinct())
+    # Single-plan formulation: one full-outer join (the same join the plain
+    # fusions do), with per-query presence flags as windows over the joined
+    # frame. Routing via semi/anti joins would evaluate each input list
+    # three times (they are usually unmaterialized search plans — the
+    # semantic side alone can be a full MaxSim pass); here each side is
+    # evaluated exactly as often as in plain fusion. For queries on both
+    # sides the score expression is literally the fuse_* formula on the
+    # same inputs — bit-identical results.
+    if mode == "rrf":
+        sem = _ranked(semantic, score_col).select(
+            "query_id", "doc_id", F.col("_s").alias("_ss"), F.col("_r").alias("_sr")
+        )
+        kw = _ranked(keyword, score_col).select(
+            "query_id", "doc_id", F.col("_s").alias("_ks"), F.col("_r").alias("_kr")
+        )
+        joined = sem.join(kw, ["query_id", "doc_id"], "full_outer")
+        fused_score = (
+            F.coalesce(F.lit(alpha) / (F.lit(float(RRF_C)) + F.col("_sr")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0 - alpha) / (F.lit(float(RRF_C)) + F.col("_kr")), F.lit(0.0)
+            )
+        )
+        sem_raw, kw_raw = F.col("_ss"), F.col("_ks")
+        sem_present, kw_present = F.col("_sr"), F.col("_kr")
+    else:
+        sem = _minmax_norm(_ranked(semantic, score_col), keep_raw=True).select(
+            "query_id", "doc_id", F.col("_norm").alias("sem_n"),
+            F.col("_s").alias("_ss"),
+        )
+        kw = _minmax_norm(_ranked(keyword, score_col), keep_raw=True).select(
+            "query_id", "doc_id", F.col("_norm").alias("kw_n"),
+            F.col("_s").alias("_ks"),
+        )
+        joined = sem.join(kw, ["query_id", "doc_id"], "full_outer")
+        fused_score = (
+            F.lit(alpha) * F.coalesce(F.col("sem_n"), F.lit(0.0))
+            + F.lit(1.0 - alpha) * F.coalesce(F.col("kw_n"), F.lit(0.0))
+        )
+        sem_raw, kw_raw = F.col("_ss"), F.col("_ks")
+        sem_present, kw_present = F.col("sem_n"), F.col("kw_n")
 
-    fused = fuse(
-        semantic.join(kw_q, "query_id", "left_semi"),
-        keyword.join(sem_q, "query_id", "left_semi"),
-        alpha=alpha, k=k, score_col=score_col,
+    wq = Window.partitionBy("query_id")
+    has_sem = F.max(sem_present.isNotNull().cast("int")).over(wq) == 1
+    has_kw = F.max(kw_present.isNotNull().cast("int")).over(wq) == 1
+    scored = joined.select(
+        "query_id",
+        "doc_id",
+        F.when(has_sem & has_kw, fused_score)
+        .when(has_sem, sem_raw)
+        .otherwise(kw_raw)
+        .alias("score"),
     )
-
-    def _truncated(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col(score_col).desc(), F.col("doc_id").asc()
-        )
-        return (
-            df.select("query_id", "doc_id", F.col(score_col).alias("score"))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
-
-    sem_only = _truncated(semantic.join(kw_q, "query_id", "left_anti"))
-    kw_only = _truncated(keyword.join(sem_q, "query_id", "left_anti"))
-    return fused.unionByName(sem_only).unionByName(kw_only)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _minmax_norm(df: DataFrame) -> DataFrame:
+def _minmax_norm(df: DataFrame, *, keep_raw: bool = False) -> DataFrame:
     """Per-query min-max to [0,1]; constant lists → 1.0
     (text_search.rs:1042-1057)."""
     rng = df.groupBy("query_id").agg(
         F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
     )
+    cols = ["query_id", "doc_id"] + (["_s"] if keep_raw else [])
     return df.join(rng, "query_id").select(
-        "query_id",
-        "doc_id",
+        *cols,
         F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0))
         .otherwise((F.col("_s") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
         .alias("_norm"),

@@ -62,24 +62,38 @@ BROADCAST_SCORES_BUDGET_BYTES = 128 << 20
 
 class BatchSearcher:
     def __init__(self, index: PlaidIndex, params: SearchParams | None = None,
-                 *, approx_strategy: str = "auto"):
+                 *, approx_strategy: str = "auto",
+                 broadcast_budget_bytes: int | None = None):
         """approx_strategy:
         'auto' (default) — 'broadcast' while the query batch's centroid-score
-        matrix fits BROADCAST_SCORES_BUDGET_BYTES, else 'kernel'.
+        matrix fits the broadcast budget, else 'chunked'.
         'broadcast' — query side (token matrix + surviving cells) collected
         and broadcast; one doc-parallel kernel scans each candidate doc's
         code list exactly once for the whole batch. The scalable batch mode:
         the query batch is the small side by construction, the corpus never
         re-shuffles per query.
+        'chunked' — the over-budget fallback: the query batch is split into
+        broadcast-budget-sized chunks of whole queries, each running the
+        broadcast kernel; results union. Bounded driver memory at any batch
+        size, and each chunk still scans candidate docs once (measured ~2×
+        the broadcast wall for a same-size batch split 4 ways, vs ~5× for
+        the cogrouped kernel's pair materialization).
         'kernel' — cogrouped Arrow kernel, the analog of the reference's
         sparse codes-only scoring (search.rs:256-302); materializes the
-        (query × doc) candidate pairs. Unbounded query batches.
+        (query × doc) candidate pairs, duplicating each candidate doc's
+        code list per query — benchmarked ~5× the broadcast wall at sf0.1
+        (BENCH_r04), kept for plan comparison and truly unbounded batches
+        where even per-chunk driver collection is unwanted.
         'relational' — pure Catalyst joins; same results, quadratically more
         shuffled rows (kept for plan comparison and environments without
         Python workers)."""
         self.index = index
         self.params = params or SearchParams()
         self.approx_strategy = approx_strategy
+        self.broadcast_budget_bytes = (
+            BROADCAST_SCORES_BUDGET_BYTES if broadcast_budget_bytes is None
+            else broadcast_budget_bytes
+        )
         self._centroids = index.centroids_np()
         # DataFrames cached by search() calls (query tokens, subset, pruned
         # ivf). They must stay cached while the returned lazy plan is being
@@ -331,6 +345,46 @@ class BatchSearcher:
             )
         return doc_lists.mapInPandas(kern, schema=schema)
 
+    def _approx_chunked(self, query_tokens: DataFrame, n_probe: int,
+                        p: "SearchParams", ivf: DataFrame,
+                        prune_to: int | None = None,
+                        eligible_mask: np.ndarray | None = None) -> DataFrame:
+        """Broadcast kernel over budget-sized chunks of whole queries.
+
+        Splitting by query id keeps every per-query invariant of
+        ``_approx_broadcast`` intact (probe, t_cs prune, candidacy and
+        scoring are all per-query); the union is therefore bit-identical
+        to a single oversized broadcast. Driver memory is bounded by one
+        chunk's score matrix at a time. Chunk ranges come from sorted
+        distinct query ids (8 bytes/query driver-side), so the per-chunk
+        filter is a range predicate that pushes into the token scan."""
+        import math
+
+        est = query_tokens.count() * self.index.meta.k * 4
+        n_chunks = max(1, math.ceil(est / self.broadcast_budget_bytes))
+        qids = sorted(
+            r.query_id for r in query_tokens.select("query_id").distinct().collect()
+        )
+        if not qids:
+            return self._approx_broadcast(
+                query_tokens, n_probe, p, ivf, prune_to=prune_to,
+                eligible_mask=eligible_mask,
+            )
+        n_chunks = min(n_chunks, len(qids))
+        per = math.ceil(len(qids) / n_chunks)
+        out = None
+        for i in range(0, len(qids), per):
+            lo, hi = qids[i], qids[min(i + per, len(qids)) - 1]
+            sub = query_tokens.filter(
+                (F.col("query_id") >= lo) & (F.col("query_id") <= hi)
+            )
+            part = self._approx_broadcast(
+                sub, n_probe, p, ivf, prune_to=prune_to,
+                eligible_mask=eligible_mask,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def _approx_relational(self, query_tokens: DataFrame, candidates: DataFrame,
                            doc_codes: DataFrame) -> DataFrame:
         """Pure-Catalyst Q6 (token-deduped when the encoder is
@@ -511,17 +565,23 @@ class BatchSearcher:
         if strategy == "auto":
             # broadcast while the batch's [q_tokens, K] score matrix fits
             est = query_tokens.count() * idx.meta.k * 4
-            strategy = "broadcast" if est <= BROADCAST_SCORES_BUDGET_BYTES else "kernel"
+            strategy = "broadcast" if est <= self.broadcast_budget_bytes else "chunked"
 
-        if strategy == "broadcast":
+        if strategy in ("broadcast", "chunked"):
             # Q1–Q6 in one shot: probe/prune driver-side, candidacy and
             # approx scoring in the doc-parallel kernel; chunk-local
             # pre-prune to the Q7/Q8 cut
             cut = min(p.n_full_scores, max(p.n_full_scores // 4, p.top_k))
-            approx = self._approx_broadcast(
-                query_tokens, n_probe, p, ivf, prune_to=cut,
-                eligible_mask=eligible_mask,
-            )
+            if strategy == "broadcast":
+                approx = self._approx_broadcast(
+                    query_tokens, n_probe, p, ivf, prune_to=cut,
+                    eligible_mask=eligible_mask,
+                )
+            else:
+                approx = self._approx_chunked(
+                    query_tokens, n_probe, p, ivf, prune_to=cut,
+                    eligible_mask=eligible_mask,
+                )
         else:
             probed = self._probe(query_tokens, n_probe, eligible_mask=eligible_mask)
 

@@ -219,6 +219,16 @@ def test_approx_strategies_agree(spark, built_index):
     assert results["broadcast"] == results["kernel"]
     assert results["kernel"] == results["relational"]
 
+    # chunked (forced to >1 chunk via a tiny budget) must be bit-identical
+    # to one oversized broadcast — per-query invariants survive the split
+    chunked = sorted(
+        (r.query_id, r.doc_id, r.rank)
+        for r in BatchSearcher(
+            idx, p, approx_strategy="chunked", broadcast_budget_bytes=1024
+        ).search(qt).collect()
+    )
+    assert chunked == results["broadcast"]
+
 
 def test_search_without_doc_codes_artifact(spark, built_index, tmp_path):
     """Indexes written before the doc_codes table existed fall back to
