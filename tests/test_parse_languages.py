@@ -1,0 +1,297 @@
+"""P1 multi-language ast-lite extraction.
+
+Unit shapes mirror the per-language assertions in
+colgrep/src/parser/tests/test_{go,typescript,java,csharp,c,cpp,php,ruby}.rs
+(e.g. Go methods attach to the receiver type, Java methods are emitted as
+separate units alongside their parent class chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.code_parse import parse_code_units, with_unit_ids
+
+GO_SRC = '''package main
+
+// Add calculates the sum of two integers.
+// It returns the result as an integer.
+func Add(a, b int) int {
+    return a + b
+}
+
+type Calculator struct {
+    value int
+}
+
+func (c *Calculator) Add(x int) int {
+    c.value += x
+    return c.value
+}
+
+func divide(a, b int) (int, error) {
+    if b == 0 {
+        return 0, errors.New("division by zero")
+    }
+    return a / b, nil
+}
+
+const MaxRetries = 3
+'''
+
+TS_SRC = '''interface User {
+    id: number;
+    name: string;
+}
+
+/** Fetch a user by id from the backend. */
+async function fetchUser(id: number): Promise<User> {
+    const response = await fetch(`/users/${id}`);
+    return response.json();
+}
+
+const double = (x: number): number => x * 2;
+
+export class Store {
+    get(id: string): User | undefined {
+        return this.items.get(id);
+    }
+}
+'''
+
+JAVA_SRC = '''public class Calculator {
+    public static final int MAX_VALUE = 100;
+
+    /**
+     * Calculates the sum of two numbers.
+     */
+    public int add(int a, int b) {
+        return a + b;
+    }
+
+    public static String format(String template, Object... args) {
+        return String.format(template, args);
+    }
+}
+'''
+
+CSHARP_SRC = '''public sealed class Greeter {
+    public const string DEFAULT_NAME = "world";
+
+    public async Task<string> GreetAsync(string name) {
+        await Task.Delay(10);
+        return $"Hello {name}";
+    }
+}
+'''
+
+C_SRC = '''#define MAX_SIZE 1024
+
+/* Adds two integers. */
+static int add(int a, int b) {
+    return a + b;
+}
+
+struct point {
+    int x;
+    int y;
+};
+
+static int
+old_style(int a)
+{
+    return helper(a);
+}
+
+int main(void) {
+    if (add(1, 2) > 0) {
+        return 0;
+    }
+    return 1;
+}
+'''
+
+CPP_SRC = '''class Shape {
+public:
+    virtual double area() const {
+        return 0.0;
+    }
+};
+
+double Shape::perimeter(int sides) {
+    return sides * 1.0;
+}
+
+template <typename T>
+T clamp(T v, T lo, T hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+'''
+
+PHP_SRC = '''<?php
+const MAX_USERS = 50;
+
+/** Say hello politely. */
+function greet($name, $greeting = "Hello") {
+    return "$greeting, $name";
+}
+
+class UserRepo {
+    public function find($id) {
+        return $this->db->get($id);
+    }
+}
+'''
+
+RUBY_SRC = '''MAX_RETRIES = 3
+
+# Greets a person by name.
+def greet(name, greeting = "Hello")
+  "#{greeting}, #{name}"
+end
+
+class Calculator
+  def add(a, b)
+    a + b
+  end
+
+  def each_pair
+    [1, 2].each do |x|
+      yield x, x * 2
+    end
+  end
+end
+'''
+
+
+def _units(spark, path, src):
+    files = spark.createDataFrame([(path, src)], "path string, content string")
+    return {r.qualified_name: r for r in parse_code_units(files).collect()}
+
+
+def test_parse_go_units(spark):
+    units = _units(spark, "calc.go", GO_SRC)
+    add = units["Add"]
+    assert add.unit_type == "Function" and add.language == "go"
+    assert add.signature == "func Add(a, b int) int {"
+    assert add.parameters == ["a", "b"]
+    assert "Add calculates the sum" in add.docstring
+    assert units["Calculator"].unit_type == "Class"
+    meth = units["Calculator.Add"]
+    assert meth.unit_type == "Method" and meth.parent_class == "Calculator"
+    assert meth.parameters == ["x"]
+    div = units["divide"]
+    assert div.parameters == ["a", "b"] and "New" in div.calls
+    assert units["MaxRetries"].unit_type == "Constant"
+
+
+def test_parse_typescript_units(spark):
+    units = _units(spark, "store.ts", TS_SRC)
+    assert units["User"].unit_type == "Class"  # interface
+    fu = units["fetchUser"]
+    assert fu.unit_type == "Function" and fu.language == "typescript"
+    assert fu.parameters == ["id"]
+    assert "Fetch a user" in fu.docstring
+    assert "fetch" in fu.calls and "json" in fu.calls
+    assert units["double"].unit_type == "Function"
+    assert units["double"].parameters == ["x"]
+    got = units["Store.get"]
+    assert got.unit_type == "Method" and got.parent_class == "Store"
+    assert got.parameters == ["id"]
+
+
+def test_parse_java_units(spark):
+    units = _units(spark, "Calculator.java", JAVA_SRC)
+    cls = units["Calculator"]
+    # class chunk spans the whole body AND methods are separate units
+    # (test_java.rs: "Methods are extracted as separate units alongside
+    # their parent classes")
+    assert cls.unit_type == "Class" and cls.end_line > 10
+    add = units["Calculator.add"]
+    assert add.unit_type == "Method" and add.parent_class == "Calculator"
+    assert add.parameters == ["a", "b"]
+    assert "Calculates the sum" in add.docstring
+    fmt = units["Calculator.format"]
+    assert fmt.parameters == ["template", "args"]
+    assert units["Calculator.MAX_VALUE"].unit_type == "Constant"
+
+
+def test_parse_csharp_units(spark):
+    units = _units(spark, "Greeter.cs", CSHARP_SRC)
+    assert units["Greeter"].unit_type == "Class"
+    g = units["Greeter.GreetAsync"]
+    assert g.unit_type == "Method" and g.language == "csharp"
+    assert g.parameters == ["name"]
+    assert units["Greeter.DEFAULT_NAME"].unit_type == "Constant"
+
+
+def test_parse_c_units(spark):
+    units = _units(spark, "main.c", C_SRC)
+    assert units["MAX_SIZE"].unit_type == "Constant"
+    add = units["add"]
+    assert add.unit_type == "Function" and add.parameters == ["a", "b"]
+    assert "Adds two integers" in add.docstring
+    assert units["point"].unit_type == "Class"
+    # return type on its own line (K&R-ish layout)
+    old = units["old_style"]
+    assert old.parameters == ["a"] and "helper" in old.calls
+    main = units["main"]
+    assert main.parameters == [] and main.line == 19
+
+
+def test_parse_cpp_units(spark):
+    units = _units(spark, "shape.cpp", CPP_SRC)
+    assert units["Shape"].unit_type == "Class"
+    area = units["Shape.area"]
+    assert area.unit_type == "Method" and area.parent_class == "Shape"
+    # out-of-class definition binds to the scoped type
+    per = units["Shape.perimeter"]
+    assert per.unit_type == "Method" and per.parameters == ["sides"]
+    assert units["clamp"].unit_type == "Function"
+    assert units["clamp"].parameters == ["v", "lo", "hi"]
+
+
+def test_parse_php_units(spark):
+    units = _units(spark, "repo.php", PHP_SRC)
+    assert units["MAX_USERS"].unit_type == "Constant"
+    g = units["greet"]
+    assert g.unit_type == "Function" and g.parameters == ["name", "greeting"]
+    assert "Say hello" in g.docstring
+    f = units["UserRepo.find"]
+    assert f.unit_type == "Method" and f.parent_class == "UserRepo"
+
+
+def test_parse_ruby_units(spark):
+    units = _units(spark, "calc.rb", RUBY_SRC)
+    assert units["MAX_RETRIES"].unit_type == "Constant"
+    g = units["greet"]
+    assert g.unit_type == "Function" and g.language == "ruby"
+    assert g.parameters == ["name", "greeting"]
+    assert "Greets a person" in g.docstring
+    assert units["Calculator"].unit_type == "Class"
+    add = units["Calculator.add"]
+    assert add.unit_type == "Method" and (add.line, add.end_line) == (9, 11)
+    # `do ... end` block inside the method must not break end-matching
+    ep = units["Calculator.each_pair"]
+    assert (ep.line, ep.end_line) == (13, 17)
+
+
+def test_search_code_unit_hits_across_languages(spark):
+    """search_code returns unit-level hits (not whole-file RawCode) for
+    every newly supported language."""
+    from next_plaid_spark.operators.colgrep import search_code
+
+    files = spark.createDataFrame(
+        [("calc.go", GO_SRC), ("store.ts", TS_SRC), ("Calculator.java", JAVA_SRC),
+         ("Greeter.cs", CSHARP_SRC), ("main.c", C_SRC), ("shape.cpp", CPP_SRC),
+         ("repo.php", PHP_SRC), ("calc.rb", RUBY_SRC)],
+        "path string, content string",
+    )
+    units = with_unit_ids(parse_code_units(files)).cache()
+    assert units.filter(F.col("unit_type") == "RawCode").count() == 0
+    langs = {r.language for r in units.select("language").distinct().collect()}
+    assert langs == {"go", "typescript", "java", "csharp", "c", "cpp",
+                     "php", "ruby"}
+
+    got = search_code(units, "fetch user by id", top_k=5, collapse=False).collect()
+    assert got and "fetchUser" in {r.name for r in got}
