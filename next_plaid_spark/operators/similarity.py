@@ -9,6 +9,12 @@ Not in the reference (its unit is the multi-vector doc), but a first-class
 - ``lsh_bucket_topk`` — scale path: random-hyperplane LSH (SimHash family)
   buckets both sides; only same-bucket pairs are scored. Recall is tunable
   via ``n_tables`` × ``n_bits``.
+- ``ivf_topk`` — the other scale path: k-means coarse cells (the same
+  IVF discipline as the PLAID funnel, next-plaid/src/kmeans.rs /
+  search.rs:388-414, applied to single-vector rows). Corpus vectors are
+  assigned to their nearest cell once; each query probes its ``n_probe``
+  best cells and only those cells' vectors are scored. The probe join is
+  a cell equi-join — partition-parallel, no crossJoin.
 """
 
 from __future__ import annotations
@@ -132,6 +138,135 @@ def lsh_bucket_assignments(
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         sig, schema=f"_id long, _vec {vec_type}, _table int, _bucket long"
     )
+
+
+def train_ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int,
+    *,
+    seed: int = 42,
+    train_cap: int = 65_536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the IVF coarse quantizer on a bounded, seeded corpus sample.
+
+    The sample is selected by hash order (deterministic under seed,
+    independent of partitioning — the codec trainer's HELDOUT_CAP
+    pattern), collected to the driver (≤ ``train_cap`` rows), normalized,
+    and clustered with the same Lloyd's used for the PLAID index build.
+    Returns a normalized ``[n_cells, dim]`` float32 matrix.
+    """
+    import numpy as np
+
+    from next_plaid_spark.operators.kmeans import lloyds
+
+    rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+        .limit(train_cap)
+        .collect()
+    )
+    pts = np.asarray([r._v for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(pts, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return lloyds(pts / norms, n_cells, seed=seed)
+
+
+def ivf_cell_assignments(
+    df: DataFrame,
+    centroids,
+    *,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest cells (by cosine).
+
+    One GEMM per Arrow batch against the broadcast centroid matrix; rows
+    come back exploded as ``(_id, _vec, _cell)``. ``n_probe=1`` is corpus
+    assignment; queries pass the probe width.
+    """
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float32)
+    k = cmat.shape[0]
+    p = max(1, min(n_probe, k))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            scores = (x / n) @ cmat.T  # [rows, k]
+            if p == 1:
+                cells = np.argmax(scores, axis=1)[:, None]
+            else:
+                part = np.argpartition(scores, -p, axis=1)[:, -p:]
+                # deterministic probe order: best cell first
+                order = np.argsort(
+                    np.take_along_axis(scores, part, axis=1), axis=1
+                )[:, ::-1]
+                cells = np.take_along_axis(part, order, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy().repeat(p),
+                    "_vec": [v for v in pdf[vec_col] for _ in range(p)],
+                    "_cell": cells.ravel().astype(np.int32),
+                }
+            )
+
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, schema=f"_id long, _vec {vec_type}, _cell int"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    train_cap: int = 65_536,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN cosine top-k via IVF coarse cells (kmeans.rs / search.rs:388-414
+    discipline on single-vector rows).
+
+    Recall is tuned by ``n_probe / n_cells``; with ``n_probe == n_cells``
+    the result equals the exact ``cosine_topk``. Pass ``centroids`` to
+    reuse a trained quantizer (e.g. across batches of the same corpus).
+    Tie-break: cos desc, vec_id asc — deterministic.
+    """
+    if centroids is None:
+        centroids = train_ivf_cells(
+            embeddings, n_cells, seed=seed, train_cap=train_cap,
+            id_col=id_col, vec_col=vec_col)
+    c = ivf_cell_assignments(
+        embeddings, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
+    q = ivf_cell_assignments(
+        queries, centroids, n_probe=n_probe,
+        id_col=query_id_col, vec_col=query_vec_col)
+    cand = c.join(
+        q.withColumnRenamed("_id", "query_id").withColumnRenamed("_vec", "_qvec"),
+        on="_cell",
+    ).select("query_id", F.col("_id").alias("vec_id"), "_qvec", "_vec")
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("_qvec"), F.col("_vec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_bucket_topk(

@@ -884,6 +884,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (the funnel's coarse-quantizer discipline on
+    single-vector rows) — rows-only; recall vs exact cosine is gated in
+    tests/test_similarity.py."""
+    from next_plaid_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb, queries, k=COSINE_TOPK, n_cells=32, n_probe=8, seed=42
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (window functions, sessionization, JSON props —
 # SURVEY §2.9 window/cumulative ops; streaming ingest uses the same logic
@@ -1084,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "pricing_summary": q_pricing_summary,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,

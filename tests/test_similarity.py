@@ -1,10 +1,15 @@
-"""ANN (LSH) recall vs exact cosine top-k."""
+"""ANN (LSH / IVF) recall vs exact cosine top-k."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from next_plaid_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from next_plaid_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    train_ivf_cells,
+)
 
 
 def test_lsh_recall_vs_exact(spark, embeddings):
@@ -43,3 +48,59 @@ def test_lsh_scores_are_exact_for_returned(spark, embeddings):
     ).collect():
         assert (r.query_id, r.vec_id) in exact
         assert r.cos_sim == exact[(r.query_id, r.vec_id)]
+
+
+def _recall(exact_rows, approx_rows):
+    e, a = {}, {}
+    for r in exact_rows:
+        e.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx_rows:
+        a.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    return sum(recalls) / len(recalls)
+
+
+def test_ivf_recall_vs_exact(spark, embeddings):
+    emb = embeddings.cache()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    # the synthetic embeddings are near-isotropic (no planted cluster
+    # structure), so IVF recall ≈ probed-cell fraction; 8/16 cells
+    # measures ≈0.89 recall@10 — on naturally clustered corpora the same
+    # probe fraction recalls far more
+    approx = ivf_topk(
+        emb, queries, k=10, n_cells=16, n_probe=8, seed=42
+    ).collect()
+    mean = _recall(exact, approx)
+    assert mean >= 0.7, f"IVF recall@10 {mean:.2f}"
+
+
+def test_ivf_full_probe_equals_exact(spark, embeddings):
+    """n_probe == n_cells degrades gracefully to the exact result."""
+    emb = embeddings.cache()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    full = ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8, seed=42).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in full} == \
+        {(r.query_id, r.vec_id, r.rank) for r in exact}
+    sc = {(r.query_id, r.vec_id): r.cos_sim for r in exact}
+    for r in full:
+        assert r.cos_sim == sc[(r.query_id, r.vec_id)]
+
+
+def test_ivf_centroid_reuse_deterministic(spark, embeddings):
+    """A pre-trained quantizer can be reused and gives identical results."""
+    emb = embeddings.cache()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = train_ivf_cells(emb, 16, seed=42)
+    a = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4, seed=42).collect()
+    b = ivf_topk(
+        emb, queries, k=5, n_probe=4, centroids=cents
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
