@@ -40,6 +40,8 @@ AUDITED = [
     "pricing_summary",
     "events_sessions",
     "cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
@@ -124,7 +126,8 @@ def main() -> int:
         # A4: no unintended cartesian products
         if name in ("bm25_topk", "dedup_minhash_lsh", "dedup_embedding",
                     "simhash_fingerprints", "pricing_summary",
-                    "events_sessions") and s["cartesian"]:
+                    "events_sessions", "ann_lsh_topk", "ann_ivf_topk") \
+                and s["cartesian"]:
             failures.append(f"A4 {name}: unexpected cartesian/nested-loop join")
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
