@@ -727,17 +727,17 @@ GROUP BY 1
 
 
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """Per-group top-k through the shuffle-bounded operator (map-side
+    bounded prune, then the rank window on the pruned remainder —
+    operators/topk_agg.py); bit-identical to the plain window the oracle
+    SQL runs."""
+    from next_plaid_spark.operators.topk_agg import grouped_topk
 
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        orders.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").alias("rank"))
-    )
+    return grouped_topk(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"], "o_totalprice", 3, tie_cols=["o_orderkey"],
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
 
 
 SQL_TOP_ORDERS_PER_CUSTOMER = """
@@ -987,6 +987,39 @@ FROM s GROUP BY 1
 """.strip()
 
 
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via the built-in ``F.session_window`` (Catalyst
+    session merge; streaming/windows.py::session_windows — the same code
+    serves the watermarked stream). Boundary semantics: half-open
+    ``[t, t+gap)`` windows, so an event exactly ``gap`` after the last
+    starts a new session — hence ``>= gap`` in the island oracle SQL."""
+    from next_plaid_spark.streaming.windows import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events"))
+
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+SQL_EVENTS_SESSION_WINDOWS = f"""
+WITH g AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US} THEN 1
+              ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, value, us,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM g
+)
+SELECT user_id, min(us) AS session_start, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+""".strip()
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (the reference's dynamic JSON
     metadata semantics, filtering.rs:1178-1198, as plain Spark SQL)."""
@@ -1102,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_session_windows": q_events_session_windows,
         "events_props": q_events_props,
     }
 
@@ -1136,5 +1170,6 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_session_windows": SQL_EVENTS_SESSION_WINDOWS,
         "events_props": SQL_EVENTS_PROPS,
     }
