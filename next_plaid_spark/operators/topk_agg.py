@@ -16,6 +16,14 @@ entry which is backed by this operator.
 The same two-phase discipline already runs inside the search funnel's
 broadcast kernel (plans/searcher.py: chunk-local ``prune_to`` before the
 rank window); this operator is the reusable relational form.
+
+Measured trade (local[32], 20M rows, k=3): the plain window wins ~2×
+single-node (3-5s vs 5-6s at 100-1000 groups) because a local shuffle is
+memory-speed while the prune pays Arrow transfer of every input row. The
+prune's win condition is a real cluster where the exchange is network-
+bound and rows/group ≫ k × partitions: shuffle volume drops from N rows
+to ≤ k × partitions × groups. ``local_prune=False`` skips the prune and
+degrades to the plain window for single-node / low-fan-in shapes.
 """
 
 from __future__ import annotations
@@ -30,7 +38,8 @@ from pyspark.sql.window import Window
 def grouped_topk(df: DataFrame, group_cols: Sequence[str], order_col: str,
                  k: int, *, descending: bool = True,
                  tie_cols: Sequence[str] = (),
-                 rank_col: str | None = "rank") -> DataFrame:
+                 rank_col: str | None = "rank",
+                 local_prune: bool = True) -> DataFrame:
     """Top-k rows per group under (order_col, *tie_cols) — bit-identical to
     a row_number window, with map-side bounded pruning.
 
@@ -47,16 +56,25 @@ def grouped_topk(df: DataFrame, group_cols: Sequence[str], order_col: str,
     cols = df.columns
 
     def prune(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # running bounded heap per partition: fold every Arrow batch into
+        # an accumulator that never exceeds k rows per group seen, so both
+        # memory and shuffle output are O(k × groups-in-partition)
+        import pandas as pd
+
+        acc = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            yield (
-                pdf.sort_values(by, ascending=asc, kind="mergesort")
+            merged = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                merged.sort_values(by, ascending=asc, kind="mergesort")
                 .groupby(group_cols, sort=False)
                 .head(k)
             )
+        if acc is not None:
+            yield acc
 
-    pruned = df.mapInPandas(prune, schema=df.schema)
+    pruned = df.mapInPandas(prune, schema=df.schema) if local_prune else df
     order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
     order += [F.col(c).asc() for c in tie_cols]
     w = Window.partitionBy(*group_cols).orderBy(*order)
