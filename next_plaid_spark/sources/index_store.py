@@ -6,9 +6,12 @@ One index = one directory of Parquet tables + a JSON sidecar:
     <path>/tokens/      doc_id, token_idx, code, residual   (the corpus)
     <path>/centroids/   code, vec                           (small)
     <path>/ivf/         code, doc_ids                       (inverted file)
-    <path>/doclens/     doc_id, num_tokens
-    <path>/doc_codes/   doc_id, codes                       (codes.npy analog)
+    <path>/doc_stats/   doc_id, num_tokens, codes  (doclens + codes.npy
+                        analogs from one shuffle; readers column-prune)
     <path>/meta.json    k, dim, nbits, codec artifacts, counts
+
+Legacy layouts with separate ``doclens``/``doc_codes`` directories are
+still readable (PlaidIndex falls back when ``doc_stats`` is absent).
 
 Differences from the reference by design: no 50k-doc chunking (Spark
 partitioning replaces it), no embedding_offset bookkeeping (joins on doc_id
@@ -91,6 +94,10 @@ class PlaidIndex:
 
     @property
     def doclens(self) -> DataFrame:
+        p = os.path.join(self.path, "doc_stats")
+        if os.path.exists(p):
+            # Parquet column pruning: the codes arrays are never scanned
+            return self.spark.read.parquet(p).select("doc_id", "num_tokens")
         return self.spark.read.parquet(os.path.join(self.path, "doclens"))
 
     @property
@@ -98,9 +105,13 @@ class PlaidIndex:
         """(doc_id, codes ARRAY<BIGINT>) — each doc's distinct sorted codes,
         the Spark analog of the reference's per-doc contiguous codes.npy
         rows (index.rs:812-818 + doclens offsets). Precomputed at write
-        time so the search-side codes-only stage is a read + semi-join, not
-        a per-query-batch corpus aggregation. None for indexes written
-        before this table existed (searcher falls back to aggregating)."""
+        time (one shared groupBy with doclens in ``doc_stats``) so the
+        search-side codes-only stage is a read + semi-join, not a
+        per-query-batch corpus aggregation. None for indexes written before
+        this table existed (searcher falls back to aggregating)."""
+        p = os.path.join(self.path, "doc_stats")
+        if os.path.exists(p):
+            return self.spark.read.parquet(p).select("doc_id", "codes")
         p = os.path.join(self.path, "doc_codes")
         if not os.path.exists(p):
             return None
@@ -142,28 +153,31 @@ def write_index(
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
     tokens = spark.read.parquet(os.path.join(path, "tokens"))
-    # B8 IVF: sorted, deduped doc list per centroid (index.rs:479-508)
+    # B9 doclens + the per-doc distinct sorted codes (codes.npy analog) in
+    # ONE groupBy(doc_id) pass — the only full-corpus shuffle after the
+    # encode; readers project just the column they need (Parquet pruning),
+    # so doclens consumers never touch the codes arrays
     (
-        tokens.groupBy("code")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+        tokens.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("num_tokens"),
+            F.array_sort(F.collect_set("code")).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "doc_stats"))
+    )
+    doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+    # B8 IVF: sorted, deduped doc list per centroid (index.rs:479-508),
+    # derived from doc_stats — input is each doc's distinct codes (≤ doclen
+    # rows after explode), not the full token table, and (code, doc_id)
+    # pairs arrive pre-deduped so collect_list suffices
+    (
+        doc_stats.select("doc_id", F.explode("codes").alias("code"))
+        .groupBy("code")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
         .repartition(1 if meta.k < 65536 else 32, "code")
         .write.mode("overwrite")
         .parquet(os.path.join(path, "ivf"))
-    )
-    # B9 doclens
-    (
-        tokens.groupBy("doc_id")
-        .agg(F.count("*").alias("num_tokens"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "doclens"))
-    )
-    # per-doc distinct sorted codes (the codes.npy analog) — the approximate
-    # stage's input, precomputed once instead of per query batch
-    (
-        tokens.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("code")).alias("codes"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "doc_codes"))
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
         f.write(meta.to_json())

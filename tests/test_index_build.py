@@ -246,11 +246,16 @@ def test_search_without_doc_codes_artifact(spark, built_index, tmp_path):
 
     legacy_path = str(tmp_path / "legacy_index")
     shutil.copytree(idx.path, legacy_path)
-    shutil.rmtree(f"{legacy_path}/doc_codes")
+    # legacy layout: separate doclens dir, no doc_stats, no doc_codes
+    spark.read.parquet(f"{legacy_path}/doc_stats").select(
+        "doc_id", "num_tokens"
+    ).write.parquet(f"{legacy_path}/doclens")
+    shutil.rmtree(f"{legacy_path}/doc_stats")
     from next_plaid_spark.sources.index_store import PlaidIndex
 
     legacy = PlaidIndex.load(spark, legacy_path)
     assert legacy.doc_codes is None
+    assert legacy.doclens.count() == idx.meta.num_documents
     got = sorted(
         (r.query_id, r.doc_id, r.rank)
         for r in BatchSearcher(legacy, p, approx_strategy="broadcast").search(qt).collect()

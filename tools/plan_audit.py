@@ -106,15 +106,26 @@ def main() -> int:
         )
 
         # A1: the approximate stage must read codes without residuals —
-        # either the precomputed doc_codes artifact or a residual-free
+        # the precomputed per-doc codes artifact (legacy doc_codes dir or
+        # the merged doc_stats table, column-pruned) or a residual-free
         # tokens scan; rerank-stage tokens scans legitimately read residual
         if name in ("plaid_search_topk", "plaid_filtered_topk"):
-            approx_ok = any(sc["path"] == "doc_codes" for sc in s["scans"]) or any(
+            approx_ok = any(
+                sc["path"] in ("doc_codes", "doc_stats") and "codes" in sc["columns"]
+                for sc in s["scans"]
+            ) or any(
                 sc["path"] == "tokens" and "residual" not in sc["columns"]
                 for sc in s["scans"]
             )
             if not approx_ok:
                 failures.append(f"A1 {name}: approx stage reads residuals (no codes-only scan)")
+        # A1b: doc_stats readers must column-prune — a scan pulling the
+        # codes arrays alongside num_tokens means a doclens consumer is
+        # dragging the (large) codes column through the scan
+        for sc in s["scans"]:
+            if sc["path"] == "doc_stats" and "codes" in sc["columns"] \
+                    and "num_tokens" in sc["columns"]:
+                failures.append(f"A1b {name}: doc_stats scan not column-pruned ({sc['columns']})")
         # A2: filtered entries push metadata predicates into the scan
         if name in ("plaid_filtered_topk", "filtered_search_topk"):
             doc_scans = [sc for sc in s["scans"] if "documents" in sc["path"]]
