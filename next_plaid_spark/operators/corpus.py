@@ -1,0 +1,250 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+test-set decontamination, Gopher-style repetition statistics, and
+deterministic stratified mixture sampling.
+
+Extension surface (not in the reference, BASELINE.json north star) — the
+operations a 100 TB pretraining pipeline runs between raw crawl and
+tokenizer, built on the same shingle/hash machinery as the dedup suite so
+the DuckDB oracle reproduces every value bit-for-bit.
+
+Scale discipline:
+- contamination: the eval/benchmark side is tiny relative to a 100 TB
+  train corpus, so its distinct shingle set is BROADCAST; the train side
+  streams through a broadcast-hash semi/inner join and one groupBy(doc_id)
+  — the corpus never shuffles by shingle.
+- repetition_stats: two groupBy passes over exploded tokens/bigrams (both
+  map-side combinable counts), joined on doc_id.
+- stratified_sample: pure stateless filter on a content hash — no shuffle
+  at all, partition-parallel at any scale, deterministic under reordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
+from next_plaid_spark.operators.dedup import HASH_HEX_LEN, shingles
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (GPT-3 appendix C / FineWeb style n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination(train_docs: DataFrame, eval_docs: DataFrame, *, n: int = 3,
+                  threshold: float = 0.0, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-train-doc n-gram overlap with an eval/benchmark corpus:
+    (doc_id, n_shingles, n_shared, contamination) for training documents
+    whose contamination ratio ≥ ``threshold``.
+
+    contamination = |shingles(doc) ∩ shingles(eval corpus)| / |shingles(doc)|
+    over DISTINCT word n-grams — the decontamination signal used to drop
+    (or flag) training documents that leak benchmark text. Exact int/int
+    ratio, bit-identical cross-engine.
+
+    The eval shingle set is collected DISTINCT and broadcast: at 100 TB the
+    train side is the whole corpus but benchmarks are a few MB, so the join
+    is a broadcast hash join and the only shuffle is the groupBy(doc_id)
+    count (map-side combinable). Docs with fewer than ``n`` tokens have no
+    shingles and are excluded (they cannot leak an n-gram).
+    """
+    tr = shingles(train_docs, n=n, id_col=id_col, text_col=text_col)
+    ev = F.broadcast(
+        shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle").distinct()
+    )
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = tr.join(ev, "shingle").groupBy("doc_id").agg(
+        F.count("*").alias("n_shared"))
+    out = (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .withColumn("contamination", F.col("n_shared") / F.col("n_shingles"))
+    )
+    return out.filter(F.col("contamination") >= threshold)
+
+
+def _sql_shingles_by_source(n: int, pred: str) -> str:
+    """DuckDB distinct word-n-gram CTE body over documents rows matching
+    ``pred`` (mirrors dedup._sql_shingles with a source predicate)."""
+    cols = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+  SELECT DISTINCT doc_id, concat_ws(' ', {cols}) AS shingle
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+    FROM documents WHERE {pred}
+  ), unnest(range(1, greatest(len(toks) - {n}, -1) + 2)) AS r(i)
+""".strip()
+
+
+def sql_contamination(*, eval_source: str, n: int = 3,
+                      threshold: float = 0.0) -> str:
+    """Oracle for the split-by-source entry: eval = documents with
+    source = eval_source, train = the rest."""
+    return f"""
+WITH tr AS (
+{_sql_shingles_by_source(n, f"source <> '{eval_source}'")}
+),
+ev AS (
+  SELECT DISTINCT shingle FROM (
+{_sql_shingles_by_source(n, f"source = '{eval_source}'")}
+  )
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+hit AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (shingle) GROUP BY 1)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(h.n_shared, 0) * 1.0 / t.n_shingles AS contamination
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+WHERE coalesce(h.n_shared, 0) * 1.0 / t.n_shingles >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals (Rae et al. 2021 "Gopher" §A1.1 family):
+
+    (doc_id, n_tokens, top_word_ratio, distinct_ratio, dup_2gram_ratio)
+
+    - top_word_ratio: tf of the most frequent token / n_tokens — high means
+      one word dominates (boilerplate, keyword stuffing).
+    - distinct_ratio: distinct tokens / n_tokens — low means repetitive.
+    - dup_2gram_ratio: 1 − distinct bigrams / total bigrams — the
+      duplicate-n-gram fraction; docs with < 2 tokens score 0.
+
+    All counts are exact integers aggregated map-side; the two per-doc
+    aggregations (tokens, bigrams) join on doc_id. Docs with zero tokens
+    yield no rows (consistent cross-engine). Ratios are exact int/int
+    divisions — bit-identical to the oracle.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tokenize_unicode61(F.col(text_col))).alias("idx", "term"),
+    )
+    term_counts = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    word_agg = term_counts.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.max("tf").alias("top_tf"),
+        F.count("*").alias("n_distinct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("term"), F.lead("term", 1).over(w)).alias("gram"),
+            F.lead("term", 1).over(w).isNotNull().alias("_ok"),
+        )
+        .filter(F.col("_ok"))
+    )
+    bigram_agg = bigrams.groupBy("doc_id").agg(
+        F.count("*").alias("n_2grams"),
+        F.count_distinct("gram").alias("n_distinct_2grams"),
+    )
+    return (
+        word_agg.join(bigram_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("top_tf") / F.col("n_tokens")).alias("top_word_ratio"),
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+            F.when(
+                F.col("n_2grams").isNotNull(),
+                F.lit(1.0) - F.col("n_distinct_2grams") / F.col("n_2grams"),
+            ).otherwise(F.lit(0.0)).alias("dup_2gram_ratio"),
+        )
+    )
+
+
+def sql_repetition_stats() -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, i AS idx, toks[i] AS term
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+    FROM documents
+  ), unnest(range(1, len(toks) + 1)) AS r(i)
+),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+wa AS (
+  SELECT doc_id, sum(tf) AS n_tokens, max(tf) AS top_tf, count(*) AS n_distinct
+  FROM tc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, concat_ws(' ', term, lead(term) OVER (PARTITION BY doc_id ORDER BY idx)) AS gram,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY idx) IS NOT NULL AS ok
+  FROM ex
+),
+ba AS (
+  SELECT doc_id, count(*) AS n_2grams, count(DISTINCT gram) AS n_distinct_2grams
+  FROM bg WHERE ok GROUP BY 1
+)
+SELECT wa.doc_id,
+       CAST(wa.n_tokens AS BIGINT) AS n_tokens,
+       wa.top_tf * 1.0 / wa.n_tokens AS top_word_ratio,
+       wa.n_distinct * 1.0 / wa.n_tokens AS distinct_ratio,
+       CASE WHEN ba.n_2grams IS NOT NULL
+            THEN 1.0 - ba.n_distinct_2grams * 1.0 / ba.n_2grams
+            ELSE 0.0 END AS dup_2gram_ratio
+FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified mixture sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_DENOM = 1_000_000
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float], *,
+                      id_col: str = "doc_id", source_col: str = "source",
+                      seed: int = 42) -> DataFrame:
+    """Downsample each source to its mixture rate with a content-hash coin:
+
+    keep row ⟺ hash60(seed ‖ ':' ‖ source ‖ ':' ‖ doc_id) mod 1e6 < rate·1e6
+
+    The hash (md5-derived, same 60-bit derivation as the dedup suite) makes
+    the sample deterministic, reproducible cross-engine, independent of
+    partitioning/row order, and STABLE UNDER CORPUS GROWTH: a doc's
+    keep/drop decision never changes when other docs arrive, so incremental
+    pipeline runs agree with full reruns. Sources absent from ``rates`` are
+    dropped (explicit mixture weights only). Pure stateless filter — no
+    shuffle, no UDF.
+    """
+    expr = None
+    for src, rate in sorted(rates.items()):
+        cut = int(rate * SAMPLE_DENOM)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(src),
+                                  F.col(id_col).cast("string"))),
+                1, HASH_HEX_LEN,
+            ), 16, 10,
+        ).cast("long")
+        cond = (F.col(source_col) == src) & (h % SAMPLE_DENOM < cut)
+        expr = cond if expr is None else (expr | cond)
+    if expr is None:
+        return docs.filter(F.lit(False))
+    return docs.filter(expr)
+
+
+def sql_stratified_sample(rates: dict[str, float], *, seed: int = 42,
+                          columns: str = "doc_id, source") -> str:
+    conds = []
+    for src, rate in sorted(rates.items()):
+        cut = int(rate * SAMPLE_DENOM)
+        h = (f"CAST(concat('0x', substr(md5(concat('{seed}', ':', '{src}', ':', "
+             f"CAST(doc_id AS VARCHAR))), 1, {HASH_HEX_LEN})) AS BIGINT)")
+        conds.append(f"(source = '{src}' AND {h} % {SAMPLE_DENOM} < {cut})")
+    pred = " OR ".join(conds) if conds else "FALSE"
+    return f"SELECT {columns} FROM documents WHERE {pred}"

@@ -815,6 +815,55 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation: decontamination, repetition stats, mixture sampling
+# ---------------------------------------------------------------------------
+
+EVAL_SOURCE = "src0"  # the synthetic corpus' stand-in benchmark shard
+SAMPLE_RATES = {"src1": 0.5, "src2": 0.25, "src3": 1.0, "src4": 0.1}
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training docs (source ≠ src0) by
+    their 3-gram overlap with the benchmark shard (source = src0)."""
+    from next_plaid_spark.operators.corpus import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination(
+        docs.filter(F.col("source") != EVAL_SOURCE),
+        docs.filter(F.col("source") == EVAL_SOURCE),
+        n=3,
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), SAMPLE_RATES).select(
+        "doc_id", "source"
+    )
+
+
+def _corpus_sqls() -> list[str]:
+    from next_plaid_spark.operators.corpus import (
+        sql_contamination,
+        sql_repetition_stats,
+        sql_stratified_sample,
+    )
+
+    return [
+        sql_contamination(eval_source=EVAL_SOURCE, n=3),
+        sql_repetition_stats(),
+        sql_stratified_sample(SAMPLE_RATES),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: token counting (extension operator)
 # ---------------------------------------------------------------------------
 
@@ -1126,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1163,6 +1215,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
+        "decontaminate": _corpus_sqls()[0],
+        "repetition_stats": _corpus_sqls()[1],
+        "stratified_sample": _corpus_sqls()[2],
         "token_count": SQL_TOKEN_COUNT,
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],

@@ -1,0 +1,116 @@
+"""Corpus-curation operators: decontamination, repetition stats,
+stratified mixture sampling (operators/corpus.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.corpus import (
+    SAMPLE_DENOM,
+    contamination,
+    repetition_stats,
+    stratified_sample,
+)
+from tests.conftest import spark  # noqa: F401
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_contamination_exact_overlap(spark):
+    # eval doc: "a b c d" → 3-gram shingles {a b c, b c d}
+    ev = _docs(spark, [(100, "a b c d", "eval")])
+    tr = _docs(
+        spark,
+        [
+            (1, "a b c d", "train"),          # both shingles shared → 1.0
+            (2, "a b c x y z", "train"),      # {a b c, b c x, c x y, x y z} → 1/4
+            (3, "p q r s", "train"),          # no overlap → 0.0
+            (4, "a b", "train"),              # < 3 tokens → no shingles → no row
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.contamination)
+        for r in contamination(tr, ev, n=3).collect()
+    }
+    assert got == {1: (2, 2, 1.0), 2: (4, 1, 0.25), 3: (2, 0, 0.0)}
+
+
+def test_contamination_threshold_filters(spark):
+    ev = _docs(spark, [(100, "a b c d", "eval")])
+    tr = _docs(spark, [(1, "a b c d", "t"), (2, "p q r s", "t")])
+    kept = contamination(tr, ev, n=3, threshold=0.5).collect()
+    assert [r.doc_id for r in kept] == [1]
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    ev = _docs(spark, [(100, "a b c d", "eval")])
+    tr = _docs(spark, [(1, "a b c d", "t")])
+    plan = contamination(tr, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_crafted(spark):
+    # "x x x x" → 4 tokens, top_tf 4, 1 distinct; bigrams: 3 total, 1 distinct
+    # "a b a b" → top_tf 2, 2 distinct; bigrams {a b, b a, a b}: 3 tot 2 dist
+    # "a b c"   → all distinct; bigrams {a b, b c}: 2 tot 2 dist → dup 0.0
+    docs = _docs(
+        spark,
+        [(1, "x x x x", "s"), (2, "a b a b", "s"), (3, "a b c", "s")],
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            round(r.top_word_ratio, 6),
+            round(r.distinct_ratio, 6),
+            round(r.dup_2gram_ratio, 6),
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert got == {
+        1: (4, 1.0, 0.25, round(1 - 1 / 3, 6)),
+        2: (4, 0.5, 0.5, round(1 - 2 / 3, 6)),
+        3: (3, round(1 / 3, 6), 1.0, 0.0),
+    }
+
+
+def test_repetition_stats_empty_doc_dropped(spark):
+    docs = _docs(spark, [(1, "...", "s"), (2, "ok ok", "s")])
+    assert [r.doc_id for r in repetition_stats(docs).collect()] == [2]
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    rows = [(i, f"doc {i}", f"src{i % 3}") for i in range(300)]
+    docs = _docs(spark, rows)
+    rates = {"src0": 0.5, "src1": 0.1}
+    kept1 = sorted(r.doc_id for r in stratified_sample(docs, rates).collect())
+    kept2 = sorted(r.doc_id for r in stratified_sample(docs, rates).collect())
+    assert kept1 == kept2
+    # stability under corpus growth: a doc's decision never flips when the
+    # corpus doubles (incremental runs agree with full reruns)
+    bigger = _docs(spark, rows + [(i + 1000, f"doc {i}", "src0") for i in range(300)])
+    kept_big = set(r.doc_id for r in stratified_sample(bigger, rates).collect())
+    assert set(kept1) == {d for d in kept_big if d < 1000}
+
+
+def test_stratified_sample_rates_and_unlisted_dropped(spark):
+    n = 3000
+    docs = _docs(spark, [(i, "t", "a" if i % 2 else "b") for i in range(n)])
+    out = stratified_sample(docs, {"a": 0.3}).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in out}
+    assert "b" not in got  # unlisted source dropped entirely
+    assert got["a"] == pytest.approx(0.3 * n / 2, rel=0.15)  # hash-coin rate
+
+
+def test_stratified_sample_rate_one_keeps_all(spark):
+    docs = _docs(spark, [(i, "t", "a") for i in range(50)])
+    assert stratified_sample(docs, {"a": 1.0}).count() == 50
+
+
+def test_stratified_sample_no_shuffle(spark):
+    docs = _docs(spark, [(i, "t", "a") for i in range(10)])
+    plan = (
+        stratified_sample(docs, {"a": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
