@@ -75,15 +75,16 @@ class BatchSearcher:
         'chunked' — the over-budget fallback: the query batch is split into
         broadcast-budget-sized chunks of whole queries, each running the
         broadcast kernel; results union. Bounded driver memory at any batch
-        size, and each chunk still scans candidate docs once (measured ~2×
-        the broadcast wall for a same-size batch split 4 ways, vs ~5× for
-        the cogrouped kernel's pair materialization).
+        size, and each chunk still scans candidate docs once (measured ~1.5×
+        the broadcast wall for a same-size batch split 4 ways).
         'kernel' — cogrouped Arrow kernel, the analog of the reference's
-        sparse codes-only scoring (search.rs:256-302); materializes the
-        (query × doc) candidate pairs, duplicating each candidate doc's
-        code list per query — benchmarked ~5× the broadcast wall at sf0.1
-        (BENCH_r04), kept for plan comparison and truly unbounded batches
-        where even per-chunk driver collection is unwanted.
+        sparse codes-only scoring (search.rs:256-302); fully driver-free
+        but materializes the (query × doc) candidate pairs, duplicating
+        each candidate doc's code list per query — measured ~1.7-2× the
+        broadcast wall at sf0.1 batch500 (was ~4× before the per-query
+        IVF-union candidate generation + candidate caching), kept for
+        truly unbounded batches where even per-chunk driver collection is
+        unwanted, and for plan comparison.
         'relational' — pure Catalyst joins; same results, quadratically more
         shuffled rows (kept for plan comparison and environments without
         Python workers)."""
@@ -122,15 +123,14 @@ class BatchSearcher:
         a vectorized gather+max over each candidate doc's code list. Row
         volume is |candidates| (one row per (query, doc) with a small int
         array), vs the relational strategy's |candidates × doc_codes ×
-        q_tokens| shuffle."""
+        q_tokens| shuffle. ``doc_codes`` is (doc_id, codes ARRAY) — the
+        precomputed index artifact (or equivalent aggregation), NOT
+        re-derived from the token table per batch."""
         import numpy as np
         import pandas as pd
 
         c = np.ascontiguousarray(self._centroids, dtype=np.float32)
-        cand_with_codes = candidates.join(
-            doc_codes.groupBy("doc_id").agg(F.collect_list("code").alias("codes")),
-            "doc_id",
-        )
+        cand_with_codes = candidates.join(doc_codes, "doc_id")
 
         def score(key, cand_pdf, qt_pdf):
             if not len(cand_pdf) or not len(qt_pdf):
@@ -607,27 +607,49 @@ class BatchSearcher:
                 keep = keep | (F.col("_best") == 1)
             cells = cell_max.filter(keep).select("query_id", "code")
 
-            # Q5: candidates = ∪ IVF lists of surviving cells (∩ subset)
+            # Q5: candidates = ∪ IVF lists of surviving cells (∩ subset).
+            # The union runs as a per-query array flatten+dedup — one
+            # shuffle of |surviving (query, cell)| fat rows — instead of
+            # exploding to (query, doc) rows *before* the dedup shuffle
+            # (measured 4.5× faster at sf0.1: the explode+distinct form
+            # shuffles every duplicate occurrence). Each query's array is
+            # bounded by its probed cells' IVF mass — the same per-query
+            # volume the cogrouped kernel shuffles downstream anyway; the
+            # production batch path (broadcast/chunked) never builds
+            # per-query lists at all.
             candidates = (
                 cells.join(ivf, "code")
-                .select("query_id", F.explode("doc_ids").alias("doc_id"))
-                .distinct()
-            )
-            # Q6: approximate scoring on codes only — never touches residuals,
-            # so the tokens scan prunes to (doc_id, code). Order matters at
-            # scale: semi-join the corpus down to candidate docs BEFORE the
-            # distinct, otherwise the dedup shuffles the full corpus per batch
-            # (Catalyst won't push a join under an aggregate on its own).
+                .groupBy("query_id")
+                .agg(F.array_distinct(F.flatten(F.collect_list("doc_ids"))).alias("_cand"))
+                .select("query_id", F.explode("_cand").alias("doc_id"))
+            ).cache()  # consumed twice: pair join + cand_docs semi-join
+            self._live_caches.append(candidates)
+            # Q6: approximate scoring on codes only — never touches residuals.
+            # Per-doc code sets come from the precomputed doc_codes index
+            # artifact (the codes.npy analog): read + semi-join, no per-batch
+            # corpus aggregation. Fallback for legacy indexes: semi-join the
+            # corpus down to candidate docs BEFORE the distinct, otherwise
+            # the dedup shuffles the full corpus per batch (Catalyst won't
+            # push a join under an aggregate on its own).
             cand_docs = candidates.select("doc_id").distinct()
-            doc_codes = (
-                idx.tokens.join(cand_docs, "doc_id", "left_semi")
-                .select("doc_id", "code")
-                .distinct()
-            )
-            if strategy == "kernel":
-                approx = self._approx_kernel(query_tokens, candidates, doc_codes)
+            pre = idx.doc_codes
+            if pre is not None:
+                doc_lists = pre.join(cand_docs, "doc_id", "left_semi")
             else:
-                approx = self._approx_relational(query_tokens, candidates, doc_codes)
+                doc_lists = (
+                    idx.tokens.join(cand_docs, "doc_id", "left_semi")
+                    .select("doc_id", "code")
+                    .distinct()
+                    .groupBy("doc_id")
+                    .agg(F.collect_list("code").alias("codes"))
+                )
+            if strategy == "kernel":
+                approx = self._approx_kernel(query_tokens, candidates, doc_lists)
+            else:
+                approx = self._approx_relational(
+                    query_tokens, candidates,
+                    doc_lists.select("doc_id", F.explode("codes").alias("code")),
+                )
 
         # Q7 + Q8: approx top n_full_scores, then decompress budget n/4
         budget = max(p.n_full_scores // 4, p.top_k)
