@@ -32,9 +32,21 @@ from next_plaid_spark.operators.dedup import HASH_HEX_LEN, shingles
 # ---------------------------------------------------------------------------
 
 
-def contamination(train_docs: DataFrame, eval_docs: DataFrame, *, n: int = 3,
-                  threshold: float = 0.0, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+def eval_shingle_set(eval_docs: DataFrame, *, n: int = 3,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The distinct shingle universe of an eval/benchmark corpus —
+    precompute once (persist it) when screening many batches/streams
+    against the same benchmarks."""
+    return (
+        shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle").distinct()
+    )
+
+
+def contamination(train_docs: DataFrame, eval_docs: DataFrame | None = None,
+                  *, n: int = 3, threshold: float = 0.0,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_shingles: DataFrame | None = None) -> DataFrame:
     """Per-train-doc n-gram overlap with an eval/benchmark corpus:
     (doc_id, n_shingles, n_shared, contamination) for training documents
     whose contamination ratio ≥ ``threshold``.
@@ -49,12 +61,18 @@ def contamination(train_docs: DataFrame, eval_docs: DataFrame, *, n: int = 3,
     is a broadcast hash join and the only shuffle is the groupBy(doc_id)
     count (map-side combinable). Docs with fewer than ``n`` tokens have no
     shingles and are excluded (they cannot leak an n-gram).
+
+    Pass ``eval_shingles`` (from :func:`eval_shingle_set`, possibly read
+    back from storage) to reuse a precomputed benchmark shingle universe
+    across many screening runs — streaming curation does exactly that.
     """
+    if eval_shingles is None:
+        if eval_docs is None:
+            raise ValueError("need eval_docs or eval_shingles")
+        eval_shingles = eval_shingle_set(
+            eval_docs, n=n, id_col=id_col, text_col=text_col)
     tr = shingles(train_docs, n=n, id_col=id_col, text_col=text_col)
-    ev = F.broadcast(
-        shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
-        .select("shingle").distinct()
-    )
+    ev = F.broadcast(eval_shingles.select("shingle"))
     tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hit = tr.join(ev, "shingle").groupBy("doc_id").agg(
         F.count("*").alias("n_shared"))

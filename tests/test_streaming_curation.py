@@ -1,0 +1,109 @@
+"""Streaming corpus curation (streaming/curation.py): stream ≡ batch over
+planted duplicates (within and across micro-batches), contamination against
+a static eval set, and the quality gate."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.corpus import eval_shingle_set
+from next_plaid_spark.streaming.curation import StreamingCurator, curate_batch
+from tests.conftest import spark  # noqa: F401
+
+SCHEMA = "doc_id long, text string, source string"
+
+EVAL = [(900, "leak alpha beta gamma delta", "eval")]
+# doc 4 duplicates doc 1 (cross-batch); doc 3 duplicates doc 2 (in-batch);
+# doc 5 is ≥50% contaminated by the eval text; doc 6 is clean.
+BATCH1 = [
+    (1, "the quick brown fox jumps over dogs", "web"),
+    (2, "spark shuffles and broadcast joins win", "web"),
+    (3, "spark shuffles and broadcast joins win", "web"),
+]
+BATCH2 = [
+    (4, "the quick brown fox jumps over dogs", "web"),
+    (5, "leak alpha beta gamma delta extra", "web"),
+    (6, "completely unrelated clean document here", "web"),
+]
+
+
+def _run_stream(spark, tmp, batches, **kw):
+    src = str(tmp / "in")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+    cur = StreamingCurator(
+        spark, str(tmp / "root"),
+        eval_docs=spark.createDataFrame(EVAL, SCHEMA), **kw,
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame(BATCH1, SCHEMA).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+    )
+    q = cur.attach(stream, str(tmp / "ck"))
+    q.awaitTermination(300)
+    return cur
+
+
+def test_stream_matches_batch(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cur1")
+    cur = _run_stream(spark, tmp, [BATCH1, BATCH2], max_contamination=0.5)
+    kept_stream = sorted(r.doc_id for r in cur.kept().collect())
+
+    all_docs = spark.createDataFrame(BATCH1 + BATCH2, SCHEMA)
+    ev = eval_shingle_set(spark.createDataFrame(EVAL, SCHEMA), n=3)
+    kept_batch = sorted(
+        r.doc_id
+        for r in curate_batch(all_docs, ev, max_contamination=0.5).collect()
+    )
+    # dups 3 (in-batch) and 4 (cross-batch) dropped; 5 contaminated; 1,2,6 kept
+    assert kept_stream == kept_batch == [1, 2, 6]
+
+
+def test_ledger_dedups_across_batches(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cur2")
+    cur = _run_stream(spark, tmp, [BATCH1, BATCH2], max_contamination=0.5)
+    ledger = spark.read.parquet(os.path.join(str(tmp / "root"), "fp_ledger"))
+    # one fp per kept doc, all distinct even though doc 4's fp was attempted
+    # again in batch 2
+    fps = [r.fp for r in ledger.collect()]
+    assert len(fps) == len(set(fps)) == 3
+
+
+def test_quality_gate(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cur3")
+    # doc 7's quality (pure punctuation noise) is far below doc 6's prose
+    noisy = [(7, "!!! ??? ;;; ::: ...", "web")]
+    cur = _run_stream(
+        spark, tmp, [BATCH2[2:] + noisy], max_contamination=0.5,
+        min_quality=0.5,
+    )
+    assert sorted(r.doc_id for r in cur.kept().collect()) == [6]
+
+
+def test_contamination_precomputed_equals_direct(spark):
+    ev_docs = spark.createDataFrame(EVAL, SCHEMA)
+    tr = spark.createDataFrame(BATCH2, SCHEMA)
+    from next_plaid_spark.operators.corpus import contamination
+
+    direct = contamination(tr, ev_docs, n=3)
+    pre = contamination(tr, n=3, eval_shingles=eval_shingle_set(ev_docs, n=3))
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, pre.collect()))
+    assert a == b
+
+
+def test_second_curator_reuses_persisted_eval_set(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cur4")
+    _run_stream(spark, tmp, [BATCH1], max_contamination=0.5)
+    # re-open over the same root WITHOUT eval_docs: shingle set is on disk
+    cur2 = StreamingCurator(spark, str(tmp / "root"))
+    assert cur2.kept().count() == 2  # docs 1, 2
+    df = spark.createDataFrame([(5, "leak alpha beta gamma delta extra", "w")], SCHEMA)
+    cur2.process_batch(df, 99)
+    assert sorted(r.doc_id for r in cur2.kept().collect()) == [1, 2]
