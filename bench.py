@@ -8,6 +8,12 @@ Each query is forced with a noop write (full plan execution, no driver-side
 result transfer). ``plaid_index_build`` is timed separately from
 ``plaid_search_topk`` (build is a one-time cost; search reuses the index —
 mirroring BASELINE.md's indexing-throughput vs search-QPS split).
+
+Crash-proof by contract (the r4 lesson: one failing query lost all 12 other
+timings AND the JSON line): every timed segment runs under its own
+try/except — a failure records ``errors[name]`` and the suite keeps going —
+and the JSON line is emitted from a ``finally``, so the driver always gets
+parseable output even on a hard failure.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,93 +55,104 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
-    from next_plaid_spark import queries as q
-    from next_plaid_spark.session import get_spark
-
-    spark = get_spark("next-plaid-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
     timings: dict[str, float] = {}
-
-    # index build timed on its own (populates the cache plaid_search uses)
-    t0 = time.time()
-    idx0 = q._plaid_index(spark, sf_dir)
-    timings["plaid_index_build"] = round(time.time() - t0, 3)
-    index_docs_per_sec = round(
-        idx0.meta.num_documents / max(timings["plaid_index_build"], 1e-9), 1
-    )
-
-    registry = q.queries()
-    for name in HEADLINE:
-        fn = registry[name]
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-
-    # batch-search throughput: the Spark-native operating mode is a large
-    # query DataFrame through the funnel (BASELINE's QPS analog); every doc
-    # doubles as a query here.
-    from pyspark.sql import functions as F
-
-    from next_plaid_spark.encoding import encode_queries
-    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
-
-    idx = q._plaid_index(spark, sf_dir)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_q = 500
-    batch_queries = docs.filter(F.col("doc_id") < n_q).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
-    searcher = BatchSearcher(idx, SearchParams(top_k=10, n_full_scores=256))
-    t0 = time.time()
-    force(searcher.search(encode_queries(batch_queries)))
-    dt = time.time() - t0
-    timings[f"plaid_search_batch{n_q}"] = round(dt, 3)
-    qps = round(n_q / dt, 1)
-
-    # Extras — measured and reported, but kept OUT of the headline wall so
-    # `value` stays comparable across rounds (same query set since r1):
-    # (a/b) the claimed 100×-scale fallbacks: chunked-broadcast forced to 4
-    # chunks (what auto engages when the broadcast score matrix blows its
-    # budget) and the driver-free cogrouped-kernel strategy;
-    # (c) the corpus-curation operators added in r4.
     extras: dict[str, float] = {}
-    est = 8 * n_q * idx.meta.k * 4  # QUERY_MAX_TOKENS * queries * K * 4B
-    chunked_searcher = BatchSearcher(
-        idx, SearchParams(top_k=10, n_full_scores=256),
-        approx_strategy="chunked", broadcast_budget_bytes=max(1, est // 4),
-    )
-    t0 = time.time()
-    force(chunked_searcher.search(encode_queries(batch_queries)))
-    extras[f"plaid_search_batch{n_q}_chunked4"] = round(time.time() - t0, 3)
+    errors: dict[str, str] = {}
+    stats: dict[str, float] = {}
 
-    kernel_searcher = BatchSearcher(
-        idx, SearchParams(top_k=10, n_full_scores=256), approx_strategy="kernel"
-    )
-    t0 = time.time()
-    force(kernel_searcher.search(encode_queries(batch_queries)))
-    extras[f"plaid_search_batch{n_q}_kernel"] = round(time.time() - t0, 3)
-
-    for name in ("decontaminate", "repetition_stats", "stratified_sample"):
+    def timed(store: dict, name: str, thunk) -> bool:
+        """Run one timed segment; on failure, record the error and a
+        sentinel -1 timing so the name still appears, and keep going."""
         t0 = time.time()
-        force(registry[name](spark, sf_dir))
-        extras[name] = round(time.time() - t0, 3)
+        try:
+            thunk()
+            store[name] = round(time.time() - t0, 3)
+            return True
+        except Exception:
+            store[name] = -1.0
+            errors[name] = traceback.format_exc(limit=3).splitlines()[-1]
+            return False
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "sf": sf,
-                "batch_search_qps": qps,
-                "index_docs_per_sec": index_docs_per_sec,
-            }
+    try:
+        from next_plaid_spark import queries as q
+        from next_plaid_spark.session import get_spark
+
+        spark = get_spark("next-plaid-spark-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        # index build timed on its own (populates the cache plaid_search uses)
+        if timed(timings, "plaid_index_build", lambda: q._plaid_index(spark, sf_dir)):
+            idx0 = q._plaid_index(spark, sf_dir)
+            stats["index_docs_per_sec"] = round(
+                idx0.meta.num_documents / max(timings["plaid_index_build"], 1e-9), 1
+            )
+
+        registry = q.queries()
+        for name in HEADLINE:
+            fn = registry[name]
+            timed(timings, name, lambda fn=fn: force(fn(spark, sf_dir)))
+
+        # batch-search throughput: the Spark-native operating mode is a large
+        # query DataFrame through the funnel (BASELINE's QPS analog); every
+        # doc doubles as a query here.
+        from pyspark.sql import functions as F
+
+        from next_plaid_spark.encoding import encode_queries
+        from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+        idx = q._plaid_index(spark, sf_dir)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_q = 500
+        batch_queries = docs.filter(F.col("doc_id") < n_q).select(
+            F.col("doc_id").alias("query_id"), "text"
         )
-    )
+        searcher = BatchSearcher(idx, SearchParams(top_k=10, n_full_scores=256))
+        if timed(timings, f"plaid_search_batch{n_q}",
+                 lambda: force(searcher.search(encode_queries(batch_queries)))):
+            stats["batch_search_qps"] = round(
+                n_q / timings[f"plaid_search_batch{n_q}"], 1
+            )
+
+        # Extras — measured and reported, but kept OUT of the headline wall so
+        # `value` stays comparable across rounds (same query set since r1):
+        # (a/b) the claimed 100×-scale fallbacks: chunked-broadcast forced to
+        # 4 chunks (what auto engages when the broadcast score matrix blows
+        # its budget) and the driver-free cogrouped-kernel strategy;
+        # (c) the corpus-curation operators added in r4.
+        est = 8 * n_q * idx.meta.k * 4  # QUERY_MAX_TOKENS * queries * K * 4B
+        chunked_searcher = BatchSearcher(
+            idx, SearchParams(top_k=10, n_full_scores=256),
+            approx_strategy="chunked", broadcast_budget_bytes=max(1, est // 4),
+        )
+        timed(extras, f"plaid_search_batch{n_q}_chunked4",
+              lambda: force(chunked_searcher.search(encode_queries(batch_queries))))
+
+        kernel_searcher = BatchSearcher(
+            idx, SearchParams(top_k=10, n_full_scores=256),
+            approx_strategy="kernel",
+        )
+        timed(extras, f"plaid_search_batch{n_q}_kernel",
+              lambda: force(kernel_searcher.search(encode_queries(batch_queries))))
+
+        for name in ("decontaminate", "repetition_stats", "stratified_sample"):
+            fn = registry[name]
+            timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
+    except Exception:
+        errors["__suite__"] = traceback.format_exc(limit=5).splitlines()[-1]
+    finally:
+        total = round(sum(v for v in timings.values() if v >= 0), 3)
+        out = {
+            "metric": "headline_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extras": extras,
+            "sf": sf,
+        }
+        out.update(stats)
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ from next_plaid_spark.encoding import (
     token_vector_sql,
 )
 from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
+from next_plaid_spark.functions.time import normalize_event_ts
 from next_plaid_spark.operators.maxsim import brute_force_search
 from next_plaid_spark.operators.similarity import cosine_topk
 
@@ -957,18 +958,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MIN = 30
 
 
-_NS_PER_HOUR = 3_600_000_000_000
+_US_PER_HOUR = 3_600_000_000
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ts arrives as BIGINT nanos (nanosAsLong) — hour buckets via exact
-    # integer division, cross-engine identical (DuckDB: epoch_ns // same)
-    ev = _t(spark, sf_dir, "events")
+    # ts is normalized at the read seam to BIGINT epoch-micros (the
+    # testdata has shipped both TIMESTAMP(NANOS) and timestamp[us]/NTZ —
+    # functions/time.py sniffs the resolved dtype); hour buckets via exact
+    # integer division, cross-engine identical (DuckDB: epoch_us // same)
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
     return (
         ev.groupBy(
             # DIV = true integer division; '/' would round-trip through
-            # double and lose precision above 2^53 ns
-            F.expr(f"ts DIV {_NS_PER_HOUR}").alias("hour_bucket"),
+            # double and lose precision
+            F.expr(f"ts DIV {_US_PER_HOUR}").alias("hour_bucket"),
             F.col("event_type"),
         )
         .agg(
@@ -979,27 +982,27 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_HOURLY = f"""
-SELECT epoch_ns(ts) // {_NS_PER_HOUR} AS hour_bucket, event_type,
+SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour_bucket, event_type,
        count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
 """.strip()
 
 
-_GAP_NS = SESSION_GAP_MIN * 60 * 1_000_000_000
+_GAP_US_Q = SESSION_GAP_MIN * 60 * 1_000_000
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize per user with a 30-min inactivity gap (lag window +
     cumulative sum), then count sessions + events per user. All arithmetic
-    on BIGINT nanos — exact."""
+    on BIGINT epoch-micros — exact."""
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = ev.withColumn(
         "new_session",
         F.when(F.lag("ts", 1).over(w).isNull(), 1)
-        .when(F.col("ts") - F.lag("ts", 1).over(w) > _GAP_NS, 1)
+        .when(F.col("ts") - F.lag("ts", 1).over(w) > _GAP_US_Q, 1)
         .otherwise(0),
     )
     sess = with_gap.withColumn(
@@ -1020,7 +1023,7 @@ SQL_EVENTS_SESSIONS = f"""
 WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {_GAP_NS} THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US_Q} THEN 1
               ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -26,10 +26,11 @@ the batch ``events_*`` queries in queries.py:
                             (state buffers unfinalized events; sessions are
                             finalized only once ``end + gap <= watermark``).
 
-All event-time arithmetic runs on integer microseconds (``ts`` arrives as
-BIGINT nanos via nanosAsLong; ``DIV 1000`` truncation matches DuckDB's
-nanos→micros read of the same parquet), so batch/stream/oracle agree
-bit-for-bit.
+All event-time arithmetic runs on integer microseconds. The source ``ts``
+dtype varies across testdata regenerations (BIGINT nanos under nanosAsLong,
+or parquet timestamp[us] resolving as TIMESTAMP_NTZ) — ``with_event_time``
+normalizes it via functions/time.py once, so batch/stream/oracle agree
+bit-for-bit regardless of the physical type.
 """
 
 from __future__ import annotations
@@ -39,6 +40,8 @@ from typing import Iterator, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from next_plaid_spark.functions.time import event_ts_micros
+
 SESSION_GAP_MIN = 30  # parity with queries.SESSION_GAP_MIN
 DEFAULT_WATERMARK = "2 hours"
 
@@ -46,10 +49,13 @@ _US_PER_HOUR = 3_600_000_000
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """Add an ``event_time`` TimestampType column (micros, truncated from
-    the BIGINT-nanos ``ts``) — required by watermarks and time windows."""
+    """Add ``ts_us`` (BIGINT epoch-micros, dtype-sniffed from ``ts``) and
+    ``event_time`` (TimestampType — required by watermarks and time
+    windows). All downstream integer arithmetic uses ``ts_us``."""
     return events.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+        "ts_us", event_ts_micros(events)
+    ).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
     )
 
 
@@ -188,7 +194,7 @@ def sessionize_stateful(events: DataFrame, *,
                 state.remove()
         else:
             batch = pd.concat(list(pdfs))
-            us = (batch["ts"].to_numpy(dtype=np.int64) // 1000)
+            us = batch["ts_us"].to_numpy(dtype=np.int64)
             vals = batch["value"].to_numpy(dtype=np.float64)
             if state.exists:
                 b_us, b_val = state.get
@@ -213,7 +219,7 @@ def sessionize_stateful(events: DataFrame, *,
 
     ev = with_event_time(events).withWatermark("event_time", watermark)
     return (
-        ev.select("user_id", "ts", "value", "event_time")
+        ev.select("user_id", "ts_us", "value", "event_time")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, _SESSION_OUT_SCHEMA, _SESSION_STATE_SCHEMA,

@@ -1,0 +1,72 @@
+"""Events batch queries against the ACTUAL driver testdata — the fixture-
+drift guard the r4 regression demanded. Every query here reads the real
+``/root/testdata`` parquet (whatever ts dtype the driver regenerated it
+with), executes it, and cross-checks it against the DuckDB oracle SQL the
+driver will run — so a testdata dtype flip fails HERE, loudly, not in
+CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from next_plaid_spark import queries as q
+from next_plaid_spark.functions.time import event_ts_micros, normalize_event_ts
+
+
+def _oracle(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    return con.execute(sql).fetch_df()
+
+
+def _cmp(spark_df, oracle_pdf, sort_cols):
+    got = sorted(
+        tuple(r) for r in spark_df.select(*sorted(spark_df.columns)).collect()
+    )
+    want = sorted(
+        tuple(r) for r in
+        oracle_pdf[sorted(oracle_pdf.columns)].itertuples(index=False)
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("query,sql", [
+    (q.q_events_hourly, q.SQL_EVENTS_HOURLY),
+    (q.q_events_sessions, q.SQL_EVENTS_SESSIONS),
+    (q.q_events_session_windows, q.SQL_EVENTS_SESSION_WINDOWS),
+])
+def test_events_query_matches_oracle_on_real_testdata(spark, sf_dir, query, sql):
+    _cmp(query(spark, sf_dir), _oracle(sf_dir, sql), None)
+
+
+def test_normalizer_handles_actual_testdata_dtype(spark, sf_dir):
+    """Whatever dtype the driver shipped, the normalizer must produce
+    BIGINT micros whose instants match DuckDB's epoch_us on the same file."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = normalize_event_ts(ev)
+    assert dict(us.dtypes)["ts"] == "bigint"
+    got = sorted(r["ts"] for r in us.orderBy("event_id").limit(50).collect())
+    want = [
+        r[0] for r in duckdb.sql(
+            f"SELECT epoch_us(ts) FROM '{sf_dir}/events.parquet' "
+            "ORDER BY event_id LIMIT 50"
+        ).fetchall()
+    ]
+    assert got == sorted(want)
+
+
+def test_normalizer_nanos_roundtrip(spark, sf_dir):
+    """The legacy BIGINT-nanos path must land on the same micros."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = normalize_event_ts(ev)
+    import pyspark.sql.functions as F
+
+    nanos = base.withColumn("ts", F.col("ts") * F.lit(1000))
+    again = nanos.withColumn("ts", event_ts_micros(nanos))
+    a = sorted(r["ts"] for r in base.select("ts").collect())
+    b = sorted(r["ts"] for r in again.select("ts").collect())
+    assert a == b
