@@ -147,34 +147,6 @@ def brute_force_search(
     return topk(scores, k)
 
 
-# ---------------------------------------------------------------------------
-# Vectorized kernel (NumPy/BLAS inside applyInPandas) — exact rerank stage.
-# ---------------------------------------------------------------------------
-
-MAXSIM_RESULT_SCHEMA = "query_id long, doc_id long, score double"
-
-
-def maxsim_pandas(pairs_with_vecs: DataFrame) -> DataFrame:
-    """Exact MaxSim over a pre-joined pair DF.
-
-    Input columns: ``query_id, doc_id, q_vecs ARRAY<ARRAY<DOUBLE>>,
-    d_vecs ARRAY<ARRAY<DOUBLE>>`` (one row per pair, vectors pre-collected).
-    One GEMM per pair batch; grouped by query so each Arrow batch holds one
-    query's candidates (reference chunks candidates by 128 docs,
-    search.rs:21-24 — Arrow batch sizing plays that role here).
-    """
-    import numpy as np
-    import pandas as pd
-
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for row in pdf.itertuples(index=False):
-            q = np.asarray([np.asarray(v, dtype=np.float64) for v in row.q_vecs])
-            d = np.asarray([np.asarray(v, dtype=np.float64) for v in row.d_vecs])
-            s = float((q @ d.T).max(axis=1).sum()) if len(d) and len(q) else 0.0
-            out.append((row.query_id, row.doc_id, s))
-        return pd.DataFrame(out, columns=["query_id", "doc_id", "score"])
-
-    return pairs_with_vecs.groupBy("query_id").applyInPandas(
-        score_group, schema=MAXSIM_RESULT_SCHEMA
-    )
+# (A pre-joined applyInPandas GEMM variant, maxsim_pandas, used to live
+# here; it was dead code with a row-at-a-time inner loop — removed in r5.
+# The exact rerank stage lives in plans/searcher.py Q9.)

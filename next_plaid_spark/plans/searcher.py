@@ -59,6 +59,13 @@ class SearchParams:
 # [q_tokens, K] centroid-score matrix must stay comfortably broadcastable
 BROADCAST_SCORES_BUDGET_BYTES = 128 << 20
 
+# row budget for the Q9 vocab dot tables — the funnel's only nested-loop
+# join (|distinct surviving quantized vecs| × |query vocab| rows). Fine at
+# defaults; a pathological batch (huge vocab × huge survivor set) falls
+# back to the per-query equi-join form, which computes dots only for
+# surviving (query, doc) pairs and contains no cartesian product.
+RERANK_DOT_BUDGET_ROWS = 64 << 20
+
 
 class BatchSearcher:
     def __init__(self, index: PlaidIndex, params: SearchParams | None = None,
@@ -475,19 +482,22 @@ class BatchSearcher:
                     scores[:, ~emask] = np.float32("-inf")
                     n = max(1, min(n, int(emask.sum())))
                 top = np.argpartition(scores, -n, axis=1)[:, -n:]
-                rows = []
+                # vectorized (row × n_probe) assembly — np.repeat/ravel, no
+                # Python-object churn (float32→float64 widening is exact,
+                # matching the old per-element float() conversion)
+                codes = top.ravel().astype(np.int64)
+                cscores = np.take_along_axis(scores, top, axis=1).ravel().astype(np.float64)
                 if key_col:
-                    for i, tok in enumerate(pdf[key_col]):
-                        for j in top[i]:
-                            rows.append((tok, int(j), float(scores[i, j])))
-                    yield pd.DataFrame(rows, columns=["token", "code", "cscore"])
+                    yield pd.DataFrame({
+                        "token": np.repeat(pdf[key_col].to_numpy(), n),
+                        "code": codes, "cscore": cscores,
+                    })
                 else:
-                    for i, (qid, tid) in enumerate(zip(pdf["query_id"], pdf["token_idx"])):
-                        for j in top[i]:
-                            rows.append((qid, tid, int(j), float(scores[i, j])))
-                    yield pd.DataFrame(
-                        rows, columns=["query_id", "token_idx", "code", "cscore"]
-                    )
+                    yield pd.DataFrame({
+                        "query_id": np.repeat(pdf["query_id"].to_numpy(), n),
+                        "token_idx": np.repeat(pdf["token_idx"].to_numpy(), n),
+                        "code": codes, "cscore": cscores,
+                    })
 
         if by_token:
             vocab = query_tokens.select("token", "vec").dropDuplicates(["token"])
@@ -682,7 +692,61 @@ class BatchSearcher:
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         ).alias("score")
-        if "token" in query_tokens.columns:
+
+        # Budget check on the vocab dot table (the one nested-loop join in
+        # the funnel). Upper-bound estimate from known quantities — one tiny
+        # agg over the CACHED query-token DF (no recompute), index metadata
+        # for the doc side: survivors ≤ n_queries·budget docs, each
+        # contributing ≤ avg_doclen distinct quantized vecs. Above budget,
+        # the per-query equi-join fallback computes the same dots (same
+        # expressions, same max/fold order — bit-identical) restricted to
+        # surviving pairs, with no cartesian product.
+        has_token = "token" in query_tokens.columns
+        qstats = query_tokens.agg(
+            F.countDistinct("query_id").alias("nq"),
+            (F.countDistinct("token") if has_token else F.count("*")).alias("nv"),
+        ).collect()[0]
+        est_uniq_vecs = (
+            min(qstats["nq"] * budget, idx.meta.num_documents)
+            * max(idx.meta.avg_doclen, 1.0)
+        )
+        cse_dots_ok = est_uniq_vecs * max(qstats["nv"], 1) <= RERANK_DOT_BUDGET_ROWS
+
+        if has_token and not cse_dots_ok:
+            q_tok = query_tokens.select(
+                "query_id", "token", F.col("vec").alias("q_vec")
+            ).dropDuplicates(["query_id", "token"])
+            per_doc_token = (
+                survivors.join(q_tok, "query_id")
+                .join(surv_tokens.distinct(), "doc_id")
+                .join(uniq_vecs, ["code", "residual"])
+                .groupBy("query_id", "doc_id", "token")
+                .agg(F.max(dot(F.col("q_vec"), F.col("vec"))).alias("max_dp"))
+            )
+            exact = (
+                survivors.join(
+                    query_tokens.select("query_id", "token_idx", "token"),
+                    "query_id",
+                )
+                .join(per_doc_token, ["query_id", "doc_id", "token"])
+                .groupBy("query_id", "doc_id")
+                .agg(fold("max_dp"))
+            )
+        elif not has_token and not cse_dots_ok:
+            qt = query_tokens.select(
+                "query_id", F.col("token_idx").alias("q_token_idx"),
+                F.col("vec").alias("q_vec"),
+            )
+            exact = (
+                survivors.join(surv_tokens, "doc_id")
+                .join(uniq_vecs, ["code", "residual"])
+                .join(qt, "query_id")
+                .groupBy("query_id", "doc_id", "q_token_idx")
+                .agg(F.max(dot(F.col("q_vec"), F.col("vec"))).alias("max_dp"))
+                .groupBy("query_id", "doc_id")
+                .agg(fold("max_dp"))
+            )
+        elif has_token:
             q_vocab = query_tokens.select(
                 "token", F.col("vec").alias("q_vec")
             ).dropDuplicates(["token"])

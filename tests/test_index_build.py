@@ -261,3 +261,41 @@ def test_search_without_doc_codes_artifact(spark, built_index, tmp_path):
         for r in BatchSearcher(legacy, p, approx_strategy="broadcast").search(qt).collect()
     )
     assert got == want
+
+
+def test_rerank_dot_budget_fallback_identical(spark, built_index, monkeypatch):
+    """When the Q9 vocab dot table blows RERANK_DOT_BUDGET_ROWS, the
+    per-query equi-join fallback must produce bit-identical final scores
+    (same dot expressions, same max/fold order) — both with and without
+    the deterministic-token column."""
+    import next_plaid_spark.plans.searcher as searcher_mod
+
+    idx, docs, dt = built_index
+    queries = docs.limit(12).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    p = SearchParams(top_k=10, n_full_scores=256)
+
+    base = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in BatchSearcher(idx, p).search(qt).collect()
+    )
+    monkeypatch.setattr(searcher_mod, "RERANK_DOT_BUDGET_ROWS", 1)
+    fb = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in BatchSearcher(idx, p).search(qt).collect()
+    )
+    assert fb == base
+
+    # no-token path (generic encoder): drop the token column
+    qt_plain = qt.drop("token")
+    monkeypatch.undo()
+    base_plain = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in BatchSearcher(idx, p).search(qt_plain).collect()
+    )
+    monkeypatch.setattr(searcher_mod, "RERANK_DOT_BUDGET_ROWS", 1)
+    fb_plain = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in BatchSearcher(idx, p).search(qt_plain).collect()
+    )
+    assert fb_plain == base_plain
