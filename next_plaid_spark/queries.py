@@ -168,6 +168,87 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return searcher.search(qt).select("query_id", "doc_id", "score", "rank")
 
 
+# Deterministic sidecar for the exact-funnel oracle: the decompressed
+# quantized corpus (the B7 output the funnel's own rerank stage consumes),
+# written where the DuckDB oracle SQL can read it. A fixed path is safe:
+# the Spark query runs before its oracle (per-query in the driver and in
+# tools/check.py), and each run overwrites the sidecar for its sf_dir.
+EXACT_ORACLE_SIDECAR = "/tmp/next_plaid_spark_oracle/quantized_tokens"
+
+
+def q_plaid_search_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLAID funnel in its exact configuration — n_probe = K,
+    t_cs = −∞, n_full_scores ≥ 4·N — so Q1–Q10 degenerate to exact MaxSim
+    over the quantized index (search.rs:327-516 semantics: with every cell
+    probed and every candidate surviving to full scores, the funnel's
+    result must equal brute force over decompressed vectors). Unlike the
+    default `plaid_search_topk` (rows-only: ANN loss is data-dependent),
+    this entry IS SQL-expressible: the oracle recomputes exact MaxSim in
+    DuckDB over the same decompressed vectors (sidecar parquet) and the
+    same SQL-expressed query encoder — a hash-exact gate over the whole
+    funnel machinery (probe, candidate gen, approx scoring, survivor cut,
+    rerank CSE, top-k tie-breaks)."""
+    from next_plaid_spark.operators.codec import decompress
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx = _plaid_index(spark, sf_dir)
+    # sidecar for the oracle: the SAME decompressed vectors the rerank uses
+    decompress(
+        idx.tokens.select("doc_id", "code", "residual"),
+        idx.centroids_np(), idx.meta.codec,
+    ).select("doc_id", "vec").write.mode("overwrite").parquet(EXACT_ORACLE_SIDECAR)
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    n_docs = idx.meta.num_documents
+    searcher = BatchSearcher(idx, SearchParams(
+        top_k=MAXSIM_TOPK,
+        n_ivf_probe=idx.meta.k,            # probe every cell
+        n_full_scores=4 * n_docs,          # survivor budget (N/4 cut) ≥ N
+        centroid_score_threshold=float("-inf"),  # t_cs prune off
+    ))
+    return searcher.search(encode_queries(queries)).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def sql_plaid_search_exact_topk(dim: int = 16, doc_max: int = 48, q_max: int = 8,
+                                n_queries: int = N_SELF_QUERIES,
+                                k: int = MAXSIM_TOPK) -> str:
+    """Exact MaxSim in DuckDB over the decompressed quantized corpus the
+    Spark query just wrote (same doubles, same sorted float64 fold, same
+    (score DESC, doc_id ASC) tie-break as sql_maxsim_brute_topk)."""
+    return f"""
+{_sql_tokens_cte(dim, doc_max, q_max, n_queries)},
+quant AS (
+  SELECT doc_id, vec FROM '{EXACT_ORACLE_SIDECAR}/*.parquet'
+),
+dots AS (
+  SELECT qt.query_id, q.doc_id, qt.token_idx AS q_token_idx,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * q.vec[i]), (a, b) -> a + b) AS dp
+  FROM qt CROSS JOIN quant q
+),
+per_qtoken AS (
+  SELECT query_id, doc_id, q_token_idx, max(dp) AS max_dp
+  FROM dots GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(max_dp))), (a, b) -> a + b) AS score
+  FROM per_qtoken GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
 def q_plaid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The funnel under a metadata filter (Q4 subset probe scaling +
     eligible-centroid pruning). Rows-only: k-means is non-SQL-expressible."""
@@ -1156,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "maxsim_brute_topk": q_maxsim_brute_topk,
         "plaid_search_topk": q_plaid_search_topk,
+        "plaid_search_exact_topk": q_plaid_search_exact_topk,
         "plaid_filtered_topk": q_plaid_filtered_topk,
         "hybrid_plaid_topk": q_hybrid_plaid_topk,
         "monthly_shipments": q_monthly_shipments,
@@ -1198,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
+        "plaid_search_exact_topk": sql_plaid_search_exact_topk(),
         "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
         "update_append_doclens": sql_update_append_doclens(),
         "delete_survivor_doclens": sql_delete_survivor_doclens(),

@@ -299,3 +299,27 @@ def test_rerank_dot_budget_fallback_identical(spark, built_index, monkeypatch):
         for r in BatchSearcher(idx, p).search(qt_plain).collect()
     )
     assert fb_plain == base_plain
+
+
+def test_exact_funnel_config_equals_brute_over_quantized(spark, built_index):
+    """With n_probe=K, t_cs=-inf and an all-docs survivor budget, the
+    funnel must reproduce search_brute (exact MaxSim over the quantized
+    index) exactly — the same invariant the plaid_search_exact_topk
+    oracle entry checks against DuckDB."""
+    idx, docs, dt = built_index
+    queries = docs.limit(8).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    n_docs = idx.meta.num_documents
+    searcher = BatchSearcher(idx, SearchParams(
+        top_k=10, n_ivf_probe=idx.meta.k, n_full_scores=4 * n_docs,
+        centroid_score_threshold=float("-inf"),
+    ))
+    funnel = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in searcher.search(qt).collect()
+    )
+    brute = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.score, 9))
+        for r in searcher.search_brute(qt, k=10).collect()
+    )
+    assert funnel == brute
