@@ -166,6 +166,8 @@ def encode_with_model(
     batch_size: int = 32,
     model_key: Optional[str] = None,
     vec_type: str = "array<double>",
+    pool_factor: Optional[int] = None,
+    protected_tokens: int = 1,
 ) -> DataFrame:
     """``(id, text)`` → ``(out_id BIGINT, token_idx INT, vec ARRAY)``.
 
@@ -174,19 +176,36 @@ def encode_with_model(
     (for non-picklable sessions); with ``model_key`` the constructed
     model is cached per worker process. ``batch_size`` mirrors the
     reference's encoder batching (lib.rs:704-708; 32 CPU / 64 GPU).
+
+    ``pool_factor`` > 1 enables the reference's P6 hierarchical Ward
+    pooling of DOCUMENT token matrices inside the same Arrow stage
+    (lib.rs:1104-1124 encode→pool wrapper; protected_tokens=1 default,
+    lib.rs:1638-1640); queries are never pooled.
     """
 
     def encode(batches: Iterable):
         import numpy as np
         import pandas as pd
 
+        from next_plaid_spark.operators.pooling import (
+            pool_embeddings_hierarchical,
+        )
+
         m = _resolve_model(model, model_key)
+        do_pool = bool(pool_factor) and pool_factor > 1 and not is_query
         for pdf in batches:
             if not len(pdf):
                 continue
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start:start + batch_size]
                 mats = m(list(chunk[text_col]), is_query)
+                if do_pool:
+                    mats = [
+                        pool_embeddings_hierarchical(
+                            np.asarray(mat), pool_factor, protected_tokens
+                        )
+                        for mat in mats
+                    ]
                 ids, idxs, vecs = [], [], []
                 for doc_id, mat in zip(chunk[id_col], mats):
                     n = len(mat)
@@ -206,13 +225,16 @@ def encode_with_model(
 
 def encode_documents_with_model(
     documents: DataFrame, model, *, model_key: Optional[str] = None,
-    batch_size: int = 32,
+    batch_size: int = 32, pool_factor: Optional[int] = None,
+    protected_tokens: int = 1,
 ) -> DataFrame:
-    """documents(doc_id, text, …) → doc_tokens(doc_id, token_idx, vec)."""
+    """documents(doc_id, text, …) → doc_tokens(doc_id, token_idx, vec),
+    optionally Ward-pooled by ``pool_factor`` (P6)."""
     return encode_with_model(
         documents, model, id_col="doc_id", text_col="text",
         out_id="doc_id", is_query=False, batch_size=batch_size,
-        model_key=model_key,
+        model_key=model_key, pool_factor=pool_factor,
+        protected_tokens=protected_tokens,
     )
 
 
