@@ -30,7 +30,7 @@ UNITS_OUT_SCHEMA = (
     "file string, name string, qualified_name string, unit_type string, "
     "line int, end_line int, signature string, docstring string, "
     "parameters array<string>, parent_class string, calls array<string>, "
-    "code string, language string"
+    "code string, language string, complexity int, imports array<string>"
 )
 
 
@@ -44,6 +44,127 @@ def _calls_of(node: ast.AST) -> list[str]:
             elif isinstance(f, ast.Attribute):
                 out.append(f.attr)
     return sorted(set(out))
+
+
+def _complexity_py(node: ast.AST) -> int:
+    """Cyclomatic complexity, reference extract_control_flow
+    (colgrep/src/parser/analysis.rs:644-686): 1 + one per branch node
+    (if / conditional-expression / match) + one per loop (for / while)."""
+    c = 1
+    for n in ast.walk(node):
+        if isinstance(n, (ast.If, ast.IfExp, ast.Match)):
+            c += 1
+        elif isinstance(n, (ast.For, ast.AsyncFor, ast.While)):
+            c += 1
+    return c
+
+
+def _imports_py(tree: ast.AST) -> list[str]:
+    """File-level imports, reference extract_file_imports
+    (analysis.rs:763-1006): first dotted component per import; unlike the
+    reference's text scan we emit every alias of ``import a, b`` (strictly
+    more complete). Deduped preserving first appearance."""
+    out: list[str] = []
+    for n in ast.walk(tree):
+        if isinstance(n, ast.Import):
+            out.extend(a.name.split(".")[0] for a in n.names)
+        elif isinstance(n, ast.ImportFrom) and n.module:
+            out.append(n.module.split(".")[0])
+    seen: dict[str, None] = {}
+    for m in out:
+        seen.setdefault(m)
+    return list(seen)
+
+
+# branch/loop keyword scan for the ast-lite languages (the same node-kind
+# families analysis.rs:644-686 counts, as word tokens on comment/string-
+# stripped lines; 'elif'/'foreach' don't false-match thanks to \b)
+_BRANCH_KW_RE = re.compile(r"\b(?:if|match|switch|case|when|unless)\b")
+_LOOP_KW_RE = re.compile(r"\b(?:for|foreach|while|loop|until|do)\b")
+
+
+def _complexity_scan(code: str) -> int:
+    c = 1
+    for line in (code or "").splitlines():
+        s = _strip_code_line(line)
+        c += len(_BRANCH_KW_RE.findall(s)) + len(_LOOP_KW_RE.findall(s))
+    return c
+
+
+_RUST_USE_RE = re.compile(
+    r"^\s*(?:pub(?:\([^)]*\))?\s+)?use\s+([A-Za-z_][A-Za-z0-9_]*)"
+)
+_JS_IMPORT_FROM_RE = re.compile(
+    r"""^\s*(?:import|export)\b[^'"]*\bfrom\s+['"]([^'"]+)['"]"""
+)
+_JS_IMPORT_BARE_RE = re.compile(r"""^\s*import\s+['"]([^'"]+)['"]""")
+_GO_IMPORT_STR_RE = re.compile(r'"([^"]+)"')
+_JAVALIKE_IMPORT_RE = re.compile(
+    r"^\s*(?:import|using)\s+(?:static\s+)?([A-Za-z_][A-Za-z0-9_.]*)"
+)
+_C_INCLUDE_RE = re.compile(r'^\s*#\s*include\s*[<"]([^>"]+)[>"]')
+_PHP_USE_RE = re.compile(r"^\s*use\s+\\?([A-Za-z_][A-Za-z0-9_]*)")
+_RUBY_REQUIRE_RE = re.compile(
+    r"""^\s*require(?:_relative)?\s*\(?\s*['"]([^'"]+)['"]"""
+)
+
+
+def _file_imports(content: str, lang: str) -> list[str]:
+    """ast-lite file imports per language, mirroring extract_file_imports'
+    per-language component choice (first path component by default; LAST
+    component for Java/C#'s qualified class imports, Go packages and Ruby
+    requires; header basename for C/C++)."""
+    out: list[str] = []
+    lines = (content or "").splitlines()
+    in_go_import = False
+    for raw in lines:
+        if lang == "rust":
+            m = _RUST_USE_RE.match(raw)
+            if m:
+                out.append(m.group(1))
+        elif lang in ("javascript", "typescript"):
+            m = _JS_IMPORT_FROM_RE.match(raw) or _JS_IMPORT_BARE_RE.match(raw)
+            if m:
+                spec = m.group(1)
+                parts = [p for p in spec.split("/") if p not in ("", ".", "..")]
+                if parts:
+                    # '@scope/pkg' → pkg; './utils/helper' → utils
+                    out.append(parts[1] if parts[0].startswith("@") and len(parts) > 1
+                               else parts[0].lstrip("@"))
+        elif lang == "go":
+            s = raw.strip()
+            if s.startswith("import ("):
+                in_go_import = True
+                continue
+            if in_go_import and s.startswith(")"):
+                in_go_import = False
+                continue
+            if in_go_import or s.startswith("import"):
+                m = _GO_IMPORT_STR_RE.search(raw)
+                if m:
+                    out.append(m.group(1).split("/")[-1])
+        elif lang in ("java", "csharp"):
+            m = _JAVALIKE_IMPORT_RE.match(raw)
+            if m:
+                out.append(m.group(1).split(".")[-1])
+        elif lang in ("c", "cpp"):
+            m = _C_INCLUDE_RE.match(raw)
+            if m:
+                base = m.group(1).split("/")[-1]
+                out.append(base.split(".")[0])
+        elif lang == "php":
+            m = _PHP_USE_RE.match(raw)
+            if m:
+                out.append(m.group(1))
+        elif lang == "ruby":
+            m = _RUBY_REQUIRE_RE.match(raw)
+            if m:
+                out.append(m.group(1).split("/")[-1])
+    seen: dict[str, None] = {}
+    for mod in out:
+        if mod:
+            seen.setdefault(mod)
+    return list(seen)
 
 
 def _signature(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str:
@@ -866,26 +987,37 @@ _EXT_PARSERS = {
 }
 
 
+def _finalize(units: list[tuple], content: str, lang: str) -> list[tuple]:
+    """Append the layer-3/5 columns (complexity, file imports) to ast-lite
+    13-tuples; file imports are shared by every unit of the file, like the
+    reference attaches extract_file_imports to each CodeUnit."""
+    imports = _file_imports(content, lang)
+    return [t + (_complexity_scan(t[11]), imports) for t in units]
+
+
 def _parse_one(path: str, content: str) -> list[tuple]:
     for ext, (lang, parser) in _EXT_PARSERS.items():
         if path.endswith(ext):
             units = parser(path, content)
             if units:
-                return units
+                return _finalize(units, content, lang)
             lines = (content or "").count("\n") + 1
-            return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
-                     None, None, [], None, [], content, lang)]
+            return _finalize(
+                [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
+                  None, None, [], None, [], content, lang)], content, lang)
     if not path.endswith(".py"):
         lines = (content or "").count("\n") + 1
         return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
-                 None, None, [], None, [], content, "unknown")]
+                 None, None, [], None, [], content, "unknown", 1, [])]
     try:
         tree = ast.parse(content)
     except SyntaxError:
         lines = (content or "").count("\n") + 1
         return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
-                 None, None, [], None, [], content, "python")]
+                 None, None, [], None, [], content, "python",
+                 _complexity_scan(content), [])]
     src_lines = content.splitlines()
+    file_imports = _imports_py(tree)
 
     def body(node) -> str:
         return "\n".join(src_lines[node.lineno - 1 : node.end_lineno])
@@ -902,6 +1034,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
                     child.lineno, child.end_lineno, _signature(child),
                     ast.get_docstring(child), [a.arg for a in child.args.args],
                     parent_class, _calls_of(child), body(child), "python",
+                    _complexity_py(child), file_imports,
                 ))
                 visit(child, parent_class, qn + ".")
             elif isinstance(child, ast.ClassDef):
@@ -910,6 +1043,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
                     path, child.name, qn, "Class", child.lineno,
                     child.end_lineno, None, ast.get_docstring(child), [],
                     parent_class, _calls_of(child), body(child), "python",
+                    _complexity_py(child), file_imports,
                 ))
                 visit(child, child.name, qn + ".")
             elif isinstance(child, ast.Assign) and parent_class is None:
@@ -918,7 +1052,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
                         units.append((
                             path, t.id, f"{prefix}{t.id}", "Constant",
                             child.lineno, child.end_lineno, None, None, [],
-                            None, [], body(child), "python",
+                            None, [], body(child), "python", 1, file_imports,
                         ))
 
     visit(tree, None, "")
@@ -951,3 +1085,42 @@ def with_unit_ids(units: DataFrame) -> DataFrame:
 
     w = Window.orderBy("file", "line", "name")
     return units.withColumn("unit_id", F.row_number().over(w).cast("long") - 1)
+
+
+def build_call_graph(units: DataFrame) -> DataFrame:
+    """Layer 2 reverse edges: adds ``called_by array<string>`` —
+    the distributed form of the reference's build_call_graph
+    (colgrep/src/parser/call_graph.rs:7-61): a call edge matches every
+    unit sharing the callee NAME (cross-file, like name_to_indices);
+    callers are sorted unique; unmatched units get an empty list.
+
+    Scale shape: one explode + one aggregation + one equi-join on the unit
+    name — no driver collect, no cartesian. The callee-names semi-join
+    prunes call targets that aren't units (stdlib calls etc.) before the
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        units.select(
+            F.col("name").alias("caller_name"),
+            F.explode("calls").alias("callee_name"),
+        )
+        .distinct()
+    )
+    names = units.select(F.col("name").alias("callee_name")).distinct()
+    callers = (
+        edges.join(names, "callee_name", "left_semi")
+        .groupBy("callee_name")
+        .agg(F.sort_array(F.collect_set("caller_name")).alias("called_by"))
+    )
+    out = (
+        units.join(
+            callers, units["name"] == callers["callee_name"], "left"
+        )
+        .drop("callee_name")
+        .withColumn(
+            "called_by",
+            F.coalesce("called_by", F.array().cast("array<string>")),
+        )
+    )
+    return out

@@ -113,9 +113,12 @@ EMBED_TEXT_CAP = 8192
 
 def build_embedding_text(units: DataFrame) -> DataFrame:
     """Adds ``embed_text``: structured description, path before code so the
-    8 KiB truncation keeps it (embed.rs:115-207)."""
-    parts = F.concat_ws(
-        "\n",
+    8 KiB truncation keeps it (embed.rs:115-207). Layer-2/5 parts
+    ("Called by:", "Uses:" — embed.rs:178-190) engage when the units frame
+    carries ``called_by`` (from code_parse.build_call_graph) / ``imports``
+    (from the parser); older frames without them still work."""
+    cols = set(units.columns)
+    parts = [
         F.concat(F.coalesce("unit_type", F.lit("Code")), F.lit(": "),
                  F.coalesce("name", F.lit(""))),
         F.when(F.col("signature").isNotNull(),
@@ -126,10 +129,25 @@ def build_embedding_text(units: DataFrame) -> DataFrame:
                F.concat(F.lit("Description: "), F.col("docstring"))),
         F.when(F.size(F.coalesce("calls", F.array())) > 0,
                F.concat(F.lit("Calls: "), F.concat_ws(", ", "calls"))),
+    ]
+    if "called_by" in cols:
+        parts.append(
+            F.when(F.size(F.coalesce("called_by", F.array())) > 0,
+                   F.concat(F.lit("Called by: "),
+                            F.concat_ws(", ", "called_by")))
+        )
+    if "imports" in cols:
+        parts.append(
+            F.when(F.size(F.coalesce("imports", F.array())) > 0,
+                   F.concat(F.lit("Uses: "), F.concat_ws(", ", "imports")))
+        )
+    parts += [
         F.concat(F.lit("File: "), F.col("file")),
         F.concat(F.lit("Code: "), F.coalesce("code", F.lit(""))),
+    ]
+    return units.withColumn(
+        "embed_text", F.substring(F.concat_ws("\n", *parts), 1, EMBED_TEXT_CAP)
     )
-    return units.withColumn("embed_text", F.substring(parts, 1, EMBED_TEXT_CAP))
 
 
 # -- R1-R5: ranking ------------------------------------------------------------
@@ -306,6 +324,13 @@ def search_code(
     from next_plaid_spark.operators.bm25 import BM25Index
     from next_plaid_spark.operators.fusion import hybrid_search
     from next_plaid_spark.operators.maxsim import brute_force_search
+
+    if "calls" in units.columns and "called_by" not in units.columns:
+        # layer-2 reverse edges run over the FULL unit table (the call
+        # graph is global) before any query-side pre-filter
+        from next_plaid_spark.operators.code_parse import build_call_graph
+
+        units = build_call_graph(units)
 
     subset = units
     if regex is not None:

@@ -295,3 +295,113 @@ def test_search_code_unit_hits_across_languages(spark):
 
     got = search_code(units, "fetch user by id", top_k=5, collapse=False).collect()
     assert got and "fetchUser" in {r.name for r in got}
+
+
+# -- Layers 2/3/5: called_by, complexity, imports (r5 depth work) -------------
+
+PY_GRAPH = '''import os
+import numpy as np
+from collections import deque
+
+def helper(x):
+    """Shared helper."""
+    return x + 1
+
+def caller1(a):
+    if a > 0:
+        return helper(a)
+    for i in range(3):
+        a += helper(i)
+    return a
+
+def caller2(b):
+    return helper(b) if b else 0
+'''
+
+RS_GRAPH = '''use std::collections::HashMap;
+use serde::Serialize;
+
+/// Shared helper.
+fn helper(x: u32) -> u32 { x + 1 }
+
+fn caller(a: u32) -> u32 {
+    match a {
+        0 => helper(a),
+        _ => { if a > 10 { helper(a) } else { a } }
+    }
+}
+'''
+
+JS_GRAPH = '''import React from 'react';
+import { parse } from './utils/parser';
+import '@scope/pkg/polyfill';
+
+function helper(x) { return x + 1; }
+
+function caller(a) {
+  if (a > 0) { return helper(a); }
+  while (a < 10) { a = helper(a); }
+  return a;
+}
+'''
+
+
+def _units_map(spark, path, src):
+    from next_plaid_spark.operators.code_parse import (
+        build_call_graph,
+        parse_code_units,
+    )
+
+    files = spark.createDataFrame([(path, src)], "path string, content string")
+    units = build_call_graph(parse_code_units(files))
+    return {r.name: r for r in units.collect()}
+
+
+def test_python_called_by_complexity_imports(spark):
+    """Shapes mirror colgrep/src/parser/test_core.rs:670-710: the callee's
+    called_by lists every caller by name, sorted unique."""
+    by = _units_map(spark, "graph.py", PY_GRAPH)
+    assert by["helper"].called_by == ["caller1", "caller2"]
+    assert by["caller1"].called_by == []
+    # analysis.rs:644-686: 1 + if + for + (ternary in caller2 is its own unit)
+    assert by["caller1"].complexity == 3  # 1 + if + for
+    assert by["caller2"].complexity == 2  # 1 + conditional_expression
+    assert by["helper"].complexity == 1
+    # file-level imports attached to every unit, first dotted component
+    assert by["helper"].imports == ["os", "numpy", "collections"]
+    assert by["caller1"].imports == ["os", "numpy", "collections"]
+
+
+def test_rust_called_by_complexity_imports(spark):
+    by = _units_map(spark, "graph.rs", RS_GRAPH)
+    assert by["helper"].called_by == ["caller"]
+    # 1 + match + if (keyword scan over stripped lines)
+    assert by["caller"].complexity == 3
+    # use first path component (analysis.rs default: split("::")[0])
+    assert by["caller"].imports == ["std", "serde"]
+
+
+def test_js_called_by_complexity_imports(spark):
+    by = _units_map(spark, "graph.js", JS_GRAPH)
+    assert by["helper"].called_by == ["caller"]
+    assert by["caller"].complexity == 3  # 1 + if + while
+    # specifier first component; @scope/pkg → pkg; ./utils/parser → utils
+    assert by["caller"].imports == ["react", "utils", "pkg"]
+
+
+def test_embed_text_carries_call_graph_layers(spark):
+    from next_plaid_spark.operators.code_parse import (
+        build_call_graph,
+        parse_code_units,
+        with_unit_ids,
+    )
+    from next_plaid_spark.operators.colgrep import build_embedding_text
+
+    files = spark.createDataFrame(
+        [("graph.py", PY_GRAPH)], "path string, content string"
+    )
+    units = with_unit_ids(build_call_graph(parse_code_units(files)))
+    texts = {r.name: r.embed_text for r in build_embedding_text(units).collect()}
+    assert "Called by: caller1, caller2" in texts["helper"]
+    assert "Uses: os, numpy, collections" in texts["helper"]
+    assert "Calls: helper" in texts["caller1"]
