@@ -30,7 +30,8 @@ UNITS_OUT_SCHEMA = (
     "file string, name string, qualified_name string, unit_type string, "
     "line int, end_line int, signature string, docstring string, "
     "parameters array<string>, parent_class string, calls array<string>, "
-    "code string, language string, complexity int, imports array<string>"
+    "code string, language string, complexity int, imports array<string>, "
+    "variables array<string>"
 )
 
 
@@ -57,6 +58,29 @@ def _complexity_py(node: ast.AST) -> int:
         elif isinstance(n, (ast.For, ast.AsyncFor, ast.While)):
             c += 1
     return c
+
+
+def _variables_py(node: ast.AST) -> list[str]:
+    """Layer 4 data flow: declared-variable names in the unit, reference
+    extract_variables (colgrep/src/parser/analysis.rs:690-760) — Python
+    node kinds assignment / named_expression / augmented_assignment. Where
+    the reference takes the raw left-side text (so ``a, b = …`` yields the
+    string ``"a, b"``), we emit each Name target individually — strictly
+    more useful for the "Variables:" embed part and ranking stems. Same
+    output contract: sorted, deduped, name length < 50."""
+    out: set[str] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Assign):
+            targets = n.targets
+        elif isinstance(n, (ast.AnnAssign, ast.AugAssign, ast.NamedExpr)):
+            targets = [n.target]
+        else:
+            continue
+        for t in targets:
+            for leaf in ast.walk(t):
+                if isinstance(leaf, ast.Name):
+                    out.add(leaf.id)
+    return sorted(v for v in out if len(v) < 50)
 
 
 def _imports_py(tree: ast.AST) -> list[str]:
@@ -89,6 +113,63 @@ def _complexity_scan(code: str) -> int:
         s = _strip_code_line(line)
         c += len(_BRANCH_KW_RE.findall(s)) + len(_LOOP_KW_RE.findall(s))
     return c
+
+
+# declaration forms per ast-lite language — the node-kind families
+# analysis.rs:690-760 walks (let_declaration, variable_declarator,
+# short_var_declaration, …) as line regexes on comment/string-stripped
+# lines. Java/C#/C/C++ use an initialized-declaration shape
+# (`Type name = …`) rather than the bare-declaration node, and PHP counts
+# only assigned `$var`s (the reference's simple_variable kind would list
+# every usage) — both divergences keep the list declaration-like.
+_VAR_SCAN_RES: dict[str, list] = {
+    "rust": [re.compile(r"\blet\s+(?:mut\s+)?([A-Za-z_]\w*)")],
+    "javascript": [re.compile(r"\b(?:let|const|var)\s+([A-Za-z_$]\w*)")],
+    "typescript": [re.compile(r"\b(?:let|const|var)\s+([A-Za-z_$]\w*)")],
+    "go": [
+        re.compile(r"\b([A-Za-z_]\w*)\s*:="),
+        re.compile(r"^\s*var\s+([A-Za-z_]\w*)"),
+    ],
+    "java": [
+        re.compile(r"^\s*(?:final\s+)?[A-Za-z_][\w.<>\[\],\s]*\s+([a-z_]\w*)\s*="),
+        re.compile(r"^\s*var\s+([a-z_]\w*)\s*="),
+    ],
+    "csharp": [
+        re.compile(r"^\s*(?:readonly\s+)?[A-Za-z_][\w.<>\[\],\s]*\s+([a-z_]\w*)\s*="),
+        re.compile(r"^\s*var\s+([a-z_]\w*)\s*="),
+    ],
+    "c": [re.compile(r"^\s*[A-Za-z_][\w\s*]*[\s*]([A-Za-z_]\w*)\s*[=;[]")],
+    "cpp": [re.compile(r"^\s*[A-Za-z_][\w:<>,\s*&]*[\s*&]([A-Za-z_]\w*)\s*[={;[]")],
+    "php": [re.compile(r"\$([A-Za-z_]\w*)\s*=[^=]")],
+    "ruby": [re.compile(r"^\s*([a-z_]\w*)\s*=[^=~]")],
+    "python": [re.compile(r"^\s*([A-Za-z_]\w*)\s*=[^=]")],  # RawCode fallback only
+}
+
+_VAR_KEYWORDS = frozenset((
+    "return", "if", "else", "while", "for", "break", "continue", "switch",
+    "case", "goto", "typedef", "struct", "class", "enum", "union", "public",
+    "private", "protected", "static", "const", "constexpr", "auto", "new",
+    "delete", "using", "namespace", "template", "typename", "do", "try",
+    "catch", "throw", "in", "of", "end", "then", "elsif", "unless", "def",
+))
+
+
+def _variables_scan(code: str, lang: str) -> list[str]:
+    """ast-lite extract_variables (analysis.rs:690-760): declaration-name
+    regexes per language over stripped lines; sorted/deduped, length < 50,
+    leading alpha/underscore — the reference's output filter."""
+    res = _VAR_SCAN_RES.get(lang)
+    if not res:
+        return []
+    out: set[str] = set()
+    for line in (code or "").splitlines():
+        s = _strip_code_line(line)
+        for rx in res:
+            for m in rx.finditer(s):
+                name = m.group(1)
+                if name and len(name) < 50 and name not in _VAR_KEYWORDS:
+                    out.add(name)
+    return sorted(out)
 
 
 _RUST_USE_RE = re.compile(
@@ -992,7 +1073,8 @@ def _finalize(units: list[tuple], content: str, lang: str) -> list[tuple]:
     13-tuples; file imports are shared by every unit of the file, like the
     reference attaches extract_file_imports to each CodeUnit."""
     imports = _file_imports(content, lang)
-    return [t + (_complexity_scan(t[11]), imports) for t in units]
+    return [t + (_complexity_scan(t[11]), imports, _variables_scan(t[11], lang))
+            for t in units]
 
 
 def _parse_one(path: str, content: str) -> list[tuple]:
@@ -1008,14 +1090,15 @@ def _parse_one(path: str, content: str) -> list[tuple]:
     if not path.endswith(".py"):
         lines = (content or "").count("\n") + 1
         return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
-                 None, None, [], None, [], content, "unknown", 1, [])]
+                 None, None, [], None, [], content, "unknown", 1, [], [])]
     try:
         tree = ast.parse(content)
     except SyntaxError:
         lines = (content or "").count("\n") + 1
         return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
                  None, None, [], None, [], content, "python",
-                 _complexity_scan(content), [])]
+                 _complexity_scan(content), [],
+                 _variables_scan(content, "python"))]
     src_lines = content.splitlines()
     file_imports = _imports_py(tree)
 
@@ -1034,7 +1117,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
                     child.lineno, child.end_lineno, _signature(child),
                     ast.get_docstring(child), [a.arg for a in child.args.args],
                     parent_class, _calls_of(child), body(child), "python",
-                    _complexity_py(child), file_imports,
+                    _complexity_py(child), file_imports, _variables_py(child),
                 ))
                 visit(child, parent_class, qn + ".")
             elif isinstance(child, ast.ClassDef):
@@ -1043,7 +1126,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
                     path, child.name, qn, "Class", child.lineno,
                     child.end_lineno, None, ast.get_docstring(child), [],
                     parent_class, _calls_of(child), body(child), "python",
-                    _complexity_py(child), file_imports,
+                    _complexity_py(child), file_imports, _variables_py(child),
                 ))
                 visit(child, child.name, qn + ".")
             elif isinstance(child, ast.Assign) and parent_class is None:
@@ -1053,6 +1136,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
                             path, t.id, f"{prefix}{t.id}", "Constant",
                             child.lineno, child.end_lineno, None, None, [],
                             None, [], body(child), "python", 1, file_imports,
+                            [],
                         ))
 
     visit(tree, None, "")

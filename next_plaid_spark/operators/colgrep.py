@@ -136,6 +136,12 @@ def build_embedding_text(units: DataFrame) -> DataFrame:
                    F.concat(F.lit("Called by: "),
                             F.concat_ws(", ", "called_by")))
         )
+    if "variables" in cols:  # Layer 4 data flow (embed.rs:182-185)
+        parts.append(
+            F.when(F.size(F.coalesce("variables", F.array())) > 0,
+                   F.concat(F.lit("Variables: "),
+                            F.concat_ws(", ", "variables")))
+        )
     if "imports" in cols:
         parts.append(
             F.when(F.size(F.coalesce("imports", F.array())) > 0,

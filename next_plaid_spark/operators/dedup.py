@@ -302,28 +302,25 @@ def simhash_fingerprints(docs: DataFrame, *, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """(doc_id, simhash BIGINT): 60-bit simhash over word unigrams weighted
     by term frequency. Bit j is 1 iff Σ_t tf(t)·(2·bit_j(hash60(t))−1) ≥ 0."""
-    terms = (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.explode(tokenize_unicode61(F.col(text_col))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", _hash60(F.col("term")))
-    )
-    # one wide aggregation (60 sum columns) instead of a 60× explode: shift
-    # amounts must be Python ints anyway (shiftright doesn't take a Column),
-    # and the wide form shuffles |doc_terms| rows instead of 60×that.
-    # All exact long arithmetic; values identical to the oracle's exploded
-    # formulation.
-    weighted = terms.select(
-        "doc_id",
+    # Σ_t tf(t)·(2·bit_j−1) ≡ Σ_occurrences (2·bit_j−1), so no per-(doc,
+    # term) tf pre-aggregation is needed: hash each occurrence and fold the
+    # ±1 contributions straight into 60 sum aggregates. The per-bit
+    # expressions evaluate inside the partial (map-side) aggregation, so
+    # the ONLY shuffle moves 60 partial longs per doc — not |doc_terms|
+    # rows (the former tf groupBy was a second full-width shuffle; shift
+    # amounts must be Python ints anyway, so the wide form beats a 60×
+    # explode). All exact long arithmetic; values identical to the oracle's
+    # tf-weighted exploded formulation.
+    occ = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_unicode61(F.col(text_col))).alias("term"),
+    ).withColumn("h", _hash60(F.col("term")))
+    sums = occ.groupBy("doc_id").agg(
         *[
-            (F.col("tf") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1))
-            .alias(f"_w{j}")
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            .alias(f"_s{j}")
             for j in range(SIMHASH_BITS)
-        ],
-    )
-    sums = weighted.groupBy("doc_id").agg(
-        *[F.sum(f"_w{j}").alias(f"_s{j}") for j in range(SIMHASH_BITS)]
+        ]
     )
     fp = None
     for j in range(SIMHASH_BITS):

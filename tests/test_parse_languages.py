@@ -405,3 +405,49 @@ def test_embed_text_carries_call_graph_layers(spark):
     assert "Called by: caller1, caller2" in texts["helper"]
     assert "Uses: os, numpy, collections" in texts["helper"]
     assert "Calls: helper" in texts["caller1"]
+    # Layer 4 data flow (embed.rs:182-185)
+    assert "Variables: a" in texts["caller1"]
+
+
+# -- Layer 4: variables (analysis.rs:690-760) ---------------------------------
+
+
+def test_python_variables(spark):
+    by = _units_map(spark, "graph.py", PY_GRAPH)
+    # `a += helper(i)` is an augmented_assignment (reference var kind);
+    # the for-loop target `i` is not — analysis.rs:694 counts only
+    # assignment / named_expression / augmented_assignment for Python.
+    assert by["caller1"].variables == ["a"]
+    assert by["helper"].variables == []
+
+
+def test_astlite_variables(spark):
+    rs = '''fn caller(a: u32) -> u32 {
+    let mut total = 0;
+    let step = a + 1;
+    total + step
+}
+'''
+    by = _units_map(spark, "vars.rs", rs)
+    assert by["caller"].variables == ["step", "total"]
+
+    js = '''function f(a) {
+  const limit = 10;
+  let count = 0;
+  var old = a;
+  return count + limit + old;
+}
+'''
+    by = _units_map(spark, "vars.js", js)
+    assert by["f"].variables == ["count", "limit", "old"]
+
+    go = '''package main
+
+func f(a int) int {
+	total := 0
+	var step int = a
+	return total + step
+}
+'''
+    by = _units_map(spark, "vars.go", go)
+    assert by["f"].variables == ["step", "total"]
