@@ -176,6 +176,17 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXACT_ORACLE_SIDECAR = "/tmp/next_plaid_spark_oracle/quantized_tokens"
 
 
+def _write_exact_oracle_sidecar(idx) -> None:
+    """Sidecar for the exact-funnel oracles: the SAME decompressed vectors
+    the funnel's rerank stage consumes (B7 output)."""
+    from next_plaid_spark.operators.codec import decompress
+
+    decompress(
+        idx.tokens.select("doc_id", "code", "residual"),
+        idx.centroids_np(), idx.meta.codec,
+    ).select("doc_id", "vec").write.mode("overwrite").parquet(EXACT_ORACLE_SIDECAR)
+
+
 def q_plaid_search_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PLAID funnel in its exact configuration — n_probe = K,
     t_cs = −∞, n_full_scores ≥ 4·N — so Q1–Q10 degenerate to exact MaxSim
@@ -188,15 +199,10 @@ def q_plaid_search_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same SQL-expressed query encoder — a hash-exact gate over the whole
     funnel machinery (probe, candidate gen, approx scoring, survivor cut,
     rerank CSE, top-k tie-breaks)."""
-    from next_plaid_spark.operators.codec import decompress
     from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
 
     idx = _plaid_index(spark, sf_dir)
-    # sidecar for the oracle: the SAME decompressed vectors the rerank uses
-    decompress(
-        idx.tokens.select("doc_id", "code", "residual"),
-        idx.centroids_np(), idx.meta.codec,
-    ).select("doc_id", "vec").write.mode("overwrite").parquet(EXACT_ORACLE_SIDECAR)
+    _write_exact_oracle_sidecar(idx)
 
     docs = _t(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
@@ -247,6 +253,50 @@ ranked AS (
 SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+def q_plaid_filtered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED funnel (F2/F9 subset semantics + Q4 probe scaling) in
+    the exact configuration — n_probe = K, t_cs = −∞, survivor budget ≥ N —
+    so the subset-restricted funnel must equal exact MaxSim over the
+    filtered quantized corpus (search.rs:433-437 subset intersection +
+    search.rs:327-516 funnel semantics). Hash-exact oracle: same sidecar as
+    `plaid_search_exact_topk`, with the metadata predicate applied to the
+    document side in DuckDB."""
+    from next_plaid_spark.filtering import MetadataStore
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx = _plaid_index(spark, sf_dir)
+    _write_exact_oracle_sidecar(idx)
+
+    docs = _t(spark, sf_dir, "documents")
+    subset = MetadataStore(docs).where_condition(FILTER_COND, FILTER_PARAMS)
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    n_docs = idx.meta.num_documents
+    searcher = BatchSearcher(idx, SearchParams(
+        top_k=MAXSIM_TOPK,
+        n_ivf_probe=idx.meta.k,
+        n_full_scores=4 * n_docs,
+        centroid_score_threshold=float("-inf"),
+    ))
+    return searcher.search(encode_queries(queries), subset=subset).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def sql_plaid_filtered_exact_topk() -> str:
+    from next_plaid_spark.filtering import bind_condition_duckdb
+
+    pred = bind_condition_duckdb(FILTER_COND, FILTER_PARAMS)
+    base = sql_plaid_search_exact_topk()
+    return base.replace(
+        f"SELECT doc_id, vec FROM '{EXACT_ORACLE_SIDECAR}/*.parquet'",
+        f"SELECT doc_id, vec FROM '{EXACT_ORACLE_SIDECAR}/*.parquet' "
+        f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {pred})",
+        1,
+    )
 
 
 def q_plaid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_brute_topk": q_maxsim_brute_topk,
         "plaid_search_topk": q_plaid_search_topk,
         "plaid_search_exact_topk": q_plaid_search_exact_topk,
+        "plaid_filtered_exact_topk": q_plaid_filtered_exact_topk,
         "plaid_filtered_topk": q_plaid_filtered_topk,
         "hybrid_plaid_topk": q_hybrid_plaid_topk,
         "monthly_shipments": q_monthly_shipments,
@@ -1281,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
         "plaid_search_exact_topk": sql_plaid_search_exact_topk(),
+        "plaid_filtered_exact_topk": sql_plaid_filtered_exact_topk(),
         "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
         "update_append_doclens": sql_update_append_doclens(),
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
