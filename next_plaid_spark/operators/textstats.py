@@ -174,6 +174,77 @@ FROM m
 """.strip()
 
 
+# -- unigram-LM perplexity proxy ----------------------------------------------
+
+def unigram_logprob(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020 filter by KenLM
+    perplexity; the corpus-unigram LM is the shuffle-trivial form of the
+    same idea): bits_per_token(doc) = −(1/|T_d|) Σ_t log2 p(t), with
+    p(t) = count(t)/total over the WHOLE corpus. High = improbable tokens
+    (gibberish / rare-vocab docs); low = boilerplate-ish.
+
+    Scale shape: one explode→agg builds the vocab table (map-side
+    combinable; unigram vocab stays broadcastable far beyond 100 TB of
+    text), one broadcast join back, one per-doc agg. The per-doc fold sums
+    float64 in sorted order so the result is bit-identical to the DuckDB
+    oracle's list_sort/list_reduce. One caveat: libm log2 differs from
+    DuckDB's in the last ulp, so bits_per_token is rounded to 10 decimals
+    on BOTH sides (the one textstats column that can't be bit-identical
+    cross-engine)."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_unicode61(F.col(text_col))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    nll = (
+        vocab.crossJoin(F.broadcast(total))  # 1-row total, stays a DF job
+        .select("term", (-F.log2(F.col("cnt") / F.col("total"))).alias("nll"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(nll), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("nll")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce(F.col("s") / F.col("n"), F.lit(0.0)), 10).alias("bits_per_token"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_tokens"),
+    )
+
+
+def sql_unigram_logprob() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+nll AS (SELECT term, -log2(cnt * 1.0 / total) AS nll FROM vocab, tot),
+per_doc AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(nll))), (a, b) -> a + b) AS s,
+         count(*) AS n
+  FROM toks JOIN nll USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+       round(coalesce(p.s / p.n, 0.0), 10) AS bits_per_token,
+       CAST(coalesce(p.n, 0) AS INT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+
 # -- document fingerprinting ---------------------------------------------------
 
 def fingerprint(docs: DataFrame, *, id_col: str = "doc_id",

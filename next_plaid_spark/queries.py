@@ -940,6 +940,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → keep-one-per-cluster: connected components (alternating
+    large-star/small-star) over the jaccard ≥ 0.8 MinHash pairs, each doc
+    labeled (cluster_rep, kept). The step pair lists alone can't express:
+    A~B, B~C must keep exactly one of {A,B,C}."""
+    from next_plaid_spark.operators.cluster import dedup_keep_canonical
+    from next_plaid_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup_keep_canonical(docs, pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -1034,14 +1047,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
-def _textstats_sqls() -> tuple[str, str, str]:
+def q_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _textstats_sqls() -> tuple[str, str, str, str]:
     from next_plaid_spark.operators.textstats import (
         sql_fingerprint,
         sql_language_id,
         sql_quality_score,
+        sql_unigram_logprob,
     )
 
-    return sql_language_id(), sql_quality_score(), sql_fingerprint()
+    return (sql_language_id(), sql_quality_score(), sql_fingerprint(),
+            sql_unigram_logprob())
 
 
 # ---------------------------------------------------------------------------
@@ -1279,6 +1300,13 @@ def _dedup_sqls() -> tuple[str, str, str, str, str]:
     )
 
 
+def _sql_dedup_clusters_oracle() -> str:
+    from next_plaid_spark.operators.cluster import sql_dedup_clusters
+    from next_plaid_spark.operators.dedup import sql_minhash_lsh_pairs
+
+    return sql_dedup_clusters(sql_minhash_lsh_pairs(threshold=0.8))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1311,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
@@ -1318,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_fingerprint,
+        "perplexity_proxy": q_perplexity_proxy,
         "pricing_summary": q_pricing_summary,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1353,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
+        "dedup_clusters": _sql_dedup_clusters_oracle(),
         "decontaminate": _corpus_sqls()[0],
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
@@ -1360,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],
         "doc_fingerprint": _textstats_sqls()[2],
+        "perplexity_proxy": _textstats_sqls()[3],
         "pricing_summary": SQL_PRICING_SUMMARY,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessions": SQL_EVENTS_SESSIONS,

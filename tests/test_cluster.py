@@ -1,0 +1,55 @@
+"""Connected-components cluster formation (operators/cluster.py):
+alternating large-star/small-star must label every node with its
+component minimum, for shapes label propagation gets wrong at distance
+(chains) and shapes that exercise cycle termination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.cluster import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def _cc_map(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {r.node: r.rep for r in connected_components(pairs).collect()}
+
+
+def test_cc_chain(spark):
+    # chain 1-2-3-4-5: every node → 1 (transitively; pair lists alone
+    # never relate 1 and 5)
+    got = _cc_map(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_cycle_and_disjoint(spark):
+    # cycle 10-11-12-10, separate pair (20, 21), reversed-order edge (31, 30)
+    got = _cc_map(spark, [(10, 11), (11, 12), (12, 10), (20, 21), (31, 30)])
+    assert got == {11: 10, 12: 10, 21: 20, 31: 30}
+
+
+def test_cc_star_and_bridge(spark):
+    # star around 7 bridged to a star around 2 through (7, 3)
+    got = _cc_map(spark, [(7, 8), (7, 9), (2, 3), (2, 4), (7, 3)])
+    assert got == {3: 2, 4: 2, 7: 2, 8: 2, 9: 2}
+
+
+def test_keep_canonical_singletons_kept(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    got = {r.doc_id: (r.cluster_rep, r.kept)
+           for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (1, False), 4: (4, True), 5: (1, False),
+    }
+    kept = [d for d, (_, k) in got.items() if k]
+    assert kept == sorted(kept) and len(kept) == 4
+
+
+def test_cc_self_and_duplicate_edges(spark):
+    got = _cc_map(spark, [(4, 4), (4, 6), (6, 4), (4, 6)])
+    assert got == {6: 4}
