@@ -134,7 +134,8 @@ def main() -> None:
         timed(extras, f"plaid_search_batch{n_q}_kernel",
               lambda: force(kernel_searcher.search(encode_queries(batch_queries))))
 
-        for name in ("decontaminate", "repetition_stats", "stratified_sample"):
+        for name in ("decontaminate", "repetition_stats", "stratified_sample",
+                     "dedup_clusters", "perplexity_proxy"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
     except Exception:

@@ -42,6 +42,8 @@ AUDITED = [
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "dedup_clusters",
+    "perplexity_proxy",
 ]
 
 
