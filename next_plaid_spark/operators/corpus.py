@@ -28,6 +28,42 @@ from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
 from next_plaid_spark.operators.dedup import HASH_HEX_LEN, shingles
 
 # ---------------------------------------------------------------------------
+# n-gram LM count table (the classic MapReduce language-model job:
+# Brants et al. 2007, "Large Language Models in Machine Translation" —
+# count n-grams, prune rare ones; the artifact KN/stupid-backoff
+# smoothing consumes)
+# ---------------------------------------------------------------------------
+
+
+def ngram_counts(docs: DataFrame, *, n: int = 2, min_count: int = 2,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(ngram, cnt): corpus-level n-gram counts with rare-gram pruning.
+    One explode → one map-side-combinable groupBy; the count-threshold
+    prune happens in the same aggregation pass (HAVING), so the output —
+    the only thing that survives to disk — is the pruned table."""
+    grams = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    return (
+        grams.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def sql_ngram_counts(*, n: int = 2, min_count: int = 2) -> str:
+    from next_plaid_spark.operators.dedup import _sql_shingles
+
+    return f"""
+WITH sh AS (
+{_sql_shingles(n)}
+)
+SELECT shingle AS ngram, count(*) AS cnt
+FROM sh
+GROUP BY 1
+HAVING count(*) >= {min_count}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Test-set decontamination (GPT-3 appendix C / FineWeb style n-gram overlap)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,94 @@
+"""Sequence packing — GPT-style concat-and-chunk for LLM training data.
+
+Documents in deterministic ``doc_id`` order are conceptually concatenated
+into one token stream and cut into fixed-capacity context windows
+("bins"); each document is labeled with its global token offset and the
+bin range it lands in. Downstream, a writer groups by bin to emit packed
+training sequences.
+
+The core is a GLOBAL prefix sum of token counts. The naive form —
+``sum() OVER (ORDER BY doc_id)`` with no PARTITION BY — collapses to a
+single-partition sort at scale, so the operator computes it in two
+phases (the standard distributed scan):
+
+  1. deterministic range buckets (``doc_id // bucket_size``), per-bucket
+     token totals — one map-side-combinable aggregation, |buckets| rows;
+  2. the cumsum OVER the tiny bucket table (single partition over
+     |buckets| ≪ |docs| rows — bounded by construction), broadcast-joined
+     back, plus a within-bucket cumsum windowed BY bucket.
+
+Every quantity is exact integer arithmetic, so results hash-match the
+oracle's single-window formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from next_plaid_spark.functions.text import tokenize_unicode61
+
+
+def pack_sequences(docs: DataFrame, *, capacity: int = 256,
+                   bucket_size: int = 4096, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, start_off, bin_start, bin_end): the packed
+    layout of each document in the concatenated token stream cut into
+    ``capacity``-token bins. Documents crossing a boundary span
+    ``bin_start..bin_end`` (split across windows, the usual pretraining
+    treatment); empty docs occupy zero tokens at their offset."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(tokenize_unicode61(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
+
+    bucket_tot = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_pre = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("bucket_off")
+    )
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        base.withColumn("in_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+        .join(F.broadcast(bucket_pre), "bucket")
+        .withColumn("start_off", F.col("bucket_off") + F.col("in_off"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            F.floor(F.col("start_off") / capacity).alias("bin_start"),
+            F.floor(
+                (F.col("start_off") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                / capacity
+            ).alias("bin_end"),
+        )
+    )
+    return out
+
+
+def sql_pack_sequences(*, capacity: int = 256, split_re: str) -> str:
+    """Oracle: the single-window formulation (fine at oracle scale; the
+    Spark side exists because this is a one-partition sort at corpus
+    scale)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '{split_re}'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM base
+)
+SELECT doc_id, n_tokens, start_off,
+       start_off // {capacity} AS bin_start,
+       (start_off + greatest(n_tokens - 1, 0)) // {capacity} AS bin_end
+FROM cum
+""".strip()

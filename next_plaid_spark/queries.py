@@ -986,6 +986,23 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table with rare-gram pruning (the Brants et al.
+    2007 MapReduce LM job)."""
+    from next_plaid_spark.operators.corpus import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), n=2, min_count=5)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing layout: global token offsets via
+    a distributed two-phase prefix sum (no corpus-wide single-partition
+    window)."""
+    from next_plaid_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.corpus import stratified_sample
 
@@ -1300,6 +1317,18 @@ def _dedup_sqls() -> tuple[str, str, str, str, str]:
     )
 
 
+def _sql_ngram_lm_counts() -> str:
+    from next_plaid_spark.operators.corpus import sql_ngram_counts
+
+    return sql_ngram_counts(n=2, min_count=5)
+
+
+def _sql_pack_sequences() -> str:
+    from next_plaid_spark.operators.packing import sql_pack_sequences
+
+    return sql_pack_sequences(capacity=256, split_re=TOKEN_SPLIT_RE)
+
+
 def _sql_dedup_clusters_oracle() -> str:
     from next_plaid_spark.operators.cluster import sql_dedup_clusters
     from next_plaid_spark.operators.dedup import sql_minhash_lsh_pairs
@@ -1343,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "ngram_lm_counts": q_ngram_lm_counts,
+        "pack_sequences": q_pack_sequences,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1387,6 +1418,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _corpus_sqls()[0],
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
+        "ngram_lm_counts": _sql_ngram_lm_counts(),
+        "pack_sequences": _sql_pack_sequences(),
         "token_count": SQL_TOKEN_COUNT,
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],

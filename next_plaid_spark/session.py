@@ -24,8 +24,14 @@ def get_spark(app_name: str = "next-plaid-spark", shuffle_partitions: int | None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"),
+        )
+        # single-JVM local mode: driver heap IS executor memory; the test
+        # box has 128 GiB, and 8g forces cache eviction once the coded
+        # corpus + shingle caches coexist
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
