@@ -135,7 +135,7 @@ def main() -> None:
               lambda: force(kernel_searcher.search(encode_queries(batch_queries))))
 
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
-                     "dedup_clusters", "perplexity_proxy"):
+                     "dedup_clusters", "perplexity_proxy", "curate_corpus"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
     except Exception:

@@ -1003,6 +1003,98 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
 
 
+CURATE_Q_MIN = 0.60      # quality gate (median quality ≈ 0.63 on this corpus)
+CURATE_C_MAX = 0.5       # drop docs leaking ≥50% of their 3-grams from eval
+CURATE_CAPACITY = 256    # packed context-window size (tokens)
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-curation path as ONE DataFrame job:
+    quality gate → transitive near-dup removal (keep one per cluster) →
+    benchmark decontamination → sequence packing of the survivors.
+    Output: the packed training layout (doc_id, n_tokens, start_off,
+    bin_start, bin_end, quality). Every stage is one of the individually
+    oracle-checked operators; this entry pins their COMPOSITION (the
+    filters must commute with the packing offsets exactly).
+
+    Scale shape = the union of its parts: one quality pass (column
+    expressions), the CC rounds over the pair list, a broadcast
+    decontamination join, and the two-phase packing prefix sum — the only
+    corpus-wide shuffles are the dedup signature agg and the packing
+    bucket agg."""
+    from next_plaid_spark.operators.cluster import dedup_keep_canonical
+    from next_plaid_spark.operators.corpus import contamination
+    from next_plaid_spark.operators.dedup import minhash_lsh_pairs
+    from next_plaid_spark.operators.packing import pack_sequences
+    from next_plaid_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = quality_score(docs).select("doc_id", "quality")
+    # clusters over the WHOLE corpus: a train doc near-duplicating an eval
+    # doc is itself contamination, and dies here unless it's the canonical
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    kept = dedup_keep_canonical(docs, pairs).filter(F.col("kept")).select("doc_id")
+    leaked = contamination(
+        docs.filter(F.col("source") != EVAL_SOURCE),
+        docs.filter(F.col("source") == EVAL_SOURCE),
+        n=3,
+    ).filter(F.col("contamination") >= CURATE_C_MAX).select("doc_id")
+
+    survivors = (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= CURATE_Q_MIN)
+        .join(kept, "doc_id", "left_semi")
+        .join(leaked, "doc_id", "left_anti")
+    )
+    packed = pack_sequences(survivors, capacity=CURATE_CAPACITY)
+    return packed.join(quality, "doc_id").select(
+        "doc_id", "n_tokens", "start_off", "bin_start", "bin_end", "quality"
+    )
+
+
+def _sql_curate_corpus() -> str:
+    from next_plaid_spark.operators.cluster import sql_dedup_clusters
+    from next_plaid_spark.operators.corpus import sql_contamination
+    from next_plaid_spark.operators.dedup import sql_minhash_lsh_pairs
+    from next_plaid_spark.operators.textstats import sql_quality_score
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, quality FROM ({sql_quality_score()})
+),
+clusters AS (
+  SELECT * FROM ({sql_dedup_clusters(sql_minhash_lsh_pairs(threshold=0.8))})
+),
+contam AS (
+  SELECT * FROM ({sql_contamination(eval_source=EVAL_SOURCE)})
+),
+surv AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN q USING (doc_id)
+  WHERE d.source <> '{EVAL_SOURCE}'
+    AND q.quality >= {CURATE_Q_MIN}
+    AND d.doc_id IN (SELECT doc_id FROM clusters WHERE kept)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam WHERE contamination >= {CURATE_C_MAX})
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM surv
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM base
+)
+SELECT c.doc_id, c.n_tokens, c.start_off,
+       c.start_off // {CURATE_CAPACITY} AS bin_start,
+       (c.start_off + greatest(c.n_tokens - 1, 0)) // {CURATE_CAPACITY} AS bin_end,
+       q.quality
+FROM cum c JOIN q USING (doc_id)
+""".strip()
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.corpus import stratified_sample
 
@@ -1374,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_lm_counts": q_ngram_lm_counts,
         "pack_sequences": q_pack_sequences,
+        "curate_corpus": q_curate_corpus,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1420,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _corpus_sqls()[2],
         "ngram_lm_counts": _sql_ngram_lm_counts(),
         "pack_sequences": _sql_pack_sequences(),
+        "curate_corpus": _sql_curate_corpus(),
         "token_count": SQL_TOKEN_COUNT,
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],
