@@ -131,15 +131,18 @@ _VAR_SCAN_RES: dict[str, list] = {
         re.compile(r"^\s*var\s+([A-Za-z_]\w*)"),
     ],
     "java": [
-        re.compile(r"^\s*(?:final\s+)?[A-Za-z_][\w.<>\[\],\s]*\s+([a-z_]\w*)\s*="),
+        re.compile(r"^\s*(?!return\b|throw\b|case\b)(?:final\s+)?[A-Za-z_][\w.<>\[\],\s]*\s+([a-z_]\w*)\s*="),
         re.compile(r"^\s*var\s+([a-z_]\w*)\s*="),
     ],
     "csharp": [
-        re.compile(r"^\s*(?:readonly\s+)?[A-Za-z_][\w.<>\[\],\s]*\s+([a-z_]\w*)\s*="),
+        re.compile(r"^\s*(?!return\b|throw\b|case\b)(?:readonly\s+)?[A-Za-z_][\w.<>\[\],\s]*\s+([a-z_]\w*)\s*="),
         re.compile(r"^\s*var\s+([a-z_]\w*)\s*="),
     ],
-    "c": [re.compile(r"^\s*[A-Za-z_][\w\s*]*[\s*]([A-Za-z_]\w*)\s*[=;[]")],
-    "cpp": [re.compile(r"^\s*[A-Za-z_][\w:<>,\s*&]*[\s*&]([A-Za-z_]\w*)\s*[={;[]")],
+    # statement-keyword lookahead: `return x;` / `goto end;` must not read
+    # as a declaration of `x` (the captured-name keyword filter below can't
+    # see the statement PREFIX)
+    "c": [re.compile(r"^\s*(?!return\b|goto\b|case\b|else\b|do\b|typedef\b)[A-Za-z_][\w\s*]*[\s*]([A-Za-z_]\w*)\s*[=;[]")],
+    "cpp": [re.compile(r"^\s*(?!return\b|goto\b|case\b|else\b|do\b|typedef\b|throw\b|delete\b|using\b|namespace\b)[A-Za-z_][\w:<>,\s*&]*[\s*&]([A-Za-z_]\w*)\s*[={;[]")],
     "php": [re.compile(r"\$([A-Za-z_]\w*)\s*=[^=]")],
     "ruby": [re.compile(r"^\s*([a-z_]\w*)\s*=[^=~]")],
     "python": [re.compile(r"^\s*([A-Za-z_]\w*)\s*=[^=]")],  # RawCode fallback only
