@@ -99,6 +99,14 @@ class IndexCatalog:
             metadata=metadata, **build_kw,
         )
 
+    def update_config(self, name: str, *, max_documents: int | None) -> dict:
+        """PUT /indices/{name}/config (handlers/documents.rs:1618-1650):
+        persist the max_documents cap; the next update() enforces it by
+        evicting the oldest documents."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"index not found: {name}")
+        return self.open(name).set_config(max_documents=max_documents)
+
     def delete_index(self, name: str) -> bool:
         """DELETE /indices/{name}: drop every snapshot of the index.
         Returns False when the index didn't exist (handlers return 404)."""

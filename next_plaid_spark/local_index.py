@@ -213,7 +213,13 @@ class LocalIndex:
         update_index(self.spark, self.index, new_doc_tokens, out,
                      full_rebuild_tokens=full_rebuild_tokens, seed=seed)
         self._write_meta(out, metadata)
-        return self.reload()
+        self.reload()
+        # handlers/documents.rs:500-528 — the append path enforces the
+        # persisted max_documents cap by evicting the oldest docs
+        cap = self.get_config().get("max_documents")
+        if cap is not None:
+            self.evict_oldest(int(cap))
+        return self
 
     # index.rs:1604/1675 — same dispatcher, explicit names kept for parity
     def update_with_metadata(self, new_doc_tokens: DataFrame,
@@ -237,6 +243,44 @@ class LocalIndex:
         )
 
     update_or_create_with_metadata = update_or_create
+
+    # -- config + eviction (the API layer's max_documents policy:
+    # handlers/documents.rs:500-560 + evict_oldest_documents:631-660) ------
+    def _config_path(self) -> str:
+        return os.path.join(self.root, "config.json")
+
+    def get_config(self) -> dict:
+        import json
+
+        if os.path.exists(self._config_path()):
+            with open(self._config_path()) as f:
+                return json.load(f)
+        return {}
+
+    def set_config(self, **updates) -> dict:
+        """PUT /indices/{name}/config analog — merge + persist. Only
+        ``max_documents`` is meaningful today, like the reference."""
+        import json
+
+        cfg = self.get_config()
+        cfg.update({k: v for k, v in updates.items()})
+        with open(self._config_path(), "w") as f:
+            json.dump(cfg, f)
+        return cfg
+
+    def evict_oldest(self, max_documents: int) -> int:
+        """evict_oldest_documents parity: when over the cap, drop the
+        lowest doc_ids (the oldest — ids are assigned in arrival order)
+        into a new snapshot. Returns the eviction count."""
+        over = self.num_documents() - max_documents
+        if over <= 0:
+            return 0
+        ids = [
+            r.doc_id
+            for r in self.index.doclens.select("doc_id")
+            .orderBy("doc_id").limit(over).collect()
+        ]
+        return self.delete_with_options(ids, delete_metadata=True)
 
     def delete(self, doc_ids: Sequence[int]) -> int:
         return self.delete_with_options(doc_ids, delete_metadata=True)

@@ -55,6 +55,24 @@ def test_open_search_roundtrip(catalog, spark, documents):
     assert got and all(r.rank >= 1 for r in got)
 
 
+def test_max_documents_eviction(catalog, spark, documents):
+    """handlers/documents.rs:500-560: appending past the configured cap
+    evicts the oldest (lowest-id) documents into a new snapshot."""
+    docs = documents.filter(F.col("doc_id") < 40)
+    toks = encode_documents(docs)
+    cat = catalog
+    cat.create("evict", toks.filter(F.col("doc_id") < 20))
+    cat.update_config("evict", max_documents=25)
+    li = cat.open("evict")
+    li.update(toks.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)))
+    assert li.num_documents() == 25
+    remaining = {
+        r.doc_id for r in li.index.doclens.select("doc_id").collect()
+    }
+    assert remaining == set(range(15, 40))  # 15 oldest evicted
+    cat.delete_index("evict")
+
+
 def test_delete_index(catalog):
     assert catalog.delete_index("beta") is True
     assert catalog.list_indices() == ["alpha"]
