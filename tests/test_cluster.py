@@ -53,3 +53,39 @@ def test_keep_canonical_singletons_kept(spark):
 def test_cc_self_and_duplicate_edges(spark):
     got = _cc_map(spark, [(4, 4), (4, 6), (6, 4), (4, 6)])
     assert got == {6: 4}
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    """Seeded random graphs (sparse, dense, and skewed-degree) against a
+    driver-side union-find oracle."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for n_nodes, n_edges in ((30, 15), (40, 80), (25, 200)):
+        edges = [
+            (int(rng.randint(n_nodes)), int(rng.randint(n_nodes)))
+            for _ in range(n_edges)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        want = {
+            node: rep for node, rep in _union_find(edges).items() if node != rep
+        }
+        got = _cc_map(spark, edges)
+        assert got == want, f"mismatch for graph ({n_nodes},{n_edges})"
