@@ -571,10 +571,20 @@ class BatchSearcher:
             eligible_mask[eligible] = True
             n_probe = min(n_probe, len(eligible))
 
+        # one stats job serves BOTH the auto-strategy sizing and the
+        # rerank-dot budget check (was two separate driver jobs — ~10% of a
+        # warm batch-500 search)
+        has_token = "token" in query_tokens.columns
+        qstats = query_tokens.agg(
+            F.count("*").alias("ntok"),
+            F.countDistinct("query_id").alias("nq"),
+            (F.countDistinct("token") if has_token else F.count("*")).alias("nv"),
+        ).collect()[0]
+
         strategy = self.approx_strategy
         if strategy == "auto":
             # broadcast while the batch's [q_tokens, K] score matrix fits
-            est = query_tokens.count() * idx.meta.k * 4
+            est = qstats["ntok"] * idx.meta.k * 4
             strategy = "broadcast" if est <= self.broadcast_budget_bytes else "chunked"
 
         if strategy in ("broadcast", "chunked"):
@@ -694,18 +704,13 @@ class BatchSearcher:
         ).alias("score")
 
         # Budget check on the vocab dot table (the one nested-loop join in
-        # the funnel). Upper-bound estimate from known quantities — one tiny
-        # agg over the CACHED query-token DF (no recompute), index metadata
-        # for the doc side: survivors ≤ n_queries·budget docs, each
-        # contributing ≤ avg_doclen distinct quantized vecs. Above budget,
-        # the per-query equi-join fallback computes the same dots (same
-        # expressions, same max/fold order — bit-identical) restricted to
-        # surviving pairs, with no cartesian product.
-        has_token = "token" in query_tokens.columns
-        qstats = query_tokens.agg(
-            F.countDistinct("query_id").alias("nq"),
-            (F.countDistinct("token") if has_token else F.count("*")).alias("nv"),
-        ).collect()[0]
+        # the funnel). Upper-bound estimate from known quantities — the
+        # batch-stats row collected up top, index metadata for the doc
+        # side: survivors ≤ n_queries·budget docs, each contributing
+        # ≤ avg_doclen distinct quantized vecs. Above budget, the per-query
+        # equi-join fallback computes the same dots (same expressions, same
+        # max/fold order — bit-identical) restricted to surviving pairs,
+        # with no cartesian product.
         est_uniq_vecs = (
             min(qstats["nq"] * budget, idx.meta.num_documents)
             * max(idx.meta.avg_doclen, 1.0)
