@@ -1210,6 +1210,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe IVF (n_probe = n_cells): the cell train/assign/probe
+    machinery must reproduce exact cosine top-k bit-for-bit — so unlike
+    `ann_ivf_topk` (rows-only: ANN loss is data-dependent) this entry is
+    hash-gated against the SAME DuckDB oracle as `cosine_topk`."""
+    from next_plaid_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb, queries, k=COSINE_TOPK, n_cells=32, n_probe=32, seed=42
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (window functions, sessionization, JSON props —
 # SURVEY §2.9 window/cumulative ops; streaming ingest uses the same logic
@@ -1475,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_session_windows": q_events_session_windows,
@@ -1492,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
         "source_overlap": SQL_SOURCE_OVERLAP,
         "cosine_topk": sql_cosine_topk(),
+        "ann_ivf_exact_topk": sql_cosine_topk(),
         "filtered_search_topk": sql_filtered_search_topk(),
         "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
