@@ -244,6 +244,26 @@ class LocalIndex:
 
     update_or_create_with_metadata = update_or_create
 
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Snapshot lifecycle: every update/delete writes a new immutable
+        ``vN`` (readers hot-swap via reload), so long-lived indexes
+        accumulate versions. Drop all but the newest ``keep_last``
+        snapshots; returns the removed paths. Never touches the snapshot
+        this object currently serves."""
+        import shutil
+
+        vs = _versions(self.root)
+        keep = max(1, int(keep_last))
+        removed = []
+        current = self.index.path
+        for v in vs[:-keep]:
+            p = os.path.join(self.root, f"v{v}")
+            if os.path.abspath(p) == os.path.abspath(current):
+                continue
+            shutil.rmtree(p)
+            removed.append(p)
+        return removed
+
     # -- config + eviction (the API layer's max_documents policy:
     # handlers/documents.rs:500-560 + evict_oldest_documents:631-660) ------
     def _config_path(self) -> str:

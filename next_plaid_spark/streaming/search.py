@@ -1,0 +1,91 @@
+"""Streaming search — online serving of the PLAID funnel over a query
+STREAM (Structured Streaming extension surface; the reference serves
+request/response over the same per-index state,
+next-plaid-api/src/handlers/search.rs).
+
+Each micro-batch of raw queries runs the SAME batch funnel job
+(plans/searcher.py) against the current index snapshot and appends
+(query_id, doc_id, score, rank, batch_id) to the sink — so the
+stream ≡ batch contract is structural: a query produces the identical
+result rows whether it arrived in a micro-batch or a batch DataFrame.
+
+Hot-reload: by default the searcher binds one index snapshot for the
+stream's lifetime (cheapest; the common serving mode). With
+``follow_updates=True`` the sink re-checks the snapshot root every batch
+and swaps in the newest complete version — the arc-swap reader loop
+(state.rs:31-47) in streaming form, composing with
+:class:`~next_plaid_spark.streaming.ingest.StreamingIndexWriter` writing
+new versions on the other side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from next_plaid_spark.encoding import encode_queries
+from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+from next_plaid_spark.sources.index_store import PlaidIndex
+from next_plaid_spark.streaming.ingest import latest_index
+
+
+class StreamingSearcher:
+    """foreachBatch sink: query stream → top-k result stream.
+
+    Results are appended to an in-memory accumulator table (tests) or —
+    via ``attach(..., sink_path=...)`` — a parquet directory. Both carry
+    ``batch_id`` so consumers can window/dedup on delivery."""
+
+    def __init__(self, spark: SparkSession, index: PlaidIndex | None = None,
+                 *, root: str | None = None,
+                 params: SearchParams | None = None,
+                 follow_updates: bool = False, dim: int = 16,
+                 subset: DataFrame | None = None):
+        if index is None and root is None:
+            raise ValueError("need an index or a snapshot root")
+        self.spark = spark
+        self.root = root
+        self.dim = dim
+        self.follow_updates = follow_updates
+        self.params = params or SearchParams()
+        # filtered serving (F2/F9 over a stream): every batch searches
+        # within this doc subset
+        self.subset = subset
+        self._index = index if index is not None else latest_index(spark, root)
+        if self._index is None:
+            raise FileNotFoundError(f"no index snapshot under {root}")
+        self._searcher = BatchSearcher(self._index, self.params)
+        self._sink_path: str | None = None
+        self.results: list = []  # driver-side accumulator when no sink path
+
+    def _refresh(self) -> None:
+        if not (self.follow_updates and self.root):
+            return
+        latest = latest_index(self.spark, self.root)
+        if latest is not None and latest.path != self._index.path:
+            self._searcher.release()
+            self._index = latest
+            self._searcher = BatchSearcher(self._index, self.params)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self._refresh()
+        out = self._searcher.search(
+            encode_queries(batch_df, dim=self.dim), subset=self.subset
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        if self._sink_path:
+            out.write.mode("append").parquet(self._sink_path)
+        else:
+            self.results.extend(out.collect())
+
+    def attach(self, stream_df: DataFrame, checkpoint: str, *,
+               sink_path: str | None = None):
+        """stream_df(query_id, text) → running StreamingQuery."""
+        self._sink_path = sink_path
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -73,6 +73,22 @@ def test_max_documents_eviction(catalog, spark, documents):
     cat.delete_index("evict")
 
 
+def test_vacuum_keeps_serving_snapshot(catalog, spark, documents):
+    import os
+
+    cat = catalog
+    toks = encode_documents(documents.limit(20))
+    cat.create("vac", toks.filter(F.col("doc_id") < 10))
+    li = cat.open("vac")
+    li.update(toks.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)))
+    li.update(toks.filter(F.col("doc_id") >= 15))
+    removed = li.vacuum(keep_last=1)
+    assert len(removed) == 2 and all(not os.path.exists(p) for p in removed)
+    assert li.num_documents() == 20  # still serving the latest snapshot
+    assert li.reload().num_documents() == 20
+    cat.delete_index("vac")
+
+
 def test_delete_index(catalog):
     assert catalog.delete_index("beta") is True
     assert catalog.list_indices() == ["alpha"]
