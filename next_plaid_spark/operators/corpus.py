@@ -64,6 +64,71 @@ HAVING count(*) >= {min_count}
 
 
 # ---------------------------------------------------------------------------
+# BPE pair statistics (the inner loop of byte-pair-encoding tokenizer
+# training — Sennrich et al. 2016 — as a corpus-scale count job: rank
+# adjacent symbol pairs by frequency; the top pair is the next merge)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(docs: DataFrame, *, top_n: int = 100,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(left, right, cnt, rank): the ``top_n`` most frequent adjacent
+    character pairs inside word tokens across the corpus — i.e. the merge
+    candidates of BPE round 0. Deterministic rank tie-break
+    (cnt DESC, left ASC, right ASC).
+
+    Scale shape: explode words → explode character pairs (both narrow) →
+    ONE map-side-combinable count aggregation → a top_n rank over the
+    symbol-pair table (|Σ|², tiny). Repeated rounds would re-run with the
+    learned merge applied by the tokenizer — each round stays one
+    aggregation over the corpus."""
+    chars = F.array_remove(F.split(F.col("w"), ""), "")
+    n = F.size(chars)
+    pair_structs = F.zip_with(
+        F.slice(chars, 1, n - 1),
+        F.slice(chars, 2, n - 1),
+        lambda l, r: F.struct(l.alias("lhs"), r.alias("rhs")),
+    )
+    counted = (
+        docs.select(F.explode(tokenize_unicode61(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # global rank over the symbol-pair table: |Σ|² rows — bounded by the
+    # alphabet, NOT the corpus, so the single-partition window is safe
+    w_rank = Window.orderBy(
+        F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def sql_bpe_pair_counts(*, top_n: int = 100) -> str:
+    from next_plaid_spark.functions.text import TOKEN_SPLIT_RE
+
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substring(w, i, 1) AS lhs, substring(w, i + 1, 1) AS rhs
+  FROM words, unnest(range(1, length(w))) AS r(i)
+  WHERE length(w) >= 2
+),
+counted AS (SELECT lhs, rhs, count(*) AS cnt FROM pairs GROUP BY 1, 2)
+SELECT lhs, rhs, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, lhs ASC, rhs ASC) AS INT) AS rank
+FROM counted
+QUALIFY rank <= {top_n}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Test-set decontamination (GPT-3 appendix C / FineWeb style n-gram overlap)
 # ---------------------------------------------------------------------------
 
@@ -156,6 +221,53 @@ SELECT t.doc_id, t.n_shingles,
        coalesce(h.n_shared, 0) * 1.0 / t.n_shingles AS contamination
 FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
 WHERE coalesce(h.n_shared, 0) * 1.0 / t.n_shingles >= {threshold}
+""".strip()
+
+
+# Gopher §A1.1 repetition cuts (Rae et al. 2021, Table A1 family):
+# published-threshold defaults; the corpus-appropriate values are tunable.
+GOPHER_MIN_TOKENS = 10          # (paper: 50 words; synthetic docs are short)
+GOPHER_MAX_TOP_WORD_RATIO = 0.20
+GOPHER_MIN_DISTINCT_RATIO = 0.20
+GOPHER_MAX_DUP_2GRAM = 0.60
+
+
+def gopher_quality_filter(docs: DataFrame, *,
+                          min_tokens: int = GOPHER_MIN_TOKENS,
+                          max_top_word_ratio: float = GOPHER_MAX_TOP_WORD_RATIO,
+                          min_distinct_ratio: float = GOPHER_MIN_DISTINCT_RATIO,
+                          max_dup_2gram: float = GOPHER_MAX_DUP_2GRAM,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, top_word_ratio, distinct_ratio, dup_2gram_ratio,
+    keep): the Gopher repetition rules as a keep/drop verdict over
+    :func:`repetition_stats` — the form a curation pipeline actually
+    consumes (``WHERE keep``). Same exact-integer ratios, so the verdict
+    is bit-identical cross-engine."""
+    stats = repetition_stats(docs, id_col=id_col, text_col=text_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("top_word_ratio") <= max_top_word_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("dup_2gram_ratio") <= max_dup_2gram)
+    )
+    return stats.withColumn("keep", keep)
+
+
+def sql_gopher_quality_filter(*, min_tokens: int = GOPHER_MIN_TOKENS,
+                              max_top_word_ratio: float = GOPHER_MAX_TOP_WORD_RATIO,
+                              min_distinct_ratio: float = GOPHER_MIN_DISTINCT_RATIO,
+                              max_dup_2gram: float = GOPHER_MAX_DUP_2GRAM) -> str:
+    return f"""
+WITH stats AS (
+{sql_repetition_stats()}
+)
+SELECT *,
+       (n_tokens >= {min_tokens}
+        AND top_word_ratio <= {max_top_word_ratio}
+        AND distinct_ratio >= {min_distinct_ratio}
+        AND dup_2gram_ratio <= {max_dup_2gram}) AS keep
+FROM stats
 """.strip()
 
 

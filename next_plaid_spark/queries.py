@@ -986,6 +986,20 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-0 merge candidates: top adjacent character pairs."""
+    from next_plaid_spark.operators.corpus import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 repetition cuts as a keep/drop verdict."""
+    from next_plaid_spark.operators.corpus import gopher_quality_filter
+
+    return gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram count table with rare-gram pruning (the Brants et al.
     2007 MapReduce LM job)."""
@@ -1425,6 +1439,18 @@ def _dedup_sqls() -> tuple[str, str, str, str, str]:
     )
 
 
+def _sql_bpe_pair_counts() -> str:
+    from next_plaid_spark.operators.corpus import sql_bpe_pair_counts
+
+    return sql_bpe_pair_counts(top_n=50)
+
+
+def _sql_gopher_filter() -> str:
+    from next_plaid_spark.operators.corpus import sql_gopher_quality_filter
+
+    return sql_gopher_quality_filter()
+
+
 def _sql_ngram_lm_counts() -> str:
     from next_plaid_spark.operators.corpus import sql_ngram_counts
 
@@ -1483,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_counts": q_ngram_lm_counts,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "gopher_filter": q_gopher_filter,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1532,6 +1560,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm_counts": _sql_ngram_lm_counts(),
         "pack_sequences": _sql_pack_sequences(),
         "curate_corpus": _sql_curate_corpus(),
+        "bpe_pair_counts": _sql_bpe_pair_counts(),
+        "gopher_filter": _sql_gopher_filter(),
         "token_count": SQL_TOKEN_COUNT,
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],
