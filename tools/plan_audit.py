@@ -44,6 +44,9 @@ AUDITED = [
     "ann_ivf_topk",
     "dedup_clusters",
     "perplexity_proxy",
+    "pack_sequences",
+    "bpe_pair_counts",
+    "curate_corpus",
 ]
 
 
@@ -145,6 +148,16 @@ def main() -> int:
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
             failures.append(f"A5 {name}: no WholeStageCodegen span")
+        # A7: the packing prefix sum must never serialize the corpus —
+        # at most ONE SinglePartition exchange (the |buckets|-row cumsum);
+        # a second would mean a corpus-wide ORDER BY window crept in
+        if name in ("pack_sequences", "curate_corpus"):
+            sp = plan.count("Exchange SinglePartition")
+            if sp > 1:
+                failures.append(
+                    f"A7 {name}: {sp} single-partition exchanges "
+                    "(corpus-wide window suspected)"
+                )
 
     # A6: colgrep ranking builds lazily — no driver collects mid-plan
     # (code_units isn't a driver table, so audit over an inline fixture)
