@@ -26,6 +26,81 @@ from pyspark.sql.window import Window
 from next_plaid_spark.functions.vector import cosine, dot, l2_normalize
 
 
+def mmr_rerank(
+    results: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) over a candidate list: greedily pick the candidate maximizing
+    ``λ·relevance − (1−λ)·max_sim_to_already_picked``.
+
+    ``results`` is a (query_id, vec_id, <score_col>) candidate table (e.g.
+    the output of ``cosine_topk``/``ivf_topk`` with an over-fetched k);
+    the candidate embeddings are joined in and each query's greedy loop
+    runs vectorized inside one ``applyInPandas`` group — per-query
+    candidate counts are top-N-bounded, so the stateful loop is tiny and
+    driver-free. Deterministic: ties break by (score desc, vec_id asc) at
+    every pick. Returns (query_id, vec_id, mmr_score, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = results.select(
+        "query_id", F.col("vec_id"), F.col(score_col).alias("rel")
+    ).join(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          l2_normalize(F.col(vec_col)).alias("_nv")),
+        "vec_id",
+    )
+
+    lam = float(lambda_)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: (rel desc, vec_id asc)
+        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_nv"]])
+        n = len(ids)
+        kk = min(k, n)
+        picked = np.zeros(n, dtype=bool)
+        max_sim = np.full(n, -np.inf)
+        out_ids, out_scores = [], []
+        for step in range(kk):
+            if step == 0:
+                mmr = rel.copy()
+            else:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[picked] = -np.inf
+            # argmax with (score desc, vec_id asc) tie-break: ids are
+            # sorted asc within equal rel by construction, and np.argmax
+            # returns the FIRST maximum — but after reordering by mmr we
+            # must re-derive: use lexsort on (-mmr, ids)
+            order = np.lexsort((ids, -mmr))
+            best = order[0]
+            picked[best] = True
+            out_ids.append(ids[best])
+            out_scores.append(mmr[best])
+            sims = vecs @ vecs[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame({
+            "query_id": pdf["query_id"].iloc[0],
+            "vec_id": np.asarray(out_ids, dtype=np.int64),
+            "mmr_score": np.asarray(out_scores, dtype=np.float64),
+            "rank": np.arange(1, len(out_ids) + 1, dtype=np.int32),
+        })
+
+    return cand.groupBy("query_id").applyInPandas(
+        pick, schema="query_id long, vec_id long, mmr_score double, rank int"
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1224,6 +1224,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k over an over-fetched exact candidate list
+    (Carbonell & Goldstein 1998). Rows-only: the greedy max-sim state loop
+    is not SQL-expressible; gated against an independent plain-loop greedy
+    reference in tests/test_similarity.py."""
+    from next_plaid_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = cosine_topk(emb, queries, k=3 * COSINE_TOPK)
+    return mmr_rerank(cands, emb, k=COSINE_TOPK, lambda_=0.7)
+
+
 def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe IVF (n_probe = n_cells): the cell train/assign/probe
     machinery must reproduce exact cosine top-k bit-for-bit — so unlike
@@ -1520,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
+        "mmr_topk": q_mmr_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_session_windows": q_events_session_windows,

@@ -1,4 +1,4 @@
-"""ANN (LSH / IVF) recall vs exact cosine top-k."""
+"""ANN (LSH / IVF) recall vs exact cosine top-k; MMR diversification."""
 
 from __future__ import annotations
 
@@ -104,3 +104,80 @@ def test_ivf_centroid_reuse_deterministic(spark, embeddings):
         emb, queries, k=5, n_probe=4, centroids=cents
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -- MMR diversification -------------------------------------------------------
+
+
+def _mmr_numpy(ids, rel, vecs, k, lam):
+    """Independent greedy reference (plain loops, no vectorized tricks)."""
+    import numpy as np
+
+    vecs = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vecs = vecs / norms
+    remaining = list(range(len(ids)))
+    picked, out = [], []
+    for step in range(min(k, len(ids))):
+        best, best_score = None, None
+        for i in remaining:
+            if step == 0:
+                s = rel[i]
+            else:
+                ms = max(float(vecs[i] @ vecs[j]) for j in picked)
+                s = lam * rel[i] - (1 - lam) * ms
+            key = (-s, ids[i])
+            if best is None or key < best_score:
+                best, best_score = i, key
+        picked.append(best)
+        remaining.remove(best)
+        out.append((ids[best], -best_score[0]))
+    return out
+
+
+def test_mmr_matches_reference_greedy(spark, embeddings):
+    from next_plaid_spark.operators.similarity import mmr_rerank
+
+    emb = embeddings.cache()
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = cosine_topk(emb, queries, k=20)
+    got = mmr_rerank(cands, emb, k=8, lambda_=0.7).collect()
+
+    cand_rows = cands.collect()
+    emb_map = {r.vec_id: r.embedding for r in emb.collect()}
+    by_q = {}
+    for r in cand_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        ids = [r.vec_id for r in rows]
+        rel = [r.cos_sim for r in rows]
+        vecs = [emb_map[i] for i in ids]
+        want = _mmr_numpy(ids, rel, vecs, 8, 0.7)
+        mine = sorted(
+            [(r.vec_id, r.mmr_score, r.rank) for r in got if r.query_id == qid],
+            key=lambda t: t[2],
+        )
+        assert [t[0] for t in mine] == [w[0] for w in want], f"query {qid}"
+        for (vid, score, _), (wvid, wscore) in zip(mine, want):
+            assert abs(score - wscore) < 1e-9
+
+
+def test_mmr_first_pick_is_top_relevance_and_diversifies(spark, embeddings):
+    from next_plaid_spark.operators.similarity import mmr_rerank
+
+    emb = embeddings.cache()
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = cosine_topk(emb, queries, k=15)
+    plain = {
+        (r.query_id, r.rank): r.vec_id for r in cands.collect() if r.rank <= 5
+    }
+    diverse = mmr_rerank(cands, emb, k=5, lambda_=0.3)
+    for r in diverse.collect():
+        if r.rank == 1:
+            # rank-1 = pure relevance = the plain top-1 (self for self-query)
+            assert r.vec_id == plain[(r.query_id, 1)]
