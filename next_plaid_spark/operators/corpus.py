@@ -188,6 +188,53 @@ def contamination(train_docs: DataFrame, eval_docs: DataFrame | None = None,
     return out.filter(F.col("contamination") >= threshold)
 
 
+def contamination_multi(train_docs: DataFrame, eval_sets: DataFrame,
+                        *, n: int = 3, threshold: float = 0.0,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_name_col: str = "eval_name") -> DataFrame:
+    """Screen one training corpus against MANY benchmarks in one pass:
+    ``eval_sets`` carries (eval_name, text…) rows; output is
+    (doc_id, eval_name, n_shingles, n_shared, contamination) — one row per
+    (train doc, leaking benchmark). The labeled distinct shingle union is
+    still a single broadcast (benchmarks are small by construction), so
+    the corpus-side cost is the same one broadcast join + groupBy as the
+    single-benchmark form — screening against B benchmarks costs B× the
+    output rows, not B× corpus passes."""
+    # shingles() windows per LONG doc id, so every eval document needs its
+    # OWN key (keying by benchmark would let lead() windows run across
+    # document boundaries). A deterministic content hash serves: identical
+    # texts within a benchmark collapse to identical shingle sets — no
+    # semantic difference after the distinct.
+    ev_docs = eval_sets.withColumn(
+        "_eid", F.xxhash64(F.col(eval_name_col), F.col(text_col))
+    )
+    name_map = ev_docs.select(
+        F.col("_eid").alias("doc_id"), F.col(eval_name_col)
+    ).distinct()
+    ev = F.broadcast(
+        shingles(ev_docs, n=n, id_col="_eid", text_col=text_col)
+        .join(name_map, "doc_id")
+        .select(eval_name_col, "shingle")
+        .distinct()
+    )
+    tr = shingles(train_docs, n=n, id_col=id_col, text_col=text_col)
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id", eval_name_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        hit.join(tot, "doc_id")
+        .select(
+            "doc_id", eval_name_col, "n_shingles",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (F.col("n_shared") / F.col("n_shingles")).alias("contamination"),
+        )
+    )
+    return out.filter(F.col("contamination") >= threshold)
+
+
 def _sql_shingles_by_source(n: int, pred: str) -> str:
     """DuckDB distinct word-n-gram CTE body over documents rows matching
     ``pred`` (mirrors dedup._sql_shingles with a source predicate)."""
@@ -198,6 +245,36 @@ def _sql_shingles_by_source(n: int, pred: str) -> str:
     SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
     FROM documents WHERE {pred}
   ), unnest(range(1, greatest(len(toks) - {n}, -1) + 2)) AS r(i)
+""".strip()
+
+
+def sql_contamination_multi(*, eval_sources: tuple, n: int = 3,
+                            threshold: float = 0.0) -> str:
+    """Oracle for the multi-benchmark entry: each eval source is its own
+    named benchmark; train = everything else."""
+    src_list = ", ".join(f"'{s}'" for s in eval_sources)
+    cols = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+WITH tr AS (
+{_sql_shingles_by_source(n, f"source NOT IN ({src_list})")}
+),
+ev AS (
+  SELECT DISTINCT source AS eval_name, concat_ws(' ', {cols}) AS shingle
+  FROM (
+    SELECT source, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
+    FROM documents WHERE source IN ({src_list})
+  ), unnest(range(1, greatest(len(toks) - {n}, -1) + 2)) AS r(i)
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+hit AS (
+  SELECT t.doc_id, e.eval_name, count(*) AS n_shared
+  FROM tr t JOIN ev e USING (shingle) GROUP BY 1, 2
+)
+SELECT h.doc_id, h.eval_name, s.n_shingles,
+       CAST(h.n_shared AS BIGINT) AS n_shared,
+       h.n_shared * 1.0 / s.n_shingles AS contamination
+FROM hit h JOIN tot s USING (doc_id)
+WHERE h.n_shared * 1.0 / s.n_shingles >= {threshold}
 """.strip()
 
 

@@ -980,6 +980,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTI_EVAL_SOURCES = ("src0", "src1")
+
+
+def q_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen the train split against TWO named benchmark shards in one
+    corpus pass (labeled broadcast shingle union)."""
+    from next_plaid_spark.operators.corpus import contamination_multi
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(~F.col("source").isin(*MULTI_EVAL_SOURCES))
+    evals = docs.filter(F.col("source").isin(*MULTI_EVAL_SOURCES)).select(
+        F.col("source").alias("eval_name"), "text"
+    )
+    return contamination_multi(train, evals, n=3)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.corpus import repetition_stats
 
@@ -1454,6 +1470,12 @@ def _dedup_sqls() -> tuple[str, str, str, str, str]:
     )
 
 
+def _sql_decontaminate_multi() -> str:
+    from next_plaid_spark.operators.corpus import sql_contamination_multi
+
+    return sql_contamination_multi(eval_sources=MULTI_EVAL_SOURCES, n=3)
+
+
 def _sql_bpe_pair_counts() -> str:
     from next_plaid_spark.operators.corpus import sql_bpe_pair_counts
 
@@ -1519,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
+        "decontaminate_multi": q_decontaminate_multi,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "ngram_lm_counts": q_ngram_lm_counts,
@@ -1571,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _dedup_sqls()[4],
         "dedup_clusters": _sql_dedup_clusters_oracle(),
         "decontaminate": _corpus_sqls()[0],
+        "decontaminate_multi": _sql_decontaminate_multi(),
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
         "ngram_lm_counts": _sql_ngram_lm_counts(),
