@@ -89,3 +89,12 @@ def test_cc_random_graphs_match_union_find(spark):
         }
         got = _cc_map(spark, edges)
         assert got == want, f"mismatch for graph ({n_nodes},{n_edges})"
+
+
+def test_cc_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).collect() == []
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {r.doc_id: (r.cluster_rep, r.kept)
+           for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert got == {1: (1, True), 2: (2, True)}

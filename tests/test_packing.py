@@ -43,3 +43,8 @@ def test_pack_bucket_boundaries_irrelevant(spark):
         n = i % 4 + 1
         assert a[i][0] == n and a[i][1] == off
         off += n
+
+
+def test_pack_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(df).collect() == []
