@@ -28,10 +28,11 @@ def get_spark(app_name: str = "next-plaid-spark", shuffle_partitions: int | None
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"),
         )
-        # single-JVM local mode: driver heap IS executor memory; the test
-        # box has 128 GiB, and 8g forces cache eviction once the coded
-        # corpus + shingle caches coexist
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # single-JVM local mode: driver heap IS executor memory. Measured
+        # at sf0.1: a 24g heap is strictly WORSE than 8g (hybrid suite
+        # 8-12s vs 6-7s post-warm — G1 pause inflation), and the working
+        # set fits 8g with room; raise via env only for bigger SFs
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
