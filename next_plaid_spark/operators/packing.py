@@ -72,6 +72,67 @@ def pack_sequences(docs: DataFrame, *, capacity: int = 256,
     return out
 
 
+def pack_bins(docs: DataFrame, *, capacity: int = 256,
+              bucket_size: int = 4096, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(bin_id, n_tokens, tokens): the MATERIALIZED packed training
+    sequences — each bin is ``capacity`` consecutive tokens of the
+    concatenated corpus stream (the last bin may be short). The layout
+    comes from :func:`pack_sequences`'s two-phase prefix sum; this step
+    adds the per-token explode and one groupBy(bin) shuffle — the
+    unavoidable materialization cost, keyed by bin so it spreads evenly
+    (every bin holds exactly ``capacity`` tokens).
+
+    Tokens carry (global_pos) through the shuffle and are reassembled in
+    exact stream order via sort_array on the (pos, token) struct."""
+    layout = pack_sequences(
+        docs, capacity=capacity, bucket_size=bucket_size,
+        id_col=id_col, text_col=text_col,
+    ).select("doc_id", "start_off")
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tokenize_unicode61(F.col(text_col))).alias("i", "tok"),
+    )
+    placed = toks.join(layout, "doc_id").select(
+        (F.col("start_off") + F.col("i")).alias("pos"), "tok"
+    )
+    return (
+        placed.withColumn("bin_id", F.floor(F.col("pos") / capacity))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("tokens"),
+        )
+    )
+
+
+def sql_pack_bins(*, capacity: int = 256, split_re: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{split_re}'), x -> x <> '') AS toks
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, toks,
+         coalesce(sum(len(toks)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM base
+),
+placed AS (
+  SELECT start_off + i - 1 AS pos, toks[i] AS tok
+  FROM cum, unnest(range(1, len(toks) + 1)) AS r(i)
+)
+SELECT pos // {capacity} AS bin_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       list_transform(list_sort(list((pos, tok))), s -> s[2]) AS tokens
+FROM placed
+GROUP BY 1
+""".strip()
+
+
 def sql_pack_sequences(*, capacity: int = 256, split_re: str) -> str:
     """Oracle: the single-window formulation (fine at oracle scale; the
     Spark side exists because this is a one-partition sort at corpus

@@ -1033,6 +1033,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
 
 
+def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized packed sequences: every bin holds exactly 256
+    consecutive stream tokens (last bin short) in exact order."""
+    from next_plaid_spark.operators.packing import pack_bins
+
+    return pack_bins(_t(spark, sf_dir, "documents"), capacity=256)
+
+
 CURATE_Q_MIN = 0.60      # quality gate (median quality ≈ 0.63 on this corpus)
 CURATE_C_MAX = 0.5       # drop docs leaking ≥50% of their 3-grams from eval
 CURATE_CAPACITY = 256    # packed context-window size (tokens)
@@ -1500,6 +1508,12 @@ def _sql_pack_sequences() -> str:
     return sql_pack_sequences(capacity=256, split_re=TOKEN_SPLIT_RE)
 
 
+def _sql_packed_bins() -> str:
+    from next_plaid_spark.operators.packing import sql_pack_bins
+
+    return sql_pack_bins(capacity=256, split_re=TOKEN_SPLIT_RE)
+
+
 def _sql_dedup_clusters_oracle() -> str:
     from next_plaid_spark.operators.cluster import sql_dedup_clusters
     from next_plaid_spark.operators.dedup import sql_minhash_lsh_pairs
@@ -1546,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_lm_counts": q_ngram_lm_counts,
         "pack_sequences": q_pack_sequences,
+        "packed_bins": q_packed_bins,
         "curate_corpus": q_curate_corpus,
         "bpe_pair_counts": q_bpe_pair_counts,
         "gopher_filter": q_gopher_filter,
@@ -1599,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _corpus_sqls()[2],
         "ngram_lm_counts": _sql_ngram_lm_counts(),
         "pack_sequences": _sql_pack_sequences(),
+        "packed_bins": _sql_packed_bins(),
         "curate_corpus": _sql_curate_corpus(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),
         "gopher_filter": _sql_gopher_filter(),

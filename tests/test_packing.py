@@ -48,3 +48,19 @@ def test_pack_bucket_boundaries_irrelevant(spark):
 def test_pack_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(df).collect() == []
+
+
+def test_pack_bins_materialization(spark):
+    from next_plaid_spark.operators.packing import pack_bins
+
+    rows = [(0, "a b c"), (1, "d e"), (2, "f g h i")]
+    got = {r.bin_id: (r.n_tokens, r.tokens)
+           for r in pack_bins(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               capacity=4).collect()}
+    # stream = a b c d e f g h i → bins [a b c d][e f g h][i]
+    assert got == {
+        0: (4, ["a", "b", "c", "d"]),
+        1: (4, ["e", "f", "g", "h"]),
+        2: (1, ["i"]),
+    }
