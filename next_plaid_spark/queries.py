@@ -996,6 +996,31 @@ def q_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_multi(train, evals, n=3)
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile — the first job any curation run does:
+    doc counts, volume, exact length quantiles (SURVEY §2.9: exact
+    percentile, linear interpolation ≡ np.quantile ≡ DuckDB
+    quantile_cont; one map-side-combinable agg per source)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+    )
+
+
+SQL_CORPUS_PROFILE = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       quantile_cont(n_chars, 0.5) AS median_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars
+FROM documents
+GROUP BY source
+""".strip()
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.corpus import repetition_stats
 
@@ -1556,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "decontaminate_multi": q_decontaminate_multi,
+        "corpus_profile": q_corpus_profile,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "ngram_lm_counts": q_ngram_lm_counts,
@@ -1610,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters_oracle(),
         "decontaminate": _corpus_sqls()[0],
         "decontaminate_multi": _sql_decontaminate_multi(),
+        "corpus_profile": SQL_CORPUS_PROFILE,
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
         "ngram_lm_counts": _sql_ngram_lm_counts(),
