@@ -342,6 +342,42 @@ def q_hybrid_plaid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_plaid_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 hybrid orchestration with the FUNNEL side in its exact
+    configuration (n_probe = K, t_cs = −∞, survivor budget ≥ N): PLAID
+    funnel fetch 3·k + BM25 fetch 3·k → relative-score fusion → top-k
+    (handlers/search.rs:124-400). Unlike `hybrid_plaid_topk` (rows-only:
+    the ANN side's loss is data-dependent), every stage here is
+    deterministic and SQL-expressible — the oracle recomputes exact MaxSim
+    over the sidecar quantized corpus, Okapi BM25, and min-max fusion, so
+    the whole hybrid orchestration (over-fetch, per-list normalization,
+    α-blend, tie-breaks) is hash-checked end-to-end."""
+    from next_plaid_spark.operators.fusion import fuse_relative_score
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx = _plaid_index(spark, sf_dir)
+    _write_exact_oracle_sidecar(idx)
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    n_docs = idx.meta.num_documents
+    searcher = BatchSearcher(idx, SearchParams(
+        top_k=3 * MAXSIM_TOPK,
+        n_ivf_probe=idx.meta.k,
+        n_full_scores=4 * n_docs,
+        centroid_score_threshold=float("-inf"),
+    ))
+    sem = searcher.search(encode_queries(queries)).select("query_id", "doc_id", "score")
+    kw = _bm25_index(spark, sf_dir).search(queries, k=3 * MAXSIM_TOPK).select(
+        "query_id", "doc_id", "score"
+    )
+    return fuse_relative_score(sem, kw, alpha=0.75, k=MAXSIM_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
 def q_monthly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month rollup over lineitem (timestamp calendar-math parity;
     l_shipdate is a microsecond TIMESTAMP_NTZ — only events uses NANOS)."""
@@ -613,18 +649,26 @@ def q_hybrid_relative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hybrid_lists_cte(dim: int = 16) -> str:
+def _sql_hybrid_lists_cte(dim: int = 16, exact_sidecar: str | None = None) -> str:
     """CTE prefix producing sem_list / kw_list (query_id, doc_id, score, r),
-    both cut at FETCH_K — mirrors _hybrid_lists."""
+    both cut at FETCH_K — mirrors _hybrid_lists. With ``exact_sidecar``
+    set, the semantic side scores the decompressed quantized corpus the
+    exact-funnel Spark entries just wrote (aliased ``dt`` so the dots body
+    is shared) — mirroring the exact-config funnel instead of brute force
+    over the raw encoder output."""
     from next_plaid_spark.operators.bm25 import B, K1, SCORE_DECIMALS
 
     maxsim = _sql_tokens_cte(dim, 48, 8, N_SELF_QUERIES)
+    if exact_sidecar is not None:
+        sem_from = f"FROM qt CROSS JOIN (SELECT doc_id, vec FROM '{exact_sidecar}/*.parquet') dt"
+    else:
+        sem_from = "FROM qt CROSS JOIN dt"
     return f"""
 {maxsim},
 dots AS (
   SELECT qt.query_id, dt.doc_id, qt.token_idx AS q_token_idx,
          list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * dt.vec[i]), (a, b) -> a + b) AS dp
-  FROM qt CROSS JOIN dt
+  {sem_from}
 ),
 per_qtoken AS (
   SELECT query_id, doc_id, q_token_idx, max(dp) AS max_dp FROM dots GROUP BY 1, 2, 3
@@ -699,7 +743,8 @@ SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank
 """.strip()
 
 
-def sql_hybrid_relative_topk(alpha: float = 0.75, k: int = BM25_TOPK) -> str:
+def sql_hybrid_relative_topk(alpha: float = 0.75, k: int = BM25_TOPK,
+                             exact_sidecar: str | None = None) -> str:
     norm = """
   SELECT query_id, doc_id,
          CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
@@ -710,7 +755,7 @@ def sql_hybrid_relative_topk(alpha: float = 0.75, k: int = BM25_TOPK) -> str:
   FROM {src}
 """
     return f"""
-{_sql_hybrid_lists_cte()},
+{_sql_hybrid_lists_cte(exact_sidecar=exact_sidecar)},
 sem_norm AS ({norm.format(src="sem_list")}),
 kw_norm AS ({norm.format(src="kw_list")}),
 fused AS (
@@ -1558,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plaid_filtered_exact_topk": q_plaid_filtered_exact_topk,
         "plaid_filtered_topk": q_plaid_filtered_topk,
         "hybrid_plaid_topk": q_hybrid_plaid_topk,
+        "hybrid_plaid_exact_topk": q_hybrid_plaid_exact_topk,
         "monthly_shipments": q_monthly_shipments,
         "update_append_doclens": q_update_append_doclens,
         "delete_survivor_doclens": q_delete_survivor_doclens,
@@ -1612,6 +1658,9 @@ def oracle_sql() -> dict[str, str]:
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
         "plaid_search_exact_topk": sql_plaid_search_exact_topk(),
         "plaid_filtered_exact_topk": sql_plaid_filtered_exact_topk(),
+        "hybrid_plaid_exact_topk": sql_hybrid_relative_topk(
+            alpha=0.75, k=MAXSIM_TOPK, exact_sidecar=EXACT_ORACLE_SIDECAR
+        ),
         "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
         "update_append_doclens": sql_update_append_doclens(),
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
