@@ -87,7 +87,11 @@ def mmr_rerank(
             picked[best] = True
             out_ids.append(ids[best])
             out_scores.append(mmr[best])
-            sims = vecs @ vecs[best]
+            # sequential left-to-right fold (cumsum), NOT a BLAS dot: keeps
+            # the pairwise sims bit-identical to the DuckDB oracle's
+            # list_reduce fold (sql_mmr_topk), same discipline as
+            # functions/vector.py
+            sims = (vecs * vecs[best]).cumsum(axis=1)[:, -1]
             max_sim = np.maximum(max_sim, sims)
         return pd.DataFrame({
             "query_id": pdf["query_id"].iloc[0],

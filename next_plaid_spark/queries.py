@@ -1320,8 +1320,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-k over an over-fetched exact candidate list
-    (Carbonell & Goldstein 1998). Rows-only: the greedy max-sim state loop
-    is not SQL-expressible; gated against an independent plain-loop greedy
+    (Carbonell & Goldstein 1998). Hash-exact oracle: the greedy state loop
+    IS SQL-expressible as a DuckDB recursive CTE carrying the picked
+    (id, normalized-vec) lists per query — every pairwise sim uses the
+    same left-to-right double fold as the Spark kernel, so scores match
+    bitwise. Also gated against an independent plain-loop greedy
     reference in tests/test_similarity.py."""
     from next_plaid_spark.operators.similarity import cosine_topk, mmr_rerank
 
@@ -1331,6 +1334,68 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = cosine_topk(emb, queries, k=3 * COSINE_TOPK)
     return mmr_rerank(cands, emb, k=COSINE_TOPK, lambda_=0.7)
+
+
+def sql_mmr_topk(n_queries: int = COSINE_N_QUERIES, fetch_k: int = 3 * COSINE_TOPK,
+                 k: int = COSINE_TOPK, lam: float = 0.7) -> str:
+    """Greedy MMR as a recursive CTE: one state row per query per step,
+    carrying the picked ids + picked normalized vectors; the next pick is
+    the (mmr DESC, vec_id ASC) argmax over the unpicked candidates.
+    ``1.0 - lam`` is emitted via repr() so the SQL literal is the exact
+    double the Spark kernel multiplies by."""
+    one_minus = repr(1.0 - lam)
+    dot = "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.v) + 1), i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))), (a,b) -> a+b)"
+    norm = "sqrt(list_reduce(list_prepend(0.0, list_transform({arr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))"
+    nq, nc = norm.format(arr="q.v"), norm.format(arr="c.v")
+    pair_dot = "list_reduce(list_prepend(0.0, list_transform(range(1, len(c.nv) + 1), i -> c.nv[i] * p[i])), (a,b) -> a+b)"
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id < {n_queries}
+),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CASE WHEN {nq} = 0.0 OR {nc} = 0.0 THEN 0.0
+              ELSE {dot} / ({nq} * {nc}) END AS cos_sim
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+),
+normed AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0.0 THEN CAST(v AS DOUBLE[]) ELSE list_transform(v, x -> CAST(x AS DOUBLE) / nrm) END AS nv
+  FROM (SELECT vec_id, embedding AS v, {norm.format(arr="embedding")} AS nrm FROM embeddings)
+),
+cand AS (
+  SELECT r.query_id, r.vec_id, r.cos_sim AS rel, n.nv
+  FROM ranked r JOIN normed n USING (vec_id)
+  WHERE r.rank <= {fetch_k}
+),
+sel AS (
+  SELECT 1 AS step, query_id, vec_id, rel AS mmr_score,
+         [vec_id] AS picked, [nv] AS picked_vecs
+  FROM (SELECT cand.*, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rn FROM cand)
+  WHERE rn = 1
+  UNION ALL
+  SELECT step + 1, query_id, vec_id, mmr AS mmr_score,
+         list_append(picked, vec_id), list_append(picked_vecs, nv)
+  FROM (
+    SELECT t.*, row_number() OVER (PARTITION BY t.query_id ORDER BY t.mmr DESC, t.vec_id ASC) AS rn
+    FROM (
+      SELECT s.step, c.query_id, c.vec_id, c.nv, s.picked, s.picked_vecs,
+             {lam} * c.rel - {one_minus} * list_max(list_transform(s.picked_vecs, p -> {pair_dot})) AS mmr
+      FROM sel s JOIN cand c ON c.query_id = s.query_id
+      WHERE s.step < {k} AND NOT list_contains(s.picked, c.vec_id)
+    ) t
+  )
+  WHERE rn = 1
+)
+SELECT query_id, vec_id, mmr_score, CAST(step AS INT) AS rank
+FROM sel
+""".strip()
 
 
 def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1667,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": SQL_SOURCE_OVERLAP,
         "cosine_topk": sql_cosine_topk(),
         "ann_ivf_exact_topk": sql_cosine_topk(),
+        "mmr_topk": sql_mmr_topk(),
         "filtered_search_topk": sql_filtered_search_topk(),
         "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
