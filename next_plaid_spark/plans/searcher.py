@@ -149,7 +149,10 @@ class BatchSearcher:
                 [np.asarray(v, dtype=np.float32)
                  for v in qt_pdf.sort_values("token_idx")["vec"]]
             )
-            scores = q @ c.T  # [q_tokens, K]
+            # [K, q_tokens] (transposed): the per-code gather below pulls
+            # whole contiguous rows instead of strided columns — same
+            # values, much better cache behavior on the hot gather
+            scores_t = np.ascontiguousarray((q @ c.T).T)
             # segment-max over the flattened code lists — no per-doc Python
             # loop (maximum.reduceat segments at each doc's offset)
             code_lists = [np.asarray(cs, dtype=np.int64) for cs in cand_pdf["codes"]]
@@ -163,8 +166,8 @@ class BatchSearcher:
                           "approx_score": "float64"})
             offsets = np.zeros(int(keep_mask.sum()), dtype=np.int64)
             np.cumsum(lens[keep_mask][:-1], out=offsets[1:])
-            seg_max = np.maximum.reduceat(scores[:, flat], offsets, axis=1)
-            approx = seg_max.sum(axis=0, dtype=np.float64)
+            seg_max = np.maximum.reduceat(scores_t[flat], offsets, axis=0)
+            approx = seg_max.sum(axis=1, dtype=np.float64)
             return pd.DataFrame(
                 {"query_id": key[0],
                  "doc_id": np.asarray(cand_pdf["doc_id"])[keep_mask],
