@@ -44,7 +44,7 @@ MAXSIM_TOPK = 10
 
 def q_maxsim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    doc_tokens = encode_documents(docs)
+    doc_tokens = _doc_tokens(spark, sf_dir)
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
     )
@@ -123,6 +123,21 @@ FROM ranked WHERE rank <= {k}
 
 _INDEX_CACHE: dict[str, object] = {}
 _BM25_CACHE: dict[tuple, object] = {}
+_TOKENS_CACHE: dict[str, DataFrame] = {}
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoded corpus tokens, cached once per sf_dir — the S7
+    raw-embedding sidecar surface (next-plaid stores raw embeddings beside
+    the index, index.rs:1203-1260): brute-force/rerank/hybrid entries read
+    the SAME persisted token set instead of re-encoding the corpus per
+    query, exactly like the reference reads its sidecar."""
+    key = os.path.abspath(sf_dir)
+    df = _TOKENS_CACHE.get(key)
+    if df is None:
+        df = encode_documents(_t(spark, sf_dir, "documents")).cache()
+        _TOKENS_CACHE[key] = df
+    return df
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str, tokenizer: str = "unicode61"):
@@ -150,7 +165,9 @@ def _plaid_index(spark: SparkSession, sf_dir: str):
 
         path = os.path.join(tempfile.mkdtemp(prefix="plaid_idx_"), "index")
         docs = _t(spark, sf_dir, "documents")
-        idx = IndexBuilder(spark, nbits=4, seed=42).build(encode_documents(docs), path)
+        idx = IndexBuilder(spark, nbits=4, seed=42).build(
+            _doc_tokens(spark, sf_dir), path
+        )
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
@@ -548,7 +565,7 @@ def q_filtered_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     subset = MetadataStore(docs).where_condition(FILTER_COND, FILTER_PARAMS)
-    doc_tokens = encode_documents(docs).join(subset, "doc_id", "left_semi")
+    doc_tokens = _doc_tokens(spark, sf_dir).join(subset, "doc_id", "left_semi")
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
     )
@@ -616,12 +633,9 @@ def sql_bm25_topk() -> str:
 
 
 def _hybrid_lists(spark: SparkSession, sf_dir: str):
-    from next_plaid_spark.operators.bm25 import BM25Index
-
-    docs = _t(spark, sf_dir, "documents")
     queries = _doc_queries(spark, sf_dir)
     sem = brute_force_search(
-        encode_queries(queries), encode_documents(docs), k=FETCH_K
+        encode_queries(queries), _doc_tokens(spark, sf_dir), k=FETCH_K
     ).select("query_id", "doc_id", "score")
     kw = _bm25_index(spark, sf_dir).search(queries, k=FETCH_K).select(
         "query_id", "doc_id", "score"
@@ -844,14 +858,12 @@ FROM ranked WHERE rank <= {BM25_TOPK}
 # ---------------------------------------------------------------------------
 
 def q_rerank_bm25_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from next_plaid_spark.operators.bm25 import BM25Index
     from next_plaid_spark.operators.rerank import rerank
 
-    docs = _t(spark, sf_dir, "documents")
     queries = _doc_queries(spark, sf_dir)
     kw = _bm25_index(spark, sf_dir).search(queries, k=FETCH_K).select("query_id", "doc_id")
     out = rerank(
-        encode_queries(queries), encode_documents(docs), pairs=kw, top_k=BM25_TOPK
+        encode_queries(queries), _doc_tokens(spark, sf_dir), pairs=kw, top_k=BM25_TOPK
     )
     return out.select("query_id", "doc_id", "score", "rank")
 
