@@ -491,3 +491,146 @@ def sql_stratified_sample(rates: dict[str, float], *, seed: int = 42,
         conds.append(f"(source = '{src}' AND {h} % {SAMPLE_DENOM} < {cut})")
     pred = " OR ".join(conds) if conds else "FALSE"
     return f"SELECT {columns} FROM documents WHERE {pred}"
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023).
+# Select raw-corpus docs whose token distribution looks like a small target
+# domain: per-doc importance weight = Σ_t [ln p_target(t) − ln p_raw(t)]
+# under add-1-smoothed unigram LMs, then Gumbel-top-N resampling (sampling
+# ∝ weight without replacement ≡ top-N by logweight + Gumbel noise).
+# ---------------------------------------------------------------------------
+
+DSIR_DENOM = 1_000_000
+
+
+def _unigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(tokenize_unicode61(F.col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, *, keep_n: int = 100,
+                seed: int = 42, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Returns the ``keep_n`` selected raw docs as (doc_id, log_ratio,
+    sample_key): log_ratio = the doc's summed unigram log-likelihood ratio
+    (target vs raw, add-1 smoothing over the union vocab), sample_key =
+    log_ratio + Gumbel(content-hash uniform) — the Gumbel-top-N trick
+    makes one deterministic pass equivalent to weighted sampling without
+    replacement (Efraimidis-Spirakis / Vieira).
+
+    Scale shape: the target LM is tiny (a benchmark/domain shard) and is
+    BROADCAST; the raw LM is one map-side-combinable explode→agg whose
+    result (bounded by language vocabulary) is also broadcast back; the
+    per-doc sum is one groupBy(doc_id); the final top-N is sort+limit,
+    which Catalyst executes as TakeOrderedAndProject (per-partition heaps,
+    no global sort shuffle). The raw corpus is never shuffled by term.
+
+    Determinism: per-doc log folds are value-sorted float64; log_ratio and
+    sample_key are rounded to 10 decimals (libm-vs-DuckDB last-ulp, same
+    caveat as textstats.unigram_logprob); the Gumbel uniform is the same
+    md5-derived 60-bit coin as ``stratified_sample``, so selection is
+    reproducible cross-engine and stable under partitioning."""
+    t_vocab = _unigram_lm(target, id_col, text_col)
+    r_vocab = _unigram_lm(raw, id_col, text_col)
+    v_union = (
+        t_vocab.select("term").union(r_vocab.select("term")).distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    t_tot = t_vocab.agg(F.sum("cnt").alias("t_tot"))
+    r_tot = r_vocab.agg(F.sum("cnt").alias("r_tot"))
+
+    # lr(term) over the RAW vocab (raw tokens absent from target hit the
+    # add-1 floor); all four scalars ride along as 1-row broadcasts
+    lr = (
+        r_vocab.join(t_vocab.withColumnRenamed("cnt", "t_cnt"), "term", "left")
+        .crossJoin(F.broadcast(v_union))
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "term",
+            (
+                F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1.0))
+                      / (F.col("t_tot") + F.col("v")))
+                - F.log((F.col("cnt") + F.lit(1.0)) / (F.col("r_tot") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    toks = raw.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_unicode61(F.col(text_col))).alias("term"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lr), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("lr")), F.lit(0.0), lambda a, x: a + x
+            ).alias("lr_sum")
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit("dsir"),
+                                  F.col("doc_id").cast("string"))),
+                1, HASH_HEX_LEN,
+            ), 16, 10,
+        ).cast("long") % DSIR_DENOM + F.lit(0.5)
+    ) / F.lit(float(DSIR_DENOM))
+    keyed = per_doc.select(
+        "doc_id",
+        F.round("lr_sum", 10).alias("log_ratio"),
+        F.round(F.col("lr_sum") - F.log(-F.log(u)), 10).alias("sample_key"),
+    )
+    return keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id")).limit(keep_n)
+
+
+def sql_dsir_select(*, raw_pred: str, target_pred: str, keep_n: int = 100,
+                    seed: int = 42, split_re: str = TOKEN_SPLIT_RE) -> str:
+    """DuckDB mirror of ``dsir_select`` over the ``documents`` view."""
+    tok = (f"SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), "
+           f"'{split_re}'), x -> x <> '')) AS term FROM documents")
+    return f"""
+WITH r_tok AS ({tok} WHERE {raw_pred}),
+t_tok AS ({tok} WHERE {target_pred}),
+r_vocab AS (SELECT term, count(*) AS cnt FROM r_tok GROUP BY 1),
+t_vocab AS (SELECT term, count(*) AS t_cnt FROM t_tok GROUP BY 1),
+v_union AS (
+  SELECT count(*) AS v FROM (
+    SELECT term FROM r_vocab UNION SELECT term FROM t_vocab
+  )
+),
+tots AS (
+  SELECT (SELECT sum(cnt) FROM r_vocab) AS r_tot,
+         (SELECT sum(t_cnt) FROM t_vocab) AS t_tot
+),
+lr AS (
+  SELECT r.term,
+         ln((coalesce(t.t_cnt, 0) + 1.0) / (tots.t_tot + v_union.v))
+         - ln((r.cnt + 1.0) / (tots.r_tot + v_union.v)) AS lr
+  FROM r_vocab r LEFT JOIN t_vocab t USING (term)
+  CROSS JOIN v_union CROSS JOIN tots
+),
+per_doc AS (
+  SELECT rt.doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(lr.lr))), (a, b) -> a + b) AS lr_sum
+  FROM r_tok rt JOIN lr USING (term)
+  GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id,
+         round(lr_sum, 10) AS log_ratio,
+         round(lr_sum - ln(-ln(
+           (CAST(concat('0x', substr(md5(concat('{seed}', ':', 'dsir', ':',
+              CAST(doc_id AS VARCHAR))), 1, {HASH_HEX_LEN})) AS BIGINT)
+            % {DSIR_DENOM} + 0.5) / {float(DSIR_DENOM)})), 10) AS sample_key
+  FROM per_doc
+)
+SELECT doc_id, log_ratio, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {keep_n}
+""".strip()

@@ -1223,6 +1223,33 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_KEEP_N = 100
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): pick the raw-corpus docs
+    whose unigram distribution best matches the `src0` target shard, via
+    importance-weight Gumbel-top-N resampling."""
+    from next_plaid_spark.operators.corpus import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs.filter(F.col("source") != EVAL_SOURCE),
+        docs.filter(F.col("source") == EVAL_SOURCE),
+        keep_n=DSIR_KEEP_N,
+    )
+
+
+def _sql_dsir_select() -> str:
+    from next_plaid_spark.operators.corpus import sql_dsir_select
+
+    return sql_dsir_select(
+        raw_pred=f"source <> '{EVAL_SOURCE}'",
+        target_pred=f"source = '{EVAL_SOURCE}'",
+        keep_n=DSIR_KEEP_N,
+    )
+
+
 def _corpus_sqls() -> list[str]:
     from next_plaid_spark.operators.corpus import (
         sql_contamination,
@@ -1707,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "dsir_select": q_dsir_select,
         "ngram_lm_counts": q_ngram_lm_counts,
         "pack_sequences": q_pack_sequences,
         "packed_bins": q_packed_bins,
@@ -1766,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": SQL_CORPUS_PROFILE,
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
+        "dsir_select": _sql_dsir_select(),
         "ngram_lm_counts": _sql_ngram_lm_counts(),
         "pack_sequences": _sql_pack_sequences(),
         "packed_bins": _sql_packed_bins(),

@@ -114,3 +114,47 @@ def test_stratified_sample_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# -- DSIR selection ------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from next_plaid_spark.operators.corpus import dsir_select
+
+    # target talks about "alpha beta"; raw has 5 target-like docs and 20
+    # off-domain docs — with keep_n=5, Gumbel noise (±~2-3 nats at 1e-6
+    # resolution) cannot overcome the large logratio gap
+    target = _docs(spark, [(900 + i, "alpha beta alpha beta gamma", "t") for i in range(4)])
+    raw = _docs(
+        spark,
+        [(i, "alpha beta gamma alpha beta alpha beta alpha beta", "r") for i in range(5)]
+        + [(100 + i, "delta epsilon zeta eta theta iota kappa wow", "r") for i in range(20)],
+    )
+    got = dsir_select(raw, target, keep_n=5).collect()
+    assert sorted(r.doc_id for r in got) == [0, 1, 2, 3, 4]
+    # selected rows expose both the raw weight and the perturbed key
+    for r in got:
+        assert r.sample_key != r.log_ratio
+
+
+def test_dsir_deterministic_under_repartition(spark):
+    from next_plaid_spark.operators.corpus import dsir_select
+
+    target = _docs(spark, [(900, "a b c", "t")])
+    raw = _docs(spark, [(i, f"a b c word{i} word{i*7%13}", "r") for i in range(40)])
+    a = sorted(map(tuple, dsir_select(raw, target, keep_n=10).collect()))
+    b = sorted(map(tuple, dsir_select(raw.repartition(7), target, keep_n=10).collect()))
+    assert a == b
+
+
+def test_dsir_topn_is_take_ordered_not_global_sort(spark):
+    from next_plaid_spark.operators.corpus import dsir_select
+
+    target = _docs(spark, [(900, "a b", "t")])
+    raw = _docs(spark, [(i, "a b c", "r") for i in range(10)])
+    plan = (
+        dsir_select(raw, target, keep_n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
