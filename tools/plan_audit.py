@@ -47,6 +47,8 @@ AUDITED = [
     "pack_sequences",
     "bpe_pair_counts",
     "curate_corpus",
+    "mmr_topk",
+    "dsir_select",
 ]
 
 
@@ -148,6 +150,18 @@ def main() -> int:
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
             failures.append(f"A5 {name}: no WholeStageCodegen span")
+        # A8: mmr's only nested-loop is the documented exact-cosine
+        # candidate crossJoin (broadcast query side, bounded)
+        if name == "mmr_topk" and s["cartesian"] > 1:
+            failures.append(f"A8 mmr_topk: {s['cartesian']} nested-loops (expected only the cosine candidate crossJoin)")
+        # A8b: DSIR's top-N must be TakeOrderedAndProject (per-partition
+        # heaps), never a global sort; its nested-loops are only the three
+        # 1-row scalar broadcasts (V, t_tot, r_tot)
+        if name == "dsir_select":
+            if "TakeOrderedAndProject" not in plan:
+                failures.append("A8b dsir_select: top-N is not TakeOrderedAndProject")
+            if s["cartesian"] > 3:
+                failures.append(f"A8b dsir_select: {s['cartesian']} nested-loops (expected 3 scalar broadcasts)")
         # A7: the packing prefix sum must never serialize the corpus —
         # at most ONE SinglePartition exchange (the |buckets|-row cumsum);
         # a second would mean a corpus-wide ORDER BY window crept in
