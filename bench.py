@@ -92,6 +92,24 @@ def main() -> None:
             fn = registry[name]
             timed(timings, name, lambda fn=fn: force(fn(spark, sf_dir)))
 
+        # quality stat alongside the throughputs (BASELINE.md reports
+        # NDCG/recall for the reference's operating point): funnel
+        # recall@10 vs the exact brute-force top-10 over the same queries
+        try:
+            brute = {}
+            for r in registry["maxsim_brute_topk"](spark, sf_dir).collect():
+                brute.setdefault(r.query_id, set()).add(r.doc_id)
+            funnel = {}
+            for r in registry["plaid_search_topk"](spark, sf_dir).collect():
+                funnel.setdefault(r.query_id, set()).add(r.doc_id)
+            recalls = [
+                len(brute[qid] & funnel.get(qid, set())) / max(len(brute[qid]), 1)
+                for qid in brute
+            ]
+            stats["funnel_recall_at10"] = round(sum(recalls) / max(len(recalls), 1), 4)
+        except Exception:
+            errors["funnel_recall_at10"] = traceback.format_exc(limit=3).splitlines()[-1]
+
         # batch-search throughput: the Spark-native operating mode is a large
         # query DataFrame through the funnel (BASELINE's QPS analog); every
         # doc doubles as a query here.
@@ -135,7 +153,8 @@ def main() -> None:
               lambda: force(kernel_searcher.search(encode_queries(batch_queries))))
 
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
-                     "dedup_clusters", "perplexity_proxy", "curate_corpus"):
+                     "dedup_clusters", "perplexity_proxy", "curate_corpus",
+                     "dsir_select", "mmr_topk"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
     except Exception:
