@@ -80,11 +80,31 @@ class BM25Index:
 
     def search(self, queries: DataFrame, k: int = 10, *,
                query_id_col: str = "query_id", text_col: str = "text",
-               subset: DataFrame | None = None) -> DataFrame:
+               subset: DataFrame | None = None,
+               score_mode: str = "okapi",
+               conjunctive: bool = False) -> DataFrame:
         """Batch BM25: queries(query_id, text) → (query_id, doc_id, score, rank).
 
         ``subset`` (doc_id) implements filtered keyword search (K4,
         text_search.rs:1277-1343) as a semi-join — no 900-param chunking.
+
+        ``score_mode``:
+        - ``"okapi"`` (default) — the documented spec above
+          (idf = ln(1 + …), always ≥ 0).
+        - ``"fts5"`` — SQLite FTS5 parity (the backend the reference
+          actually queries, text_search.rs:1246-1272): per-phrase
+          idf = ln((N − df + 0.5)/(df + 0.5)), floored at 1e-6 when ≤ 0
+          (fts5_aux.c fts5Bm25Function); each query-token occurrence is
+          one phrase, so repeated tokens contribute qtf times. FTS5
+          returns the negated sum and the reference re-negates — the
+          positive orientation here IS the reference's surfaced score.
+
+        ``conjunctive=True`` reproduces ``sanitize_fts5_query``'s
+        space-joined (implicit AND) form (text_search.rs:949-981): a doc
+        matches only if it contains EVERY distinct query term — including
+        terms absent from the corpus vocabulary, which kill the whole
+        query, exactly as an FTS5 AND over a missing term matches nothing.
+        False = the OR-joined form (``build_fts5_query_or``) colgrep uses.
         """
         qterms = (
             queries.select(
@@ -108,7 +128,27 @@ class BM25Index:
             matched = matched.join(
                 subset.select(F.col("doc_id").cast("long")), "doc_id", "left_semi"
             )
-        idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        if conjunctive:
+            # doc must match EVERY distinct query term (vocabulary-missing
+            # terms included: they make n_terms unmatchable, as in FTS5)
+            n_terms = qterms.groupBy("query_id").agg(
+                F.countDistinct("term").alias("_nt")
+            )
+            full = (
+                matched.groupBy("query_id", "doc_id")
+                .agg(F.countDistinct("term").alias("_mt"))
+                .join(F.broadcast(n_terms), "query_id")
+                .filter(F.col("_mt") == F.col("_nt"))
+                .select("query_id", "doc_id")
+            )
+            matched = matched.join(full, ["query_id", "doc_id"], "left_semi")
+        if score_mode == "fts5":
+            raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
+        elif score_mode == "okapi":
+            idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        else:
+            raise ValueError(f"unknown score_mode: {score_mode!r}")
         sat = (F.col("tf") * (K1 + 1.0)) / (
             F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
         )
@@ -136,10 +176,30 @@ class BM25Index:
 
 
 def bm25_oracle_sql(*, n_queries: int, k: int, split_re: str,
-                    query_max_tokens: int | None = None) -> str:
+                    query_max_tokens: int | None = None,
+                    score_mode: str = "okapi",
+                    conjunctive: bool = False) -> str:
     """DuckDB SQL computing the identical spec over ``documents`` with
     queries = first ``n_queries`` docs' text (optionally first M tokens)."""
     qtok = f"list_slice(toks, 1, {query_max_tokens})" if query_max_tokens else "toks"
+    if score_mode == "fts5":
+        idf = ("CASE WHEN ln((s.n - d.df + 0.5) / (d.df + 0.5)) <= 0.0 THEN 1e-6 "
+               "ELSE ln((s.n - d.df + 0.5) / (d.df + 0.5)) END")
+    else:
+        idf = "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))"
+    conj_filter = ""
+    if conjunctive:
+        conj_filter = """
+  AND (q.query_id, p.doc_id) IN (
+    SELECT m.query_id, m.doc_id FROM (
+      SELECT q2.query_id, p2.doc_id, count(DISTINCT q2.term) AS mt
+      FROM qterms q2 JOIN postings p2 USING (term)
+      GROUP BY 1, 2
+    ) m JOIN (
+      SELECT query_id, count(DISTINCT term) AS nt FROM qterms GROUP BY 1
+    ) t USING (query_id)
+    WHERE m.mt = t.nt
+  )"""
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{split_re}'), x -> x <> '')) AS term
@@ -167,13 +227,14 @@ qterms AS (
 ),
 contribs AS (
   SELECT q.query_id, p.doc_id,
-         q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         q.qtf * ({idf})
                * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS contrib
   FROM qterms q
   JOIN postings p USING (term)
   JOIN dfreq d USING (term)
   JOIN doclens l ON p.doc_id = l.doc_id
   CROSS JOIN stats s
+  WHERE TRUE{conj_filter}
 ),
 scored AS (
   SELECT query_id, doc_id,

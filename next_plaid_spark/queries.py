@@ -632,6 +632,26 @@ def sql_bm25_topk() -> str:
     )
 
 
+def q_bm25_fts5_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 in FTS5-parity mode: the exact bm25() SQLite computes (per-phrase
+    idf with the 1e-6 floor, fts5_aux.c), positively oriented as the
+    reference surfaces it (score = −bm25, text_search.rs:1246-1272), over
+    the OR-joined query form colgrep sends (text_search.rs:982-1004)."""
+    idx = _bm25_index(spark, sf_dir)
+    return idx.search(
+        _doc_queries(spark, sf_dir), k=BM25_TOPK, score_mode="fts5"
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def sql_bm25_fts5_topk() -> str:
+    from next_plaid_spark.operators.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        n_queries=N_SELF_QUERIES, k=BM25_TOPK, split_re=TOKEN_SPLIT_RE,
+        score_mode="fts5",
+    )
+
+
 def _hybrid_lists(spark: SparkSession, sf_dir: str):
     queries = _doc_queries(spark, sf_dir)
     sem = brute_force_search(
@@ -1716,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_topk": q_filtered_search_topk,
         "distinct_langs": q_distinct_langs,
         "bm25_topk": q_bm25_topk,
+        "bm25_fts5_topk": q_bm25_fts5_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_relative_topk": q_hybrid_relative_topk,
         "bm25_trigram_topk": q_bm25_trigram_topk,
@@ -1776,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_search_topk": sql_filtered_search_topk(),
         "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
+        "bm25_fts5_topk": sql_bm25_fts5_topk(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "bm25_trigram_topk": sql_bm25_trigram_topk(),

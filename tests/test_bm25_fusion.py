@@ -146,3 +146,46 @@ def test_hybrid_both_sides_matches_plain_fusion(spark):
         for r in fuse_rrf(sem, kw, alpha=0.6, k=3).collect()
     )
     assert a == b
+
+
+# -- FTS5-parity scoring + conjunctive (AND) query form ------------------------
+
+
+def test_bm25_fts5_idf_and_floor(spark):
+    # common term "banana" (df=2 of 3): fts5 idf = ln((3-2+.5)/(2+.5)) < 0
+    # → floored to 1e-6; rare term "apple" (df=1): ln(2.5/1.5) > 0 kept
+    docs = spark.createDataFrame(
+        [(0, "apple banana"), (1, "banana cherry"), (2, "durian")],
+        "doc_id long, text string",
+    )
+    idx = BM25Index.build(docs)
+    res = {r.doc_id: r.score for r in idx.search(
+        spark.createDataFrame([(0, "banana")], "query_id long, text string"),
+        k=3, score_mode="fts5",
+    ).collect()}
+    for d in (0, 1):
+        sat = 1 * (K1 + 1) / (1 + K1 * (1 - B + B * 2 / 5 * 3))  # dl=2, avgdl=5/3
+        assert res[d] == round(1e-6 * sat, 6)
+    q = spark.createDataFrame([(0, "apple")], "query_id long, text string")
+    apple = idx.search(q, k=3, score_mode="fts5").collect()[0]
+    assert apple.score > 0.1  # real idf, not the floor
+
+
+def test_bm25_conjunctive_requires_all_terms(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple banana cherry"), (1, "apple banana"), (2, "apple")],
+        "doc_id long, text string",
+    )
+    idx = BM25Index.build(docs)
+    q = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple zzz_missing")],
+        "query_id long, text string",
+    )
+    rows = idx.search(q, k=5, conjunctive=True).collect()
+    got = {(r.query_id, r.doc_id) for r in rows}
+    # q0: docs 0,1 contain BOTH; doc 2 lacks banana. q1: zzz_missing is in
+    # no doc → AND matches nothing (FTS5 missing-term semantics)
+    assert got == {(0, 0), (0, 1)}
+    # disjunctive form matches doc 2 and q1's apple docs
+    got_or = {(r.query_id, r.doc_id) for r in idx.search(q, k=5).collect()}
+    assert (0, 2) in got_or and (1, 0) in got_or
