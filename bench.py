@@ -157,6 +157,36 @@ def main() -> None:
                      "dsir_select", "mmr_topk"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
+
+        # ANN tuning surface (the trade the reference's README sweeps):
+        # recall@10 + wall vs n_ivf_probe over the batch500 query set,
+        # against the exact top-10 of the widest probe as reference
+        try:
+            sweep_qt = encode_queries(
+                docs.filter(F.col("doc_id") < 100).select(
+                    F.col("doc_id").alias("query_id"), "text"
+                )
+            )
+            exact_s = BatchSearcher(idx, SearchParams(
+                top_k=10, n_ivf_probe=idx.meta.k, n_full_scores=4 * idx.meta.num_documents,
+                centroid_score_threshold=float("-inf")))
+            truth = {}
+            for r in exact_s.search(sweep_qt).collect():
+                truth.setdefault(r.query_id, set()).add(r.doc_id)
+            for n_probe in (2, 4, 8):
+                s = BatchSearcher(idx, SearchParams(
+                    top_k=10, n_ivf_probe=n_probe, n_full_scores=256,
+                    keep_best_cell=True))
+                t0 = time.time()
+                got = {}
+                for r in s.search(sweep_qt).collect():
+                    got.setdefault(r.query_id, set()).add(r.doc_id)
+                extras[f"probe{n_probe}_batch100"] = round(time.time() - t0, 3)
+                rec = [len(truth[q] & got.get(q, set())) / max(len(truth[q]), 1)
+                       for q in truth]
+                stats[f"probe{n_probe}_recall_at10"] = round(sum(rec) / len(rec), 4)
+        except Exception:
+            errors["probe_sweep"] = traceback.format_exc(limit=3).splitlines()[-1]
     except Exception:
         errors["__suite__"] = traceback.format_exc(limit=5).splitlines()[-1]
     finally:
