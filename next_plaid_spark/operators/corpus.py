@@ -634,3 +634,125 @@ FROM keyed
 ORDER BY sample_key DESC, doc_id
 LIMIT {keep_n}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — the full iterative merge
+# loop extending the round-0 ``bpe_pair_counts``. Training runs driver-side
+# over the corpus WORD-FREQUENCY table (bounded: language vocabulary is
+# ~10^5-10^6 regardless of corpus bytes — the classic train-on-aggregate
+# discipline); application is a broadcast word→pieces join, so the corpus
+# itself is never re-scanned per merge.
+# ---------------------------------------------------------------------------
+
+BPE_VOCAB_CAP = 65_536
+
+
+def word_frequencies(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     cap: int = BPE_VOCAB_CAP) -> list[tuple[str, int]]:
+    """The (word, count) table BPE trains on, deterministically capped to
+    the ``cap`` most frequent words (ties: lexicographic) — one map-side
+    combinable agg + a bounded TakeOrdered collect."""
+    rows = (
+        docs.select(F.explode(tokenize_unicode61(F.col(text_col))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(cap)
+        .collect()
+    )
+    return [(r.term, r.cnt) for r in rows]
+
+
+def train_bpe(docs: DataFrame, *, n_merges: int = 100,
+              id_col: str = "doc_id", text_col: str = "text",
+              cap: int = BPE_VOCAB_CAP) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges: repeatedly merge the most frequent
+    adjacent symbol pair (ties: lexicographically smallest pair), stopping
+    early when no pair occurs twice. Pure deterministic driver loop over
+    the bounded word-frequency table."""
+    vocab = {tuple(w): c for w, c in word_frequencies(
+        docs, id_col=id_col, text_col=text_col, cap=cap)}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, cnt in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[tuple, int] = {}
+        for word, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word: always merge the lowest-rank
+    (earliest-learned) pair present — the standard BPE inference order."""
+    pieces = list(word)
+    while len(pieces) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(pieces, pieces[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        pieces[best_i:best_i + 2] = [pieces[best_i] + pieces[best_i + 1]]
+    return pieces
+
+
+def bpe_word_pieces(docs: DataFrame, merges: list[tuple[str, str]], *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    cap: int = BPE_VOCAB_CAP) -> list[tuple[str, int]]:
+    """(word, n_pieces) for every distinct corpus word — the broadcastable
+    segmentation table ``bpe_token_counts`` joins."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    return [
+        (w, len(bpe_segment(w, ranks)))
+        for w, _ in word_frequencies(docs, id_col=id_col, text_col=text_col, cap=cap)
+    ]
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]], *,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc BPE token count under the trained merges: explode words,
+    broadcast-join the (word → n_pieces) segmentation table, one sum.
+    Words beyond the training cap fall back to character count (their
+    untrained segmentation). The corpus shuffles once, by doc_id."""
+    spark = docs.sparkSession
+    pieces = spark.createDataFrame(
+        bpe_word_pieces(docs, merges, id_col=id_col, text_col=text_col),
+        "term string, n_pieces int",
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokenize_unicode61(F.col(text_col))).alias("term"),
+    )
+    return (
+        toks.join(F.broadcast(pieces), "term", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pieces"), F.length("term")).alias("n_pieces"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+             F.count("*").alias("n_words"))
+    )

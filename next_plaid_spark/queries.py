@@ -1111,6 +1111,48 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
 
 
+BPE_SIDECAR = "/tmp/next_plaid_spark_oracle/bpe_pieces"
+BPE_N_MERGES = 50
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer train + apply (Sennrich '16): learn 50 merges
+    from the corpus word-frequency table (deterministic driver loop —
+    iterative, non-SQL-expressible), then count BPE tokens per doc via a
+    broadcast (word → n_pieces) join. The trained segmentation table is
+    written as a sidecar so DuckDB hash-checks the DISTRIBUTED part (the
+    explode + join + per-doc sum) exactly; the training loop itself is
+    gated by an independent-reference pytest."""
+    from next_plaid_spark.operators.corpus import (
+        bpe_token_counts,
+        bpe_word_pieces,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=BPE_N_MERGES)
+    spark.createDataFrame(
+        bpe_word_pieces(docs, merges), "term string, n_pieces int"
+    ).write.mode("overwrite").parquet(BPE_SIDECAR)
+    return bpe_token_counts(docs, merges)
+
+
+SQL_BPE_TOKENIZE = f"""
+WITH pieces AS (
+  SELECT term, n_pieces FROM '{BPE_SIDECAR}/*.parquet'
+),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(sum(coalesce(p.n_pieces, length(t.term))) AS BIGINT) AS n_bpe_tokens,
+       count(*) AS n_words
+FROM tok t LEFT JOIN pieces p USING (term)
+GROUP BY 1
+""".strip()
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher §A1.1 repetition cuts as a keep/drop verdict."""
     from next_plaid_spark.operators.corpus import gopher_quality_filter
@@ -1761,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_bins": q_packed_bins,
         "curate_corpus": q_curate_corpus,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_tokenize": q_bpe_tokenize,
         "gopher_filter": q_gopher_filter,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -1822,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_bins": _sql_packed_bins(),
         "curate_corpus": _sql_curate_corpus(),
         "bpe_pair_counts": _sql_bpe_pair_counts(),
+        "bpe_tokenize": SQL_BPE_TOKENIZE,
         "gopher_filter": _sql_gopher_filter(),
         "token_count": SQL_TOKEN_COUNT,
         "language_id": _textstats_sqls()[0],

@@ -158,3 +158,77 @@ def test_dsir_topn_is_take_ordered_not_global_sort(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# -- BPE tokenizer training ------------------------------------------------------
+
+
+def test_bpe_train_hand_computed(spark):
+    from next_plaid_spark.operators.corpus import bpe_segment, train_bpe
+
+    # corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3 (classic
+    # Sennrich example, no end-of-word marker)
+    rows = (
+        [(i, "low", "s") for i in range(5)]
+        + [(10 + i, "lower", "s") for i in range(2)]
+        + [(20 + i, "newest", "s") for i in range(6)]
+        + [(30 + i, "widest", "s") for i in range(3)]
+    )
+    merges = train_bpe(_docs(spark, rows), n_merges=4)
+    # pair counts round 1: es=9, st=9, lo=7, we=8(newest 6 + lower 2)…
+    # tie es/st at 9 → lexicographic: ('e','s') first, then ('es','t')=9
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    ranks = {p: i for i, p in enumerate(merges)}
+    seg = bpe_segment("newest", ranks)
+    assert "".join(seg) == "newest" and "est" in seg
+
+
+def test_bpe_train_matches_independent_reference(spark):
+    from next_plaid_spark.operators.corpus import train_bpe, word_frequencies
+
+    rows = [(i, f"abra cadabra alakazam banana bandana w{i % 5}", "s")
+            for i in range(30)]
+    docs = _docs(spark, rows)
+
+    # independent plain-dict reference over the same word-frequency table
+    def ref_bpe(wordfreq, n):
+        vocab = {tuple(w): c for w, c in wordfreq}
+        out = []
+        for _ in range(n):
+            pc = {}
+            for w, c in vocab.items():
+                for p in zip(w, w[1:]):
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            out.append((a, b))
+            nv = {}
+            for w, c in vocab.items():
+                o, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and (w[i], w[i + 1]) == (a, b):
+                        o.append(a + b); i += 2
+                    else:
+                        o.append(w[i]); i += 1
+                nv[tuple(o)] = nv.get(tuple(o), 0) + c
+            vocab = nv
+        return out
+
+    wf = word_frequencies(docs)
+    assert train_bpe(docs, n_merges=12) == ref_bpe(wf, 12)
+
+
+def test_bpe_token_counts_fallback_and_sum(spark):
+    from next_plaid_spark.operators.corpus import bpe_token_counts, train_bpe
+
+    docs = _docs(spark, [(0, "aaaa aaaa bb", "s"), (1, "aaaa", "s")])
+    merges = train_bpe(docs, n_merges=10)
+    got = {r.doc_id: (r.n_bpe_tokens, r.n_words)
+           for r in bpe_token_counts(docs, merges).collect()}
+    # "aaaa" fully merges to 1 piece; "bb" stays 2 chars (its pair occurs
+    # only once in the vocab — below the ≥2 merge threshold)
+    assert got == {0: (4, 3), 1: (1, 1)}
