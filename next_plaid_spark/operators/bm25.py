@@ -187,19 +187,20 @@ def bm25_oracle_sql(*, n_queries: int, k: int, split_re: str,
                "ELSE ln((s.n - d.df + 0.5) / (d.df + 0.5)) END")
     else:
         idf = "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))"
-    conj_filter = ""
+    conj_cte, conj_join = "", ""
     if conjunctive:
-        conj_filter = """
-  AND (q.query_id, p.doc_id) IN (
-    SELECT m.query_id, m.doc_id FROM (
-      SELECT q2.query_id, p2.doc_id, count(DISTINCT q2.term) AS mt
-      FROM qterms q2 JOIN postings p2 USING (term)
-      GROUP BY 1, 2
-    ) m JOIN (
-      SELECT query_id, count(DISTINCT term) AS nt FROM qterms GROUP BY 1
-    ) t USING (query_id)
-    WHERE m.mt = t.nt
-  )"""
+        conj_cte = """
+full_match AS (
+  SELECT m.query_id, m.doc_id FROM (
+    SELECT q2.query_id, p2.doc_id, count(DISTINCT q2.term) AS mt
+    FROM qterms q2 JOIN postings p2 USING (term)
+    GROUP BY 1, 2
+  ) m JOIN (
+    SELECT query_id, count(DISTINCT term) AS nt FROM qterms GROUP BY 1
+  ) t USING (query_id)
+  WHERE m.mt = t.nt
+),"""
+        conj_join = "\n  JOIN full_match fm ON fm.query_id = q.query_id AND fm.doc_id = p.doc_id"
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{split_re}'), x -> x <> '')) AS term
@@ -224,7 +225,7 @@ qterms AS (
       FROM documents WHERE doc_id < {n_queries}
     )
   ) GROUP BY 1, 2
-),
+),{conj_cte}
 contribs AS (
   SELECT q.query_id, p.doc_id,
          q.qtf * ({idf})
@@ -233,8 +234,7 @@ contribs AS (
   JOIN postings p USING (term)
   JOIN dfreq d USING (term)
   JOIN doclens l ON p.doc_id = l.doc_id
-  CROSS JOIN stats s
-  WHERE TRUE{conj_filter}
+  CROSS JOIN stats s{conj_join}
 ),
 scored AS (
   SELECT query_id, doc_id,

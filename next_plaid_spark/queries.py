@@ -1111,6 +1111,61 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode stage end-to-end over synthesized binary
+    assets (payload = utf-8 text bytes; real corpora carry real media
+    bytes in the same column). The STUB decode derives dimensions from
+    the payload md5 — deliberately, so this oracle can recompute the
+    exact same values in DuckDB and hash-check the whole Arrow-batched
+    mapInPandas plumbing (schema, batching, null handling)."""
+    from next_plaid_spark.operators.multimodal import decode_media, synthesize_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(synthesize_assets(docs))
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id AS asset_id,
+       'image' AS media_type,
+       CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192 AS INT) AS width,
+       CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192 AS INT) AS height,
+       3 AS channels,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""".strip()
+
+
+BM25_AND_QUERY_TOKENS = 2
+
+
+def q_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5's space-joined implicit-AND query form end-to-end: 2-token
+    queries, docs must contain BOTH terms (sanitize_fts5_query semantics,
+    text_search.rs:949-981), FTS5-parity scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = _bm25_index(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(tokenize_unicode61(F.col("text")), 1, BM25_AND_QUERY_TOKENS), " "
+        ).alias("text"),
+    )
+    return idx.search(
+        queries, k=BM25_TOPK, score_mode="fts5", conjunctive=True
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def sql_bm25_and_topk() -> str:
+    from next_plaid_spark.operators.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        n_queries=N_SELF_QUERIES, k=BM25_TOPK, split_re=TOKEN_SPLIT_RE,
+        query_max_tokens=BM25_AND_QUERY_TOKENS, score_mode="fts5",
+        conjunctive=True,
+    )
+
+
 BPE_SIDECAR = "/tmp/next_plaid_spark_oracle/bpe_pieces"
 BPE_N_MERGES = 50
 
@@ -1779,6 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_langs": q_distinct_langs,
         "bm25_topk": q_bm25_topk,
         "bm25_fts5_topk": q_bm25_fts5_topk,
+        "bm25_and_topk": q_bm25_and_topk,
+        "media_decode": q_media_decode,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_relative_topk": q_hybrid_relative_topk,
         "bm25_trigram_topk": q_bm25_trigram_topk,
@@ -1841,6 +1898,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
         "bm25_fts5_topk": sql_bm25_fts5_topk(),
+        "bm25_and_topk": sql_bm25_and_topk(),
+        "media_decode": SQL_MEDIA_DECODE,
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "bm25_trigram_topk": sql_bm25_trigram_topk(),
