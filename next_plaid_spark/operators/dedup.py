@@ -519,3 +519,75 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END >= {threshold}
 """.strip()
+
+
+def winnowing_fingerprints(docs: DataFrame, *, k: int = 4, w: int = 4,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """MOSS winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash
+    every word k-gram, slide a w-gram window, keep each window's MINIMUM
+    hash; the distinct kept hashes are the doc's fingerprint set. The
+    guarantee: any shared run of k+w−1 tokens between two docs yields at
+    least one shared fingerprint — position-robust local dedup evidence at
+    a w-fold storage discount vs full shingle sets.
+
+    Shape: posexplode + lead-window k-grams (same codegen formulation as
+    ``shingles``), one hash expression, one per-doc ordered window min —
+    partition-parallel by doc, no corpus-wide shuffle beyond the per-doc
+    window. (doc_id, fp) distinct."""
+    from pyspark.sql.window import Window
+
+    toks = tokenize_unicode61(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(toks).alias("idx", "t0"),
+    )
+    ow = Window.partitionBy("doc_id").orderBy("idx")
+    parts = [F.col("t0")] + [F.lead("t0", i).over(ow) for i in range(1, k)]
+    grams = exploded.select(
+        "doc_id", "idx",
+        F.when(parts[-1].isNotNull(),
+               _hash60(F.concat_ws(" ", *parts))).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    gw = Window.partitionBy("doc_id").orderBy("idx")
+    full_window = F.lead("h", w - 1).over(gw).isNotNull()
+    win_min = F.min("h").over(gw.rowsBetween(0, w - 1))
+    return (
+        grams.select("doc_id", win_min.alias("fp"), full_window.alias("_full"))
+        .filter(F.col("_full"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def sql_winnowing_fingerprints(*, k: int = 4, w: int = 4,
+                               split_re: str | None = None) -> str:
+    from next_plaid_spark.functions.text import TOKEN_SPLIT_RE
+
+    sr = split_re or TOKEN_SPLIT_RE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '{sr}'), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(ts) - {k} + 1, 0))) AS idx,
+         unnest(list_transform(range(0, greatest(len(ts) - {k} + 1, 0)),
+                i -> array_to_string(list_slice(ts, i + 1, i + {k}), ' '))) AS gram
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, idx,
+         CAST(concat('0x', substr(md5(gram), 1, {HASH_HEX_LEN})) AS BIGINT) AS h
+  FROM grams
+),
+wins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY idx
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         lead(h, {w - 1}) OVER (PARTITION BY doc_id ORDER BY idx) IS NOT NULL AS _full
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM wins WHERE _full
+""".strip()

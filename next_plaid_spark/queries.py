@@ -1017,6 +1017,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=4 grams, w=4 windows) — the
+    position-robust local-similarity fingerprint set (SIGMOD'03)."""
+    from next_plaid_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _sql_winnowing() -> str:
+    from next_plaid_spark.operators.dedup import sql_winnowing_fingerprints
+
+    return sql_winnowing_fingerprints()
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → keep-one-per-cluster: connected components (alternating
     large-star/small-star) over the jaccard ≥ 0.8 MinHash pairs, each doc
@@ -1849,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "decontaminate": q_decontaminate,
         "decontaminate_multi": q_decontaminate_multi,
         "corpus_profile": q_corpus_profile,
@@ -1913,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
         "dedup_clusters": _sql_dedup_clusters_oracle(),
+        "winnowing_fingerprints": _sql_winnowing(),
         "decontaminate": _corpus_sqls()[0],
         "decontaminate_multi": _sql_decontaminate_multi(),
         "corpus_profile": SQL_CORPUS_PROFILE,

@@ -148,3 +148,37 @@ def test_shingle_df_cap_off_matches_oracle_mode(spark, docs):
         for r in ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=None).collect()
     )
     assert a == b
+
+
+# -- MOSS winnowing ------------------------------------------------------------
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    from next_plaid_spark.operators.dedup import winnowing_fingerprints
+
+    # docs share a run of exactly k+w-1 = 7 tokens ("c1..c7") in different
+    # positions — the winnowing guarantee promises ≥1 common fingerprint
+    shared = "c1 c2 c3 c4 c5 c6 c7"
+    docs = spark.createDataFrame(
+        [(0, f"a1 a2 a3 {shared} a4 a5"), (1, f"{shared} b1 b2 b3 b4 b5 b6")],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=4, w=4)
+    a = {r.fp for r in fps.filter("doc_id = 0").collect()}
+    b = {r.fp for r in fps.filter("doc_id = 1").collect()}
+    assert a & b, "shared k+w-1 token run must share a fingerprint"
+
+
+def test_winnowing_short_doc_and_density(spark):
+    from next_plaid_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "t1 t2 t3"),                      # < k tokens → no grams
+         (1, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=4, w=4)
+    assert fps.filter("doc_id = 0").count() == 0
+    n = fps.filter("doc_id = 1").count()
+    # 17 grams, 14 full windows, ≤1 selection per window, ≥⌈14/w⌉ distinct
+    assert 4 <= n <= 14
