@@ -591,3 +591,39 @@ wins AS (
 )
 SELECT DISTINCT doc_id, fp FROM wins WHERE _full
 """.strip()
+
+
+def winnowing_near_pairs(docs: DataFrame, *, k: int = 4, w: int = 4,
+                         min_shared: int = 2, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: docs sharing
+    ≥ ``min_shared`` fingerprints (each shared fp certifies a shared
+    k..k+w−1 token run, so min_shared≥2 ≈ multiple shared local regions).
+    Pairs exist only through the fp equi-join — same no-all-pairs
+    discipline as the MinHash/SimHash paths. (doc_a < doc_b, n_shared)."""
+    fps = winnowing_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnowing_near_pairs(*, k: int = 4, w: int = 4,
+                             min_shared: int = 2) -> str:
+    base = sql_winnowing_fingerprints(k=k, w=w)
+    return f"""
+WITH fps AS (
+{base}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS INT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+""".strip()

@@ -1031,6 +1031,20 @@ def _sql_winnowing() -> str:
     return sql_winnowing_fingerprints()
 
 
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs: docs sharing ≥2 selected fingerprints
+    (fp equi-join — no all-pairs)."""
+    from next_plaid_spark.operators.dedup import winnowing_near_pairs
+
+    return winnowing_near_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
+def _sql_dedup_winnowing() -> str:
+    from next_plaid_spark.operators.dedup import sql_winnowing_near_pairs
+
+    return sql_winnowing_near_pairs(min_shared=2)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → keep-one-per-cluster: connected components (alternating
     large-star/small-star) over the jaccard ≥ 0.8 MinHash pairs, each doc
@@ -1864,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "dedup_winnowing": q_dedup_winnowing,
         "decontaminate": q_decontaminate,
         "decontaminate_multi": q_decontaminate_multi,
         "corpus_profile": q_corpus_profile,
@@ -1929,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _dedup_sqls()[4],
         "dedup_clusters": _sql_dedup_clusters_oracle(),
         "winnowing_fingerprints": _sql_winnowing(),
+        "dedup_winnowing": _sql_dedup_winnowing(),
         "decontaminate": _corpus_sqls()[0],
         "decontaminate_multi": _sql_decontaminate_multi(),
         "corpus_profile": SQL_CORPUS_PROFILE,
