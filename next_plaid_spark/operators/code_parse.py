@@ -146,6 +146,10 @@ _VAR_SCAN_RES: dict[str, list] = {
     "php": [re.compile(r"\$([A-Za-z_]\w*)\s*=[^=]")],
     "ruby": [re.compile(r"^\s*([a-z_]\w*)\s*=[^=~]")],
     "python": [re.compile(r"^\s*([A-Za-z_]\w*)\s*=[^=]")],  # RawCode fallback only
+    "swift": [re.compile(r"\b(?:let|var)\s+([A-Za-z_]\w*)")],
+    "kotlin": [re.compile(r"\b(?:val|var)\s+([A-Za-z_]\w*)")],
+    "scala": [re.compile(r"\b(?:val|var)\s+([A-Za-z_]\w*)")],
+    "zig": [re.compile(r"\b(?:const|var)\s+([a-z_]\w*)\s*[:=]")],
 }
 
 _VAR_KEYWORDS = frozenset((
@@ -244,6 +248,18 @@ def _file_imports(content: str, lang: str) -> list[str]:
             m = _RUBY_REQUIRE_RE.match(raw)
             if m:
                 out.append(m.group(1).split("/")[-1])
+        elif lang in ("swift", "kotlin", "scala"):
+            # `import Foundation` / `import kotlinx.coroutines.launch` /
+            # `import scala.collection.mutable` — first component for
+            # Swift's module imports, last for Kotlin/Scala qualified ones
+            m = re.match(r"^\s*import\s+([A-Za-z_][A-Za-z0-9_.]*)", raw)
+            if m:
+                parts = m.group(1).split(".")
+                out.append(parts[0] if lang == "swift" else parts[-1])
+        elif lang == "zig":
+            m = re.search(r"""@import\s*\(\s*"([^"]+)"\s*\)""", raw)
+            if m:
+                out.append(m.group(1).split("/")[-1].removesuffix(".zig"))
     seen: dict[str, None] = {}
     for mod in out:
         if mod:
@@ -1049,6 +1065,90 @@ def _parse_ruby(path: str, content: str) -> list[tuple]:
     return units
 
 
+# generic keyword-fn brace-language scanner — Swift/Kotlin/Scala/Zig share
+# the shape `<modifiers> KW name(params) { body }` with a type context
+# (class/struct/object) whose methods nest inside braces; each spec gives
+# the three declaration regexes + doc-comment style, and the shared walk
+# mirrors _parse_rust (colgrep/src/parser/tests/test_{swift,kotlin,scala,
+# zig}.rs unit shapes)
+_KWFN_SPECS: dict[str, dict] = {
+    "swift": {
+        "fn": re.compile(r"\s*(?:@\w+\s+)?(?:(?:public|private|internal|open|fileprivate|static|final|override|class|mutating)\s+)*func\s+([A-Za-z_]\w*)"),
+        "type": re.compile(r"\s*(?:@\w+\s+)?(?:(?:public|private|internal|open|final|indirect)\s+)*(?:class|struct|enum|protocol|extension|actor)\s+([A-Za-z_]\w*)"),
+        "const": re.compile(r"\s*(?:(?:public|private|internal|static)\s+)*let\s+([A-Z][A-Za-z0-9_]*)\s*[:=]"),
+        "doc": "rust",
+    },
+    "kotlin": {
+        "fn": re.compile(r"\s*(?:@\w+\s+)?(?:(?:public|private|internal|protected|open|override|suspend|inline|operator|infix|tailrec)\s+)*fun\s+(?:<[^>]*>\s+)?(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)"),
+        "type": re.compile(r"\s*(?:@\w+\s+)?(?:(?:public|private|internal|abstract|open|sealed|data|final|annotation|inner)\s+)*(?:class|object|interface)\s+([A-Za-z_]\w*)"),
+        "const": re.compile(r"\s*(?:(?:public|private|internal)\s+)?(?:const\s+)?val\s+([A-Z][A-Z0-9_]*)\s*[:=]"),
+        "doc": "line",
+    },
+    "scala": {
+        "fn": re.compile(r"\s*(?:(?:override|private|protected|final|implicit|lazy)\s+)*def\s+([A-Za-z_]\w*)"),
+        "type": re.compile(r"\s*(?:(?:abstract|final|sealed|case|implicit)\s+)*(?:class|object|trait)\s+([A-Za-z_]\w*)"),
+        "const": re.compile(r"\s*(?:(?:private|protected|final|lazy)\s+)*val\s+([A-Z][A-Za-z0-9_]*)\s*[:=]"),
+        "doc": "line",
+    },
+    "zig": {
+        "fn": re.compile(r"\s*(?:pub\s+)?(?:export\s+)?(?:extern\s+)?(?:inline\s+)?fn\s+([A-Za-z_]\w*)"),
+        "type": re.compile(r"\s*(?:pub\s+)?const\s+([A-Z]\w*)\s*=\s*(?:packed\s+|extern\s+)?(?:struct|enum|union|opaque)\b"),
+        "const": re.compile(r"\s*(?:pub\s+)?const\s+([A-Z][A-Z0-9_]*)\s*[:=]"),
+        "doc": "rust",
+    },
+}
+
+
+def _parse_kwfn(path: str, content: str, lang: str) -> list[tuple]:
+    spec = _KWFN_SPECS[lang]
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    type_ctx: list[tuple[str, int]] = []
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        while type_ctx and lineno > type_ctx[-1][1]:
+            type_ctx.pop()
+        m = spec["type"].match(line)
+        if m:
+            name = m.group(1)
+            end = _brace_end(lines, lineno) if "{" in _strip_code_line(line) else lineno
+            body = "\n".join(lines[lineno - 1:end])
+            units.append((
+                path, name, name, "Class", lineno, end, line.strip(),
+                _doc_above(lines, lineno, spec["doc"]), [], None,
+                _calls_in(body, name), body, lang,
+            ))
+            if end > lineno:
+                type_ctx.append((name, end))
+            i += 1
+            continue
+        m = spec["fn"].match(line)
+        if m:
+            name = m.group(1)
+            end = _brace_end(lines, lineno) if "{" in _strip_code_line(line) else lineno
+            body = "\n".join(lines[lineno - 1:end])
+            parent = type_ctx[-1][0] if type_ctx else None
+            units.append((
+                path, name, f"{parent}.{name}" if parent else name,
+                "Method" if parent else "Function", lineno, end,
+                line.strip(), _doc_above(lines, lineno, spec["doc"]),
+                _params_rust(line), parent, _calls_in(body, name), body, lang,
+            ))
+            i = end if end > lineno else i + 1
+            continue
+        m = spec["const"].match(line)
+        if m and not type_ctx:
+            units.append((
+                path, m.group(1), m.group(1), "Constant", lineno, lineno, None,
+                _doc_above(lines, lineno, spec["doc"]), [], None, [],
+                line.strip(), lang,
+            ))
+        i += 1
+    return units
+
+
 _EXT_PARSERS = {
     ".rs": ("rust", _parse_rust),
     ".js": ("javascript", _parse_js),
@@ -1068,6 +1168,11 @@ _EXT_PARSERS = {
     ".cxx": ("cpp", lambda p, c: _parse_c(p, c, "cpp")),
     ".php": ("php", _parse_php),
     ".rb": ("ruby", _parse_ruby),
+    ".swift": ("swift", lambda p, c: _parse_kwfn(p, c, "swift")),
+    ".kt": ("kotlin", lambda p, c: _parse_kwfn(p, c, "kotlin")),
+    ".kts": ("kotlin", lambda p, c: _parse_kwfn(p, c, "kotlin")),
+    ".scala": ("scala", lambda p, c: _parse_kwfn(p, c, "scala")),
+    ".zig": ("zig", lambda p, c: _parse_kwfn(p, c, "zig")),
 }
 
 

@@ -451,3 +451,127 @@ func f(a int) int {
 '''
     by = _units_map(spark, "vars.go", go)
     assert by["f"].variables == ["step", "total"]
+
+
+SWIFT_SRC = '''import Foundation
+
+/// Computes the total price including tax.
+public func totalPrice(base: Double, tax: Double) -> Double {
+    return base * (1.0 + tax)
+}
+
+class Cart {
+    var items: [String] = []
+
+    func addItem(name: String) {
+        items.append(name)
+        recalculate()
+    }
+}
+
+let MAX_ITEMS = 100
+'''
+
+
+def test_parse_swift_units(spark):
+    units = _units(spark, "cart.swift", SWIFT_SRC)
+    tp = units["totalPrice"]
+    assert tp.unit_type == "Function" and tp.language == "swift"
+    assert "total price including tax" in tp.docstring
+    assert units["Cart"].unit_type == "Class"
+    meth = units["Cart.addItem"]
+    assert meth.unit_type == "Method" and meth.parent_class == "Cart"
+    assert "recalculate" in meth.calls
+    assert units["MAX_ITEMS"].unit_type == "Constant"
+    assert "Foundation" in tp.imports
+
+
+KOTLIN_SRC = '''import kotlinx.coroutines.launch
+
+// Formats a user-visible name label.
+fun formatName(first: String, last: String): String {
+    return "$first $last".trim()
+}
+
+data class Account(val id: Long) {
+    fun deposit(amount: Long): Long {
+        return checkAmount(amount)
+    }
+}
+
+const val RETRY_LIMIT = 5
+'''
+
+
+def test_parse_kotlin_units(spark):
+    units = _units(spark, "account.kt", KOTLIN_SRC)
+    fn = units["formatName"]
+    assert fn.unit_type == "Function" and fn.language == "kotlin"
+    assert "user-visible name label" in fn.docstring
+    assert units["Account"].unit_type == "Class"
+    dep = units["Account.deposit"]
+    assert dep.unit_type == "Method" and "checkAmount" in dep.calls
+    assert units["RETRY_LIMIT"].unit_type == "Constant"
+    assert "launch" in fn.imports
+
+
+SCALA_SRC = '''import scala.collection.mutable
+
+// Sums the squares of a list.
+def sumSquares(xs: List[Int]): Int = {
+    xs.map(x => x * x).sum
+}
+
+object MathUtil {
+  def clamp(v: Int, lo: Int, hi: Int): Int = {
+    math.max(lo, math.min(hi, v))
+  }
+}
+
+val DEFAULT_SEED = 42
+'''
+
+
+def test_parse_scala_units(spark):
+    units = _units(spark, "util.scala", SCALA_SRC)
+    ss = units["sumSquares"]
+    assert ss.unit_type == "Function" and ss.language == "scala"
+    assert "Sums the squares" in ss.docstring
+    assert units["MathUtil"].unit_type == "Class"
+    cl = units["MathUtil.clamp"]
+    assert cl.unit_type == "Method" and cl.parent_class == "MathUtil"
+    assert units["DEFAULT_SEED"].unit_type == "Constant"
+    assert "mutable" in ss.imports
+
+
+ZIG_SRC = '''const std = @import("std");
+
+/// Returns the larger of two values.
+pub fn maxOf(a: i64, b: i64) i64 {
+    if (a > b) return a;
+    return b;
+}
+
+const Config = struct {
+    limit: u32,
+
+    fn validate(self: Config) bool {
+        return self.limit > 0;
+    }
+};
+
+const MAX_DEPTH = 32;
+'''
+
+
+def test_parse_zig_units(spark):
+    units = _units(spark, "main.zig", ZIG_SRC)
+    mo = units["maxOf"]
+    assert mo.unit_type == "Function" and mo.language == "zig"
+    assert "larger of two values" in mo.docstring
+    assert mo.complexity >= 2  # one if branch
+    assert units["Config"].unit_type == "Class"
+    v = units["Config.validate"]
+    assert v.unit_type == "Method" and v.parent_class == "Config"
+    assert units["MAX_DEPTH"].unit_type == "Constant"
+    assert "std" in mo.imports
