@@ -150,6 +150,9 @@ _VAR_SCAN_RES: dict[str, list] = {
     "kotlin": [re.compile(r"\b(?:val|var)\s+([A-Za-z_]\w*)")],
     "scala": [re.compile(r"\b(?:val|var)\s+([A-Za-z_]\w*)")],
     "zig": [re.compile(r"\b(?:const|var)\s+([a-z_]\w*)\s*[:=]")],
+    "lua": [re.compile(r"\blocal\s+([A-Za-z_]\w*)")],
+    "julia": [re.compile(r"^\s*(?:local\s+)?([a-z_]\w*)\s*=[^==]")],
+    "elixir": [re.compile(r"^\s*([a-z_]\w*)\s*=[^==]")],
 }
 
 _VAR_KEYWORDS = frozenset((
@@ -260,6 +263,18 @@ def _file_imports(content: str, lang: str) -> list[str]:
             m = re.search(r"""@import\s*\(\s*"([^"]+)"\s*\)""", raw)
             if m:
                 out.append(m.group(1).split("/")[-1].removesuffix(".zig"))
+        elif lang == "lua":
+            m = re.search(r"""\brequire\s*\(?\s*['"]([^'"]+)['"]""", raw)
+            if m:
+                out.append(m.group(1).split(".")[-1])
+        elif lang == "julia":
+            m = re.match(r"^\s*(?:using|import)\s+([A-Za-z_][\w.]*)", raw)
+            if m:
+                out.append(m.group(1).split(".")[0])
+        elif lang == "elixir":
+            m = re.match(r"^\s*(?:alias|import|use|require)\s+([A-Za-z_][\w.]*)", raw)
+            if m:
+                out.append(m.group(1).split(".")[-1])
     seen: dict[str, None] = {}
     for mod in out:
         if mod:
@@ -419,10 +434,11 @@ def _doc_above(lines: list[str], start: int, kind: str) -> str | None:
     kind='js': a /** … */ block (also tried first for C-family).
     Joined with spaces the way the reference flattens them."""
     i = start - 2
-    if kind in ("rust", "line", "hash"):
-        pat = {"rust": r"\s*//[/!]", "line": r"\s*//(?!/)", "hash": r"\s*#"}[kind]
+    if kind in ("rust", "line", "hash", "dash"):
+        pat = {"rust": r"\s*//[/!]", "line": r"\s*//(?!/)", "hash": r"\s*#",
+               "dash": r"\s*--"}[kind]
         strip_pat = {"rust": r"\s*//[/!]\s?", "line": r"\s*//\s?",
-                     "hash": r"\s*#\s?"}[kind]
+                     "hash": r"\s*#\s?", "dash": r"\s*--\s?"}[kind]
         doc: list[str] = []
         while i >= 0 and re.match(pat, lines[i]):
             doc.append(re.sub(strip_pat, "", lines[i]).strip())
@@ -1149,6 +1165,118 @@ def _parse_kwfn(path: str, content: str, lang: str) -> list[tuple]:
     return units
 
 
+# generic `end`-terminated-block scanner — Lua/Julia/Elixir share Ruby's
+# block discipline (opener keyword … `end`); each spec gives the fn/type/
+# const regexes, the opener regex that consumes a matching `end`, comment
+# marker, and doc style (colgrep/src/parser/tests/test_{lua,julia,elixir}.rs
+# unit shapes)
+_ENDFN_SPECS: dict[str, dict] = {
+    "lua": {
+        "fn": re.compile(r"^\s*(?:local\s+)?function\s+(?:([A-Za-z_]\w*)[.:])?([A-Za-z_]\w*)\s*\(([^)]*)\)"),
+        "type": None,
+        "const": re.compile(r"^\s*([A-Z][A-Z0-9_]*)\s*="),
+        "opener": re.compile(r"^\s*(?:local\s+function|function|if|for|while|do)\b|\bthen\s*$|\bdo\s*$|=\s*function\b"),
+        "comment": "--",
+        "doc": "dash",
+    },
+    "julia": {
+        "fn": re.compile(r"^\s*function\s+(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*!?)\s*\(([^)]*)\)?"),
+        "type": re.compile(r"^\s*(?:mutable\s+)?struct\s+([A-Za-z_]\w*)|^\s*module\s+([A-Za-z_]\w*)"),
+        "const": re.compile(r"^\s*const\s+([A-Z][A-Z0-9_]*)\s*="),
+        "opener": re.compile(r"^\s*(?:function|if|for|while|begin|let|try|do|quote|macro|module|(?:mutable\s+)?struct)\b"),
+        "comment": "#",
+        "doc": "hash",
+    },
+    "elixir": {
+        "fn": re.compile(r"^\s*defp?\s+([A-Za-z_]\w*[?!]?)\s*(?:\(([^)]*)\))?.*\bdo\s*$"),
+        "type": re.compile(r"^\s*defmodule\s+([A-Za-z_][\w.]*)\s+do"),
+        "const": re.compile(r"^\s*@([a-z_]\w*)\s+(?!moduledoc|doc\b)\S"),
+        "opener": re.compile(r"\bdo\s*$"),
+        "comment": "#",
+        "doc": "hash",
+    },
+}
+
+
+def _end_block(lines: list[str], start: int, spec: dict) -> int:
+    """1-based end line of the `end`-terminated block opened at start."""
+    comment = spec["comment"]
+    first = lines[start - 1].split(comment, 1)[0]
+    if re.search(r"\bend\b\s*$", first):
+        return start
+    depth = 1
+    for i in range(start, len(lines)):
+        code = lines[i].split(comment, 1)[0]
+        s = code.strip()
+        if spec["opener"].search(code) and not re.search(r"\bend\b", s):
+            depth += 1
+        if s == "end" or s.startswith(("end ", "end.", "end;", "end)")):
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(lines)
+
+
+def _parse_endfn(path: str, content: str, lang: str) -> list[tuple]:
+    spec = _ENDFN_SPECS[lang]
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    type_ctx: list[tuple[str, int]] = []
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        while type_ctx and lineno > type_ctx[-1][1]:
+            type_ctx.pop()
+        if spec["type"] is not None:
+            m = spec["type"].match(line)
+            if m:
+                name = next(g for g in m.groups() if g)
+                end = _end_block(lines, lineno, spec)
+                body = "\n".join(lines[lineno - 1:end])
+                units.append((
+                    path, name, name, "Class", lineno, end, line.strip(),
+                    _doc_above(lines, lineno, spec["doc"]), [], None,
+                    _calls_in(body, name), body, lang,
+                ))
+                type_ctx.append((name, end))
+                i += 1
+                continue
+        m = spec["fn"].match(line)
+        if m:
+            groups = m.groups()
+            if lang == "elixir":
+                recv, name, args = None, groups[0], groups[1]
+            else:
+                recv, name, args = groups[0], groups[1], groups[2]
+            parent = recv or (type_ctx[-1][0] if type_ctx else None)
+            end = _end_block(lines, lineno, spec)
+            body = "\n".join(lines[lineno - 1:end])
+            params = [p.split("=")[0].split(":")[0].strip().lstrip("\\& ")
+                      for p in (args or "").split(",") if p.strip()]
+            params = [p for p in params if p and p != "self"]
+            units.append((
+                path, name, f"{parent}.{name}" if parent else name,
+                "Method" if parent else "Function", lineno, end,
+                line.strip(), _doc_above(lines, lineno, spec["doc"]),
+                params, parent, _calls_in(body, name), body, lang,
+            ))
+            i = end
+            continue
+        m = spec["const"].match(line)
+        if m and (lang == "elixir" or not type_ctx):
+            name = m.group(1)
+            parent = type_ctx[-1][0] if type_ctx else None
+            units.append((
+                path, name, f"{parent}.{name}" if parent else name,
+                "Constant", lineno, lineno, None,
+                _doc_above(lines, lineno, spec["doc"]), [], parent, [],
+                line.strip(), lang,
+            ))
+        i += 1
+    return units
+
+
 _EXT_PARSERS = {
     ".rs": ("rust", _parse_rust),
     ".js": ("javascript", _parse_js),
@@ -1173,6 +1301,10 @@ _EXT_PARSERS = {
     ".kts": ("kotlin", lambda p, c: _parse_kwfn(p, c, "kotlin")),
     ".scala": ("scala", lambda p, c: _parse_kwfn(p, c, "scala")),
     ".zig": ("zig", lambda p, c: _parse_kwfn(p, c, "zig")),
+    ".lua": ("lua", lambda p, c: _parse_endfn(p, c, "lua")),
+    ".jl": ("julia", lambda p, c: _parse_endfn(p, c, "julia")),
+    ".ex": ("elixir", lambda p, c: _parse_endfn(p, c, "elixir")),
+    ".exs": ("elixir", lambda p, c: _parse_endfn(p, c, "elixir")),
 }
 
 

@@ -575,3 +575,95 @@ def test_parse_zig_units(spark):
     assert v.unit_type == "Method" and v.parent_class == "Config"
     assert units["MAX_DEPTH"].unit_type == "Constant"
     assert "std" in mo.imports
+
+
+LUA_SRC = '''local json = require("cjson")
+
+-- Splits a string on a separator.
+function split(s, sep)
+    local out = {}
+    for part in string.gmatch(s, "[^" .. sep .. "]+") do
+        table.insert(out, part)
+    end
+    return out
+end
+
+function Router:dispatch(path)
+    return self.routes[path]
+end
+
+MAX_ROUTES = 128
+'''
+
+
+def test_parse_lua_units(spark):
+    units = _units(spark, "router.lua", LUA_SRC)
+    sp = units["split"]
+    assert sp.unit_type == "Function" and sp.language == "lua"
+    assert "Splits a string" in sp.docstring
+    assert sp.parameters == ["s", "sep"]
+    assert sp.end_line == 10  # the for-do block's end is consumed inside
+    d = units["Router.dispatch"]
+    assert d.unit_type == "Method" and d.parent_class == "Router"
+    assert units["MAX_ROUTES"].unit_type == "Constant"
+    assert "cjson" in sp.imports
+
+
+JULIA_SRC = '''using LinearAlgebra
+
+# Normalizes a vector to unit length.
+function normalize_vec(v)
+    n = norm(v)
+    if n == 0
+        return v
+    end
+    return v / n
+end
+
+struct Point
+    x::Float64
+    y::Float64
+end
+
+const MAX_ITER = 1000
+'''
+
+
+def test_parse_julia_units(spark):
+    units = _units(spark, "geo.jl", JULIA_SRC)
+    nv = units["normalize_vec"]
+    assert nv.unit_type == "Function" and nv.language == "julia"
+    assert "Normalizes a vector" in nv.docstring
+    assert nv.end_line == 10 and "norm" in nv.calls
+    assert units["Point"].unit_type == "Class"
+    assert units["MAX_ITER"].unit_type == "Constant"
+    assert "LinearAlgebra" in nv.imports
+
+
+ELIXIR_SRC = '''defmodule Geometry do
+  alias MyApp.Repo
+
+  @max_sides 12
+
+  # Computes the perimeter of a polygon.
+  def perimeter(sides) do
+    Enum.sum(sides)
+  end
+
+  defp validate(sides) do
+    length(sides) <= @max_sides
+  end
+end
+'''
+
+
+def test_parse_elixir_units(spark):
+    units = _units(spark, "geometry.ex", ELIXIR_SRC)
+    assert units["Geometry"].unit_type == "Class"
+    p = units["Geometry.perimeter"]
+    assert p.unit_type == "Method" and p.language == "elixir"
+    assert "perimeter of a polygon" in p.docstring
+    assert p.parameters == ["sides"] and "sum" in p.calls
+    assert units["Geometry.validate"].unit_type == "Method"
+    assert units["Geometry.max_sides"].unit_type == "Constant"
+    assert "Repo" in p.imports
