@@ -153,6 +153,8 @@ _VAR_SCAN_RES: dict[str, list] = {
     "lua": [re.compile(r"\blocal\s+([A-Za-z_]\w*)")],
     "julia": [re.compile(r"^\s*(?:local\s+)?([a-z_]\w*)\s*=[^==]")],
     "elixir": [re.compile(r"^\s*([a-z_]\w*)\s*=[^==]")],
+    "vue": [re.compile(r"\b(?:let|const|var)\s+([A-Za-z_$]\w*)")],
+    "svelte": [re.compile(r"\b(?:let|const|var)\s+([A-Za-z_$]\w*)")],
 }
 
 _VAR_KEYWORDS = frozenset((
@@ -213,7 +215,7 @@ def _file_imports(content: str, lang: str) -> list[str]:
             m = _RUST_USE_RE.match(raw)
             if m:
                 out.append(m.group(1))
-        elif lang in ("javascript", "typescript"):
+        elif lang in ("javascript", "typescript", "vue", "svelte"):
             m = _JS_IMPORT_FROM_RE.match(raw) or _JS_IMPORT_BARE_RE.match(raw)
             if m:
                 spec = m.group(1)
@@ -1277,6 +1279,104 @@ def _parse_endfn(path: str, content: str, lang: str) -> list[tuple]:
     return units
 
 
+_SQL_DDL_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    r"(TABLE|VIEW|MATERIALIZED\s+VIEW|FUNCTION|PROCEDURE|INDEX|TRIGGER)\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?[`\"']?([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+
+
+def _parse_sql(path: str, content: str) -> list[tuple]:
+    """SQL DDL units: each CREATE statement is one unit ending at its
+    terminating `;` (test_sql.rs shapes: tables/views → Class-like,
+    functions/procedures → Function)."""
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        m = _SQL_DDL_RE.match(lines[i])
+        if m:
+            kind_raw = m.group(1).upper()
+            name = m.group(2).split(".")[-1].strip('`"\'')
+            end = lineno
+            for j in range(i, len(lines)):
+                if ";" in lines[j].split("--", 1)[0]:
+                    end = j + 1
+                    break
+            else:
+                end = len(lines)
+            body = "\n".join(lines[lineno - 1:end])
+            unit_type = ("Function" if kind_raw in ("FUNCTION", "PROCEDURE")
+                         else "Class")
+            units.append((
+                path, name, name, unit_type, lineno, end,
+                lines[i].strip(), _doc_above(lines, lineno, "dash"), [],
+                None, [], body, "sql",
+            ))
+            i = end
+            continue
+        i += 1
+    return units
+
+
+_CSS_RULE_RE = re.compile(r"^\s*([^{@/][^{]*?)\s*\{")
+_CSS_AT_RE = re.compile(r"^\s*@(media|keyframes|supports|font-face)\b([^{]*)\{")
+
+
+def _parse_css(path: str, content: str) -> list[tuple]:
+    """CSS rules: each top-level selector block / at-rule is one unit
+    (test_css.rs shapes)."""
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        m = _CSS_AT_RE.match(line) or _CSS_RULE_RE.match(line)
+        if m and "{" in line:
+            name = " ".join(m.group(0).rstrip("{").split())
+            end = _brace_end(lines, lineno)
+            units.append((
+                path, name[:80], name[:80], "RawCode", lineno, end,
+                line.strip(), None, [], None, [],
+                "\n".join(lines[lineno - 1:end]), "css",
+            ))
+            i = end
+            continue
+        i += 1
+    return units
+
+
+_SCRIPT_OPEN_RE = re.compile(r"<script[^>]*>", re.IGNORECASE)
+_SCRIPT_CLOSE_RE = re.compile(r"</script>", re.IGNORECASE)
+
+
+def _parse_embedded_script(path: str, content: str, lang: str) -> list[tuple]:
+    """Vue/Svelte SFCs: extract the <script> block, parse it with the JS
+    scanner at the correct line offsets, and relabel the language — the
+    reference routes both through its javascript grammar
+    (test_{vue,svelte}.rs)."""
+    lines = (content or "").splitlines()
+    out: list[tuple] = []
+    i = 0
+    while i < len(lines):
+        if _SCRIPT_OPEN_RE.search(lines[i]):
+            j = i + 1
+            while j < len(lines) and not _SCRIPT_CLOSE_RE.search(lines[j]):
+                j += 1
+            block = "\n".join(lines[i + 1:j])
+            for t in _parse_js(path, block):
+                # shift line/end_line by the block offset; swap language
+                out.append(t[:4] + (t[4] + i + 1, t[5] + i + 1) + t[6:12]
+                           + (lang,))
+            i = j + 1
+            continue
+        i += 1
+    return out
+
+
 _EXT_PARSERS = {
     ".rs": ("rust", _parse_rust),
     ".js": ("javascript", _parse_js),
@@ -1305,6 +1405,10 @@ _EXT_PARSERS = {
     ".jl": ("julia", lambda p, c: _parse_endfn(p, c, "julia")),
     ".ex": ("elixir", lambda p, c: _parse_endfn(p, c, "elixir")),
     ".exs": ("elixir", lambda p, c: _parse_endfn(p, c, "elixir")),
+    ".sql": ("sql", _parse_sql),
+    ".css": ("css", _parse_css),
+    ".vue": ("vue", lambda p, c: _parse_embedded_script(p, c, "vue")),
+    ".svelte": ("svelte", lambda p, c: _parse_embedded_script(p, c, "svelte")),
 }
 
 

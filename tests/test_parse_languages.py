@@ -667,3 +667,73 @@ def test_parse_elixir_units(spark):
     assert units["Geometry.validate"].unit_type == "Method"
     assert units["Geometry.max_sides"].unit_type == "Constant"
     assert "Repo" in p.imports
+
+
+SQL_SRC = '''-- Users of the system.
+CREATE TABLE users (
+    id BIGINT PRIMARY KEY,
+    name TEXT
+);
+
+CREATE OR REPLACE VIEW active_users AS
+SELECT * FROM users WHERE active;
+
+CREATE FUNCTION user_count() RETURNS BIGINT AS $$
+SELECT count(*) FROM users
+$$;
+'''
+
+
+def test_parse_sql_units(spark):
+    units = _units(spark, "schema.sql", SQL_SRC)
+    u = units["users"]
+    assert u.unit_type == "Class" and u.language == "sql"
+    assert "Users of the system" in u.docstring
+    assert u.end_line == 5
+    assert units["active_users"].unit_type == "Class"
+    assert units["user_count"].unit_type == "Function"
+
+
+VUE_SRC = '''<template>
+  <div>{{ total }}</div>
+</template>
+
+<script>
+import axios from 'axios'
+
+function computeTotal(items) {
+    return items.reduce((a, b) => a + b.price, 0)
+}
+
+export default {
+  name: 'Cart'
+}
+</script>
+'''
+
+
+def test_parse_vue_units(spark):
+    units = _units(spark, "Cart.vue", VUE_SRC)
+    ct = units["computeTotal"]
+    assert ct.unit_type == "Function" and ct.language == "vue"
+    assert ct.line == 8  # offset into the SFC, not the script block
+    assert "reduce" in ct.calls
+    assert "axios" in ct.imports
+
+
+CSS_SRC = '''.button {
+    color: red;
+    padding: 4px;
+}
+
+@media (max-width: 600px) {
+    .button { padding: 2px; }
+}
+'''
+
+
+def test_parse_css_units(spark):
+    units = _units(spark, "style.css", CSS_SRC)
+    assert units[".button"].unit_type == "RawCode"
+    assert units[".button"].end_line == 4
+    assert any(k.startswith("@media") for k in units)
