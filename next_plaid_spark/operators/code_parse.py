@@ -277,6 +277,14 @@ def _file_imports(content: str, lang: str) -> list[str]:
             m = re.match(r"^\s*(?:alias|import|use|require)\s+([A-Za-z_][\w.]*)", raw)
             if m:
                 out.append(m.group(1).split(".")[-1])
+        elif lang == "haskell":
+            m = re.match(r"^import\s+(?:qualified\s+)?([A-Za-z_][\w.]*)", raw)
+            if m:
+                out.append(m.group(1).split(".")[-1])
+        elif lang == "ocaml":
+            m = re.match(r"^open\s+([A-Za-z_][\w.]*)", raw)
+            if m:
+                out.append(m.group(1).split(".")[0])
     seen: dict[str, None] = {}
     for mod in out:
         if mod:
@@ -1349,6 +1357,138 @@ def _parse_css(path: str, content: str) -> list[tuple]:
     return units
 
 
+# layout-based top-level declarations — Haskell/OCaml have no block
+# delimiters; a unit runs from its declaration line to the line before the
+# next top-level declaration (test_{haskell,ocaml}.rs shapes)
+_HS_SIG_RE = re.compile(r"^([a-z_][A-Za-z0-9_']*)\s*::")
+_HS_EQ_RE = re.compile(r"^([a-z_][A-Za-z0-9_']*)\s+[^=]*=|^([a-z_][A-Za-z0-9_']*)\s*=")
+_HS_TYPE_RE = re.compile(r"^(?:data|newtype|type|class)\s+([A-Z][A-Za-z0-9_']*)")
+_ML_LET_RE = re.compile(r"^let\s+(?:rec\s+)?([a-z_][A-Za-z0-9_']*)((?:\s+[a-z_(][\w()':,.\[\]]*)*)\s*=")
+_ML_TYPE_RE = re.compile(r"^(?:type|module)\s+(?:rec\s+)?([A-Za-z_][A-Za-z0-9_']*)")
+
+
+def _toplevel_end(lines: list[str], start: int, decl_res: list) -> int:
+    """Last 1-based line of the unit starting at ``start``: scan until the
+    next top-level declaration, then trim trailing blanks."""
+    end = len(lines)
+    for j in range(start, len(lines)):
+        s = lines[j]
+        if s and not s[0].isspace() and any(rx.match(s) for rx in decl_res):
+            end = j
+            break
+    while end > start and not lines[end - 1].strip():
+        end -= 1
+    return end
+
+
+def _ml_doc_above(lines: list[str], start: int) -> str | None:
+    """OCaml `(** … *)` doc block ending on the line above."""
+    i = start - 2
+    if i < 0 or not lines[i].strip().endswith("*)"):
+        return None
+    doc: list[str] = []
+    while i >= 0:
+        t = lines[i].strip()
+        doc.append(re.sub(r"\(\*+\s?|\s*\*+\)", "", t).strip())
+        if t.startswith("(*"):
+            break
+        i -= 1
+    return " ".join(x for x in reversed(doc) if x).strip() or None
+
+
+def _parse_haskell(path: str, content: str) -> list[tuple]:
+    lines = (content or "").splitlines()
+    decl_res = [_HS_SIG_RE, _HS_TYPE_RE, _HS_EQ_RE,
+                re.compile(r"^(?:import|module|instance|infix)")]
+    units: list[tuple] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        m = _HS_TYPE_RE.match(line)
+        if m:
+            end = _toplevel_end(lines, lineno, decl_res)
+            units.append((
+                path, m.group(1), m.group(1), "Class", lineno, end,
+                line.strip(), _doc_above(lines, lineno, "dash"), [], None,
+                [], "\n".join(lines[lineno - 1:end]), "haskell",
+            ))
+            i = end
+            continue
+        m = _HS_SIG_RE.match(line)
+        if m and m.group(1) not in seen:
+            name = m.group(1)
+            seen.add(name)
+            # unit = the signature plus all its equations (contiguous
+            # non-top-level-decl lines and same-name equations)
+            end = lineno
+            j = i + 1
+            while j < len(lines):
+                s = lines[j]
+                if s and not s[0].isspace():
+                    eq = _HS_EQ_RE.match(s)
+                    if not (eq and (eq.group(1) or eq.group(2)) == name):
+                        break
+                if s.strip():
+                    end = j + 1
+                j += 1
+            body = "\n".join(lines[lineno - 1:end])
+            # params from the first equation: tokens between name and =
+            params: list[str] = []
+            for ln in lines[i:end]:
+                eq = re.match(rf"^{re.escape(name)}((?:\s+[\w']+)*)\s*=", ln)
+                if eq:
+                    params = eq.group(1).split()
+                    break
+            units.append((
+                path, name, name, "Function", lineno, end, line.strip(),
+                _doc_above(lines, lineno, "dash"), params, None,
+                _calls_in(body, name), body, "haskell",
+            ))
+            i = end
+            continue
+        i += 1
+    return units
+
+
+def _parse_ocaml(path: str, content: str) -> list[tuple]:
+    lines = (content or "").splitlines()
+    decl_res = [_ML_LET_RE, _ML_TYPE_RE, re.compile(r"^(?:open|exception)")]
+    units: list[tuple] = []
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        m = _ML_TYPE_RE.match(line)
+        if m:
+            end = _toplevel_end(lines, lineno, decl_res)
+            units.append((
+                path, m.group(1), m.group(1), "Class", lineno, end,
+                line.strip(), _ml_doc_above(lines, lineno), [], None, [],
+                "\n".join(lines[lineno - 1:end]), "ocaml",
+            ))
+            i = end
+            continue
+        m = _ML_LET_RE.match(line)
+        if m:
+            name = m.group(1)
+            args = (m.group(2) or "").split()
+            end = _toplevel_end(lines, lineno, decl_res)
+            body = "\n".join(lines[lineno - 1:end])
+            unit_type = "Function" if args else "Constant"
+            units.append((
+                path, name, name, unit_type, lineno, end, line.strip(),
+                _ml_doc_above(lines, lineno),
+                [a for a in args if a not in ("()",)], None,
+                _calls_in(body, name), body, "ocaml",
+            ))
+            i = end
+            continue
+        i += 1
+    return units
+
+
 _SCRIPT_OPEN_RE = re.compile(r"<script[^>]*>", re.IGNORECASE)
 _SCRIPT_CLOSE_RE = re.compile(r"</script>", re.IGNORECASE)
 
@@ -1405,6 +1545,8 @@ _EXT_PARSERS = {
     ".jl": ("julia", lambda p, c: _parse_endfn(p, c, "julia")),
     ".ex": ("elixir", lambda p, c: _parse_endfn(p, c, "elixir")),
     ".exs": ("elixir", lambda p, c: _parse_endfn(p, c, "elixir")),
+    ".hs": ("haskell", _parse_haskell),
+    ".ml": ("ocaml", _parse_ocaml),
     ".sql": ("sql", _parse_sql),
     ".css": ("css", _parse_css),
     ".vue": ("vue", lambda p, c: _parse_embedded_script(p, c, "vue")),

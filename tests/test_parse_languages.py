@@ -737,3 +737,60 @@ def test_parse_css_units(spark):
     assert units[".button"].unit_type == "RawCode"
     assert units[".button"].end_line == 4
     assert any(k.startswith("@media") for k in units)
+
+
+HS_SRC = '''module Geometry where
+
+import Data.List (sort)
+
+-- | Computes the area of a rectangle.
+area :: Double -> Double -> Double
+area w h = w * h
+
+data Shape = Circle Double | Rect Double Double
+
+-- | Sums a list of areas.
+totalArea :: [Double] -> Double
+totalArea xs = sum (sort xs)
+'''
+
+
+def test_parse_haskell_units(spark):
+    units = _units(spark, "Geometry.hs", HS_SRC)
+    a = units["area"]
+    assert a.unit_type == "Function" and a.language == "haskell"
+    assert "area of a rectangle" in a.docstring
+    assert a.parameters == ["w", "h"]
+    assert units["Shape"].unit_type == "Class"
+    t = units["totalArea"]
+    # ast-lite calls are paren-application shaped: `sum (…)` registers,
+    # bare application `sort xs` does not (accepted approximation)
+    assert "sum" in t.calls
+    assert "List" in t.imports
+
+
+ML_SRC = '''open Printf
+
+(** Doubles an integer. *)
+let double x = 2 * x
+
+let rec fact n =
+  if n <= 1 then 1 else n * fact (n - 1)
+
+type point = { x : float; y : float }
+
+let max_depth = 32
+'''
+
+
+def test_parse_ocaml_units(spark):
+    units = _units(spark, "math.ml", ML_SRC)
+    d = units["double"]
+    assert d.unit_type == "Function" and d.language == "ocaml"
+    assert "Doubles an integer" in d.docstring
+    assert d.parameters == ["x"]
+    f = units["fact"]
+    assert f.unit_type == "Function" and "fact" not in f.calls  # self-call excluded
+    assert units["point"].unit_type == "Class"
+    assert units["max_depth"].unit_type == "Constant"
+    assert "Printf" in d.imports
