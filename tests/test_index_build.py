@@ -323,3 +323,39 @@ def test_exact_funnel_config_equals_brute_over_quantized(spark, built_index):
         for r in searcher.search_brute(qt, k=10).collect()
     )
     assert funnel == brute
+
+
+def test_funnel_on_skewed_corpus(spark, tmp_path_factory):
+    """SURVEY §7 risk: Zipfian corpora put most docs in a few IVF cells.
+    A corpus where 80% of docs are near-identical (one hot cell) must
+    still search correctly and return exact-MaxSim-consistent scores —
+    the broadcast strategy's per-doc kernel scans the hot cell's docs
+    once each, no per-cell serialization point."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(80)]
+    rows += [(80 + i, f"word{i} other{i} thing{i} unique{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dt = encode_documents(docs).cache()
+    path = str(tmp_path_factory.mktemp("skew") / "index")
+    idx = IndexBuilder(spark, nbits=4, seed=42).build(dt, path)
+
+    queries = docs.filter(F.col("doc_id").isin(0, 85, 90)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    qt = encode_queries(queries).cache()
+    got = BatchSearcher(idx, SearchParams(top_k=5, n_full_scores=256)).search(qt)
+    rows_out = got.collect()
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # every query returns a full page; the self-doc's score tops its list
+    oracle = {
+        (r.query_id, r.doc_id): r.score
+        for r in brute_force_search(qt, dt, k=100).collect()
+    }
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        top = max(rs, key=lambda r: r.score)
+        # tie-heavy hot cell: the top score must equal the true best score
+        best_true = max(v for (q, _d), v in oracle.items() if q == qid)
+        assert abs(top.score - best_true) < 1e-6
+    assert set(by_q) == {0, 85, 90}
