@@ -106,3 +106,69 @@ def test_dsir_hash_uniform_bounds(doc_ids):
         assert 0.0 < u < 1.0
         g = -np.log(-np.log(u))
         assert np.isfinite(g)
+
+
+# -- WHERE-grammar cross-engine agreement ----------------------------------------
+#
+# Random grammar-valid conditions over the documents columns must select the
+# IDENTICAL doc set via Spark (MetadataStore.where_condition) and DuckDB
+# (bind_condition_duckdb). One Spark session + one cached DF serve all
+# examples; hypothesis drives the condition shapes.
+
+import duckdb as _duckdb
+import pytest as _pytest
+
+
+def _atom(draw, st):
+    col, op = draw(st.sampled_from([
+        ("lang", "="), ("lang", "!="), ("source", "="),
+        ("n_chars", ">"), ("n_chars", "<="), ("n_chars", "="),
+    ]))
+    if col == "lang":
+        return f"{col} {op} ?", [draw(st.sampled_from(["en", "fr", "de", "xx"]))]
+    if col == "source":
+        return f"{col} {op} ?", [draw(st.sampled_from(["src0", "src1", "src9"]))]
+    return f"{col} {op} ?", [draw(st.integers(100, 400))]
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_where_grammar_cross_engine_agreement(_where_env, data):
+    spark_store, con = _where_env
+    from next_plaid_spark.filtering import bind_condition_duckdb
+
+    n_atoms = data.draw(st.integers(1, 3))
+    parts, params = [], []
+    for j in range(n_atoms):
+        c, p = _atom(data.draw, st)
+        parts.append(c)
+        params.extend(p)
+    glue = data.draw(st.sampled_from([" AND ", " OR "]))
+    cond = glue.join(parts)
+    if data.draw(st.booleans()) and n_atoms > 1:
+        cond = f"({parts[0]}){glue}({glue.join(parts[1:])})"
+
+    got = sorted(
+        r.doc_id for r in spark_store.where_condition(cond, params).collect()
+    )
+    want = sorted(
+        r[0] for r in con.execute(
+            f"SELECT doc_id FROM documents WHERE {bind_condition_duckdb(cond, params)}"
+        ).fetchall()
+    )
+    assert got == want, f"cond={cond!r} params={params}"
+
+
+@_pytest.fixture(scope="module")
+def _where_env():
+    from next_plaid_spark.filtering import MetadataStore
+    from next_plaid_spark.session import get_spark
+
+    spark = get_spark("where-prop")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+    docs.count()
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    yield MetadataStore(docs), con
