@@ -389,3 +389,51 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int = 5,
+    fetch_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for retrieval-model training (the data job
+    behind every ColBERT/bi-encoder fine-tune, e.g. Karpukhin et al. 2020
+    DPR §3.2): for each query, the top-scoring corpus items that are NOT
+    labeled positives — semantically close, label-wrong, maximally
+    informative negatives.
+
+    ``positives`` is (query_id, vec_id) gold pairs; queries are the
+    positive-labeled vectors themselves. Exact cosine over-fetches
+    ``fetch_k``, labeled positives and the self-vector are anti-joined
+    out, and the top ``k`` survivors are re-ranked 1..k. Scale shape: one
+    broadcast-query scan (cosine_topk) + one broadcast anti-join — the
+    corpus shuffles only for the per-query top-k window.
+
+    Returns (query_id, vec_id, cos_sim, rank).
+    """
+    queries = (
+        positives.select("query_id").distinct()
+        .join(embeddings.select(F.col(id_col).alias("query_id"),
+                                F.col(vec_col).alias("query_vec")),
+              "query_id")
+    )
+    cands = cosine_topk(
+        embeddings, queries, k=fetch_k,
+        id_col=id_col, vec_col=vec_col, exclude_self=True,
+    )
+    negs = cands.join(
+        F.broadcast(positives.select("query_id", "vec_id")),
+        ["query_id", "vec_id"], "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

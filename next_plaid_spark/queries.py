@@ -1582,6 +1582,61 @@ FROM sel
 """.strip()
 
 
+HN_TOPK = 5
+HN_FETCH_K = 20
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR §3.2 / ColBERT training data): for each
+    query vector, the top cosine neighbors that do NOT share its gold
+    label — the same-label pairs are the positive set, anti-joined out of
+    an over-fetched exact candidate list."""
+    from next_plaid_spark.operators.similarity import mine_hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < COSINE_N_QUERIES)
+    positives = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(emb.select("vec_id", "label"), "label")
+        .select("query_id", "vec_id")
+    )
+    return mine_hard_negatives(emb, positives, k=HN_TOPK, fetch_k=HN_FETCH_K)
+
+
+def sql_hard_negatives(n_queries: int = COSINE_N_QUERIES, k: int = HN_TOPK,
+                       fetch_k: int = HN_FETCH_K) -> str:
+    dot = "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.v) + 1), i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))), (a,b) -> a+b)"
+    norm = "sqrt(list_reduce(list_prepend(0.0, list_transform({arr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b))"
+    nq, nc = norm.format(arr="q.v"), norm.format(arr="c.v")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS v, label FROM embeddings WHERE vec_id < {n_queries}
+),
+c AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id, q.label AS q_label, c.label AS c_label,
+         CASE WHEN {nq} = 0.0 OR {nc} = 0.0 THEN 0.0
+              ELSE {dot} / ({nq} * {nc}) END AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+fetched AS (
+  SELECT * FROM (
+    SELECT scored.*, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {fetch_k}
+),
+negs AS (SELECT query_id, vec_id, cos_sim FROM fetched WHERE c_label <> q_label),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM negs
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
 def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe IVF (n_probe = n_cells): the cell train/assign/probe
     machinery must reproduce exact cosine top-k bit-for-bit — so unlike
@@ -1902,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exact_topk": q_ann_ivf_exact_topk,
         "mmr_topk": q_mmr_topk,
+        "hard_negatives": q_hard_negatives,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_session_windows": q_events_session_windows,
@@ -1924,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": sql_cosine_topk(),
         "ann_ivf_exact_topk": sql_cosine_topk(),
         "mmr_topk": sql_mmr_topk(),
+        "hard_negatives": sql_hard_negatives(),
         "filtered_search_topk": sql_filtered_search_topk(),
         "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
