@@ -268,3 +268,52 @@ SELECT doc_id,
        CAST(concat('0x', substr(md5(array_to_string(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> ''), ' ')), 1, 15)) AS BIGINT) AS fp_bucket
 FROM documents
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (FineWeb/RefinedWeb-style): replace emails / phone numbers /
+# IPv4 addresses with typed placeholder tokens. Patterns are restricted to
+# syntax with identical semantics in Java regex (Spark, codegen path) and
+# RE2 (DuckDB oracle): character classes, bounded repeats, ASCII \\b.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d[\d().-]{7,}\d", "[PHONE]"),
+]
+
+
+def pii_scrub(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, text_clean, n_redactions): sequential per-type global
+    regexp_replace — email before ipv4 before phone, each pass running on
+    the previous pass's output so a span never double-counts. Pure column
+    expressions (one projection, no shuffle, partition-parallel)."""
+    from pyspark.sql import functions as F
+
+    clean = F.col(text_col)
+    n = F.lit(0)
+    for _name, pat, token in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0)))
+        clean = F.regexp_replace(clean, pat, token.replace("$", "\\$"))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        clean.alias("text_clean"),
+        n.cast("int").alias("n_redactions"),
+    )
+
+
+def sql_pii_scrub(*, source_expr: str = "text") -> str:
+    """DuckDB mirror over ``documents`` (same pass order; 'g' flag makes
+    regexp_replace global like Spark's)."""
+    clean = source_expr
+    counts = []
+    for _name, pat, token in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({clean}, '{esc}'))")
+        clean = f"regexp_replace({clean}, '{esc}', '{token}', 'g')"
+    n = " + ".join(counts)
+    return (
+        f"SELECT doc_id, {clean} AS text_clean, "
+        f"CAST({n} AS INT) AS n_redactions FROM documents"
+    )

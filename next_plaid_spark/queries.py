@@ -1413,6 +1413,33 @@ def _corpus_sqls() -> list[str]:
 # Text analysis: token counting (extension operator)
 # ---------------------------------------------------------------------------
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (FineWeb-style email/IP/phone redaction) over the
+    corpus with deterministic synthetic PII injected per doc — the
+    synthetic word-soup corpus carries none, so each doc gets a derived
+    email + IPv4 appended (identically on both engines) and the entry
+    hash-checks the actual redaction path, not just the no-op."""
+    from next_plaid_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id"),
+            F.lit("@example.com at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
+def _sql_pii_scrub() -> str:
+    from next_plaid_spark.operators.textstats import sql_pii_scrub
+
+    src = ("text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com "
+           "at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'")
+    return sql_pii_scrub(source_expr=f"({src})")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1948,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "gopher_filter": q_gopher_filter,
         "token_count": q_token_count,
+        "pii_scrub": q_pii_scrub,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_fingerprint,
@@ -2016,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": SQL_BPE_TOKENIZE,
         "gopher_filter": _sql_gopher_filter(),
         "token_count": SQL_TOKEN_COUNT,
+        "pii_scrub": _sql_pii_scrub(),
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],
         "doc_fingerprint": _textstats_sqls()[2],

@@ -232,3 +232,29 @@ def test_bpe_token_counts_fallback_and_sum(spark):
     # "aaaa" fully merges to 1 piece; "bb" stays 2 chars (its pair occurs
     # only once in the vocab — below the ≥2 merge threshold)
     assert got == {0: (4, 3), 1: (1, 1)}
+
+
+# -- PII scrubbing ---------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from next_plaid_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at alice.smith+x@corp.example.org thanks", "s"),
+            (1, "server 192.168.1.254 and backup 10.0.0.1", "s"),
+            (2, "call +1(415)555-0199 now", "s"),
+            (3, "nothing sensitive here", "s"),
+            (4, "a@b.io or 8.8.8.8 or +44-20-7946-0958", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: (r.text_clean, r.n_redactions)
+           for r in pii_scrub(docs).collect()}
+    assert got[0] == ("mail me at [EMAIL] thanks", 1)
+    assert got[1] == ("server [IP] and backup [IP]", 2)
+    assert got[2] == ("call [PHONE] now", 1)
+    assert got[3] == ("nothing sensitive here", 0)
+    assert got[4][1] == 3 and "[EMAIL]" in got[4][0] and "[IP]" in got[4][0] \
+        and "[PHONE]" in got[4][0]
