@@ -319,3 +319,44 @@ class LocalIndex:
         self._write_meta(out, None, drop_ids=drop)
         self.reload()
         return before - self.num_documents()
+
+    # -- *_with_encoding surfaces (handlers/search.rs search_with_encoding,
+    # handlers/rerank.rs rerank_with_encoding): text in, results out — the
+    # encode stage runs inside the same job via the synthetic JVM encoder
+    # by default, or any model callable through operators/encode_udf.
+
+    def search_text(self, texts: Sequence[str],
+                    params: "SearchParams | None" = None, *,
+                    subset: "DataFrame | None" = None,
+                    encoder=None) -> "DataFrame":
+        """Batch text search: encode ``texts`` then run the funnel.
+        ``encoder`` overrides the default deterministic JVM encoder with a
+        model-backed mapInPandas seam (operators/encode_udf)."""
+        from next_plaid_spark.encoding import encode_queries
+
+        qdf = self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            schema="query_id long, text string",
+        )
+        qt = encoder(qdf) if encoder is not None else encode_queries(qdf)
+        return self.search_batch(qt, params, subset=subset)
+
+    def rerank_text(self, query_text: str, doc_ids: Sequence[int],
+                    params: "SearchParams | None" = None,
+                    encoder=None) -> "DataFrame":
+        """rerank_with_encoding: encode one query text, exact-MaxSim the
+        given docs via their reconstructed embeddings (B11 path)."""
+        from next_plaid_spark.encoding import encode_queries
+        from next_plaid_spark.operators.rerank import rerank
+
+        qdf = self.spark.createDataFrame(
+            [(0, query_text)], schema="query_id long, text string"
+        )
+        qt = encoder(qdf) if encoder is not None else encode_queries(qdf)
+        recon = self.reconstruct(list(doc_ids)).select(
+            "doc_id", "token_idx", F.col("vec")
+        )
+        pairs = self.spark.createDataFrame(
+            [(0, int(d)) for d in doc_ids], schema="query_id long, doc_id long"
+        )
+        return rerank(qt, recon, pairs=pairs)

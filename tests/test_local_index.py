@@ -100,3 +100,37 @@ def test_update_or_create_append_and_delete(spark, documents, corpus, lix):
     )
     got = lix2.search_batch(encode_queries(queries)).collect()
     assert all(r.doc_id != 0 for r in got)
+
+
+def test_search_text_and_rerank_text(spark, tmp_path):
+    """search_with_encoding / rerank_with_encoding parity surfaces: text
+    in, ranked results out, agreeing with the encode-then-search path."""
+    from next_plaid_spark.encoding import encode_documents, encode_queries
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma word{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = LocalIndex.create_with_kmeans(
+        spark, encode_documents(docs), str(tmp_path / "ix"), nbits=4, seed=42
+    )
+    texts = ["token3 alpha beta gamma word3", "token9 alpha beta gamma word2"]
+    got = idx.search_text(texts, SearchParams(top_k=5, n_full_scores=160))
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1} and all(len(v) == 5 for v in by_q.values())
+    # must equal the explicit encode → search_batch path
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "query_id long, text string"
+    )
+    want = idx.search_batch(
+        encode_queries(qdf), SearchParams(top_k=5, n_full_scores=160)
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+    rr = idx.rerank_text(texts[0], [3, 5, 9]).collect()
+    assert len(rr) == 3
+    assert rr[0].score >= rr[-1].score
+    assert {r.doc_id for r in rr} == {3, 5, 9}
