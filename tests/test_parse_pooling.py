@@ -49,12 +49,12 @@ def test_parse_python_units(spark):
 
 def test_parse_unknown_lang_rawcode(spark):
     files = spark.createDataFrame(
-        [("a.zig", "pub fn main() void {}\n"), ("b.py", "def broken(:\n")],
+        [("a.cob", "IDENTIFICATION DIVISION.\n"), ("b.py", "def broken(:\n")],
         "path string, content string",
     )
     rows = parse_code_units(files).collect()
     by_file = {r.file: r for r in rows}
-    assert by_file["a.zig"].unit_type == "RawCode"
+    assert by_file["a.cob"].unit_type == "RawCode"
     assert by_file["b.py"].unit_type == "RawCode"  # syntax error fallback
 
 
