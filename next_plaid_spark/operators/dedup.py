@@ -627,3 +627,178 @@ FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster-bounded semantic deduplication
+# ---------------------------------------------------------------------------
+
+def _semdedup_removals_from_cells(assigned: DataFrame,
+                                  threshold: float) -> DataFrame:
+    """Shared tail of both SemDeDup paths: given ``(vec_id, _vec, cell,
+    centroid_sim)`` assignments, emit the removal set ``(vec_id, cell)``.
+
+    Pairs materialize only through the cell equi-join (the paper's trick:
+    the quadratic term is bounded by cell size, and cell count grows with
+    the corpus). From each duplicate pair the member with the HIGHER
+    centroid similarity is removed — SemDeDup keeps the example farthest
+    from the cluster center (§3: "keep the point with the lowest cosine
+    similarity to the centroid"), which preserves within-cluster diversity.
+    Tie-break: higher vec_id removed. Set-based, so the result is
+    independent of pair enumeration order, and no surviving within-cell
+    pair can exceed the threshold (each such pair marks one member).
+    """
+    from next_plaid_spark.functions.vector import cosine
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("_vec").alias("va"),
+        F.col("cell").alias("cell"), F.col("centroid_sim").alias("ca"))
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("_vec").alias("vb"),
+        F.col("cell").alias("cell"), F.col("centroid_sim").alias("cb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+    )
+    removed = pairs.select(
+        "cell",
+        F.when(
+            (F.col("ca") > F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        ).otherwise(F.col("id_b")).alias("vec_id"),
+    )
+    return removed.select("vec_id", "cell").distinct()
+
+
+def semdedup_removals(embeddings: DataFrame, *, n_cells: int = 32,
+                      threshold: float = 0.95, cells: str = "voronoi",
+                      seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup: semantic dedup with the pairwise term bounded by clusters.
+
+    Returns the removal set ``(vec_id, cell)``: embeddings whose cosine to
+    another member of the same cluster is ≥ ``threshold``, keeping (per
+    pair) the member farther from the cluster center.
+
+    Two cell strategies:
+
+    - ``cells="voronoi"`` (oracle-exact): cluster centers are the
+      ``n_cells`` corpus vectors with the smallest ``md5(vec_id)`` —
+      deterministic, partitioning-independent, and reproducible in ANY SQL
+      engine, so the whole operator is hash-checkable against DuckDB
+      (``sql_semdedup_removals``). Assignment = nearest center by the
+      sequential-fold cosine (ties → lowest center id).
+    - ``cells="kmeans"`` (production): real Lloyd's centroids via the IVF
+      trainer (`similarity.train_ivf_cells`, bounded seeded collect) —
+      tighter cells ⇒ better recall per pair-budget, but iterated float
+      centroids aren't SQL-derivable, so this path is gated by the
+      pytest recall/containment harness instead (tests/test_dedup.py).
+
+    Scale: the center table is broadcast (``n_cells`` rows); the corpus is
+    scanned once for assignment; the only join keyed on data volume is the
+    within-cell self equi-join, bounded by cell size ~ N/n_cells (grow
+    ``n_cells`` with the corpus — the paper uses K ∝ N). No all-pairs path.
+    """
+    from next_plaid_spark.functions.vector import cosine
+
+    if cells == "voronoi":
+        seeds = (
+            embeddings
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_cells)
+            .select(F.col(id_col).alias("seed_id"),
+                    F.col(vec_col).alias("sv"))
+        )
+        scored = (
+            embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("_vec"))
+            # broadcast nested-loop over a constant-size center table: the
+            # documented bounded pattern (cost linear in N·n_cells)
+            .crossJoin(F.broadcast(seeds))
+            .withColumn("csim", cosine(F.col("_vec"), F.col("sv")))
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(F.struct(F.col("csim"), (-F.col("seed_id")).alias("ns")))
+                .alias("m"),
+                F.first("_vec").alias("_vec"),
+            )
+            .select(
+                "vec_id", "_vec",
+                (-F.col("m.ns")).alias("cell"),
+                F.col("m.csim").alias("centroid_sim"),
+            )
+        )
+    elif cells == "kmeans":
+        from next_plaid_spark.operators.similarity import (
+            ivf_cell_assignments, train_ivf_cells)
+
+        cmat = train_ivf_cells(embeddings, n_cells, seed=seed,
+                               id_col=id_col, vec_col=vec_col)
+        spark = embeddings.sparkSession
+        centers = F.broadcast(spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cmat)],
+            "cell int, cv array<float>"))
+        assigned = (
+            ivf_cell_assignments(embeddings, cmat, n_probe=1,
+                                 id_col=id_col, vec_col=vec_col)
+            .select(F.col("_id").alias("vec_id"), "_vec",
+                    F.col("_cell").cast("long").alias("cell"))
+            .join(centers, "cell")
+            .withColumn("centroid_sim", cosine(F.col("_vec"), F.col("cv")))
+            .select("vec_id", "_vec", "cell", "centroid_sim")
+        )
+    else:
+        raise ValueError(f"cells must be 'voronoi' or 'kmeans', got {cells!r}")
+
+    return _semdedup_removals_from_cells(assigned, threshold)
+
+
+def sql_semdedup_removals(*, n_cells: int = 32,
+                          threshold: float = 0.95) -> str:
+    """DuckDB mirror of the ``cells="voronoi"`` path (same md5 seed order,
+    same sequential-fold cosine, same keep-farthest rule)."""
+    dot = ("list_reduce(list_prepend(0.0, list_transform("
+           "range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * "
+           "CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)")
+    norm = ("sqrt(list_reduce(list_prepend(0.0, list_transform({arr}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,q) -> p+q))")
+
+    def cos(a: str, b: str) -> str:
+        na, nb = norm.format(arr=a), norm.format(arr=b)
+        d = dot.format(a=a, b=b)
+        return (f"CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 "
+                f"ELSE {d} / ({na} * {nb}) END")
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+),
+scored AS (
+  SELECT e.vec_id, e.v, s.seed_id, {cos('e.v', 's.sv')} AS csim
+  FROM e CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, v, seed_id AS cell, csim AS centroid_sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY csim DESC, seed_id) AS rn
+    FROM scored) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         a.centroid_sim AS ca, b.centroid_sim AS cb
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos('a.v', 'b.v')} >= {threshold}
+)
+SELECT DISTINCT
+  CASE WHEN ca > cb OR (ca = cb AND id_a > id_b) THEN id_a ELSE id_b
+  END AS vec_id,
+  cell
+FROM pairs
+""".strip()

@@ -87,9 +87,14 @@ class BatchSearcher:
         'kernel' — cogrouped Arrow kernel, the analog of the reference's
         sparse codes-only scoring (search.rs:256-302); fully driver-free
         but materializes the (query × doc) candidate pairs, duplicating
-        each candidate doc's code list per query — measured ~1.7-2× the
-        broadcast wall at sf0.1 batch500 (was ~4× before the per-query
-        IVF-union candidate generation + candidate caching), kept for
+        each candidate doc's code list per query (shipped as INT to halve
+        the shuffle). Measured ~2-2.5× the broadcast wall at sf0.1
+        batch500 — a worst case for this strategy: at that SF the probe is
+        non-selective (~every doc is a candidate of every query, 2.5M
+        pairs for 500×5k), so the pair shuffle carries the whole corpus
+        per query while broadcast scans each doc once per batch. On a
+        selective corpus (real K, candidates ≪ N) the pair volume is
+        n_queries × candidates, the strategy's intended regime. Kept for
         truly unbounded batches where even per-chunk driver collection is
         unwanted, and for plan comparison.
         'relational' — pure Catalyst joins; same results, quadratically more
@@ -137,7 +142,13 @@ class BatchSearcher:
         import pandas as pd
 
         c = np.ascontiguousarray(self._centroids, dtype=np.float32)
-        cand_with_codes = candidates.join(doc_codes, "doc_id")
+        # codes are centroid ids (K ≤ 2^18 in any real config): shipping the
+        # per-pair code list as INT halves the cogroup shuffle — the
+        # strategy's dominant cost — with identical downstream values
+        cand_with_codes = candidates.join(
+            doc_codes.select("doc_id",
+                             F.col("codes").cast("array<int>").alias("codes")),
+            "doc_id")
 
         def score(key, cand_pdf, qt_pdf):
             if not len(cand_pdf) or not len(qt_pdf):
@@ -455,63 +466,50 @@ class BatchSearcher:
         )
 
     # -- Q1 + Q2: probe ----------------------------------------------------
-    def _probe(self, query_tokens: DataFrame, n_probe: int,
-               eligible_mask: np.ndarray | None = None) -> DataFrame:
-        """(query_id, token_idx, vec) → (query_id, token_idx, code, cscore):
-        top n_probe centroids per query token.
+    def _probe_cells(self, query_tokens: DataFrame, n_probe: int,
+                     p: "SearchParams",
+                     eligible_mask: np.ndarray | None = None) -> DataFrame:
+        """Q1+Q2+Q3 in ONE grouped kernel: per query, one [tokens, K] GEMM
+        against the broadcast centroids; probe = per-token argpartition
+        top-``n_probe``; cell_max = max over ALL query tokens
+        (search.rs:417-425); t_cs filter + keep-best-cell. Returns the
+        surviving ``(query_id, code)`` cells.
 
-        When a ``token`` text column is present (deterministic encoder),
-        the centroid GEMM runs once per distinct token and the result joins
-        back — bit-identical, and for large query batches the probe cost
-        becomes O(|query vocab| · K) instead of O(|query tokens| · K)."""
+        Same float32 scores / argpartition as the broadcast strategy's
+        driver-side probe — strategies stay bit-aligned — but with zero
+        joins: one shuffle by query_id, versus the old probe-then-rescore
+        plan that shuffled |probed cells| × |q_tokens| vector rows."""
+        import pandas as pd
+
         c = np.ascontiguousarray(self._centroids, dtype=np.float32)
-        by_token = "token" in query_tokens.columns
         emask = None if eligible_mask is None else np.asarray(eligible_mask, bool)
+        t_cs = p.centroid_score_threshold
+        keep_best = p.keep_best_cell
 
-        def probe(batches):
-            import pandas as pd
+        def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
+            scores = x @ c.T  # [tokens, K]
+            n = min(n_probe, scores.shape[1])
+            if emask is not None:
+                scores[:, ~emask] = np.float32("-inf")
+                n = max(1, min(n, int(emask.sum())))
+            top = np.argpartition(scores, -n, axis=1)[:, -n:]
+            cells = np.unique(top.ravel())
+            cmax = scores[:, cells].max(axis=0)
+            keep = cmax >= t_cs
+            if keep_best and len(cells):
+                # argmax takes the FIRST max → lowest code on ties, matching
+                # the old window's (cell_max desc, code asc) ordering
+                keep[int(np.argmax(cmax))] = True
+            return pd.DataFrame({
+                "query_id": np.int64(key[0]),
+                "code": cells[keep].astype(np.int64),
+            })
 
-            key_col = "token" if by_token else None
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
-                scores = x @ c.T  # [rows, K]
-                n = min(n_probe, scores.shape[1])
-                if emask is not None:
-                    # eligible-centroid probe restriction (search.rs:350-364);
-                    # in-place float32 fill, and clamp n so argpartition
-                    # never selects a masked -inf column
-                    scores[:, ~emask] = np.float32("-inf")
-                    n = max(1, min(n, int(emask.sum())))
-                top = np.argpartition(scores, -n, axis=1)[:, -n:]
-                # vectorized (row × n_probe) assembly — np.repeat/ravel, no
-                # Python-object churn (float32→float64 widening is exact,
-                # matching the old per-element float() conversion)
-                codes = top.ravel().astype(np.int64)
-                cscores = np.take_along_axis(scores, top, axis=1).ravel().astype(np.float64)
-                if key_col:
-                    yield pd.DataFrame({
-                        "token": np.repeat(pdf[key_col].to_numpy(), n),
-                        "code": codes, "cscore": cscores,
-                    })
-                else:
-                    yield pd.DataFrame({
-                        "query_id": np.repeat(pdf["query_id"].to_numpy(), n),
-                        "token_idx": np.repeat(pdf["token_idx"].to_numpy(), n),
-                        "code": codes, "cscore": cscores,
-                    })
-
-        if by_token:
-            vocab = query_tokens.select("token", "vec").dropDuplicates(["token"])
-            per_token = vocab.mapInPandas(
-                probe, schema="token string, code long, cscore double"
-            )
-            return query_tokens.select("query_id", "token_idx", "token").join(
-                per_token, "token"
-            ).select("query_id", "token_idx", "code", "cscore")
-        return query_tokens.select("query_id", "token_idx", "vec").mapInPandas(
-            probe, schema="query_id long, token_idx int, code long, cscore double"
+        return (
+            query_tokens.select("query_id", "vec")
+            .groupBy("query_id")
+            .applyInPandas(run, schema="query_id long, code long")
         )
 
     # -- the funnel ---------------------------------------------------------
@@ -606,29 +604,12 @@ class BatchSearcher:
                     eligible_mask=eligible_mask,
                 )
         else:
-            probed = self._probe(query_tokens, n_probe, eligible_mask=eligible_mask)
-
-            # Q3: prune probed cells whose best score over query tokens <
-            # t_cs. Reference semantics (search.rs:417-425): the max runs
-            # over ALL query tokens, not just the tokens that probed the
-            # cell — so re-score the (small) probed-cell set against the
-            # full token list via the broadcast centroids.
-            cdf = F.broadcast(idx.centroids_df.withColumnRenamed("vec", "cvec"))
-            cell_max = (
-                probed.select("query_id", "code").distinct()
-                .join(cdf, "code")
-                .join(query_tokens.select("query_id", "vec"), "query_id")
-                .groupBy("query_id", "code")
-                .agg(F.max(dot(F.col("vec"), F.col("cvec"))).alias("cell_max"))
-            )
-            keep = F.col("cell_max") >= p.centroid_score_threshold
-            if p.keep_best_cell:
-                wbest = Window.partitionBy("query_id").orderBy(
-                    F.col("cell_max").desc(), F.col("code").asc()
-                )
-                cell_max = cell_max.withColumn("_best", F.row_number().over(wbest))
-                keep = keep | (F.col("_best") == 1)
-            cells = cell_max.filter(keep).select("query_id", "code")
+            # Q1+Q2+Q3 fused in one grouped kernel (was: probe mapInPandas →
+            # broadcast-centroid re-score join → window — the re-score join
+            # exploded |probed cells| × |q_tokens| rows with vector payloads,
+            # the dominant cost of the non-broadcast strategies at batch500)
+            cells = self._probe_cells(
+                query_tokens, n_probe, p, eligible_mask=eligible_mask)
 
             # Q5: candidates = ∪ IVF lists of surviving cells (∩ subset).
             # The union runs as a per-query array flatten+dedup — one

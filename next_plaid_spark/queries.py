@@ -1064,6 +1064,31 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, dim=64)
 
 
+SEMDEDUP_CELLS = 32
+SEMDEDUP_THRESHOLD = 0.4  # synthetic 64-d embeddings are near-orthogonal
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup removal set (Abbas et al. 2023): cluster-bounded semantic
+    dedup — Voronoi cells from hash-seeded centers, within-cell cosine ≥
+    threshold pairs, keep the member farther from the center. The
+    oracle-exact cell strategy; production k-means cells are pytest-gated
+    (tests/test_dedup.py)."""
+    from next_plaid_spark.operators.dedup import semdedup_removals
+
+    return semdedup_removals(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+def _sql_semdedup() -> str:
+    from next_plaid_spark.operators.dedup import sql_semdedup_removals
+
+    return sql_semdedup_removals(
+        n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: decontamination, repetition stats, mixture sampling
 # ---------------------------------------------------------------------------
@@ -1958,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "semdedup": q_semdedup,
         "dedup_clusters": q_dedup_clusters,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "dedup_winnowing": q_dedup_winnowing,
@@ -2027,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
+        "semdedup": _sql_semdedup(),
         "dedup_clusters": _sql_dedup_clusters_oracle(),
         "winnowing_fingerprints": _sql_winnowing(),
         "dedup_winnowing": _sql_dedup_winnowing(),

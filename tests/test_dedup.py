@@ -182,3 +182,87 @@ def test_winnowing_short_doc_and_density(spark):
     n = fps.filter("doc_id = 1").count()
     # 17 grams, 14 full windows, ≤1 selection per window, ≥⌈14/w⌉ distinct
     assert 4 <= n <= 14
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-bounded semantic dedup)
+# ---------------------------------------------------------------------------
+
+def _no_surviving_dup_pair(emb, removed_ids, assigned_cells, threshold):
+    """Survivors of the same cell must have no pair ≥ threshold."""
+    from next_plaid_spark.functions.vector import cosine
+
+    surv = emb.join(assigned_cells, "vec_id").filter(
+        ~F.col("vec_id").isin(*removed_ids) if removed_ids else F.lit(True)
+    )
+    a = surv.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"),
+                    "cell")
+    b = surv.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+                    "cell")
+    return (
+        a.join(b, "cell").filter(F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .count()
+    )
+
+
+@pytest.mark.parametrize("cells", ["voronoi", "kmeans"])
+def test_semdedup_no_surviving_within_cell_pair(spark, embeddings, cells):
+    from next_plaid_spark.operators.dedup import (
+        _semdedup_removals_from_cells, semdedup_removals)
+
+    thr = 0.35
+    removed = semdedup_removals(
+        embeddings, n_cells=16, threshold=thr, cells=cells).collect()
+    assert len(removed) > 0  # synthetic corpus has semantic near-dups at 0.35
+    removed_ids = [r.vec_id for r in removed]
+    # reconstruct the SAME cell assignment the operator used
+    from next_plaid_spark.functions.vector import cosine as _cos  # noqa: F401
+    if cells == "voronoi":
+        seeds = (embeddings
+                 .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+                 .limit(16)
+                 .select(F.col("vec_id").alias("seed_id"),
+                         F.col("embedding").alias("sv")))
+        from next_plaid_spark.functions.vector import cosine
+        assigned = (
+            embeddings.select("vec_id", F.col("embedding").alias("_vec"))
+            .crossJoin(F.broadcast(seeds))
+            .withColumn("csim", cosine(F.col("_vec"), F.col("sv")))
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("csim"), (-F.col("seed_id")).alias("ns"))).alias("m"))
+            .select("vec_id", (-F.col("m.ns")).alias("cell"))
+        )
+    else:
+        from next_plaid_spark.operators.similarity import (
+            ivf_cell_assignments, train_ivf_cells)
+        cmat = train_ivf_cells(embeddings, 16)
+        assigned = ivf_cell_assignments(embeddings, cmat).select(
+            F.col("_id").alias("vec_id"), F.col("_cell").cast("long").alias("cell"))
+    assert _no_surviving_dup_pair(embeddings, removed_ids, assigned, thr) == 0
+
+
+def test_semdedup_removal_is_minimal_per_pair(spark):
+    """Hand-built corpus: 2 near-identical vectors in one cell → exactly the
+    one closer to the center is removed; an isolated vector survives."""
+    from next_plaid_spark.operators.dedup import semdedup_removals
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # isolated
+        (3, [0.0, 0.0, 1.0, 0.0]),      # isolated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    removed = semdedup_removals(emb, n_cells=2, threshold=0.99).collect()
+    assert len(removed) == 1
+    assert removed[0].vec_id in (0, 1)
+    # only ONE of the dup pair is gone, both isolated vectors survive
+    assert {0, 1} - {removed[0].vec_id}
+
+
+def test_semdedup_bad_cells_raises(spark, embeddings):
+    from next_plaid_spark.operators.dedup import semdedup_removals
+
+    with pytest.raises(ValueError):
+        semdedup_removals(embeddings, cells="hdbscan").collect()
