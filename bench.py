@@ -154,7 +154,9 @@ def main() -> None:
 
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",
-                     "dsir_select", "mmr_topk"):
+                     "dsir_select", "mmr_topk", "semdedup",
+                     "temperature_resample", "chunk_documents",
+                     "events_sliding"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
 

@@ -756,3 +756,156 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]], *,
         .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
              F.count("*").alias("n_words"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture resampling (multilingual-LM recipe: XLM / mC4).
+# Rates are COMPUTED from corpus shares, not given: q_s ∝ (n_s)^α flattens
+# the source distribution (α<1 upsamples the tail relatively), then the
+# budget is pinned so the most-upsampled source keeps ALL its docs
+# (rate ≤ 1 everywhere — no replication, a pure filter).
+# ---------------------------------------------------------------------------
+
+RATE_DECIMALS = 9  # rates rounded before the integer cut so the coin is
+#                    bitwise engine-portable (pow() may differ in the last
+#                    ulp between JVM and C libm)
+
+
+def temperature_resample(docs: DataFrame, *, alpha: float = 0.3,
+                         id_col: str = "doc_id", source_col: str = "source",
+                         seed: int = 42) -> DataFrame:
+    """Keep each source at rate ∝ (n_s)^(α−1), normalized so max rate = 1.
+
+    Derivation: target share q_s = n_s^α / Σ n_j^α; feasible budget
+    T = min_s n_s/q_s (the binding source keeps everything); rate_s =
+    q_s·T/n_s. The keep decision reuses ``stratified_sample``'s content-
+    hash coin — deterministic, partitioning-independent, stable under
+    corpus growth of OTHER sources (a doc's coin never changes; only the
+    rates move with the mixture).
+
+    Plan shape: one tiny per-source agg (map-side combinable), two scalar
+    reductions over |sources| rows, a broadcast join of the rate table,
+    then a stateless filter — the corpus is scanned once and never
+    shuffled. Output: the surviving docs plus their source's ``rate``.
+    """
+    counts = docs.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count("*").cast("double").alias("_n"))
+    # q_s and the binding budget as scalar subqueries (|sources| rows)
+    tot = counts.agg(F.sum(F.pow("_n", F.lit(alpha))).alias("_z"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_q", F.pow("_n", F.lit(alpha)) / F.col("_z"))
+        .withColumn("_budget", F.min(F.col("_n") / F.col("_q"))
+                    .over(Window.partitionBy()))
+        .select(
+            "_src",
+            F.round(F.col("_q") * F.col("_budget") / F.col("_n"),
+                    RATE_DECIMALS).alias("rate"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("_src"),
+                              F.col(id_col).cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), docs[source_col] == F.col("_src"))
+        .filter(h % SAMPLE_DENOM
+                < F.floor(F.col("rate") * SAMPLE_DENOM).cast("long"))
+        .drop("_src")
+    )
+
+
+def sql_temperature_resample(*, alpha: float = 0.3, seed: int = 42,
+                             columns: str = "doc_id, source, rate") -> str:
+    return f"""
+WITH counts AS (
+  SELECT source AS _src, CAST(count(*) AS DOUBLE) AS _n
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT _src,
+         round(pow(_n, {alpha}) / (SELECT sum(pow(_n, {alpha})) FROM counts)
+               * (SELECT min(_n / (pow(_n, {alpha})
+                    / (SELECT sum(pow(_n, {alpha})) FROM counts))) FROM counts)
+               / _n, {RATE_DECIMALS}) AS rate
+  FROM counts
+)
+SELECT {columns}
+FROM documents d JOIN rates r ON d.source = r._src
+WHERE CAST(concat('0x', substr(md5(concat('{seed}', ':', d.source, ':',
+        CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {SAMPLE_DENOM}
+      < CAST(floor(r.rate * {SAMPLE_DENOM}) AS BIGINT)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (the RAG / long-context
+# pretraining split — the complement of pack_sequences, which concatenates).
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 64,
+                    stride: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_tokens): sliding token windows —
+    chunk i covers tokens [i·stride, i·stride + chunk_tokens).
+
+    Chunk count = 1 + ⌈max(n − chunk_tokens, 0)/stride⌉ (the final window
+    reaches the document tail and may be short; empty docs emit nothing) —
+    the HuggingFace ``return_overflowing_tokens``/stride convention.
+    Pure column expressions (sequence + explode + slice): partition-
+    parallel, no shuffle, no UDF; output rows ∝ input tokens / stride.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokenize_unicode61(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride))).cast("int")
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+            "_toks",
+        )
+        .select(
+            "doc_id", "chunk_id",
+            F.array_join(
+                F.slice(F.col("_toks"),
+                        F.col("chunk_id") * stride + 1, chunk_tokens),
+                " ").alias("chunk_text"),
+            F.size(F.slice(F.col("_toks"),
+                           F.col("chunk_id") * stride + 1, chunk_tokens))
+            .cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def sql_chunk_documents(*, chunk_tokens: int = 64, stride: int = 32) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + CAST(ceil(greatest(len(toks) - {chunk_tokens}, 0)
+                       / {stride}.0) AS INT) AS nc
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, r.i * {stride} + 1,
+                                  r.i * {stride} + {chunk_tokens}), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(toks, r.i * {stride} + 1,
+                           r.i * {stride} + {chunk_tokens})) AS BIGINT)
+         AS n_tokens
+FROM sized, unnest(range(0, nc)) AS r(i)
+""".strip()

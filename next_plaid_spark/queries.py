@@ -1276,6 +1276,25 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_t(spark, sf_dir, "documents"), n=2, min_count=5)
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 24, 16
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/long-context chunking: overlapping token windows per doc
+    (HF stride convention; final window reaches the tail). The split-side
+    complement of pack_sequences' concat-and-chunk."""
+    from next_plaid_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE)
+
+
+def _sql_chunk_documents() -> str:
+    from next_plaid_spark.operators.corpus import sql_chunk_documents
+
+    return sql_chunk_documents(chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing layout: global token offsets via
     a distributed two-phase prefix sum (no corpus-wide single-partition
@@ -1390,6 +1409,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stratified_sample(_t(spark, sf_dir, "documents"), SAMPLE_RATES).select(
         "doc_id", "source"
+    )
+
+
+TEMP_ALPHA = 0.3
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture resampling (XLM/mC4 α-sampling): rates computed
+    FROM per-source corpus shares (q_s ∝ n_s^α, budget pinned so the
+    binding source keeps everything). The synthetic corpus is uniform
+    across sources, so the entry first skews it deterministically
+    (keep all of src0, every 4th doc elsewhere) — the resampler then
+    flattens src0's dominance back toward the tail."""
+    from next_plaid_spark.operators.corpus import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("source") == "src0") | (F.col("doc_id") % 4 == 0)
+    )
+    return temperature_resample(docs, alpha=TEMP_ALPHA).select(
+        "doc_id", "source", "rate"
+    )
+
+
+def _sql_temperature_resample() -> str:
+    from next_plaid_spark.operators.corpus import sql_temperature_resample
+
+    sql = sql_temperature_resample(alpha=TEMP_ALPHA)
+    return sql.replace(
+        "FROM documents GROUP BY source",
+        "FROM documents WHERE source = 'src0' OR doc_id % 4 = 0 GROUP BY source",
+    ).replace(
+        "FROM documents d JOIN rates r",
+        "FROM (SELECT * FROM documents WHERE source = 'src0' OR doc_id % 4 = 0) d JOIN rates r",
     )
 
 
@@ -1828,6 +1880,38 @@ FROM s GROUP BY user_id, sid
 """.strip()
 
 
+SLIDE_MIN = 15
+SLIDE_WINDOW_MIN = 60
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1-hour windows sliding by 15 min per event_type
+    (streaming/windows.py::sliding_windows — the same code serves the
+    watermarked stream). Each event lands in exactly window/slide = 4
+    windows; starts are slide-aligned epoch multiples, which is what makes
+    the batch result SQL-expressible."""
+    from next_plaid_spark.streaming.windows import sliding_windows
+
+    return sliding_windows(_t(spark, sf_dir, "events"),
+                           window_min=SLIDE_WINDOW_MIN, slide_min=SLIDE_MIN)
+
+
+_SLIDE_US = SLIDE_MIN * 60 * 1_000_000
+_N_SLIDES = SLIDE_WINDOW_MIN // SLIDE_MIN
+
+SQL_EVENTS_SLIDING = f"""
+WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+exploded AS (
+  SELECT (us // {_SLIDE_US} - t.k) * {_SLIDE_US} AS window_start,
+         event_type, value
+  FROM ev, (SELECT unnest(range({_N_SLIDES})) AS k) t
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM exploded GROUP BY 1, 2
+""".strip()
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (the reference's dynamic JSON
     metadata semantics, filtering.rs:1178-1198, as plain Spark SQL)."""
@@ -1992,8 +2076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "temperature_resample": q_temperature_resample,
         "dsir_select": q_dsir_select,
         "ngram_lm_counts": q_ngram_lm_counts,
+        "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "packed_bins": q_packed_bins,
         "curate_corpus": q_curate_corpus,
@@ -2015,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_session_windows": q_events_session_windows,
+        "events_sliding": q_events_sliding,
         "events_props": q_events_props,
     }
 
@@ -2062,8 +2149,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": SQL_CORPUS_PROFILE,
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
+        "temperature_resample": _sql_temperature_resample(),
         "dsir_select": _sql_dsir_select(),
         "ngram_lm_counts": _sql_ngram_lm_counts(),
+        "chunk_documents": _sql_chunk_documents(),
         "pack_sequences": _sql_pack_sequences(),
         "packed_bins": _sql_packed_bins(),
         "curate_corpus": _sql_curate_corpus(),
@@ -2080,5 +2169,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_session_windows": SQL_EVENTS_SESSION_WINDOWS,
+        "events_sliding": SQL_EVENTS_SLIDING,
         "events_props": SQL_EVENTS_PROPS,
     }

@@ -226,3 +226,37 @@ def sessionize_stateful(events: DataFrame, *,
             "append", GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sliding_windows(events: DataFrame, *, window_min: int = 60,
+                    slide_min: int = 15,
+                    watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Overlapping (sliding) windows of (n_events, total_value) per
+    event_type — the trending/rate-monitoring shape ``hourly_windows``
+    can't express (each event lands in window_min/slide_min windows).
+
+    Window starts are slide-aligned epoch multiples (Spark's default
+    startTime=0), so the batch result is exactly reproducible in SQL:
+    event at micros t belongs to starts (t÷slide − k)·slide for
+    k ∈ [0, window/slide). Works unchanged on batch and stream (append
+    mode emits each window once its end passes the watermark).
+    """
+    if window_min % slide_min:
+        raise ValueError("window_min must be a multiple of slide_min "
+                         "(slide-aligned starts are the parity contract)")
+    ev = with_event_time(events).withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(
+            F.window("event_time", f"{window_min} minutes",
+                     f"{slide_min} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )

@@ -258,3 +258,48 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[3] == ("nothing sensitive here", 0)
     assert got[4][1] == 3 and "[EMAIL]" in got[4][0] and "[IP]" in got[4][0] \
         and "[PHONE]" in got[4][0]
+
+
+def test_temperature_resample_flattens_skew(spark):
+    """1000-doc A / 40-doc B skew: α=0.3 keeps all of B (binding source)
+    and downsamples A toward the flattened mixture; α=1 is a no-op."""
+    from next_plaid_spark.operators.corpus import temperature_resample
+
+    rows = [(i, "A" if i < 1000 else "B") for i in range(1040)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = temperature_resample(docs, alpha=0.3).collect()
+    by_src = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # q_A/q_B = (1000/40)^0.3 ≈ 2.63; budget binds at A or B s.t. max rate=1
+    # rate_B = 1 (minority fully kept), rate_A = (40/1000)·(1000/40)^0.3 ≈ .105
+    assert by_src["B"] == 40
+    expected_a = 0.105 * 1000
+    assert abs(by_src["A"] - expected_a) < 40  # hash-coin tolerance
+    # the mixture moved toward flat: before 25:1, after ~2.6:1
+    assert by_src["A"] / by_src["B"] < 5
+
+    rates = {r.source: r.rate for r in out}
+    assert rates["B"] == 1.0
+
+    noop = temperature_resample(docs, alpha=1.0).collect()
+    assert len(noop) == 1040  # α=1 → rates all 1, pure pass-through
+
+
+def test_temperature_resample_stable_under_growth(spark):
+    """A doc's keep/drop decision depends only on its own (source, id) coin;
+    growing ANOTHER source changes rates but reuses the same coins — the
+    kept set of the binding source is unchanged."""
+    from next_plaid_spark.operators.corpus import temperature_resample
+
+    base = [(i, "A" if i < 400 else "B") for i in range(440)]
+    grown = base + [(1000 + i, "C") for i in range(100)]
+    d1 = spark.createDataFrame(base, "doc_id long, source string")
+    d2 = spark.createDataFrame(grown, "doc_id long, source string")
+    kept1 = {r.doc_id for r in temperature_resample(d1, alpha=0.3).collect()
+             if r.source == "B"}
+    kept2 = {r.doc_id for r in temperature_resample(d2, alpha=0.3).collect()
+             if r.source == "B"}
+    # B stays the binding (rate-1) source in both mixtures → identical set
+    assert kept1 == kept2 == {r[0] for r in base if r[1] == "B"}

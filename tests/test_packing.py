@@ -3,6 +3,8 @@ single-stream concat-and-chunk contract regardless of bucket boundaries."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from next_plaid_spark.operators.packing import pack_sequences
 
 
@@ -64,3 +66,51 @@ def test_pack_bins_materialization(spark):
         1: (4, ["e", "f", "g", "h"]),
         2: (1, ["i"]),
     }
+
+
+def test_chunk_documents_windows(spark):
+    """Hand-checked sliding windows: 10 tokens, chunk 4, stride 2 →
+    1 + ceil(6/2) = 4 chunks; last chunk reaches the tail."""
+    from next_plaid_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10))), (1, ""), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = sorted(chunk_documents(docs, chunk_tokens=4, stride=2).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_id))
+    d0 = [r for r in rows if r.doc_id == 0]
+    assert [r.chunk_text for r in d0] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9"]
+    assert [r.n_tokens for r in d0] == [4, 4, 4, 4]
+    assert not [r for r in rows if r.doc_id == 1]  # empty doc → no chunks
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "solo" and d2[0].n_tokens == 1
+
+
+def test_chunk_documents_coverage_invariant(spark, documents):
+    """Every token position of every doc is covered by ≥1 chunk, and
+    consecutive chunks overlap by chunk−stride tokens."""
+    from next_plaid_spark.operators.corpus import chunk_documents
+    from next_plaid_spark.functions.text import tokenize_unicode61
+
+    chunks = chunk_documents(documents, chunk_tokens=24, stride=16)
+    per_doc = (chunks.groupBy("doc_id")
+               .agg(F.max(F.col("chunk_id") * 16 + F.col("n_tokens")).alias("covered"),
+                    F.count("*").alias("nc")))
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokenize_unicode61(F.col("text"))).alias("n"))
+    bad = per_doc.join(toks, "doc_id").filter(
+        (F.col("covered") < F.col("n")) | (F.col("n") == 0)).count()
+    assert bad == 0
+
+
+def test_chunk_documents_bad_params(spark, documents):
+    from next_plaid_spark.operators.corpus import chunk_documents
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(documents, chunk_tokens=0)
+    with _pt.raises(ValueError):
+        chunk_documents(documents, stride=-1)

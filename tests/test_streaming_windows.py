@@ -227,3 +227,31 @@ def test_hourly_windows_matches_batch_query(spark, events, sf_dir):
     b = _rows(q.q_events_hourly(spark, sf_dir),
               ["hour_bucket", "event_type", "n_events", "total_value"])
     assert a == b
+
+
+def test_sliding_windows_stream_equals_batch(spark, events, stream_dir, tmp_path):
+    from next_plaid_spark.streaming.windows import sliding_windows
+
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    batch = _rows(sliding_windows(events), cols)
+
+    got = _run_stream(spark, stream_dir, events.schema, sliding_windows,
+                      "sliding_stream", str(tmp_path))
+    streamed = _rows(got.filter(F.col("event_type") != "sentinel"), cols)
+    assert streamed == batch
+
+
+def test_sliding_windows_membership(spark, events):
+    """Every event lands in exactly window/slide = 4 windows: total
+    n_events across all windows = 4 × corpus size."""
+    from next_plaid_spark.streaming.windows import sliding_windows
+
+    total = sliding_windows(events).agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count() * 4
+
+
+def test_sliding_windows_misaligned_raises(spark, events):
+    from next_plaid_spark.streaming.windows import sliding_windows
+
+    with pytest.raises(ValueError):
+        sliding_windows(events, window_min=60, slide_min=25)
