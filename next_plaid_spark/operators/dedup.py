@@ -802,3 +802,122 @@ SELECT DISTINCT
   cell
 FROM pairs
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span extraction (Lee et al. 2021 "Deduplicating Training
+# Data Makes Language Models Better" — the substring-dedup signal), as a
+# pure relational plan: no suffix arrays, no UDFs.
+# ---------------------------------------------------------------------------
+
+def _positional_kgrams(docs: DataFrame, k: int, id_col: str,
+                       text_col: str) -> DataFrame:
+    """(doc_id, pos, gh): hash of the k-token gram starting at each
+    position — the positional (non-distinct) sibling of ``shingles``,
+    same codegen-friendly posexplode + lead() formulation."""
+    from pyspark.sql.window import Window
+
+    toks = tokenize_unicode61(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(toks).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t0")] + [F.lead("t0", i).over(w) for i in range(1, k)]
+    return (
+        exploded.select(
+            "doc_id", "pos",
+            F.when(parts[-1].isNotNull(),
+                   _hash60(F.concat_ws(" ", *parts))).alias("gh"),
+        )
+        .filter(F.col("gh").isNotNull())
+    )
+
+
+def duplicate_spans(docs: DataFrame, *, k: int = 8, min_len: int = 12,
+                    max_gram_df: int = 64, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, span_len): the longest EXACTLY shared token run per
+    document pair, reported when ≥ ``min_len`` tokens.
+
+    Identity that makes this relational: a shared run of L ≥ k tokens is
+    exactly L−k+1 consecutive shared k-grams on one ``pos_a − pos_b``
+    diagonal. So: positional k-gram hashes → gram-hash equi-join (pairs
+    with no shared gram never meet — the no-all-pairs discipline) →
+    per (pair, diagonal) consecutive-run length via the pos−row_number
+    gap-island key → span_len = max run + k − 1.
+
+    ``max_gram_df`` drops corpus-stop-grams before the join (the shingle
+    document-frequency cap pattern), bounding the quadratic fan-out of
+    boilerplate runs at 100 TB; a duplicated span whose EVERY gram exceeds
+    the cap is missed, which is the explicit trade (such spans are
+    boilerplate by definition and are better handled by line-level dedup).
+    """
+    from pyspark.sql.window import Window
+
+    grams = _positional_kgrams(docs, k, id_col, text_col)
+    rare = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") <= max_gram_df)
+        .select("gh")
+    )
+    grams = grams.join(rare, "gh")
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gh")
+    hits = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        hits.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count("*") + k - 1).alias("span"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("span").cast("long").alias("span_len"))
+        .filter(F.col("span_len") >= min_len)
+    )
+
+
+def sql_duplicate_spans(*, k: int = 8, min_len: int = 12,
+                        max_gram_df: int = 64) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, r.i - 1 AS pos,
+         CAST(concat('0x', substr(md5({gram}), 1, {HASH_HEX_LEN})) AS BIGINT) AS gh
+  FROM t, unnest(range(1, greatest(len(toks) - {k}, -1) + 2)) AS r(i)
+),
+rare AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) <= {max_gram_df}
+),
+g AS (SELECT grams.* FROM grams JOIN rare USING (gh)),
+hits AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+                  a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+keyed AS (
+  SELECT doc_a, doc_b, diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+  FROM hits
+),
+runs AS (
+  SELECT doc_a, doc_b, count(*) + {k} - 1 AS span
+  FROM keyed GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS span_len
+FROM runs GROUP BY doc_a, doc_b
+HAVING max(span) >= {min_len}
+""".strip()

@@ -1064,6 +1064,26 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45, dim=64)
 
 
+SPAN_K, SPAN_MIN_LEN = 8, 12
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span extraction (Lee et al. 2021 substring-dedup
+    signal): longest exactly-shared token run per doc pair, as a pure
+    relational plan — positional k-gram equi-join + diagonal gap-islands.
+    No suffix arrays, no UDFs, no all-pairs."""
+    from next_plaid_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"),
+                           k=SPAN_K, min_len=SPAN_MIN_LEN)
+
+
+def _sql_duplicate_spans() -> str:
+    from next_plaid_spark.operators.dedup import sql_duplicate_spans
+
+    return sql_duplicate_spans(k=SPAN_K, min_len=SPAN_MIN_LEN)
+
+
 SEMDEDUP_CELLS = 32
 SEMDEDUP_THRESHOLD = 0.4  # synthetic 64-d embeddings are near-orthogonal
 
@@ -2068,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
+        "duplicate_spans": q_duplicate_spans,
         "dedup_clusters": q_dedup_clusters,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "dedup_winnowing": q_dedup_winnowing,
@@ -2141,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
         "semdedup": _sql_semdedup(),
+        "duplicate_spans": _sql_duplicate_spans(),
         "dedup_clusters": _sql_dedup_clusters_oracle(),
         "winnowing_fingerprints": _sql_winnowing(),
         "dedup_winnowing": _sql_dedup_winnowing(),

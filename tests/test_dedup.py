@@ -266,3 +266,55 @@ def test_semdedup_bad_cells_raises(spark, embeddings):
 
     with pytest.raises(ValueError):
         semdedup_removals(embeddings, cells="hdbscan").collect()
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (exact substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_exact_run_length(spark):
+    """Span length is exact: 12 shared tokens at different offsets in each
+    doc, with differing prefixes/suffixes; an unrelated doc stays absent."""
+    from next_plaid_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, f"{shared} x1 x2 x3"),
+         (1, f"y1 y2 {shared}"),
+         (2, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.span_len
+           for r in duplicate_spans(docs, k=4, min_len=8).collect()}
+    assert got == {(0, 1): 12}
+
+
+def test_duplicate_spans_interrupted_run_not_merged(spark):
+    """A single interrupting token splits the run: two 6-token halves never report as
+    a 13-token span (diagonal islands are genuinely consecutive)."""
+    from next_plaid_spark.operators.dedup import duplicate_spans
+
+    left = " ".join(f"a{i}" for i in range(6))
+    right = " ".join(f"b{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [(0, f"{left} MID {right}"),
+         (1, f"{left} OTHER {right}")],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.span_len
+           for r in duplicate_spans(docs, k=3, min_len=6).collect()}
+    assert got == {(0, 1): 6}  # max island = one half, never 13
+
+
+def test_duplicate_spans_stop_gram_cap(spark):
+    """A gram shared by every doc (boilerplate) is dropped by max_gram_df,
+    so it alone creates no pairs; a rare long run still reports."""
+    from next_plaid_spark.operators.dedup import duplicate_spans
+
+    boiler = "the quick brown fox jumps over"
+    rows = [(i, f"{boiler} unique{i} u{i}a u{i}b u{i}c") for i in range(10)]
+    rows.append((100, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"))
+    rows.append((101, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.span_len
+           for r in duplicate_spans(docs, k=4, min_len=6,
+                                    max_gram_df=3).collect()}
+    assert got == {(100, 101): 10}
