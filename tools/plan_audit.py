@@ -49,6 +49,10 @@ AUDITED = [
     "curate_corpus",
     "mmr_topk",
     "dsir_select",
+    "duplicate_spans",
+    "temperature_resample",
+    "chunk_documents",
+    "events_sliding",
 ]
 
 
@@ -144,9 +148,16 @@ def main() -> int:
         # A4: no unintended cartesian products
         if name in ("bm25_topk", "dedup_minhash_lsh", "dedup_embedding",
                     "simhash_fingerprints", "pricing_summary",
-                    "events_sessions", "ann_lsh_topk", "ann_ivf_topk") \
+                    "events_sessions", "ann_lsh_topk", "ann_ivf_topk",
+                    "duplicate_spans", "chunk_documents", "events_sliding") \
                 and s["cartesian"]:
             failures.append(f"A4 {name}: unexpected cartesian/nested-loop join")
+        # A9: temperature_resample's only nested-loops are the 1-row scalar
+        # broadcast (Σ n^α) and the |sources|-row rate-table broadcast
+        if name == "temperature_resample" and s["cartesian"] > 2:
+            failures.append(
+                f"A9 temperature_resample: {s['cartesian']} nested-loops "
+                "(expected ≤2 bounded scalar/rate broadcasts)")
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
             failures.append(f"A5 {name}: no WholeStageCodegen span")

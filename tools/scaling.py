@@ -32,7 +32,12 @@ PROBED = [
     ("curate_corpus", "documents"),       # composed curation pipeline
     ("pack_sequences", "documents"),      # two-phase prefix sum
     ("events_sessions", "events"),        # sessionization window
+    ("events_sliding", "events"),         # overlapping windows (4× rows)
     ("pricing_summary", "lineitem"),      # plain aggregation
+    ("semdedup", "embeddings"),           # cell-bounded pair join
+    ("duplicate_spans", "documents"),     # positional k-gram diagonal islands
+    ("temperature_resample", "documents"),  # scalar aggs + stateless coin
+    ("chunk_documents", "documents"),     # sequence+explode+slice, no shuffle
 ]
 
 
