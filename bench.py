@@ -156,7 +156,7 @@ def main() -> None:
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",
                      "dsir_select", "mmr_topk", "semdedup",
                      "temperature_resample", "chunk_documents",
-                     "events_sliding"):
+                     "events_sliding", "duplicate_spans"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
 

@@ -318,3 +318,46 @@ def test_duplicate_spans_stop_gram_cap(spark):
            for r in duplicate_spans(docs, k=4, min_len=6,
                                     max_gram_df=3).collect()}
     assert got == {(100, 101): 10}
+
+
+def test_duplicate_spans_matches_python_lcs(spark):
+    """Independent-algorithm oracle: the relational diagonal-island result
+    equals a classic DP longest-common-token-substring over every pair, on
+    randomized corpora engineered to contain shared runs."""
+    from next_plaid_spark.operators.dedup import duplicate_spans
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]  # small alphabet → frequent overlap
+    docs = []
+    for d in range(14):
+        n = rng.randint(5, 28)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    k, min_len = 3, 4
+
+    def lcs_tokens(a: list, b: list) -> int:
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    toks = {d: t.split() for d, t in docs}
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            l = lcs_tokens(toks[i], toks[j])
+            if l >= min_len:
+                expected[(i, j)] = l
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.span_len
+           for r in duplicate_spans(df, k=k, min_len=min_len,
+                                    max_gram_df=10**6).collect()}
+    assert got == expected
