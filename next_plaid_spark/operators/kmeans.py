@@ -136,6 +136,43 @@ def train_kmeans(
     return KMeansModel(centroids=lloyds(pts, k, iters=iters, seed=seed))
 
 
+def train_kmeans_distributed(
+    doc_tokens: DataFrame,
+    *,
+    vec_col: str = "vec",
+    k: int,
+    seed: int = DEFAULT_SEED,
+    iters: int = DEFAULT_ITERS,
+) -> KMeansModel:
+    """Fully distributed trainer (``pyspark.ml.clustering.KMeans``) for
+    corpora where the reference's sample-size law outgrows any driver
+    sample: n_samples = 1 + 16·√(120·n_docs) (kmeans.rs:272-301) passes
+    the 65,536-row driver cap around ~140k docs, and at 100 TB the
+    coarse quantizer should see the whole distribution, not a capped
+    slice. Spark's k-means|| init + distributed Lloyd's never collects
+    the corpus; only the [K, dim] centers come back.
+
+    Trades the sample path's seed-for-seed reproducibility (Spark ML's
+    parallelism-dependent init) for unbounded training data — which is
+    why the funnel gates on recall invariants, not centroid bits, for
+    this path. Centroids are L2-normalized like the reference
+    (kmeans.rs:414-419)."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = doc_tokens.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = MLKMeans(
+        k=k, maxIter=iters, seed=seed, initMode="k-means||",
+        featuresCol="features",
+    ).fit(feat)
+    c = np.asarray(model.clusterCenters(), dtype=np.float32)
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return KMeansModel(centroids=np.unique(c / norms, axis=0))
+
+
 def assign_codes(doc_tokens: DataFrame, centroids: np.ndarray,
                  *, vec_col: str = "vec") -> DataFrame:
     """B4 ``compress_into_codes`` (codec.rs:260-343): nearest-centroid id per

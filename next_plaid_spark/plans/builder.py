@@ -35,13 +35,28 @@ from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_in
 
 
 class IndexBuilder:
+    # driver-sample ceiling for the coarse-quantizer trainer; beyond it the
+    # "auto" strategy switches to the fully distributed pyspark.ml path
+    KMEANS_DRIVER_SAMPLE_CAP = 262_144
+
     def __init__(self, spark: SparkSession, *, nbits: int = 4, seed: int = 42,
-                 k: int | None = None, kmeans_iters: int = 4):
+                 k: int | None = None, kmeans_iters: int = 4,
+                 kmeans_strategy: str = "auto"):
+        """kmeans_strategy:
+        'sample' — reference parity: seeded bounded sample → driver Lloyd's
+        (deterministic, matches kmeans.rs:261-422's shape).
+        'distributed' — pyspark.ml k-means|| over ALL tokens (no driver
+        sample; the 100 TB path — recall-gated, not bit-reproducible).
+        'auto' — 'sample' while the reference's sample-size law
+        (1+16·√(120·n_docs) docs) fits the driver cap, else 'distributed'."""
+        if kmeans_strategy not in ("auto", "sample", "distributed"):
+            raise ValueError(f"unknown kmeans_strategy: {kmeans_strategy!r}")
         self.spark = spark
         self.nbits = nbits
         self.seed = seed
         self.k = k
         self.kmeans_iters = kmeans_iters
+        self.kmeans_strategy = kmeans_strategy
 
     def build(self, doc_tokens: DataFrame, path: str) -> PlaidIndex:
         """doc_tokens(doc_id, token_idx, vec) → persisted PlaidIndex."""
@@ -55,11 +70,25 @@ class IndexBuilder:
         ).collect()[0]
         n_tokens, n_docs = stats.n, stats.d
 
-        model = train_kmeans(
-            doc_tokens, k=self.k or estimate_k(n_tokens),
-            seed=self.seed, iters=self.kmeans_iters,
-            n_tokens=n_tokens, n_docs=n_docs,
-        )
+        from next_plaid_spark.operators.kmeans import (
+            sample_token_budget, train_kmeans_distributed)
+
+        strategy = self.kmeans_strategy
+        if strategy == "auto":
+            budget = sample_token_budget(n_docs, n_tokens / max(n_docs, 1))
+            strategy = ("sample" if budget <= self.KMEANS_DRIVER_SAMPLE_CAP
+                        else "distributed")
+        if strategy == "distributed":
+            model = train_kmeans_distributed(
+                doc_tokens, k=self.k or estimate_k(n_tokens),
+                seed=self.seed, iters=self.kmeans_iters,
+            )
+        else:
+            model = train_kmeans(
+                doc_tokens, k=self.k or estimate_k(n_tokens),
+                seed=self.seed, iters=self.kmeans_iters,
+                n_tokens=n_tokens, n_docs=n_docs,
+            )
         # codec trains on a pre-assigned sample (same seeded row set as
         # sampling a fully-coded corpus); assign+quantize then run fused in
         # a single Arrow pass — the corpus is touched exactly twice total

@@ -359,3 +359,55 @@ def test_funnel_on_skewed_corpus(spark, tmp_path_factory):
         best_true = max(v for (q, _d), v in oracle.items() if q == qid)
         assert abs(top.score - best_true) < 1e-6
     assert set(by_q) == {0, 85, 90}
+
+
+def test_distributed_kmeans_build(spark, documents, tmp_path):
+    """kmeans_strategy='distributed' (the beyond-driver-sample 100 TB
+    path): same artifact invariants, and the funnel still finds the exact
+    top-1 for every query (centroid quality gate — the strategy trades
+    bit-reproducibility, not retrieval quality)."""
+    from next_plaid_spark.encoding import encode_documents, encode_queries
+    from next_plaid_spark.operators.maxsim import brute_force_search
+    from next_plaid_spark.plans.builder import IndexBuilder
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    docs = documents.limit(120)
+    dt = encode_documents(docs)
+    idx = IndexBuilder(
+        spark, nbits=4, seed=42, kmeans_strategy="distributed"
+    ).build(dt, str(tmp_path / "idx"))
+
+    c = idx.centroids_np()
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-4)
+    assert idx.meta.num_documents == 120
+
+    queries = docs.limit(8).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    exact = {
+        (r.query_id, r.rank): r.score
+        for r in brute_force_search(qt, dt, k=1).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.score
+        for r in BatchSearcher(
+            idx, SearchParams(top_k=1, n_full_scores=64, keep_best_cell=True)
+        ).search(qt).collect()
+    }
+    # exact-MaxSim rerank means matching scores wherever the candidate set
+    # contains the winner — require the top-1 score to match for all queries
+    for key, score in exact.items():
+        assert abs(got[key] - score) < 1e-6
+
+
+def test_builder_auto_strategy_threshold(spark, documents, tmp_path):
+    """'auto' picks the driver-sample path for small corpora (reference
+    sample law far under the cap) and rejects unknown strategies."""
+    from next_plaid_spark.plans.builder import IndexBuilder
+
+    with pytest.raises(ValueError):
+        IndexBuilder(spark, kmeans_strategy="bogus")
+    from next_plaid_spark.operators.kmeans import sample_token_budget
+
+    assert sample_token_budget(200, 40.0) <= IndexBuilder.KMEANS_DRIVER_SAMPLE_CAP
+    # ~1M docs × 300 tokens: the law exceeds the cap → auto would go distributed
+    assert sample_token_budget(1_000_000, 300.0) > IndexBuilder.KMEANS_DRIVER_SAMPLE_CAP
