@@ -134,3 +134,158 @@ class StreamingCurator:
 
     def kept(self) -> DataFrame:
         return self.spark.read.parquet(self._kept_path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEMANTIC dedup: cross-batch embedding near-dup with an LSH
+# bucket ledger (the SemDeDup/near-dup gate as an intake stream).
+# ---------------------------------------------------------------------------
+
+def _greedy_keep(vertices, pairs, blocked) -> set:
+    """First-arrival-wins (ascending id) leader selection over the dup-pair
+    graph: v is kept iff it isn't ledger-blocked and no KEPT smaller
+    neighbor exists. Vertices outside the graph and unblocked are kept.
+    Matches sequential one-at-a-time processing exactly — unlike naive
+    per-pair marking, which over-removes on chains (a~b, b~c, a≁c must
+    keep {a, c}, not {a})."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    kept: dict = {}
+    for v in sorted(vertices):
+        kept[v] = v not in blocked and not any(
+            u < v and kept.get(u, False) for u in adj.get(v, ())
+        )
+    return {v for v, k in kept.items() if k}
+
+
+def semantic_dedup_batch(embeddings, *, threshold: float = 0.99,
+                         dim: int | None = None, n_tables: int | None = None,
+                         n_bits: int | None = None, seed: int = 42):
+    """Batch reference for the streaming gate: greedy first-id-wins keep
+    over the LSH-candidate + cosine-verified pair graph. Returns the kept
+    rows. Driver state is the PAIR GRAPH only (near-dups are rare by
+    definition; the corpus never collects)."""
+    from next_plaid_spark.operators.dedup import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, dim=dim,
+        n_tables=n_tables, n_bits=n_bits, seed=seed,
+    ).select("id_a", "id_b").collect()
+    pair_list = [(r.id_a, r.id_b) for r in pairs]
+    verts = {v for p in pair_list for v in p}
+    kept_verts = _greedy_keep(verts, pair_list, blocked=set())
+    removed = [int(v) for v in verts - kept_verts]
+    if not removed:
+        return embeddings
+    return embeddings.filter(~F.col("vec_id").isin(removed))
+
+
+class StreamingSemanticDedup:
+    """foreachBatch sink: embedding stream → semantically deduped corpus.
+
+    Cross-batch state is an LSH BUCKET LEDGER of every kept vector
+    (``(_table, _bucket, vec_id, embedding)`` rows): an arriving vector is
+    dropped iff its cosine to a previously KEPT vector ≥ threshold
+    (first-arrival-wins), where candidates surface only through the
+    (table, bucket) equi-join against the ledger — the arriving batch
+    never scans the kept corpus. Intra-batch ties resolve by the same
+    greedy ascending-id rule (``_greedy_keep``), so a corpus streamed in
+    id order yields EXACTLY ``semantic_dedup_batch``'s kept set
+    (tests/test_streaming_curation.py). Driver-side state per batch is
+    the verified pair/match graph only — bounded by the near-dup rate,
+    never by batch or corpus size.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 threshold: float = 0.99, dim: int = 64,
+                 n_tables: int | None = None, n_bits: int | None = None,
+                 seed: int = 42):
+        from next_plaid_spark.operators.dedup import _lsh_params_for_threshold
+
+        auto_t, auto_b = _lsh_params_for_threshold(threshold)
+        self.spark = spark
+        self.root = root
+        self.threshold = threshold
+        self.dim = dim
+        self.n_tables = n_tables if n_tables is not None else auto_t
+        self.n_bits = n_bits if n_bits is not None else auto_b
+        self.seed = seed
+
+    @property
+    def _kept_path(self) -> str:
+        return os.path.join(self.root, "kept")
+
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, "bucket_ledger")
+
+    def _assign(self, df: DataFrame) -> DataFrame:
+        from next_plaid_spark.operators.similarity import lsh_bucket_assignments
+
+        return lsh_bucket_assignments(
+            df, dim=self.dim, n_tables=self.n_tables, n_bits=self.n_bits,
+            seed=self.seed)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from next_plaid_spark.functions.vector import cosine
+
+        if batch_df.isEmpty():
+            return
+        assigned = self._assign(batch_df).cache()
+
+        # cross-batch: candidates via the bucket equi-join against kept
+        blocked = set()
+        if os.path.isdir(self._ledger_path):
+            ledger = self.spark.read.parquet(self._ledger_path)
+            blocked = {
+                r.vec_id for r in (
+                    assigned.join(
+                        ledger.withColumnRenamed("vec_id", "_kept_id")
+                               .withColumnRenamed("embedding", "_kept_vec"),
+                        ["_table", "_bucket"])
+                    .filter(cosine(F.col("_vec"), F.col("_kept_vec"))
+                            >= self.threshold)
+                    .select(F.col("_id").alias("vec_id")).distinct().collect()
+                )
+            }
+
+        # intra-batch: candidate pairs via the bucket self-join
+        a = assigned.select(F.col("_id").alias("ia"), F.col("_vec").alias("va"),
+                            "_table", "_bucket")
+        b = assigned.select(F.col("_id").alias("ib"), F.col("_vec").alias("vb"),
+                            "_table", "_bucket")
+        pair_rows = (
+            a.join(b, ["_table", "_bucket"])
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib", "va", "vb").dropDuplicates(["ia", "ib"])
+            .filter(cosine(F.col("va"), F.col("vb")) >= self.threshold)
+            .select("ia", "ib").collect()
+        )
+        pairs = [(r.ia, r.ib) for r in pair_rows]
+        verts = {v for p in pairs for v in p} | blocked
+        kept_verts = _greedy_keep(verts, pairs, blocked)
+        removed = [int(v) for v in verts - kept_verts]
+
+        kept = batch_df if not removed else batch_df.filter(
+            ~F.col("vec_id").isin(removed))
+        kept = kept.cache()
+        kept.write.mode("append").parquet(self._kept_path)
+        self._assign(kept).select(
+            "_table", "_bucket",
+            F.col("_id").alias("vec_id"), F.col("_vec").alias("embedding"),
+        ).write.mode("append").parquet(self._ledger_path)
+        kept.unpersist()
+        assigned.unpersist()
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(self._kept_path)

@@ -107,3 +107,72 @@ def test_second_curator_reuses_persisted_eval_set(spark, tmp_path_factory):
     df = spark.createDataFrame([(5, "leak alpha beta gamma delta extra", "w")], SCHEMA)
     cur2.process_batch(df, 99)
     assert sorted(r.doc_id for r in cur2.kept().collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# StreamingSemanticDedup (embedding near-dup gate with LSH bucket ledger)
+# ---------------------------------------------------------------------------
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _unit(v):
+    import math
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _emb_batches():
+    import math
+    a = _unit([1.0, 0.2, 0.0, 0.1])
+    a_dup = _unit([1.0, 0.2, 0.001, 0.1])    # ~a (cos > 0.999)
+    b = _unit([0.0, 1.0, 0.3, 0.0])
+    b_dup = _unit([0.001, 1.0, 0.3, 0.0])    # ~b
+    c = _unit([0.0, 0.0, 1.0, 0.0])          # isolated
+    chain_mid = _unit([1.0, 0.21, 0.0, 0.1])  # ~a and ~a_dup (chain)
+    return (
+        [(1, a), (2, a_dup), (3, b)],         # in-batch dup: 2~1
+        [(4, b_dup), (5, c), (6, chain_mid)], # cross-batch: 4~3, 6~1(kept)
+    )
+
+
+def test_semantic_dedup_stream_matches_batch(spark, tmp_path_factory):
+    from next_plaid_spark.streaming.curation import (
+        StreamingSemanticDedup, semantic_dedup_batch)
+
+    tmp = tmp_path_factory.mktemp("semstream")
+    b1, b2 = _emb_batches()
+    src = str(tmp / "in")
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/part{i}")
+    dd = StreamingSemanticDedup(spark, str(tmp / "root"),
+                                threshold=0.999, dim=4)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, EMB_SCHEMA).schema)
+        .option("maxFilesPerTrigger", "1").parquet(f"{src}/part*")
+    )
+    q = dd.attach(stream, str(tmp / "ck"))
+    q.awaitTermination(300)
+    kept_stream = sorted(r.vec_id for r in dd.kept().collect())
+
+    all_emb = spark.createDataFrame(b1 + b2, EMB_SCHEMA)
+    kept_batch = sorted(
+        r.vec_id for r in semantic_dedup_batch(
+            all_emb, threshold=0.999, dim=4,
+            n_tables=dd.n_tables, n_bits=dd.n_bits).collect())
+    # 2 dup of kept 1; 4 dup of kept 3; 6 dup of kept 1 (cross-batch);
+    # 5 isolated
+    assert kept_stream == kept_batch == [1, 3, 5]
+
+
+def test_greedy_keep_chain_semantics(spark):
+    """a~b, b~c, a≁c keeps {a, c} — per-pair marking would keep only {a}."""
+    from next_plaid_spark.streaming.curation import _greedy_keep
+
+    kept = _greedy_keep({1, 2, 3}, [(1, 2), (2, 3)], blocked=set())
+    assert kept == {1, 3}
+    # a blocked head un-blocks nothing downstream: 1 blocked → 2 kept → 3 dropped
+    kept = _greedy_keep({1, 2, 3}, [(1, 2), (2, 3)], blocked={1})
+    assert kept == {2}
