@@ -2052,6 +2052,65 @@ def _sql_dedup_clusters_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# IR quality evaluation (SURVEY §5: the reference gates quality with ranx
+# MAP/NDCG@k/Recall@k — benchmark_scifact_docker.py:1-60; here the
+# evaluation itself is a distributed DataFrame job)
+# ---------------------------------------------------------------------------
+
+def _qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic graded judgments for the self-query protocol: the
+    query's own document is rel=2, every other doc sharing its
+    (source, lang) stratum is rel=1."""
+    docs = _t(spark, sf_dir, "documents")
+    qdocs = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("source").alias("q_source"),
+        F.col("lang").alias("q_lang"),
+    )
+    return qdocs.join(
+        docs.select("doc_id", "source", "lang"),
+        (F.col("source") == F.col("q_source"))
+        & (F.col("lang") == F.col("q_lang")),
+    ).select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("query_id"), 2).otherwise(1).alias("rel"),
+    )
+
+
+_QRELS_SQL = f"""
+SELECT q.doc_id AS query_id, d.doc_id,
+       CASE WHEN d.doc_id = q.doc_id THEN 2 ELSE 1 END AS rel
+FROM documents q JOIN documents d ON d.source = q.source AND d.lang = q.lang
+WHERE q.doc_id < {N_SELF_QUERIES}
+""".strip()
+
+
+def q_ir_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@10 / MAP / Recall / P / MRR of the BM25 ranking
+    against the (source, lang)-stratum qrels — the reference's ranx
+    evaluation re-expressed as one grouped aggregation per query."""
+    from next_plaid_spark.operators.evaluation import ir_metrics
+
+    return ir_metrics(
+        q_bm25_topk(spark, sf_dir), _qrels(spark, sf_dir), k=BM25_TOPK
+    )
+
+
+def sql_ir_eval_bm25() -> str:
+    from next_plaid_spark.operators.bm25 import bm25_oracle_sql
+    from next_plaid_spark.operators.evaluation import ir_metrics_oracle_sql
+
+    return ir_metrics_oracle_sql(
+        bm25_oracle_sql(
+            n_queries=N_SELF_QUERIES, k=BM25_TOPK, split_re=TOKEN_SPLIT_RE
+        ),
+        _QRELS_SQL,
+        k=BM25_TOPK,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2124,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_windows": q_events_session_windows,
         "events_sliding": q_events_sliding,
         "events_props": q_events_props,
+        "ir_eval_bm25": q_ir_eval_bm25,
     }
 
 
@@ -2149,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fts5_topk": sql_bm25_fts5_topk(),
         "bm25_and_topk": sql_bm25_and_topk(),
         "media_decode": SQL_MEDIA_DECODE,
+        "ir_eval_bm25": sql_ir_eval_bm25(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "bm25_trigram_topk": sql_bm25_trigram_topk(),
