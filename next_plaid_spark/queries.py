@@ -2051,6 +2051,60 @@ def _sql_dedup_clusters_oracle() -> str:
     return sql_dedup_clusters(sql_minhash_lsh_pairs(threshold=0.8))
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→view attribution: every purchase joined (as-of, inclusive
+    backward) to the user's latest preceding view. One window pass over a
+    side-tagged union — no range join, no nested loop (operators/asof.py)."""
+    from next_plaid_spark.operators.asof import asof_join_backward
+
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value"), "event_id"
+    )
+    out = asof_join_backward(
+        purchases, views, keys=["user_id"], ts_col="ts",
+        payload_cols=["view_value"], tie_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_view_value").alias("view_value"),
+        F.col("asof_ts").alias("view_ts"),
+        (F.col("ts") - F.col("asof_ts")).alias("gap_us"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events
+),
+u AS (
+  SELECT user_id, us, event_id, 1 AS side,
+         CAST(NULL AS DOUBLE) AS r_value, CAST(NULL AS BIGINT) AS r_us, value
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, us, event_id, 0 AS side, value AS r_value, us AS r_us,
+         CAST(NULL AS DOUBLE) AS value
+  FROM ev WHERE event_type = 'view'
+),
+m AS (
+  SELECT *,
+         last_value(r_value IGNORE NULLS) OVER w AS view_value,
+         last_value(r_us IGNORE NULLS) OVER w AS view_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, us AS ts, view_value, view_us AS view_ts,
+       us - view_us AS gap_us
+FROM m WHERE side = 1
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # IR quality evaluation (SURVEY §5: the reference gates quality with ranx
 # MAP/NDCG@k/Recall@k — benchmark_scifact_docker.py:1-60; here the
@@ -2183,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_windows": q_events_session_windows,
         "events_sliding": q_events_sliding,
         "events_props": q_events_props,
+        "events_asof": q_events_asof,
         "ir_eval_bm25": q_ir_eval_bm25,
     }
 
@@ -2210,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": sql_bm25_and_topk(),
         "media_decode": SQL_MEDIA_DECODE,
         "ir_eval_bm25": sql_ir_eval_bm25(),
+        "events_asof": SQL_EVENTS_ASOF,
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "bm25_trigram_topk": sql_bm25_trigram_topk(),
