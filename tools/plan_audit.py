@@ -53,6 +53,8 @@ AUDITED = [
     "temperature_resample",
     "chunk_documents",
     "events_sliding",
+    "events_asof",
+    "ir_eval_bm25",
 ]
 
 
@@ -149,7 +151,8 @@ def main() -> int:
         if name in ("bm25_topk", "dedup_minhash_lsh", "dedup_embedding",
                     "simhash_fingerprints", "pricing_summary",
                     "events_sessions", "ann_lsh_topk", "ann_ivf_topk",
-                    "duplicate_spans", "chunk_documents", "events_sliding") \
+                    "duplicate_spans", "chunk_documents", "events_sliding",
+                    "events_asof", "ir_eval_bm25") \
                 and s["cartesian"]:
             failures.append(f"A4 {name}: unexpected cartesian/nested-loop join")
         # A9: temperature_resample's only nested-loops are the 1-row scalar
@@ -158,6 +161,12 @@ def main() -> int:
             failures.append(
                 f"A9 temperature_resample: {s['cartesian']} nested-loops "
                 "(expected ≤2 bounded scalar/rate broadcasts)")
+        # A11: the as-of join is ONE shuffle (the per-key window) and no
+        # range join — a second exchange or any nested-loop means Spark
+        # fell back to the O(|L|·|R|) plan the operator exists to avoid
+        if name == "events_asof" and s["exchanges"] != 1:
+            failures.append(
+                f"A11 events_asof: {s['exchanges']} exchanges (expected exactly 1)")
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
             failures.append(f"A5 {name}: no WholeStageCodegen span")
