@@ -60,13 +60,13 @@ def shingles(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id",
     )
 
 
-def _sql_shingles(n: int = 3) -> str:
+def _sql_shingles(n: int = 3, where: str = "") -> str:
     """DuckDB CTE body mirroring shingles() (1-based list indexing)."""
     return f"""
   SELECT DISTINCT doc_id, concat_ws(' ', {", ".join(f"toks[i + {j}]" for j in range(n))}) AS shingle
   FROM (
     SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
-    FROM documents
+    FROM documents {where}
   ), unnest(range(1, greatest(len(toks) - {n}, -1) + 2)) AS r(i)
 """.strip()
 
@@ -189,6 +189,24 @@ def _minhash_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
     )
 
 
+def _band_keys(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, key): md5 over each band's signature slice."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("band", "key"),
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, n: int = 3, n_hashes: int = N_HASHES,
                       n_bands: int = N_BANDS, threshold: float = 0.0,
                       max_shingle_df: int | None = None) -> DataFrame:
@@ -205,20 +223,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, n: int = 3, n_hashes: int = N_HASHES,
         sh = cap_shingle_df(sh, max_shingle_df)
     sh = sh.cache()
     sigs = _minhash_from_shingles(sh, n_hashes)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ))
-                ),
-            )
-        ).alias("band", "key"),
-    )
+    banded = _band_keys(sigs, n_bands, rows_per_band)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"),
@@ -291,6 +296,159 @@ FROM shared s
 JOIN sizes sa ON s.doc_a = sa.doc_id
 JOIN sizes sb ON s.doc_b = sb.doc_id
 WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus incremental dedup: a NEW batch against an EXISTING corpus
+# (the dump-N+1 problem — never re-pair the old corpus with itself)
+# ---------------------------------------------------------------------------
+
+def minhash_band_ledger(docs: DataFrame, *, n: int = 3,
+                        n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_id, band, key): a corpus's persisted LSH fingerprint ledger.
+
+    The batch analog of ``streaming/curation.py``'s bucket ledger: build it
+    once per corpus (at scale: write it as a parquet table bucketed by
+    ``key`` so incremental joins are co-located), append each accepted
+    batch's rows, and dedup every future batch against it WITHOUT
+    re-scanning old text. |ledger| = n_bands rows per doc — 4 rows/doc at
+    the defaults, trivially storable next to a 100 TB corpus."""
+    sh = shingles(docs, n=n)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    return _band_keys(
+        _minhash_from_shingles(sh, n_hashes), n_bands, n_hashes // n_bands
+    )
+
+
+def dedup_against(new_docs: DataFrame, old_docs: DataFrame, *, n: int = 3,
+                  n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+                  threshold: float = 0.8,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_id, dup_of, jaccard): each NEW doc's best old-corpus
+    near-duplicate (highest Jaccard, ties → lowest old doc_id) at
+    ``jaccard ≥ threshold``. Old–old and new–new pairs are never formed —
+    within-batch dedup is ``minhash_lsh_pairs``' job.
+
+    Scale shape: candidates come from a (band, key) equi-join of the new
+    batch's band table against the old ledger — the old corpus shuffles by
+    band key once ever (persisted ledger), the new batch is typically small
+    enough to broadcast. Exact-Jaccard verification touches old shingles
+    only for candidate old docs (semi-join pushdown via the candidate
+    list), so verification cost tracks the duplicate rate, not |old|."""
+    from pyspark.sql.window import Window
+
+    rpb = n_hashes // n_bands
+    sh_new = shingles(new_docs, n=n)
+    sh_old = shingles(old_docs, n=n)
+    if max_shingle_df is not None:
+        sh_new = cap_shingle_df(sh_new, max_shingle_df)
+        sh_old = cap_shingle_df(sh_old, max_shingle_df)
+    sh_new = sh_new.cache()
+    bn = _band_keys(_minhash_from_shingles(sh_new, n_hashes), n_bands, rpb)
+    bo = minhash_band_ledger(
+        old_docs, n=n, n_hashes=n_hashes, n_bands=n_bands,
+        max_shingle_df=max_shingle_df,
+    )
+    cand = (
+        bn.alias("x")
+        .join(bo.alias("y"), ["band", "key"])
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("na"))
+    # verification touches old shingles only for candidate old docs
+    sh_old_c = (
+        sh_old.select(F.col("doc_id").alias("dup_of"), "shingle")
+        .join(cand.select("dup_of").distinct(), "dup_of", "left_semi")
+    )
+    sizes_old = sh_old_c.groupBy("dup_of").agg(F.count("*").alias("nb"))
+    shared = (
+        cand.join(sh_new, "doc_id")
+        .join(sh_old_c, ["dup_of", "shingle"])
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = (
+        shared.join(sizes_new, "doc_id")
+        .join(sizes_old, "dup_of")
+        .select(
+            "doc_id", "dup_of",
+            (F.col("shared")
+             / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("dup_of")
+    )
+    return (
+        jac.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+
+
+def sql_dedup_against(*, n: int = 3, n_hashes: int = N_HASHES,
+                      n_bands: int = N_BANDS, threshold: float = 0.8,
+                      new_where: str, old_where: str) -> str:
+    """DuckDB mirror of ``dedup_against`` with new/old corpora defined by
+    WHERE clauses over ``documents``."""
+    rpb = n_hashes // n_bands
+
+    def side(tag: str, where: str) -> str:
+        return f"""
+sh_{tag} AS (
+{_sql_shingles(n, where)}
+),
+hashed_{tag} AS (
+  SELECT doc_id, i AS h_idx,
+         CAST(concat('0x', substr(md5(concat(CAST(i // 2 AS VARCHAR), ':', shingle)), 1 + (i % 2) * {HASH_HEX_LEN}, {HASH_HEX_LEN})) AS BIGINT) AS h
+  FROM sh_{tag}, unnest(range(0, {n_hashes})) AS r(i)
+),
+sig_{tag} AS (
+  SELECT doc_id, h_idx, min(h) AS mh FROM hashed_{tag} GROUP BY 1, 2
+),
+banded_{tag} AS (
+  SELECT doc_id, h_idx // {rpb} AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h_idx)) AS key
+  FROM sig_{tag} GROUP BY doc_id, h_idx // {rpb}
+)""".strip()
+
+    return f"""
+WITH {side("new", new_where)},
+{side("old", old_where)},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
+  FROM banded_new x JOIN banded_old y ON x.band = y.band AND x.key = y.key
+),
+sizes_new AS (SELECT doc_id, count(*) AS na FROM sh_new GROUP BY 1),
+sizes_old AS (SELECT doc_id, count(*) AS nb FROM sh_old GROUP BY 1),
+shared AS (
+  SELECT c.doc_id, c.dup_of, count(*) AS shared
+  FROM cand c
+  JOIN sh_new a ON a.doc_id = c.doc_id
+  JOIN sh_old b ON b.doc_id = c.dup_of AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT s.doc_id, s.dup_of,
+         s.shared * 1.0 / (sn.na + so.nb - s.shared) AS jaccard
+  FROM shared s
+  JOIN sizes_new sn ON s.doc_id = sn.doc_id
+  JOIN sizes_old so ON s.dup_of = so.doc_id
+  WHERE s.shared * 1.0 / (sn.na + so.nb - s.shared) >= {threshold}
+)
+SELECT doc_id, dup_of, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, dup_of ASC) AS rn
+  FROM jac
+) WHERE rn = 1
 """.strip()
 
 

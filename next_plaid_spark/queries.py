@@ -1088,6 +1088,31 @@ SEMDEDUP_CELLS = 32
 SEMDEDUP_THRESHOLD = 0.4  # synthetic 64-d embeddings are near-orthogonal
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental dedup (the dump-N+1 problem): docs with
+    doc_id % 5 == 0 are the NEW batch, the rest the EXISTING corpus; each
+    new doc reports its best old near-duplicate at Jaccard ≥ 0.5 via the
+    band-ledger equi-join — old–old pairs are never formed."""
+    from next_plaid_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_against(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    from next_plaid_spark.operators.dedup import sql_dedup_against
+
+    return sql_dedup_against(
+        threshold=0.5,
+        new_where="WHERE doc_id % 5 = 0",
+        old_where="WHERE doc_id % 5 <> 0",
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup removal set (Abbas et al. 2023): cluster-bounded semantic
     dedup — Voronoi cells from hash-seeded centers, within-cell cosine ≥
@@ -2197,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2275,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _dedup_sqls()[0],
         "dedup_minhash_lsh": _dedup_sqls()[1],
+        "dedup_incremental": _sql_dedup_incremental(),
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],

@@ -361,3 +361,55 @@ def test_duplicate_spans_matches_python_lcs(spark):
            for r in duplicate_spans(df, k=k, min_len=min_len,
                                     max_gram_df=10**6).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus incremental dedup (dedup_against)
+# ---------------------------------------------------------------------------
+
+def test_dedup_against_basic_and_no_new_new_pairs(spark):
+    from next_plaid_spark.operators.dedup import dedup_against
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame(
+        [(1, base), (2, "totally different words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    # 100 and 101 duplicate EACH OTHER and doc 1; 102 is unique
+    new = spark.createDataFrame(
+        [(100, base), (101, base),
+         (102, "unique content with no old counterpart whatsoever ok")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_of, r.jaccard)
+           for r in dedup_against(new, old, threshold=0.5).collect()}
+    # both exact copies map to old doc 1 with jaccard 1.0; the unique new
+    # doc is absent; the new-new duplicate pair (100, 101) is NOT reported
+    assert got == {100: (1, 1.0), 101: (1, 1.0)}
+
+
+def test_dedup_against_best_match_tiebreak(spark):
+    from next_plaid_spark.operators.dedup import dedup_against
+
+    base = "one two three four five six seven eight nine ten"
+    # two old docs with identical text → identical jaccard; the lower
+    # old doc_id must win
+    old = spark.createDataFrame(
+        [(5, base), (3, base)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    (row,) = dedup_against(new, old, threshold=0.5).collect()
+    assert (row.doc_id, row.dup_of, row.jaccard) == (100, 3, 1.0)
+
+
+def test_minhash_band_ledger_shape(spark):
+    from next_plaid_spark.operators.dedup import minhash_band_ledger
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common tail words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = minhash_band_ledger(docs).collect()
+    # n_bands rows per doc, bands 0..3
+    assert len(rows) == 6 * 4
+    assert {r.band for r in rows} == {0, 1, 2, 3}
