@@ -1042,6 +1042,131 @@ def duplicate_spans(docs: DataFrame, *, k: int = 8, min_len: int = 12,
     )
 
 
+def scrub_duplicate_spans(docs: DataFrame, *, k: int = 8,
+                          max_gram_df: int | None = None,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Exact-substring dedup MATERIALIZED (Lee et al. '21 §3, the
+    keep-first-occurrence policy): every token covered by a k-gram whose
+    occurrence is not that gram's global first occurrence (ordered by
+    (doc_id, pos)) is dropped, and the document text is rebuilt from the
+    surviving tokens → (doc_id, clean_text, n_tokens, n_dropped).
+
+    ``duplicate_spans`` *reports* shared runs pair-wise; this operator
+    *rewrites the corpus*. Output text is canonicalized (lowercased
+    unicode61 tokens joined by single spaces) — the same token stream the
+    dedup decision is made on, as in the reference pipeline's
+    token-sequence formulation.
+
+    Scale shape: one groupBy(gh) finds first occurrences (map-side
+    combinable min), one join back marks duplicate occurrences (cost ∝
+    corpus grams), the k-fold explode is bounded by the DUPLICATE rate,
+    and the rebuild is a docs ⋈ per-doc-drop-array join on doc_id with the
+    token filtering done row-locally as an array expression — the corpus
+    text itself never explodes through a shuffle. ``max_gram_df`` (the
+    stop-gram cap, see ``duplicate_spans``) optionally exempts
+    boilerplate grams whose df exceeds the cap; None (oracle mode) scrubs
+    everything."""
+    grams = _positional_kgrams(docs, k, id_col, text_col)
+    if max_gram_df is not None:
+        rare = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("gh")
+        )
+        grams = grams.join(rare, "gh")
+    first = grams.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    dup_occ = (
+        grams.join(first, "gh")
+        .filter(
+            (F.col("doc_id") != F.col("f.doc_id"))
+            | (F.col("pos") != F.col("f.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    drop_sets = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("dpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("dpos").alias("drops"))
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_unicode61(F.col(text_col)).alias("_toks"),
+    )
+    out = base.join(drop_sets, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("drops"), F.array().cast("array<int>")).alias("drops"),
+        "_toks",
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("drops"), i.cast("int")),
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
+def sql_scrub_duplicate_spans(*, k: int = 8) -> str:
+    """DuckDB mirror of ``scrub_duplicate_spans`` (oracle mode, no df cap):
+    unnest-based token rebuild, ``string_agg ORDER BY pos``."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok, len(t) AS n
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+    FROM documents
+  ), unnest(range(1, len(t) + 1)) AS r(i)
+),
+grams AS (
+  SELECT a.doc_id, a.pos,
+         CAST(concat('0x', substr(md5(string_agg(b.tok, ' ' ORDER BY b.pos)), 1, {HASH_HEX_LEN})) AS BIGINT) AS gh
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + {k - 1}
+  GROUP BY a.doc_id, a.pos
+  HAVING count(*) = {k}
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+drops AS (
+  SELECT DISTINCT doc_id, pos + j AS dpos
+  FROM ranked, unnest(range(0, {k})) AS u(j)
+  WHERE rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN drops d ON d.doc_id = t.doc_id AND d.dpos = t.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_tokens
+  FROM kept GROUP BY 1
+),
+orig AS (SELECT doc_id, max(n) AS n FROM toks GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_tokens, 0) AS n_tokens,
+       coalesce(o.n, 0) - coalesce(r.n_tokens, 0) AS n_dropped
+FROM documents d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN orig o USING (doc_id)
+""".strip()
+
+
 def sql_duplicate_spans(*, k: int = 8, min_len: int = 12,
                         max_gram_df: int = 64) -> str:
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))

@@ -1113,6 +1113,21 @@ def _sql_dedup_incremental() -> str:
     )
 
 
+def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup materialized (Lee et al. '21 keep-first):
+    corpus rewritten with every non-first occurrence of a duplicated
+    8-token span removed; reports rebuilt text + drop counts."""
+    from next_plaid_spark.operators.dedup import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+def _sql_scrub_spans() -> str:
+    from next_plaid_spark.operators.dedup import sql_scrub_duplicate_spans
+
+    return sql_scrub_duplicate_spans(k=8)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup removal set (Abbas et al. 2023): cluster-bounded semantic
     dedup — Voronoi cells from hash-seeded centers, within-cell cosine ≥
@@ -2228,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
         "duplicate_spans": q_duplicate_spans,
+        "scrub_spans": q_scrub_spans,
         "dedup_clusters": q_dedup_clusters,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "dedup_winnowing": q_dedup_winnowing,
@@ -2307,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _dedup_sqls()[4],
         "semdedup": _sql_semdedup(),
         "duplicate_spans": _sql_duplicate_spans(),
+        "scrub_spans": _sql_scrub_spans(),
         "dedup_clusters": _sql_dedup_clusters_oracle(),
         "winnowing_fingerprints": _sql_winnowing(),
         "dedup_winnowing": _sql_dedup_winnowing(),

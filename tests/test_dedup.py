@@ -413,3 +413,56 @@ def test_minhash_band_ledger_shape(spark):
     # n_bands rows per doc, bands 0..3
     assert len(rows) == 6 * 4
     assert {r.band for r in rows} == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup materialization (scrub_duplicate_spans)
+# ---------------------------------------------------------------------------
+
+def test_scrub_spans_cross_doc_keep_first(spark):
+    from next_plaid_spark.operators.dedup import scrub_duplicate_spans
+
+    run = "a b c d e f g h"  # exactly k=8 tokens
+    docs = spark.createDataFrame(
+        [(0, run + " x y z"),       # global first occurrence — untouched
+         (1, "p q " + run + " r"),  # later occurrence — the run dropped
+         (2, "m n o p q r s")],     # < k tokens — no grams, untouched
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_duplicate_spans(docs, k=8).collect()}
+    assert out[0].clean_text == "a b c d e f g h x y z"
+    assert out[0].n_dropped == 0
+    assert out[1].clean_text == "p q r"
+    assert out[1].n_dropped == 8
+    assert out[2].clean_text == "m n o p q r s"
+    assert out[2].n_dropped == 0
+
+
+def test_scrub_spans_within_doc_repeat(spark):
+    from next_plaid_spark.operators.dedup import scrub_duplicate_spans
+
+    run = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [(0, run + " u v " + run)], "doc_id long, text string"
+    )
+    (row,) = scrub_duplicate_spans(docs, k=8).collect()
+    # the doc's OWN first occurrence survives; the repeat is scrubbed
+    assert row.clean_text == run + " u v"
+    assert row.n_dropped == 8
+    assert row.n_tokens == 10
+
+
+def test_scrub_spans_long_run_fully_covered(spark):
+    from next_plaid_spark.operators.dedup import scrub_duplicate_spans
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # L=12 > k
+    docs = spark.createDataFrame(
+        [(0, run), (1, "lead " + run + " tail")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_duplicate_spans(docs, k=8).collect()}
+    # every one of the L−k+1 duplicated grams is non-first in doc 1, so
+    # the whole 12-token run goes, not just one k-window
+    assert out[1].clean_text == "lead tail"
+    assert out[1].n_dropped == 12
+    assert out[0].n_dropped == 0
