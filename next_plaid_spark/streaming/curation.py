@@ -289,3 +289,118 @@ class StreamingSemanticDedup:
 
     def kept(self) -> DataFrame:
         return self.spark.read.parquet(self._kept_path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup TEXT dedup: the minhash band ledger applied per batch
+# (completes the trio: exact fp ledger / semantic LSH ledger / text LSH)
+# ---------------------------------------------------------------------------
+
+def text_dedup_batch(docs: DataFrame, *, threshold: float = 0.8,
+                     n: int = 3) -> DataFrame:
+    """Batch reference for StreamingTextDedup: greedy first-id-wins keep
+    over the minhash-LSH candidate + exact-Jaccard-verified pair graph.
+    Returns the kept rows."""
+    from next_plaid_spark.operators.dedup import minhash_lsh_pairs
+
+    pair_rows = minhash_lsh_pairs(docs, n=n, threshold=threshold).select(
+        "doc_a", "doc_b"
+    ).collect()
+    pairs = [(r.doc_a, r.doc_b) for r in pair_rows]
+    verts = {v for p in pairs for v in p}
+    kept_verts = _greedy_keep(verts, pairs, blocked=set())
+    removed = [int(v) for v in verts - kept_verts]
+    if not removed:
+        return docs
+    return docs.filter(~F.col("doc_id").isin(removed))
+
+
+class StreamingTextDedup:
+    """foreachBatch sink: document stream → near-dup-deduplicated corpus.
+
+    Cross-batch state is the ``minhash_band_ledger`` of every kept doc
+    (4 rows/doc at the defaults — the dump-N+1 ledger from
+    ``operators/dedup.py`` driven incrementally). An arriving doc is
+    dropped iff its exact shingle-Jaccard to a previously KEPT doc ≥
+    threshold, where candidate old docs surface ONLY through the
+    (band, key) equi-join against the ledger, and their shingles are
+    recomputed from the kept parquet restricted to candidate ids (Parquet
+    doc_id pushdown) — the kept corpus is never rescanned. Intra-batch
+    ties resolve by the greedy ascending-id rule, so id-ordered arrival
+    reproduces ``text_dedup_batch`` exactly. Driver state per batch =
+    the verified pair/match graph, bounded by the near-dup rate."""
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 threshold: float = 0.8, n: int = 3):
+        self.spark = spark
+        self.root = root
+        self.threshold = threshold
+        self.n = n
+
+    @property
+    def _kept_path(self) -> str:
+        return os.path.join(self.root, "kept")
+
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, "band_ledger")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from next_plaid_spark.operators.dedup import (
+            dedup_against,
+            minhash_band_ledger,
+            minhash_lsh_pairs,
+        )
+
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.cache()
+
+        blocked: set = set()
+        if os.path.isdir(self._ledger_path):
+            ledger = self.spark.read.parquet(self._ledger_path)
+            cand_old = (
+                minhash_band_ledger(batch_df, n=self.n)
+                .join(ledger.withColumnRenamed("doc_id", "_old"),
+                      ["band", "key"])
+                .select("_old").distinct().collect()
+            )
+            old_ids = [r._old for r in cand_old]
+            if old_ids:
+                old_docs = self.spark.read.parquet(self._kept_path).filter(
+                    F.col("doc_id").isin(old_ids)
+                )
+                blocked = {
+                    r.doc_id for r in dedup_against(
+                        batch_df, old_docs, n=self.n,
+                        threshold=self.threshold,
+                    ).select("doc_id").collect()
+                }
+
+        pair_rows = minhash_lsh_pairs(
+            batch_df, n=self.n, threshold=self.threshold
+        ).select("doc_a", "doc_b").collect()
+        pairs = [(r.doc_a, r.doc_b) for r in pair_rows]
+        verts = {v for p in pairs for v in p} | blocked
+        kept_verts = _greedy_keep(verts, pairs, blocked)
+        removed = [int(v) for v in verts - kept_verts]
+
+        kept = batch_df if not removed else batch_df.filter(
+            ~F.col("doc_id").isin(removed))
+        kept = kept.cache()
+        kept.write.mode("append").parquet(self._kept_path)
+        minhash_band_ledger(kept, n=self.n).write.mode("append").parquet(
+            self._ledger_path)
+        kept.unpersist()
+        batch_df.unpersist()
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(self._kept_path)

@@ -176,3 +176,39 @@ def test_greedy_keep_chain_semantics(spark):
     # a blocked head un-blocks nothing downstream: 1 blocked → 2 kept → 3 dropped
     kept = _greedy_keep({1, 2, 3}, [(1, 2), (2, 3)], blocked={1})
     assert kept == {2}
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_text_dedup_stream_matches_batch(spark, tmp_path_factory):
+    from next_plaid_spark.streaming.curation import (
+        StreamingTextDedup, text_dedup_batch)
+
+    tmp = tmp_path_factory.mktemp("txtstream")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    b1 = [(1, base),
+          (2, base + " extra"),                 # near-dup of kept 1 (intra)
+          (3, other)]
+    b2 = [(4, base),                            # cross-batch dup of kept 1
+          (5, "totally fresh words appear here nothing repeats at all"),
+          (6, other + " more")]                 # cross-batch near-dup of 3
+    src = str(tmp / "in")
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/part{i}")
+    dd = StreamingTextDedup(spark, str(tmp / "root"), threshold=0.5)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, DOC_SCHEMA).schema)
+        .option("maxFilesPerTrigger", "1").parquet(f"{src}/part*")
+    )
+    q = dd.attach(stream, str(tmp / "ck"))
+    q.awaitTermination(300)
+    kept_stream = sorted(r.doc_id for r in dd.kept().collect())
+
+    all_docs = spark.createDataFrame(b1 + b2, DOC_SCHEMA)
+    kept_batch = sorted(
+        r.doc_id for r in text_dedup_batch(all_docs, threshold=0.5).collect())
+    assert kept_stream == kept_batch == [1, 3, 5]
