@@ -909,3 +909,47 @@ SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
          AS n_tokens
 FROM sized, unnest(range(0, nc)) AS r(i)
 """.strip()
+
+
+def sample_n_per_group(docs: DataFrame, group_cols, n: int, *,
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Exactly-n deterministic sample per group (the fixed-BUDGET half of
+    mixture construction; ``stratified_sample`` is the fixed-RATE half):
+    rows ranked inside each group by a content hash (seed ‖ ':' ‖ id) and
+    the top n kept — reproducible cross-engine, independent of row order,
+    and stable per row under corpus growth except at the rank-n boundary
+    (a budget cap is inherently competitive, unlike a rate coin).
+
+    Scale shape: delegates to ``topk_agg.grouped_topk`` — map-side bounded
+    heaps prune each partition to ≤ n rows per group before the single
+    group-keyed shuffle; groups smaller than n pass through whole.
+    """
+    from next_plaid_spark.operators.topk_agg import grouped_topk
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)),
+                              F.col(id_col).cast("string"))),
+            1, HASH_HEX_LEN,
+        ), 16, 10,
+    ).cast("long")
+    return grouped_topk(
+        docs.withColumn("_h", h), list(group_cols), "_h", n,
+        descending=True, tie_cols=[id_col], rank_col=None,
+    ).drop("_h")
+
+
+def sql_sample_n_per_group(*, n: int, group_cols: str = "source",
+                           seed: int = 42) -> str:
+    """DuckDB mirror over ``documents``: identical hash rank per group."""
+    return f"""
+SELECT doc_id, {group_cols} FROM (
+  SELECT doc_id, {group_cols},
+         row_number() OVER (
+           PARTITION BY {group_cols}
+           ORDER BY CAST(concat('0x', substr(md5(concat('{seed}', ':', CAST(doc_id AS VARCHAR))), 1, {HASH_HEX_LEN})) AS BIGINT) DESC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= {n}
+""".strip()

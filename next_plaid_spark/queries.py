@@ -1475,6 +1475,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMP_ALPHA = 0.3
 
 
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget mixture sampling: exactly 5 docs per source via
+    deterministic content-hash rank (map-side bounded heaps — see
+    operators/topk_agg.py; the fixed-RATE sibling is stratified_sample)."""
+    from next_plaid_spark.operators.corpus import sample_n_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_n_per_group(docs, ["source"], 5).select("doc_id", "source")
+
+
+def _sql_sample_per_source() -> str:
+    from next_plaid_spark.operators.corpus import sql_sample_n_per_group
+
+    return sql_sample_n_per_group(n=5)
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture resampling (XLM/mC4 α-sampling): rates computed
     FROM per-source corpus shares (q_s ∝ n_s^α, budget pinned so the
@@ -2252,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "sample_per_source": q_sample_per_source,
         "temperature_resample": q_temperature_resample,
         "dsir_select": q_dsir_select,
         "ngram_lm_counts": q_ngram_lm_counts,
@@ -2332,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": SQL_CORPUS_PROFILE,
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
+        "sample_per_source": _sql_sample_per_source(),
         "temperature_resample": _sql_temperature_resample(),
         "dsir_select": _sql_dsir_select(),
         "ngram_lm_counts": _sql_ngram_lm_counts(),

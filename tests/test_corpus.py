@@ -303,3 +303,23 @@ def test_temperature_resample_stable_under_growth(spark):
              if r.source == "B"}
     # B stays the binding (rate-1) source in both mixtures → identical set
     assert kept1 == kept2 == {r[0] for r in base if r[1] == "B"}
+
+
+def test_sample_n_per_group_exact_budget_and_determinism(spark):
+    from next_plaid_spark.operators.corpus import sample_n_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(40)] + [(100, "tiny")],
+        "doc_id long, source string",
+    )
+    got = sample_n_per_group(docs, ["source"], 3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # exactly n per full group; small groups pass through whole
+    assert all(len(v) == 3 for s, v in by_src.items() if s != "tiny")
+    assert by_src["tiny"] == {100}
+    # deterministic: identical on re-run and under different partitioning
+    again = sample_n_per_group(docs.repartition(7), ["source"], 3).collect()
+    assert sorted((r.source, r.doc_id) for r in again) == sorted(
+        (r.source, r.doc_id) for r in got)
