@@ -1593,6 +1593,21 @@ def _sql_pii_scrub() -> str:
     return sql_pii_scrub(source_expr=f"({src})")
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (NFC + lowercase + whitespace collapse) —
+    the pre-dedup normalization pass, as a vectorized pandas-UDF map stage
+    (operators/textnorm.py; unicode parity pinned in tests)."""
+    from next_plaid_spark.operators.textnorm import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_normalize() -> str:
+    from next_plaid_spark.operators.textnorm import sql_normalize_text
+
+    return sql_normalize_text()
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2280,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "gopher_filter": q_gopher_filter,
         "token_count": q_token_count,
+        "text_normalize": q_text_normalize,
         "pii_scrub": q_pii_scrub,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -2325,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": SQL_MEDIA_DECODE,
         "ir_eval_bm25": sql_ir_eval_bm25(),
         "events_asof": SQL_EVENTS_ASOF,
+        "text_normalize": _sql_text_normalize(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "bm25_trigram_topk": sql_bm25_trigram_topk(),
