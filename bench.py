@@ -173,7 +173,10 @@ def main() -> None:
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",
                      "dsir_select", "mmr_topk", "semdedup",
                      "temperature_resample", "chunk_documents",
-                     "events_sliding", "duplicate_spans"):
+                     "events_sliding", "duplicate_spans",
+                     # r5 additions
+                     "scrub_spans", "dedup_incremental", "events_asof",
+                     "ir_eval_bm25", "text_normalize", "sample_per_source"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
 

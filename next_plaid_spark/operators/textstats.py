@@ -317,3 +317,120 @@ def sql_pii_scrub(*, source_expr: str = "text") -> str:
         f"SELECT doc_id, {clean} AS text_clean, "
         f"CAST({n} AS INT) AS n_redactions FROM documents"
     )
+
+
+def bigram_logprob(docs: DataFrame, *, lam: float = 0.7,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Interpolated-bigram LM quality signal — one rung up the CCNet ladder
+    from ``unigram_logprob`` (Wenzek et al. 2020 use a 5-gram KenLM; the
+    interpolation-with-unigram-backoff here is the same smoothing family,
+    Jelinek-Mercer):
+
+        p(w_i | w_{i−1}) = λ·c(w_{i−1} w_i)/c(w_{i−1}·) + (1−λ)·c(w_i)/T
+        bits_per_token    = −(1/n) Σ_i log2 p     (first token: unigram only)
+
+    Scale shape: two combinable count aggs (unigram vocab, bigram table —
+    both ≪ corpus for natural text), the bigram-probability join back on
+    (prev, cur), and one per-doc agg. The per-doc fold sums in sorted order
+    (the repo-wide cross-engine discipline); rounded to 10 decimals for the
+    last-ulp libm/DuckDB log2 difference."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tokenize_unicode61(F.col(text_col))).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stream = toks.withColumn("prev", F.lag("term", 1).over(w))
+
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    uni = vocab.crossJoin(F.broadcast(total)).select(
+        "term", (F.col("cnt") / F.col("total")).alias("p_uni")
+    )
+    bi = (
+        stream.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
+    bi_p = bi.join(ctx, "prev").select(
+        "prev", "term", (F.col("c_bi") / F.col("c_ctx")).alias("p_bi")
+    )
+
+    scored = (
+        stream.join(F.broadcast(uni), "term")
+        .join(F.broadcast(bi_p), ["prev", "term"], "left")
+        .select(
+            "doc_id",
+            (-F.log2(
+                F.when(
+                    F.col("prev").isNull(), F.col("p_uni")
+                ).otherwise(
+                    F.lit(lam) * F.coalesce(F.col("p_bi"), F.lit(0.0))
+                    + F.lit(1.0 - lam) * F.col("p_uni")
+                )
+            )).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("nll")), F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce(F.col("s") / F.col("n"), F.lit(0.0)), 10)
+        .alias("bits_per_token"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_tokens"),
+    )
+
+
+def sql_bigram_logprob(*, lam: float = 0.7) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+    FROM documents
+  ), unnest(range(1, len(t) + 1)) AS r(i)
+),
+stream AS (
+  SELECT doc_id, pos, term,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+uni AS (SELECT term, cnt * 1.0 / total AS p_uni FROM vocab, tot),
+bi AS (
+  SELECT prev, term, count(*) AS c_bi FROM stream
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ctx AS (SELECT prev, sum(c_bi) AS c_ctx FROM bi GROUP BY 1),
+bi_p AS (SELECT b.prev, b.term, b.c_bi * 1.0 / c.c_ctx AS p_bi
+         FROM bi b JOIN ctx c USING (prev)),
+scored AS (
+  SELECT s.doc_id,
+         -log2(CASE WHEN s.prev IS NULL THEN u.p_uni
+                    ELSE {lam} * coalesce(bp.p_bi, 0.0) + {1.0 - lam} * u.p_uni
+               END) AS nll
+  FROM stream s
+  JOIN uni u ON u.term = s.term
+  LEFT JOIN bi_p bp ON bp.prev = s.prev AND bp.term = s.term
+),
+per_doc AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(nll))), (a, b) -> a + b) AS s,
+         count(*) AS n
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       round(coalesce(p.s / p.n, 0.0), 10) AS bits_per_token,
+       CAST(coalesce(p.n, 0) AS INT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""".strip()

@@ -1667,6 +1667,21 @@ def _textstats_sqls() -> tuple[str, str, str, str]:
 # gated in tests/test_similarity.py)
 # ---------------------------------------------------------------------------
 
+def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM bits-per-token (Jelinek-Mercer λ=0.7 over the
+    corpus bigram/unigram tables) — the next rung of the CCNet perplexity
+    ladder above `perplexity_proxy`."""
+    from next_plaid_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _sql_perplexity_bigram() -> str:
+    from next_plaid_spark.operators.textstats import sql_bigram_logprob
+
+    return sql_bigram_logprob()
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.similarity import lsh_bucket_topk
 
@@ -2301,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_fingerprint,
         "perplexity_proxy": q_perplexity_proxy,
+        "perplexity_bigram": q_perplexity_bigram,
         "pricing_summary": q_pricing_summary,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2342,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "ir_eval_bm25": sql_ir_eval_bm25(),
         "events_asof": SQL_EVENTS_ASOF,
         "text_normalize": _sql_text_normalize(),
+        "perplexity_bigram": _sql_perplexity_bigram(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),
         "hybrid_relative_topk": sql_hybrid_relative_topk(),
         "bm25_trigram_topk": sql_bm25_trigram_topk(),

@@ -172,3 +172,28 @@ def _where_env():
         "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
     )
     yield MetadataStore(docs), con
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from next_plaid_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.bits_per_token, r.n_tokens)
+           for r in bigram_logprob(docs, lam=0.7).collect()}
+    p_uni = {"a": 4 / 6, "b": 2 / 6}
+    p_bi = {("a", "b"): 2 / 3, ("b", "a"): 1.0, ("a", "a"): 1 / 3}
+
+    def interp(prev, cur):
+        return 0.7 * p_bi[(prev, cur)] + 0.3 * p_uni[cur]
+
+    d0 = [-math.log2(p_uni["a"]), -math.log2(interp("a", "b")),
+          -math.log2(interp("b", "a")), -math.log2(interp("a", "b"))]
+    d1 = [-math.log2(p_uni["a"]), -math.log2(interp("a", "a"))]
+    import pytest as _pt
+    assert got[0][1] == 4 and got[1][1] == 2
+    assert got[0][0] == _pt.approx(sum(d0) / 4, abs=1e-9)
+    assert got[1][0] == _pt.approx(sum(d1) / 2, abs=1e-9)
