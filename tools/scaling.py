@@ -38,6 +38,12 @@ PROBED = [
     ("duplicate_spans", "documents"),     # positional k-gram diagonal islands
     ("temperature_resample", "documents"),  # scalar aggs + stateless coin
     ("chunk_documents", "documents"),     # sequence+explode+slice, no shuffle
+    ("scrub_spans", "documents"),         # first-occurrence scrub + rebuild
+    ("dedup_incremental", "documents"),   # band-ledger cross-corpus join
+    ("events_asof", "events"),            # one-shuffle as-of window
+    ("perplexity_bigram", "documents"),   # bigram table + broadcast joins
+    ("text_normalize", "documents"),      # stateless vectorized map
+    ("sample_per_source", "documents"),   # bounded-heap budget sampling
 ]
 
 
