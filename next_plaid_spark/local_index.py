@@ -133,8 +133,18 @@ class LocalIndex:
     def search(self, query: "np.ndarray", params: SearchParams | None = None,
                *, subset: DataFrame | None = None) -> DataFrame:
         """Single query as a [tokens, dim] array — the reference's
-        ``search`` signature; runs the same one-job batch plan."""
+        ``search`` signature; runs the same one-job batch plan. Rejects a
+        wrong embedding dimension eagerly, like the API's
+        dimension-mismatch 400 (next-plaid-api integration tests;
+        handlers/search.rs)."""
         q = np.asarray(query, dtype=float)
+        if q.ndim != 2:
+            raise ValueError(f"query must be [tokens, dim], got shape {q.shape}")
+        if q.shape[1] != self.embedding_dim():
+            raise ValueError(
+                f"query dimension {q.shape[1]} does not match index "
+                f"dimension {self.embedding_dim()}"
+            )
         rows = [(0, i, [float(x) for x in v]) for i, v in enumerate(q)]
         qt = self.spark.createDataFrame(
             rows, schema="query_id long, token_idx int, vec array<double>"

@@ -134,3 +134,15 @@ def test_search_text_and_rerank_text(spark, tmp_path):
     assert len(rr) == 3
     assert rr[0].score >= rr[-1].score
     assert {r.doc_id for r in rr} == {3, 5, 9}
+
+
+def test_search_rejects_dimension_mismatch(lix):
+    import numpy as np
+    import pytest
+
+    idx = lix
+    bad = np.zeros((3, idx.embedding_dim() + 1))
+    with pytest.raises(ValueError, match="dimension"):
+        idx.search(bad)
+    with pytest.raises(ValueError, match="tokens, dim"):
+        idx.search(np.zeros(idx.embedding_dim()))
