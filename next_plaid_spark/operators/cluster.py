@@ -141,3 +141,73 @@ SELECT d.doc_id,
        least(coalesce(r.mn, d.doc_id), d.doc_id) = d.doc_id AS kept
 FROM documents d LEFT JOIN rep r USING (doc_id)
 """.strip()
+
+
+SPLIT_DENOM = 1_000_000
+
+
+def leakage_free_split(docs: DataFrame, pairs: DataFrame,
+                       splits: "list[tuple[str, float]]", *,
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """(doc_id, cluster_rep, split): train/val/test assignment with
+    DUPLICATE-CLUSTER granularity — the split coin hashes the component
+    representative, not the document, so every near-duplicate (transitively)
+    lands on the same side and eval never sees a paraphrase of train
+    (the leakage mode decontamination alone can't fix: dup pairs WITHIN the
+    corpus straddling the split boundary).
+
+    ``splits`` is an ordered list of (name, rate) summing to ~1; assignment
+    is by cumulative cutoffs over hash60(seed ‖ ':' ‖ rep) mod 1e6 — the
+    same deterministic, growth-stable content-hash coin as
+    ``corpus.stratified_sample``, so reruns and incremental corpus versions
+    agree wherever clusters are unchanged.
+
+    Scale shape: connected components (shuffle-bounded alternating stars)
+    + one broadcast-free hash expression; no extra shuffle beyond CC."""
+    if not splits or abs(sum(r for _, r in splits) - 1.0) > 1e-9:
+        raise ValueError("split rates must sum to 1")
+    labeled = dedup_keep_canonical(docs, pairs, id_col=id_col)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)),
+                                  F.col("cluster_rep").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % SPLIT_DENOM
+    )
+    expr = None
+    cum = 0.0
+    for name, rate in splits[:-1]:
+        cum += rate
+        cond = h < int(round(cum * SPLIT_DENOM))
+        branch = F.when(cond, F.lit(name))
+        expr = branch if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    split_col = last if expr is None else expr.otherwise(last)
+    return labeled.select("doc_id", "cluster_rep", split_col.alias("split"))
+
+
+def sql_leakage_free_split(pairs_sql: str,
+                           splits: "list[tuple[str, float]]", *,
+                           seed: int = 42) -> str:
+    """DuckDB mirror: recursive-CTE closure + the identical hash cutoffs."""
+    cases, cum = [], 0.0
+    for name, rate in splits[:-1]:
+        cum += rate
+        cases.append(
+            f"WHEN h < {int(round(cum * SPLIT_DENOM))} THEN '{name}'"
+        )
+    case_sql = ("CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+                if cases else f"'{splits[-1][0]}'")
+    return f"""
+WITH clustered AS (
+{sql_dedup_clusters(pairs_sql)}
+),
+hashed AS (
+  SELECT doc_id, cluster_rep,
+         CAST(concat('0x', substr(md5(concat('{seed}', ':', CAST(cluster_rep AS VARCHAR))), 1, 15)) AS BIGINT) % {SPLIT_DENOM} AS h
+  FROM clustered
+)
+SELECT doc_id, cluster_rep, {case_sql} AS split FROM hashed
+""".strip()

@@ -1058,6 +1058,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_canonical(docs, pairs)
 
 
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the coin hashes each doc's
+    duplicate-CLUSTER representative (CC over jaccard ≥ 0.8 MinHash pairs),
+    so near-duplicates can never straddle the eval boundary."""
+    from next_plaid_spark.operators.cluster import leakage_free_split
+    from next_plaid_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return leakage_free_split(docs, pairs, _SPLITS)
+
+
+def _sql_leakage_split() -> str:
+    from next_plaid_spark.operators.cluster import sql_leakage_free_split
+    from next_plaid_spark.operators.dedup import sql_minhash_lsh_pairs
+
+    return sql_leakage_free_split(
+        sql_minhash_lsh_pairs(threshold=0.8), _SPLITS
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -2291,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "scrub_spans": q_scrub_spans,
         "dedup_clusters": q_dedup_clusters,
+        "leakage_split": q_leakage_split,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "dedup_winnowing": q_dedup_winnowing,
         "decontaminate": q_decontaminate,
@@ -2376,6 +2401,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _sql_duplicate_spans(),
         "scrub_spans": _sql_scrub_spans(),
         "dedup_clusters": _sql_dedup_clusters_oracle(),
+        "leakage_split": _sql_leakage_split(),
         "winnowing_fingerprints": _sql_winnowing(),
         "dedup_winnowing": _sql_dedup_winnowing(),
         "decontaminate": _corpus_sqls()[0],

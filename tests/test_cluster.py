@@ -98,3 +98,41 @@ def test_cc_empty_pairs(spark):
     got = {r.doc_id: (r.cluster_rep, r.kept)
            for r in dedup_keep_canonical(docs, pairs).collect()}
     assert got == {1: (1, True), 2: (2, True)}
+
+
+def test_leakage_free_split_clusters_stay_together(spark):
+    from next_plaid_spark.operators.cluster import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain 1~2~3 plus pair 10~11: each cluster must land whole
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    rows = leakage_free_split(docs, pairs, splits).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 200
+    assert len({by_id[i].split for i in (1, 2, 3)}) == 1
+    assert by_id[10].split == by_id[11].split
+    assert all(by_id[i].cluster_rep == 1 for i in (1, 2, 3))
+    # rates roughly honored over the singletons
+    from collections import Counter
+    c = Counter(r.split for r in rows)
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # deterministic under re-run / repartition
+    again = leakage_free_split(docs.repartition(7), pairs, splits).collect()
+    assert sorted((r.doc_id, r.split) for r in again) == sorted(
+        (r.doc_id, r.split) for r in rows)
+
+
+def test_leakage_free_split_bad_rates(spark):
+    import pytest
+
+    from next_plaid_spark.operators.cluster import leakage_free_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    with pytest.raises(ValueError):
+        leakage_free_split(docs, pairs, [("train", 0.5)])
