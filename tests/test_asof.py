@@ -93,3 +93,25 @@ def test_tolerance(frames):
     }
     want = _pandas_asof(left, right, tolerance=tol)
     assert got == want
+
+
+def test_asof_empty_right_side(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame([], "k long, ts long, payload double")
+    rows = asof_join_backward(
+        left, right, keys=["k"], ts_col="ts", payload_cols=["payload"]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].asof_payload is None and rows[0].asof_ts is None
+
+
+def test_asof_empty_left_side(spark):
+    left = spark.createDataFrame([], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 5, 2.0)], "k long, ts long, payload double"
+    )
+    assert asof_join_backward(
+        left, right, keys=["k"], ts_col="ts", payload_cols=["payload"]
+    ).count() == 0

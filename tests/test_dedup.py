@@ -466,3 +466,27 @@ def test_scrub_spans_long_run_fully_covered(spark):
     assert out[1].clean_text == "lead tail"
     assert out[1].n_dropped == 12
     assert out[0].n_dropped == 0
+
+
+def test_scrub_spans_empty_and_no_dups(spark):
+    from next_plaid_spark.operators.dedup import scrub_duplicate_spans
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert scrub_duplicate_spans(empty, k=8).count() == 0
+
+    uniq = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), (1, "x1 x2 x3 x4 x5 x6 x7 x8")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_duplicate_spans(uniq, k=8).collect()}
+    assert all(out[i].n_dropped == 0 for i in (0, 1))
+
+
+def test_dedup_against_empty_old_corpus(spark):
+    from next_plaid_spark.operators.dedup import dedup_against
+
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    old = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_against(new, old, threshold=0.5).count() == 0
