@@ -953,3 +953,144 @@ SELECT doc_id, {group_cols} FROM (
   FROM documents
 ) WHERE rn <= {n}
 """.strip()
+
+
+def span_corrupt(docs: DataFrame, *, mask_rate: float = 0.15,
+                 span_len: int = 3, seed: int = 42,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """T5-style span corruption (Raffel et al. '20 §3.1.4) as a
+    deterministic corpus transform → (doc_id, inputs, targets, n_masked):
+
+        inputs  = text with each masked span replaced by <extra_id_i>
+        targets = <extra_id_0> span₀ <extra_id_1> span₁ … <extra_id_n>
+
+    Span selection is a content-hash coin over ``span_len``-token blocks
+    (hash60(seed ‖ doc ‖ block) < rate — the stratified_sample discipline:
+    deterministic, order-independent, cross-engine identical); adjacent
+    masked blocks merge into one span, exactly like T5's span merging.
+    Pure column expressions + one per-doc ordered fold — no shuffle beyond
+    the per-doc agg, no Python in the path."""
+    from pyspark.sql.window import Window
+
+    cut = int(mask_rate * SAMPLE_DENOM)
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(tokenize_unicode61(F.col(text_col))).alias("pos", "tok"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)),
+                              F.col("doc_id").cast("string"),
+                              (F.col("pos") - F.col("pos") % span_len)
+                              .cast("string"))),
+            1, HASH_HEX_LEN,
+        ), 16, 10,
+    ).cast("long")
+    t = toks.withColumn("masked", (h % SAMPLE_DENOM) < cut)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = t.withColumn(
+        "run_start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked", 1).over(w), F.lit(False)),
+    ).withColumn(
+        # sentinel index = how many runs started at or before this token
+        "sid",
+        F.sum(F.col("run_start").cast("int")).over(w) - 1,
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("sid").cast("string"), F.lit(">")
+    )
+    t = t.select(
+        "doc_id", "pos", "masked", "run_start",
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("run_start"), sentinel).alias("in_piece"),
+        F.when(
+            F.col("masked"),
+            F.when(F.col("run_start"),
+                   F.concat(sentinel, F.lit(" "), F.col("tok")))
+            .otherwise(F.col("tok")),
+        ).alias("tgt_piece"),
+    )
+
+    def fold(piece_col):
+        # null pieces survive into the struct list but array_join drops
+        # them, so only emitted pieces appear — in pos order
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", piece_col))),
+                lambda x: x[piece_col],
+            ),
+            " ",
+        )
+
+    per_doc = t.groupBy("doc_id").agg(
+        fold("in_piece").alias("inputs"),
+        fold("tgt_piece").alias("_tgt"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+        F.sum(F.col("run_start").cast("long")).alias("n_runs"),
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("inputs", F.lit("")).alias("inputs"),
+        F.when(
+            F.coalesce("n_runs", F.lit(0)) > 0,
+            F.concat(F.col("_tgt"), F.lit(" <extra_id_"),
+                     F.col("n_runs").cast("string"), F.lit(">")),
+        ).otherwise(F.lit("")).alias("targets"),
+        F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+    )
+
+
+def sql_span_corrupt(*, mask_rate: float = 0.15, span_len: int = 3,
+                     seed: int = 42) -> str:
+    cut = int(mask_rate * SAMPLE_DENOM)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS t
+    FROM documents
+  ), unnest(range(1, len(t) + 1)) AS r(i)
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         (CAST(concat('0x', substr(md5(concat('{seed}', ':', CAST(doc_id AS VARCHAR), ':', CAST(pos - pos % {span_len} AS VARCHAR))), 1, {HASH_HEX_LEN})) AS BIGINT) % {SAMPLE_DENOM}) < {cut} AS masked
+  FROM toks
+),
+starts AS (
+  SELECT *,
+         masked AND NOT coalesce(lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS run_start
+  FROM marked
+),
+runs AS (
+  SELECT *,
+         sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS sid
+  FROM starts
+),
+pieces AS (
+  SELECT doc_id, pos, masked, run_start,
+         CASE WHEN NOT masked THEN tok
+              WHEN run_start THEN concat('<extra_id_', sid, '>') END AS in_piece,
+         CASE WHEN masked AND run_start THEN concat('<extra_id_', sid, '> ', tok)
+              WHEN masked THEN tok END AS tgt_piece
+  FROM runs
+),
+per_doc AS (
+  SELECT doc_id,
+         string_agg(in_piece, ' ' ORDER BY pos) AS inputs,
+         string_agg(tgt_piece, ' ' ORDER BY pos) AS tgt,
+         sum(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+         sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS n_runs
+  FROM pieces GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.inputs, '') AS inputs,
+       CASE WHEN coalesce(p.n_runs, 0) > 0
+            THEN concat(p.tgt, ' <extra_id_', p.n_runs, '>')
+            ELSE '' END AS targets,
+       coalesce(p.n_masked, 0) AS n_masked
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""".strip()

@@ -1488,6 +1488,21 @@ FROM cum c JOIN q USING (doc_id)
 """.strip()
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (inputs/targets with <extra_id_i> sentinels) via
+    a deterministic block-hash coin — the denoising-pretraining data
+    formatter (operators/corpus.py::span_corrupt)."""
+    from next_plaid_spark.operators.corpus import span_corrupt
+
+    return span_corrupt(_t(spark, sf_dir, "documents"))
+
+
+def _sql_span_corrupt() -> str:
+    from next_plaid_spark.operators.corpus import sql_span_corrupt
+
+    return sql_span_corrupt()
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.corpus import stratified_sample
 
@@ -2329,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_counts": q_ngram_lm_counts,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "span_corrupt": q_span_corrupt,
         "packed_bins": q_packed_bins,
         "curate_corpus": q_curate_corpus,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -2410,6 +2426,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _corpus_sqls()[1],
         "stratified_sample": _corpus_sqls()[2],
         "sample_per_source": _sql_sample_per_source(),
+        "span_corrupt": _sql_span_corrupt(),
         "temperature_resample": _sql_temperature_resample(),
         "dsir_select": _sql_dsir_select(),
         "ngram_lm_counts": _sql_ngram_lm_counts(),

@@ -114,3 +114,47 @@ def test_chunk_documents_bad_params(spark, documents):
         chunk_documents(documents, chunk_tokens=0)
     with _pt.raises(ValueError):
         chunk_documents(documents, stride=-1)
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption (corpus.span_corrupt)
+# ---------------------------------------------------------------------------
+
+def test_span_corrupt_reconstruction_invariant(spark):
+    import re
+
+    from next_plaid_spark.operators.corpus import span_corrupt
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(5 + (i * 7) % 30)))
+         for i in range(20)] + [(100, ""), (101, "single")],
+        "doc_id long, text string",
+    )
+    rows = span_corrupt(docs, mask_rate=0.3, seed=1).collect()
+    originals = {r.doc_id: r.text.split() for r in docs.collect() if r.text}
+    assert len(rows) == 22
+
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    for r in rows:
+        orig = originals.get(r.doc_id, [])
+        # parse targets into span lists keyed by sentinel index
+        spans, cur = {}, None
+        tgt_toks = r.targets.split() if r.targets else []
+        for t in tgt_toks:
+            m = sent.match(t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        if tgt_toks:
+            # final sentinel terminates — its span list stays empty
+            assert spans[max(spans)] == []
+            del spans[max(spans)]
+        # splice spans back into inputs → must equal the original tokens
+        rebuilt = []
+        for t in (r.inputs.split() if r.inputs else []):
+            m = sent.match(t)
+            rebuilt.extend(spans[int(m.group(1))] if m else [t])
+        assert rebuilt == orig, r.doc_id
+        assert r.n_masked == sum(len(v) for v in spans.values())
