@@ -2057,6 +2057,40 @@ FROM exploded GROUP BY 1, 2
 """.strip()
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour features (RANGE frame over event-time
+    micros): how many events and how much value this user produced in the
+    hour ending at each event — the online-feature-engineering window shape
+    (rangeBetween, not rowsBetween; value summed in exact integer cents so
+    the window fold is order-independent cross-engine)."""
+    from pyspark.sql.window import Window
+
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-_US_PER_HOUR, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(cents).over(w).alias("cents_1h"),
+    )
+
+
+SQL_EVENTS_ROLLING = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts,
+       count(*) OVER w AS n_1h,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_US_PER_HOUR} PRECEDING AND CURRENT ROW)
+""".strip()
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (the reference's dynamic JSON
     metadata semantics, filtering.rs:1178-1198, as plain Spark SQL)."""
@@ -2370,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_props": q_events_props,
         "events_asof": q_events_asof,
+        "events_rolling": q_events_rolling,
         "ir_eval_bm25": q_ir_eval_bm25,
     }
 
@@ -2398,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": SQL_MEDIA_DECODE,
         "ir_eval_bm25": sql_ir_eval_bm25(),
         "events_asof": SQL_EVENTS_ASOF,
+        "events_rolling": SQL_EVENTS_ROLLING,
         "text_normalize": _sql_text_normalize(),
         "perplexity_bigram": _sql_perplexity_bigram(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),

@@ -70,3 +70,42 @@ def test_normalizer_nanos_roundtrip(spark, sf_dir):
     a = sorted(r["ts"] for r in base.select("ts").collect())
     b = sorted(r["ts"] for r in again.select("ts").collect())
     assert a == b
+
+
+def test_events_rolling_hand_computed(spark, tmp_path):
+    """RANGE-frame semantics: trailing hour is CLOSED [t-1h, t] per user."""
+    import os
+
+    from next_plaid_spark.queries import _US_PER_HOUR, q_events_rolling
+
+    rows = [
+        # user 1: events at 0, 30min, 90min — third sees only itself+30min?
+        (0, 1, 0, "view", 1.0),
+        (1, 1, 30 * 60 * 1_000_000, "view", 2.0),
+        (2, 1, 90 * 60 * 1_000_000, "view", 4.0),
+        # exactly 1h after event 0 → still inside the closed frame
+        (3, 2, 0, "view", 1.5),
+        (4, 2, _US_PER_HOUR, "view", 2.5),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        os.path.join(sf, "events.parquet"),
+    )
+    got = {r.event_id: (r.n_1h, r.cents_1h)
+           for r in q_events_rolling(spark, sf).collect()}
+    assert got[0] == (1, 100)
+    assert got[1] == (2, 300)        # 0 and 30min both inside
+    assert got[2] == (2, 600)        # 30min and 90min (0 fell out)
+    assert got[4] == (2, 400)        # exactly-1h-ago edge is INCLUDED
