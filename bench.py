@@ -176,7 +176,9 @@ def main() -> None:
                      "events_sliding", "duplicate_spans",
                      # r5 additions
                      "scrub_spans", "dedup_incremental", "events_asof",
-                     "ir_eval_bm25", "text_normalize", "sample_per_source"):
+                     "ir_eval_bm25", "text_normalize", "sample_per_source",
+                     "leakage_split", "span_corrupt", "events_rolling",
+                     "perplexity_bigram"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
 

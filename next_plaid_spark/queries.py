@@ -2310,6 +2310,28 @@ def q_ir_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ir_eval_plaid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation surface composed over the flagship engine: per-query
+    IR metrics of the exact-configuration PLAID funnel (Q1–Q10) against
+    the stratum qrels — BEIR-style quality measurement of the index
+    pipeline itself, hash-exact end to end."""
+    from next_plaid_spark.operators.evaluation import ir_metrics
+
+    return ir_metrics(
+        q_plaid_search_exact_topk(spark, sf_dir),
+        _qrels(spark, sf_dir),
+        k=MAXSIM_TOPK,
+    )
+
+
+def sql_ir_eval_plaid() -> str:
+    from next_plaid_spark.operators.evaluation import ir_metrics_oracle_sql
+
+    return ir_metrics_oracle_sql(
+        sql_plaid_search_exact_topk(), _QRELS_SQL, k=MAXSIM_TOPK
+    )
+
+
 def sql_ir_eval_bm25() -> str:
     from next_plaid_spark.operators.bm25 import bm25_oracle_sql
     from next_plaid_spark.operators.evaluation import ir_metrics_oracle_sql
@@ -2406,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_rolling": q_events_rolling,
         "ir_eval_bm25": q_ir_eval_bm25,
+        "ir_eval_plaid": q_ir_eval_plaid,
     }
 
 
@@ -2432,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": sql_bm25_and_topk(),
         "media_decode": SQL_MEDIA_DECODE,
         "ir_eval_bm25": sql_ir_eval_bm25(),
+        "ir_eval_plaid": sql_ir_eval_plaid(),
         "events_asof": SQL_EVENTS_ASOF,
         "events_rolling": SQL_EVENTS_ROLLING,
         "text_normalize": _sql_text_normalize(),

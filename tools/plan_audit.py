@@ -55,6 +55,9 @@ AUDITED = [
     "events_sliding",
     "events_asof",
     "ir_eval_bm25",
+    "scrub_spans",
+    "span_corrupt",
+    "events_rolling",
 ]
 
 
@@ -152,7 +155,8 @@ def main() -> int:
                     "simhash_fingerprints", "pricing_summary",
                     "events_sessions", "ann_lsh_topk", "ann_ivf_topk",
                     "duplicate_spans", "chunk_documents", "events_sliding",
-                    "events_asof", "ir_eval_bm25") \
+                    "events_asof", "ir_eval_bm25", "scrub_spans",
+                    "span_corrupt", "events_rolling") \
                 and s["cartesian"]:
             failures.append(f"A4 {name}: unexpected cartesian/nested-loop join")
         # A9: temperature_resample's only nested-loops are the 1-row scalar

@@ -44,6 +44,9 @@ PROBED = [
     ("perplexity_bigram", "documents"),   # bigram table + broadcast joins
     ("text_normalize", "documents"),      # stateless vectorized map
     ("sample_per_source", "documents"),   # bounded-heap budget sampling
+    ("span_corrupt", "documents"),        # sentinel formatter, per-doc fold
+    ("leakage_split", "documents"),       # CC + hash cutoffs
+    ("events_rolling", "events"),         # RANGE-frame trailing window
 ]
 
 
