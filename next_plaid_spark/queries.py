@@ -2091,6 +2091,75 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """.strip()
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts at
+    a stage only if the stage event happens AT OR AFTER their previous
+    stage's first event (strict sequence semantics, not mere co-presence).
+    Three per-user min-aggregations chained by inequality — each one
+    shuffle on user_id, no self-join explosion."""
+    ev = normalize_event_ts(_t(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("n"))
+    rows = [
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count("*").alias("n_users")).select(
+            F.lit("2_click").alias("stage"), "n_users"
+        ),
+        p.agg(F.count("*").alias("n_users")).select(
+            F.lit("3_purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    # 1-row total joined lazily — no driver action during plan construction
+    return out.crossJoin(F.broadcast(total)).select(
+        "stage", "n_users",
+        F.round(F.col("n_users") / F.col("n"), 6).alias("conversion"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+v AS (SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1
+),
+tot AS (SELECT count(DISTINCT user_id) AS n FROM ev)
+SELECT stage, n_users, round(n_users * 1.0 / tot.n, 6) AS conversion
+FROM (
+  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', count(*) FROM c
+  UNION ALL SELECT '3_purchase', count(*) FROM p
+), tot
+""".strip()
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (the reference's dynamic JSON
     metadata semantics, filtering.rs:1178-1198, as plain Spark SQL)."""
@@ -2427,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "events_asof": q_events_asof,
         "events_rolling": q_events_rolling,
+        "events_funnel": q_events_funnel,
         "ir_eval_bm25": q_ir_eval_bm25,
         "ir_eval_plaid": q_ir_eval_plaid,
     }
@@ -2458,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
         "ir_eval_plaid": sql_ir_eval_plaid(),
         "events_asof": SQL_EVENTS_ASOF,
         "events_rolling": SQL_EVENTS_ROLLING,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "text_normalize": _sql_text_normalize(),
         "perplexity_bigram": _sql_perplexity_bigram(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),

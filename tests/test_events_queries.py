@@ -109,3 +109,45 @@ def test_events_rolling_hand_computed(spark, tmp_path):
     assert got[1] == (2, 300)        # 0 and 30min both inside
     assert got[2] == (2, 600)        # 30min and 90min (0 fell out)
     assert got[4] == (2, 400)        # exactly-1h-ago edge is INCLUDED
+
+
+def test_events_funnel_strict_sequence(spark, tmp_path):
+    """A purchase BEFORE the user's first qualifying click must not count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from next_plaid_spark.queries import q_events_funnel
+
+    MIN = 60 * 1_000_000
+    rows = [
+        # user 1: view@1m → click@2m → purchase@3m  (full funnel)
+        (0, 1, 1 * MIN, "view"), (1, 1, 2 * MIN, "click"),
+        (2, 1, 3 * MIN, "purchase"),
+        # user 2: purchase@1m BEFORE view@2m/click@3m → no purchase credit
+        (3, 2, 1 * MIN, "purchase"), (4, 2, 2 * MIN, "view"),
+        (5, 2, 3 * MIN, "click"),
+        # user 3: click@1m before view@2m → click doesn't count
+        (6, 3, 1 * MIN, "click"), (7, 3, 2 * MIN, "view"),
+        # user 4: only errors → counts in denominator only
+        (8, 4, 1 * MIN, "error"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        os.path.join(sf, "events.parquet"),
+    )
+    got = {r.stage: (r.n_users, r.conversion)
+           for r in q_events_funnel(spark, sf).collect()}
+    assert got["1_view"] == (3, 0.75)      # users 1, 2, 3
+    assert got["2_click"] == (2, 0.5)      # users 1, 2 (user 3's click too early)
+    assert got["3_purchase"] == (1, 0.25)  # user 1 only
