@@ -2160,6 +2160,40 @@ FROM (
 """.strip()
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    on each later day they return → (cohort_day, day_offset, n_users).
+    Two aggregations and a broadcast-size join on user — the classic
+    retention triangle with no self-join over the event log."""
+    ev = normalize_event_ts(_t(spark, sf_dir, "events")).select(
+        "user_id", F.expr(f"ts DIV {_US_PER_DAY}").alias("day")
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1)
+SELECT f.cohort_day, a.day - f.cohort_day AS day_offset, count(*) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+""".strip()
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (the reference's dynamic JSON
     metadata semantics, filtering.rs:1178-1198, as plain Spark SQL)."""
@@ -2497,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_rolling": q_events_rolling,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "ir_eval_bm25": q_ir_eval_bm25,
         "ir_eval_plaid": q_ir_eval_plaid,
     }
@@ -2529,6 +2564,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": SQL_EVENTS_ASOF,
         "events_rolling": SQL_EVENTS_ROLLING,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_retention": SQL_EVENTS_RETENTION,
         "text_normalize": _sql_text_normalize(),
         "perplexity_bigram": _sql_perplexity_bigram(),
         "hybrid_rrf_topk": sql_hybrid_rrf_topk(),

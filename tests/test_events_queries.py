@@ -151,3 +151,40 @@ def test_events_funnel_strict_sequence(spark, tmp_path):
     assert got["1_view"] == (3, 0.75)      # users 1, 2, 3
     assert got["2_click"] == (2, 0.5)      # users 1, 2 (user 3's click too early)
     assert got["3_purchase"] == (1, 0.25)  # user 1 only
+
+
+def test_events_retention_hand_computed(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from next_plaid_spark.queries import _US_PER_DAY, q_events_retention
+
+    D = _US_PER_DAY
+    rows = [  # (event_id, user, ts)
+        (0, 1, 0), (1, 1, 2 * D), (2, 1, 2 * D + 5),  # u1: days 0, 2
+        (3, 2, 0), (4, 2, 1 * D),                      # u2: days 0, 1
+        (5, 3, 1 * D),                                 # u3: day 1 cohort
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        os.path.join(sf, "events.parquet"),
+    )
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in q_events_retention(spark, sf).collect()}
+    assert got == {
+        (0, 0): 2,  # u1, u2 start day 0
+        (0, 1): 1,  # u2 returns day 1
+        (0, 2): 1,  # u1 returns day 2 (two events, ONE user-day)
+        (1, 0): 1,  # u3 cohort day 1
+    }
