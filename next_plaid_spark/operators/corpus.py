@@ -1091,6 +1091,9 @@ SELECT d.doc_id,
        CASE WHEN coalesce(p.n_runs, 0) > 0
             THEN concat(p.tgt, ' <extra_id_', p.n_runs, '>')
             ELSE '' END AS targets,
-       coalesce(p.n_masked, 0) AS n_masked
+       -- CAST: DuckDB sum() widens to HUGEINT (arrow decimal128), which
+       -- the gate's value-hash sees as a different type than BIGINT
+       CAST(coalesce(p.n_masked, 0) AS BIGINT) AS n_masked
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
 """.strip()

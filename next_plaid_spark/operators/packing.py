@@ -125,7 +125,7 @@ placed AS (
   SELECT start_off + i - 1 AS pos, toks[i] AS tok
   FROM cum, unnest(range(1, len(toks) + 1)) AS r(i)
 )
-SELECT pos // {capacity} AS bin_id,
+SELECT CAST(pos // {capacity} AS BIGINT) AS bin_id,
        CAST(count(*) AS INT) AS n_tokens,
        list_transform(list_sort(list((pos, tok))), s -> s[2]) AS tokens
 FROM placed
@@ -144,12 +144,15 @@ WITH base AS (
   FROM documents
 ),
 cum AS (
+  -- CAST: DuckDB sum() widens to HUGEINT (arrow decimal128) which the
+  -- gate's value-hash sees as a different type than Spark's BIGINT
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
   FROM base
 )
 SELECT doc_id, n_tokens, start_off,
-       start_off // {capacity} AS bin_start,
-       (start_off + greatest(n_tokens - 1, 0)) // {capacity} AS bin_end
+       CAST(start_off // {capacity} AS BIGINT) AS bin_start,
+       CAST((start_off + greatest(n_tokens - 1, 0)) // {capacity} AS BIGINT) AS bin_end
 FROM cum
+ORDER BY doc_id
 """.strip()

@@ -1385,7 +1385,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     window)."""
     from next_plaid_spark.operators.packing import pack_sequences
 
-    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
+    # gate-only determinism: final sort matches the oracle's ORDER BY
+    # (the operator itself stays sort-free for scale)
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=256
+    ).orderBy("doc_id")
 
 
 def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1476,13 +1480,15 @@ base AS (
   FROM surv
 ),
 cum AS (
+  -- CAST: DuckDB sum() widens to HUGEINT (arrow decimal128) — gate's
+  -- value-hash would see a different type than Spark's BIGINT
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
   FROM base
 )
 SELECT c.doc_id, c.n_tokens, c.start_off,
-       c.start_off // {CURATE_CAPACITY} AS bin_start,
-       (c.start_off + greatest(c.n_tokens - 1, 0)) // {CURATE_CAPACITY} AS bin_end,
+       CAST(c.start_off // {CURATE_CAPACITY} AS BIGINT) AS bin_start,
+       CAST((c.start_off + greatest(c.n_tokens - 1, 0)) // {CURATE_CAPACITY} AS BIGINT) AS bin_end,
        q.quality
 FROM cum c JOIN q USING (doc_id)
 """.strip()
@@ -1494,7 +1500,8 @@ def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatter (operators/corpus.py::span_corrupt)."""
     from next_plaid_spark.operators.corpus import span_corrupt
 
-    return span_corrupt(_t(spark, sf_dir, "documents"))
+    # gate-only determinism: final sort matches the oracle's ORDER BY
+    return span_corrupt(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def _sql_span_corrupt() -> str:
@@ -2084,7 +2091,7 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_ROLLING = f"""
 SELECT event_id, user_id, epoch_us(ts) AS ts,
        count(*) OVER w AS n_1h,
-       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_1h
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {_US_PER_HOUR} PRECEDING AND CURRENT ROW)
