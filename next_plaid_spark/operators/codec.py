@@ -202,13 +202,25 @@ def assign_and_quantize(doc_tokens: DataFrame, centroids: np.ndarray,
     return doc_tokens.mapInPandas(enc, schema=out_schema)
 
 
+def decompress_np(codes, residuals, centroids: np.ndarray,
+                  codec: CodecArtifacts) -> np.ndarray:
+    """The B7 math as a reusable numpy kernel → [n, dim] float64 unit-norm
+    vectors. Shared by the decompress() DataFrame op and the searcher's
+    broadcast rerank kernel so both paths are bit-identical by
+    construction (same expressions on the same dtypes)."""
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    weights = codec.bucket_weights.astype(np.float32)
+    dim = c.shape[1]
+    idx = np.asarray([_unpack(r, dim, codec.nbits) for r in residuals])
+    vecs = c[np.asarray(codes, dtype=np.int64)] + weights[idx]
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (vecs / norms).astype(np.float64)
+
+
 def decompress(coded: DataFrame, centroids: np.ndarray,
                codec: CodecArtifacts) -> DataFrame:
     """B7: ``(…, code, residual)`` → adds ``vec ARRAY<DOUBLE>`` (unit-norm)."""
-    c = np.ascontiguousarray(centroids, dtype=np.float32)
-    weights = codec.bucket_weights.astype(np.float32)
-    nbits = codec.nbits
-    dim = c.shape[1]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in coded.schema.fields
     ) + ", vec array<double>"
@@ -217,12 +229,9 @@ def decompress(coded: DataFrame, centroids: np.ndarray,
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = pdf["code"].to_numpy()
-            idx = np.asarray([_unpack(r, dim, nbits) for r in pdf["residual"]])
-            vecs = c[codes] + weights[idx]
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            vecs = (vecs / norms).astype(np.float64)
+            vecs = decompress_np(
+                pdf["code"].to_numpy(), pdf["residual"], centroids, codec
+            )
             out = pdf.copy()
             out["vec"] = list(vecs)
             yield out

@@ -199,7 +199,8 @@ class BatchSearcher:
     def _approx_broadcast(self, query_tokens: DataFrame, n_probe: int,
                           p: "SearchParams", ivf: DataFrame,
                           prune_to: int | None = None,
-                          eligible_mask: np.ndarray | None = None) -> DataFrame:
+                          eligible_mask: np.ndarray | None = None,
+                          qt_pdf=None) -> DataFrame:
         """Q1–Q6 with the query side broadcast.
 
         Collects the batch's query tokens to the driver (the small side of
@@ -222,11 +223,12 @@ class BatchSearcher:
         c = np.ascontiguousarray(self._centroids, dtype=np.float32)
         k_total = c.shape[0]
 
-        qt_pdf = (
-            query_tokens.select("query_id", "token_idx", "vec")
-            .sort("query_id", "token_idx")
-            .toPandas()
-        )
+        if qt_pdf is None:
+            qt_pdf = (
+                query_tokens.select("query_id", "token_idx", "vec")
+                .sort("query_id", "token_idx")
+                .toPandas()
+            )
         empty = pd.DataFrame(
             {"query_id": [], "doc_id": [], "approx_score": []}
         ).astype({"query_id": "int64", "doc_id": "int64", "approx_score": "float64"})
@@ -284,6 +286,23 @@ class BatchSearcher:
             S = b_qv.value @ b_cent.value.T  # [V, K], once per partition
             Cm = b_mask.value
             kqids, kbounds, kinv = b_meta.value
+            n_q = len(kqids)
+            # token-multiplicity matrix: QS = A @ seg_max folds every
+            # query's token maxima in ONE dgemm — no per-query Python loop
+            # (that loop was O(n_q × chunks) interpreter iterations with a
+            # double fancy-index copy each, the kernel's hot spot at large
+            # batch sizes). [n_q, V] is bounded by the same broadcast
+            # budget discipline that bounds S — chunked splits queries.
+            # BLAS accumulation order differs from the old sequential
+            # token-order sum in ulps at most; the relational strategy's
+            # F.sum already admits arbitrary fold order, so cross-strategy
+            # agreement has always presumed order-insensitive addition.
+            A = np.zeros((n_q, S.shape[0]), dtype=np.float64)
+            np.add.at(
+                A,
+                (np.repeat(np.arange(n_q), np.diff(kbounds)), kinv),
+                1.0,
+            )
             # bound the [V, F] gather below ~128 MB per chunk
             chunk_flat = max(1024, (32 << 20) // max(1, S.shape[0]))
             for pdf in batches:
@@ -310,33 +329,45 @@ class BatchSearcher:
                     np.cumsum(klens[start:end][:-1], out=offs[1:])
                     seg_max = np.maximum.reduceat(S[:, flat], offs, axis=1)
                     is_cand = np.maximum.reduceat(Cm[:, flat], offs, axis=1)
-                    d_chunk = doc_ids[start:end]
-                    out_q, out_d, out_s = [], [], []
-                    for qi in range(len(kqids)):
-                        m = is_cand[qi]
-                        if not m.any():
-                            continue
-                        rows = kinv[kbounds[qi]:kbounds[qi + 1]]
-                        d = d_chunk[m]
-                        sc = seg_max[rows][:, m].sum(axis=0, dtype=np.float64)
+                    # sort chunk columns by doc_id so a stable argsort on
+                    # score alone realizes the (score desc, doc_id asc)
+                    # tie-break row-parallel
+                    ordc = np.argsort(doc_ids[start:end])
+                    d_sorted = doc_ids[start:end][ordc]
+                    seg_max = seg_max[:, ordc]
+                    is_cand = is_cand[:, ordc]
+                    qs = A @ seg_max.astype(np.float64)  # [n_q, nd]
+                    if prune_to is not None and qs.shape[1] > prune_to:
                         # two-phase top-k (Q7 pre-prune): the global
                         # top-prune_to per query is contained in every
                         # chunk's local top-prune_to under the same
                         # (score desc, doc_id asc) order, so the rank
                         # window downstream shuffles O(chunks · prune_to)
                         # rows per query instead of the full candidate set
-                        if prune_to is not None and len(sc) > prune_to:
-                            order = np.lexsort((d, -sc))[:prune_to]
-                            d, sc = d[order], sc[order]
-                        out_q.append(np.full(len(d), kqids[qi], dtype=np.int64))
-                        out_d.append(d)
-                        out_s.append(sc)
-                    if out_q:
-                        yield pd.DataFrame(
-                            {"query_id": np.concatenate(out_q),
-                             "doc_id": np.concatenate(out_d),
-                             "approx_score": np.concatenate(out_s)}
-                        )
+                        masked = np.where(is_cand, qs, -np.inf)
+                        sel = np.argsort(-masked, axis=1, kind="stable")[:, :prune_to]
+                        m = np.take_along_axis(is_cand, sel, axis=1)
+                        if not m.any():
+                            start = end
+                            continue
+                        sc = np.take_along_axis(qs, sel, axis=1)[m]
+                        d = d_sorted[sel][m]
+                        qout = np.broadcast_to(
+                            kqids[:, None], sel.shape
+                        )[m]
+                    else:
+                        qidx, didx = np.nonzero(is_cand)
+                        if not len(qidx):
+                            start = end
+                            continue
+                        qout = kqids[qidx]
+                        d = d_sorted[didx]
+                        sc = qs[qidx, didx]
+                    yield pd.DataFrame(
+                        {"query_id": qout,
+                         "doc_id": d,
+                         "approx_score": sc}
+                    )
                     start = end
 
         # Q5's corpus pruning: only docs in some surviving cell can be
@@ -365,6 +396,169 @@ class BatchSearcher:
                 .agg(F.collect_list("code").alias("codes"))
             )
         return doc_lists.mapInPandas(kern, schema=schema)
+
+    def _rerank_broadcast(self, survivors: DataFrame, qt_pdf) -> DataFrame:
+        """Q9 as ONE doc-parallel kernel over the survivor docs.
+
+        The relational Q9 (vocab-CSE dot table → per-doc-token maxima →
+        per-pair fold) is 5 joins + 2 aggregations; at batch-500 those
+        stages are ~half the funnel wall even though the data volume is
+        tiny. This kernel keeps the exact same Q8/Q9 IO discipline —
+        residuals are read ONLY for survivor docs — but computes the dot
+        table, per-token maxima, and the sorted sequential fold inside one
+        ``mapInPandas`` over ``groupBy(doc_id)``-packed (code, residual)
+        lists, with the (small, Q8-budget-bounded) survivor pair list and
+        the query vocab broadcast.
+
+        Bit-parity with the relational path (and thus the DuckDB oracle):
+        decompression calls the same :func:`decompress_np` the decompress()
+        operator uses; dots accumulate 0.0 + Σ x·y sequentially over dim
+        (the exact fold order of functions/vector.py::dot after both sides
+        cast to double); per-(query,doc) scores sort the per-token maxima
+        ascending and fold sequentially (array_sort + aggregate's order),
+        with 0.0-padding for ragged token counts — IEEE addition of +0.0
+        is an exact identity, so the padded fold is bit-identical to the
+        unpadded one.
+
+        The survivor pair list never hits the driver: it rides the plan as
+        a per-doc ``collect_list(query_id)`` broadcast-joined onto the
+        packed token lists, so the whole funnel stays ONE lazy Catalyst
+        plan (approx scan stays codes-only, metadata filters stay pushed —
+        plan-audit A1/A2 see the full lineage)."""
+        idx = self.index
+        schema = "query_id long, doc_id long, score double"
+
+        # query side, deduped by vector identity (same trick as the approx
+        # kernel: vectors are a pure function of the token for a
+        # deterministic encoder, and np.unique needs no token column).
+        # float64 from the SOURCE values: dot() casts the raw column to
+        # double, so routing through float32 here would truncate
+        q = np.asarray([np.asarray(v, dtype=np.float64) for v in qt_pdf["vec"]])
+        qv, inverse = np.unique(q, axis=0, return_inverse=True)
+        inverse = inverse.astype(np.int64).ravel()
+        qids_per_row = qt_pdf["query_id"].to_numpy()
+        qids, starts = np.unique(qids_per_row, return_index=True)
+        bounds = np.append(starts, len(qids_per_row))
+        counts = np.diff(bounds)
+        t_max = int(counts.max())
+        # padded [n_q, T] vocab-row indices + validity mask
+        qi_mat = np.zeros((len(qids), t_max), dtype=np.int64)
+        qi_ok = np.zeros((len(qids), t_max), dtype=bool)
+        col = (np.arange(len(inverse)) -
+               np.repeat(bounds[:-1], counts))
+        qi_mat[np.repeat(np.arange(len(qids)), counts), col] = inverse
+        qi_ok[np.repeat(np.arange(len(qids)), counts), col] = True
+
+        sc = survivors.sparkSession.sparkContext
+        b_qv = sc.broadcast(qv)
+        b_qi = sc.broadcast((qi_mat, qi_ok, qids))
+        b_cent = sc.broadcast(np.ascontiguousarray(self._centroids,
+                                                   dtype=np.float32))
+        codec = idx.meta.codec
+
+        def kern(batches):
+            import pandas as pd
+
+            from next_plaid_spark.operators.codec import decompress_np
+
+            qv64 = b_qv.value  # already float64 (see dot() parity note)
+            v_cnt, dim = qv64.shape
+            kqi, kok, kqids = b_qi.value
+            # bound the [V, F] dot/gather work per chunk like the approx kernel
+            chunk_flat = max(1024, (32 << 20) // max(1, v_cnt))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                doc_ids = pdf["doc_id"].to_numpy()
+                crs = pdf["crs"]
+                doc_qids = pdf["qids"]
+                start = 0
+                while start < len(doc_ids):
+                    end = start
+                    tot = 0
+                    while end < len(doc_ids) and (
+                        tot == 0 or tot + len(crs.iloc[end]) <= chunk_flat
+                    ):
+                        tot += len(crs.iloc[end])
+                        end += 1
+                    # flatten + dedup (code, residual) within the chunk —
+                    # the kernel-local form of the relational vocab CSE
+                    table: dict = {}
+                    uids = []
+                    lens = []
+                    for di in range(start, end):
+                        cl = crs.iloc[di]
+                        lens.append(len(cl))
+                        for r in cl:
+                            k = (r["code"], r["residual"])
+                            u = table.get(k)
+                            if u is None:
+                                u = len(table)
+                                table[k] = u
+                            uids.append(u)
+                    lens = np.asarray(lens, dtype=np.int64)
+                    keep = lens > 0
+                    if not keep.any():
+                        start = end
+                        continue
+                    u_codes = np.fromiter((k[0] for k in table),
+                                          dtype=np.int64, count=len(table))
+                    u_res = [k[1] for k in table]
+                    uvecs = decompress_np(u_codes, u_res, b_cent.value, codec)
+                    # dot table [V, U]: 0.0 + Σ_j x_j·y_j sequentially —
+                    # the exact fold of functions/vector.py::dot
+                    dots = np.zeros((v_cnt, len(table)), dtype=np.float64)
+                    for j in range(dim):
+                        dots += qv64[:, j][:, None] * uvecs[:, j][None, :]
+                    flat = np.asarray(uids, dtype=np.int64)
+                    offs = np.zeros(int(keep.sum()), dtype=np.int64)
+                    np.cumsum(lens[keep][:-1], out=offs[1:])
+                    # per-doc per-vocab-token maxima [nd, V]
+                    m_t = np.maximum.reduceat(
+                        dots[:, flat], offs, axis=1
+                    ).T.copy()
+                    keep_idx = np.nonzero(keep)[0]
+                    d_chunk = doc_ids[start:end][keep]
+                    # survivor pairs, straight from each doc's qids list
+                    qid_lists = [
+                        np.asarray(doc_qids.iloc[start + i], dtype=np.int64)
+                        for i in keep_idx
+                    ]
+                    pcnt = np.fromiter((len(x) for x in qid_lists),
+                                       dtype=np.int64, count=len(qid_lists))
+                    total = int(pcnt.sum())
+                    if total == 0:
+                        start = end
+                        continue
+                    p_qi = np.searchsorted(kqids, np.concatenate(qid_lists))
+                    p_dcol = np.repeat(np.arange(len(d_chunk)), pcnt)
+                    # [P, T] per-token maxima for each (query, doc) pair;
+                    # pads → exact-identity 0.0 in the sorted fold
+                    vals = m_t[p_dcol[:, None], kqi[p_qi]]
+                    vals = np.where(kok[p_qi], vals, 0.0)
+                    vals.sort(axis=1)
+                    acc = np.zeros(total, dtype=np.float64)
+                    for t in range(vals.shape[1]):
+                        acc = acc + vals[:, t]
+                    yield pd.DataFrame(
+                        {"query_id": kqids[p_qi],
+                         "doc_id": d_chunk[p_dcol],
+                         "score": acc}
+                    )
+                    start = end
+
+        surv_by_doc = survivors.groupBy("doc_id").agg(
+            F.collect_list("query_id").alias("qids")
+        )
+        packed = (
+            idx.tokens.join(
+                F.broadcast(surv_by_doc.select("doc_id")), "doc_id", "left_semi"
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("code", "residual")).alias("crs"))
+            .join(F.broadcast(surv_by_doc), "doc_id")
+        )
+        return packed.mapInPandas(kern, schema=schema)
 
     def _approx_chunked(self, query_tokens: DataFrame, n_probe: int,
                         p: "SearchParams", ivf: DataFrame,
@@ -572,21 +766,42 @@ class BatchSearcher:
             eligible_mask[eligible] = True
             n_probe = min(n_probe, len(eligible))
 
-        # one stats job serves BOTH the auto-strategy sizing and the
-        # rerank-dot budget check (was two separate driver jobs — ~10% of a
-        # warm batch-500 search)
         has_token = "token" in query_tokens.columns
-        qstats = query_tokens.agg(
-            F.count("*").alias("ntok"),
-            F.countDistinct("query_id").alias("nq"),
-            (F.countDistinct("token") if has_token else F.count("*")).alias("nv"),
-        ).collect()[0]
-
         strategy = self.approx_strategy
+        qt_pdf = None
         if strategy == "auto":
             # broadcast while the batch's [q_tokens, K] score matrix fits
-            est = qstats["ntok"] * idx.meta.k * 4
+            ntok = query_tokens.count()
+            est = ntok * idx.meta.k * 4
             strategy = "broadcast" if est <= self.broadcast_budget_bytes else "chunked"
+        if strategy == "broadcast":
+            # ONE driver collect serves the kernel's token matrix, the
+            # probe, AND the rerank-budget stats (was: a separate
+            # count+countDistinct job plus the kernel's own toPandas —
+            # ~10% of a warm batch-500 search). Affordable by
+            # construction: the token pdf is [ntok, dim], dim ≪ K times
+            # smaller than the score matrix the budget already admits.
+            cols = ["query_id", "token_idx", "vec"] + (
+                ["token"] if has_token else []
+            )
+            qt_pdf = (
+                query_tokens.select(*cols)
+                .sort("query_id", "token_idx")
+                .toPandas()
+            )
+            qstats = {
+                "ntok": len(qt_pdf),
+                "nq": int(qt_pdf["query_id"].nunique()),
+                "nv": int(qt_pdf["token"].nunique()) if has_token else len(qt_pdf),
+            }
+        else:
+            # chunked/kernel/relational: stats via one small agg job (the
+            # token table never reaches the driver whole in these modes)
+            qstats = query_tokens.agg(
+                F.count("*").alias("ntok"),
+                F.countDistinct("query_id").alias("nq"),
+                (F.countDistinct("token") if has_token else F.count("*")).alias("nv"),
+            ).collect()[0]
 
         if strategy in ("broadcast", "chunked"):
             # Q1–Q6 in one shot: probe/prune driver-side, candidacy and
@@ -596,7 +811,7 @@ class BatchSearcher:
             if strategy == "broadcast":
                 approx = self._approx_broadcast(
                     query_tokens, n_probe, p, ivf, prune_to=cut,
-                    eligible_mask=eligible_mask,
+                    eligible_mask=eligible_mask, qt_pdf=qt_pdf,
                 )
             else:
                 approx = self._approx_chunked(
@@ -665,6 +880,11 @@ class BatchSearcher:
             .filter(F.col("arank") <= min(p.n_full_scores, budget))
             .select("query_id", "doc_id")
         )
+
+        if qt_pdf is not None and len(qt_pdf):
+            # broadcast path: Q9 as one doc-parallel kernel (bit-identical
+            # to the relational chain below — see _rerank_broadcast)
+            return topk(self._rerank_broadcast(survivors, qt_pdf), p.top_k)
 
         # Q9: decompress survivors and exact-MaxSim them. Quantization makes
         # token vectors a pure function of (code, residual), so each distinct
