@@ -11,7 +11,14 @@ both sides are unioned with a side marker and a SINGLE window pass per key
 computes a running ``last(payload, ignorenulls)``:
 
     sort key:  (ts ASC, side ASC, tie ASC)   side: right=0 < left=1
-    match   =  last(right payload, ignorenulls) over rows unbounded-prec..current
+    match   =  last(right row STRUCT, ignorenulls) over rows unbounded-prec..current
+
+The whole right row (ts + every payload column) travels as ONE struct
+through a single running ``last``, so the match is atomic: a right row
+whose payload value is genuinely NULL is still the match (merge_asof
+semantics — the NULL is returned, not an older row's value), every
+``asof_<c>`` comes from the SAME matched row, and the tolerance check is
+applied against that row's timestamp.
 
 One shuffle on the key columns, sequential scan within each key — the same
 cost as a sort-merge join, and AQE handles skewed keys. Right rows sharing
@@ -51,7 +58,6 @@ def asof_join_backward(
     keys = list(keys)
     payload_cols = list(payload_cols)
     l_struct_t = left.select(F.struct(*left.columns).alias("s")).schema[0].dataType
-    ts_t = left.schema[ts_col].dataType
     # the tie column disambiguates RIGHT rows sharing a (key, ts); left rows
     # each match independently, so their tie key is irrelevant
     l_tie = (
@@ -60,17 +66,23 @@ def asof_join_backward(
         else F.lit(0)
     )
 
+    # the ENTIRE right row travels as one struct: a single running last()
+    # keeps the match atomic — NULL payload values are returned faithfully
+    # (not skipped for an older row's value), and every asof_<c> + the
+    # tolerance check come from the same matched row
+    r_struct = F.struct(
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    r_struct_t = right.select(r_struct.alias("s")).schema[0].dataType
+
     left_u = left.select(
         *[F.col(k) for k in keys],
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_side"),
         l_tie.cast("long").alias("_tie"),
         F.struct(*left.columns).alias("_l"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in payload_cols
-        ],
-        F.lit(None).cast(ts_t).alias("_r_ts"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tie = F.col(tie_col) if tie_col is not None and tie_col in right.columns else F.lit(0)
     right_u = right.select(
@@ -79,8 +91,7 @@ def asof_join_backward(
         F.lit(0).alias("_side"),
         r_tie.cast("long").alias("_tie"),
         F.lit(None).cast(l_struct_t).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
-        F.col(ts_col).alias("_r_ts"),
+        r_struct.alias("_r"),
     )
 
     w = (
@@ -88,26 +99,21 @@ def asof_join_backward(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = left_u.unionByName(right_u)
-    for c in payload_cols:
-        matched = matched.withColumn(
-            f"_m_{c}", F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
-        )
-    matched = matched.withColumn(
-        "_m_ts", F.last(F.col("_r_ts"), ignorenulls=True).over(w)
+    matched = left_u.unionByName(right_u).withColumn(
+        "_m", F.last(F.col("_r"), ignorenulls=True).over(w)
     )
 
     in_tol = (
         F.lit(True)
         if tolerance is None
-        else (F.col("_ts") - F.col("_m_ts")) <= F.lit(tolerance)
+        else (F.col("_ts") - F.col("_m._r_ts")) <= F.lit(tolerance)
     )
     out = matched.filter(F.col("_side") == 1).select(
         F.col("_l.*"),
         *[
-            F.when(in_tol, F.col(f"_m_{c}")).alias(f"asof_{c}")
+            F.when(in_tol, F.col(f"_m._r_{c}")).alias(f"asof_{c}")
             for c in payload_cols
         ],
-        F.when(in_tol, F.col("_m_ts")).alias("asof_ts"),
+        F.when(in_tol, F.col("_m._r_ts")).alias("asof_ts"),
     )
     return out

@@ -9,12 +9,18 @@ and qrels are DataFrames, metrics are one grouped aggregation per query —
 at 100 TB / millions of queries the evaluation itself is a Spark job, not a
 driver-side ranx call.
 
-Metric definitions (trec_eval / ranx conventions):
+Metric definitions (trec_eval / ranx conventions, except NDCG's gain —
+see below):
 
 - ``ndcg_at_k``  — exponential-gain DCG ``Σ (2^rel − 1)/log2(rank+1)`` over
   ranked hits at rank ≤ k, normalized by the ideal DCG of the top-k
   relevance grades (ties in the ideal ordering broken by doc_id asc so the
-  ideal list is deterministic).
+  ideal list is deterministic). NOTE: this is the Burges/MS-MARCO
+  exponential-gain variant (ranx's ``ndcg_burges``); ranx's default
+  ``ndcg`` and trec_eval use linear Järvelin gain (``rel/log2(rank+1)``).
+  With binary judgments the two coincide (2^1−1 = 1); with graded
+  judgments (e.g. rel=2) this module's NDCG reads higher than a
+  ranx-default gate would report on the same run.
 - ``recall_at_k``    — |relevant ∩ top-k| / |relevant|.
 - ``precision_at_k`` — |relevant ∩ top-k| / k.
 - ``ap_at_k``        — Σ_{hits h} P@rank(h) / |relevant|  (trec_eval's MAP

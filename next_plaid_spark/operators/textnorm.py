@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame
 
 _FORMS = ("NFC", "NFKC", "NFD", "NFKD")
 
+# One EXPLICIT whitespace class shared by both engines: Python re's \s is
+# Unicode-aware (matches NBSP, U+2028, …) while DuckDB/RE2's \s is
+# ASCII-only, so a literal \s silently diverges cross-engine. The class
+# below spells out Python's str-mode \s set; _WS_DUCK is the same set in
+# RE2 syntax (\x{…} escapes).
+_WS_PY = (
+    "[ \\t\\n\\r\\f\\v\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+_WS_DUCK = (
+    "[ \\t\\n\\r\\f\\v\\x1c-\\x1f\\x{0085}\\x{00A0}\\x{1680}"
+    "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+)
+
 
 def normalize_text(docs: DataFrame, *, form: str = "NFC",
                    lower: bool = True, collapse_ws: bool = True,
@@ -58,7 +72,7 @@ def normalize_text(docs: DataFrame, *, form: str = "NFC",
             if lower:
                 s = s.str.lower()
             if collapse_ws:
-                s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+                s = s.str.replace(_WS_PY + "+", " ", regex=True).str.strip()
             out = pdf[[id_col]].copy()
             out.columns = ["doc_id"]
             out["norm_text"] = s
@@ -76,9 +90,10 @@ def sql_normalize_text(*, lower: bool = True) -> str:
     inner = "nfc_normalize(coalesce(text, ''))"
     if lower:
         inner = f"lower({inner})"
+    repl = f"regexp_replace({inner}, '{_WS_DUCK}+', ' ', 'g')"
     return f"""
 SELECT doc_id,
-       trim(regexp_replace({inner}, '\\s+', ' ', 'g')) AS norm_text,
-       length(trim(regexp_replace({inner}, '\\s+', ' ', 'g'))) AS n_chars
+       trim({repl}) AS norm_text,
+       length(trim({repl})) AS n_chars
 FROM documents
 """.strip()

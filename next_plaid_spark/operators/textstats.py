@@ -360,8 +360,13 @@ def bigram_logprob(docs: DataFrame, *, lam: float = 0.7,
     )
 
     scored = (
-        stream.join(F.broadcast(uni), "term")
-        .join(F.broadcast(bi_p), ["prev", "term"], "left")
+        # no broadcast hint on the n-gram tables: at web-corpus scale the
+        # bigram table is itself corpus-sized (billions of rows) and a
+        # forced broadcast would OOM the driver — these are plain
+        # shuffle-joins on (prev, term)/(term), and AQE converts them to
+        # broadcasts on its own whenever the tables are actually small
+        stream.join(uni, "term")
+        .join(bi_p, ["prev", "term"], "left")
         .select(
             "doc_id",
             (-F.log2(

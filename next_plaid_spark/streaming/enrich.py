@@ -19,13 +19,16 @@ out-of-order event-time semantics are required.
 
 Ledger writes are versioned directories (``ledger_v{batch_id}``, newest
 wins) so a batch can read the previous ledger while producing the next —
-the same immutable-snapshot discipline as sources/index_store.py.
+the same immutable-snapshot discipline as sources/index_store.py. Old
+snapshots are pruned after each successful write (retain 2: the new one
+plus its predecessor), bounding on-disk growth for long-running streams.
 """
 
 from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -101,6 +104,16 @@ class StreamingAsofEnricher:
             .parquet(os.path.join(self.root, f"ledger_v{batch_id}"))
         )
         rights.unpersist()
+        # retain only the newest prior snapshot (needed while a restarted
+        # batch may still replay against it) — without pruning, a
+        # long-running stream accumulates one directory per micro-batch
+        vs = sorted(
+            (int(m.group(1)), d)
+            for d in os.listdir(self.root)
+            if (m := re.fullmatch(r"ledger_v(\d+)", d))
+        )
+        for _, d in vs[:-2]:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

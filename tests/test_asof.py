@@ -115,3 +115,34 @@ def test_asof_empty_left_side(spark):
     assert asof_join_backward(
         left, right, keys=["k"], ts_col="ts", payload_cols=["payload"]
     ).count() == 0
+
+
+def test_null_payload_is_matched_not_skipped(spark):
+    """A right row whose payload is genuinely NULL must BE the match
+    (merge_asof returns the latest row's NULL), not be skipped for an
+    older row's non-null value; and with several payload columns every
+    asof_<c> must come from the SAME matched row."""
+    left = spark.createDataFrame(
+        [(1, 100, 0), (1, 250, 1)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [
+            # (k, ts, rid, a, b): at ts=90 both set; at ts=200 a is NULL
+            (1, 90, 0, 10.0, "old"),
+            (1, 200, 1, None, "new"),
+        ],
+        "k long, ts long, rid long, a double, b string",
+    )
+    rows = {
+        r.lid: r
+        for r in asof_join_backward(
+            left, right, keys=["k"], ts_col="ts",
+            payload_cols=["a", "b"], tie_col="rid",
+        ).collect()
+    }
+    # lid 0 matches ts=90 (both values from that row)
+    assert rows[0].asof_a == 10.0 and rows[0].asof_b == "old"
+    assert rows[0].asof_ts == 90
+    # lid 1 matches ts=200 atomically: a is the faithful NULL, b is "new"
+    assert rows[1].asof_a is None and rows[1].asof_b == "new"
+    assert rows[1].asof_ts == 200

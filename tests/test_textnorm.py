@@ -10,8 +10,10 @@ from next_plaid_spark.operators.textnorm import normalize_text, sql_normalize_te
 
 # combining accent (e + U+0301), precomposed é, NFKC ligature ﬁ, fullwidth
 # digits, CJK, mixed whitespace runs — the classes form normalization exists
-# for. (NBSP is excluded in NFC mode: Python \s matches it, RE2 \s does not;
-# NFKC folds it to a plain space before the regex ever sees it.)
+# for, plus Unicode spaces (NBSP, line/para separators, ideographic space):
+# both engines collapse the SAME explicit whitespace class
+# (textnorm._WS_PY/_WS_DUCK), so NBSP parity holds even in NFC mode where
+# nothing folds it to a plain space first.
 FIXTURES = [
     (0, "Café  du   Monde"),
     (1, "Élève"),
@@ -19,6 +21,8 @@ FIXTURES = [
     (3, "  \t tabs\nand\r\nnewlines  "),
     (4, "日本語 テキスト"),
     (5, ""),
+    (6, "non\u00a0breaking \u00a0 space"),
+    (7, "line\u2028and\u2029para\u3000wide\u202fnarrow"),
 ]
 
 
