@@ -155,6 +155,15 @@ _VAR_SCAN_RES: dict[str, list] = {
     "elixir": [re.compile(r"^\s*([a-z_]\w*)\s*=[^==]")],
     "vue": [re.compile(r"\b(?:let|const|var)\s+([A-Za-z_$]\w*)")],
     "svelte": [re.compile(r"\b(?:let|const|var)\s+([A-Za-z_$]\w*)")],
+    # R: left/equals assignment names (ast.rs:149)
+    "r": [re.compile(r"^\s*([A-Za-z.][\w.]*)\s*(?:<<?-|=[^=])")],
+    # QML: ids, property names, and JS locals inside function bodies
+    # (test_qml.rs: the object's variables are its id + property names)
+    "qml": [
+        re.compile(r"^\s*id\s*:\s*([A-Za-z_]\w*)"),
+        re.compile(r"\bproperty\s+\w+(?:<[^>]*>)?\s+([A-Za-z_]\w*)"),
+        re.compile(r"\b(?:let|const|var)\s+([A-Za-z_$]\w*)"),
+    ],
 }
 
 _VAR_KEYWORDS = frozenset((
@@ -285,6 +294,18 @@ def _file_imports(content: str, lang: str) -> list[str]:
             m = re.match(r"^open\s+([A-Za-z_][\w.]*)", raw)
             if m:
                 out.append(m.group(1).split(".")[0])
+        elif lang == "r":
+            m = _R_IMPORT_RE.match(raw)
+            if m:
+                out.append(m.group(1))
+        elif lang == "qml":
+            # `import QtQuick 2.15` / `import "utils.js" as Utils`
+            m = re.match(
+                r"""^\s*import\s+(?:([A-Za-z_][\w.]*)|"([^"]+)")""", raw
+            )
+            if m:
+                mod = m.group(1) or m.group(2).split("/")[-1]
+                out.append(mod.removesuffix(".js").split(".")[0])
     seen: dict[str, None] = {}
     for mod in out:
         if mod:
@@ -444,11 +465,13 @@ def _doc_above(lines: list[str], start: int, kind: str) -> str | None:
     kind='js': a /** … */ block (also tried first for C-family).
     Joined with spaces the way the reference flattens them."""
     i = start - 2
-    if kind in ("rust", "line", "hash", "dash"):
+    if kind in ("rust", "line", "hash", "dash", "rhash"):
         pat = {"rust": r"\s*//[/!]", "line": r"\s*//(?!/)", "hash": r"\s*#",
-               "dash": r"\s*--"}[kind]
+               "dash": r"\s*--", "rhash": r"\s*#"}[kind]
         strip_pat = {"rust": r"\s*//[/!]\s?", "line": r"\s*//\s?",
-                     "hash": r"\s*#\s?", "dash": r"\s*--\s?"}[kind]
+                     "hash": r"\s*#\s?", "dash": r"\s*--\s?",
+                     # R: roxygen #' and plain # both strip clean
+                     "rhash": r"\s*#'?\s?"}[kind]
         doc: list[str] = []
         while i >= 0 and re.match(pat, lines[i]):
             doc.append(re.sub(strip_pat, "", lines[i]).strip())
@@ -1517,6 +1540,200 @@ def _parse_embedded_script(path: str, content: str, lang: str) -> list[tuple]:
     return out
 
 
+# text/config formats — ONE Document unit per file (name = file stem,
+# signature = first non-empty line, docstring = first paragraph ≤ 5 lines),
+# exactly the reference's extract_text_units shape
+# (colgrep/src/parser/text.rs:7-123; format list: types.rs:36-47,
+# language.rs detect_language/is_text_format). These are first-class
+# language labels so path filters and ranking penalties see the same
+# languages as the reference, instead of collapsing to RawCode/unknown.
+def _parse_text_doc(path: str, content: str, lang: str) -> list[tuple]:
+    lines = (content or "").splitlines()
+    if not lines or all(not ln.strip() for ln in lines):
+        return []
+    stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0] or "document"
+    signature = next((ln.strip() for ln in lines if ln.strip()), "")
+    para = []
+    for ln in lines:
+        if not ln.strip():
+            break
+        para.append(ln.strip())
+        if len(para) >= 5:
+            break
+    return [(
+        path, stem, f"{path}::{stem}", "Document", 1, len(lines),
+        signature, " ".join(para) or None, [], None, [],
+        "\n".join(lines), lang,
+    )]
+
+
+def _parse_html(path: str, content: str) -> list[tuple]:
+    """<script> blocks through the JS scanner + the whole file as a
+    searchable RawCode unit (colgrep/src/parser/html.rs:1-6: script
+    content via the javascript parser, HTML structure as RawCode)."""
+    units = _parse_embedded_script(path, content, "html")
+    lines = (content or "").count("\n") + 1
+    units.append((
+        path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
+        None, None, [], None, [], content, "html",
+    ))
+    return units
+
+
+# R — assignment-bound functions, no classes (the reference's R grammar
+# extracts function_definition nodes and treats left/equals assignments as
+# variables; "R doesn't have traditional classes", colgrep/src/parser/
+# ast.rs:31,100,149; detect: language.rs:41 maps .r/.rmd → R;
+# test shape: test_core.rs:195-215)
+_R_FN_RE = re.compile(
+    r"^\s*([A-Za-z.][\w.]*)\s*(?:<<?-|=)\s*function\s*\(([^)]*)\)?"
+)
+_R_CONST_RE = re.compile(r"^\s*([A-Z][A-Z0-9._]*)\s*(?:<<?-|=)\s*\S")
+_R_IMPORT_RE = re.compile(
+    r"""^\s*(?:library|require)\s*\(\s*['"]?([A-Za-z.][\w.]*)['"]?\s*\)"""
+)
+
+
+def _parse_r(path: str, content: str) -> list[tuple]:
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    depth = 0
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        code = _strip_code_line(line)
+        m = _R_FN_RE.match(line)
+        if m and depth == 0:
+            name = m.group(1)
+            end = _brace_end(lines, lineno) if "{" in code else lineno
+            body = "\n".join(lines[lineno - 1:end])
+            units.append((
+                path, name, name, "Function", lineno, end, line.strip(),
+                _doc_above(lines, lineno, "rhash"),
+                [p.split("=")[0].strip() for p in m.group(2).split(",")
+                 if p.split("=")[0].strip()],
+                None, _calls_in(body, name), body, "r",
+            ))
+            i = end if end > lineno else i + 1
+            continue
+        m = _R_CONST_RE.match(line)
+        if m and depth == 0 and "function" not in code:
+            units.append((
+                path, m.group(1), m.group(1), "Constant", lineno, lineno,
+                None, _doc_above(lines, lineno, "rhash"), [], None, [],
+                line.strip(), "r",
+            ))
+        depth += code.count("{") - code.count("}")
+        depth = max(depth, 0)
+        i += 1
+    return units
+
+
+# QML — object tree with embedded JS functions (the reference parses with
+# tree-sitter-qmljs and routes function bodies through its TypeScript
+# analysis: colgrep/src/parser/qml.rs:1-30; unit shapes from
+# parser/tests/test_qml.rs: root objects and inline components are Class
+# units whose variables are their direct ids/property names; functions and
+# signals are Methods of the enclosing object; properties are Constants)
+_QML_COMPONENT_RE = re.compile(r"^\s*component\s+([A-Z]\w*)\s*:\s*([A-Z]\w*)\s*\{")
+_QML_OBJ_RE = re.compile(r"^\s*([A-Z][\w.]*)\s*\{\s*$")
+_QML_FN_RE = re.compile(r"^\s*function\s+([A-Za-z_]\w*)\s*\(([^)]*)\)")
+_QML_SIGNAL_RE = re.compile(r"^\s*signal\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?")
+_QML_PROP_RE = re.compile(
+    r"^\s*(?:required\s+|readonly\s+|default\s+)*property\s+"
+    r"(\w+(?:<[^>]*>)?)\s+([A-Za-z_]\w*)"
+)
+_QML_ID_RE = re.compile(r"^\s*id\s*:\s*([A-Za-z_]\w*)")
+
+
+def _parse_qml(path: str, content: str) -> list[tuple]:
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+    # stack of (name or None, opening_brace_depth, is_unit)
+    ctx: list[tuple] = []
+    depth = 0
+    i = 0
+    while i < len(lines):
+        lineno = i + 1
+        line = lines[i]
+        code = _strip_code_line(line)
+        mc = _QML_COMPONENT_RE.match(line)
+        mo = None if mc else _QML_OBJ_RE.match(line)
+        if mc or mo:
+            name = (mc or mo).group(1)
+            # roots and inline components are units; plain nested objects
+            # are context only (test_qml.rs: no duplicate component object)
+            is_unit = mc is not None or not ctx
+            if is_unit:
+                end = _brace_end(lines, lineno)
+                parent = next(
+                    (c[0] for c in reversed(ctx) if c[2]), None
+                )
+                units.append((
+                    path, name,
+                    f"{parent}.{name}" if parent else name, "Class",
+                    lineno, end, line.strip(),
+                    _doc_above(lines, lineno, "js")
+                    or _doc_above(lines, lineno, "line"),
+                    [], parent, [],
+                    "\n".join(lines[lineno - 1:end]), "qml",
+                ))
+            ctx.append((name, depth, is_unit))
+            depth += 1
+            i += 1
+            continue
+        owner = next((c[0] for c in reversed(ctx) if c[2]), None)
+        m = _QML_FN_RE.match(line)
+        if m and owner:
+            end = _brace_end(lines, lineno) if "{" in code else lineno
+            body = "\n".join(lines[lineno - 1:end])
+            units.append((
+                path, m.group(1), f"{owner}.{m.group(1)}", "Method",
+                lineno, end, line.strip(),
+                _doc_above(lines, lineno, "js")
+                or _doc_above(lines, lineno, "line"),
+                _params_js(line), owner, _calls_in(body, m.group(1)),
+                body, "qml",
+            ))
+            i = end if end > lineno else i + 1
+            continue
+        m = _QML_SIGNAL_RE.match(line)
+        if m and owner:
+            # signal params keep their full "name: type" text
+            # (test_qml.rs asserts parameters == ["next: bool"])
+            params = [p.strip() for p in (m.group(2) or "").split(",")
+                      if p.strip()]
+            units.append((
+                path, m.group(1), f"{owner}.{m.group(1)}", "Method",
+                lineno, lineno, line.strip(),
+                _doc_above(lines, lineno, "line"), params, owner, [],
+                line.strip(), "qml",
+            ))
+            i += 1
+            continue
+        m = _QML_PROP_RE.match(line)
+        if m:
+            # Constant unit; the declared type rides the signature (the
+            # 13-tuple has no return_type slot)
+            units.append((
+                path, m.group(2),
+                f"{owner}.{m.group(2)}" if owner else m.group(2),
+                "Constant", lineno, lineno, line.strip(),
+                _doc_above(lines, lineno, "line"), [], owner, [],
+                line.strip(), "qml",
+            ))
+            i += 1
+            continue
+        depth += code.count("{")
+        for _ in range(code.count("}")):
+            depth -= 1
+            if ctx and ctx[-1][1] == depth:
+                ctx.pop()
+        i += 1
+    return units
+
+
 _EXT_PARSERS = {
     ".rs": ("rust", _parse_rust),
     ".js": ("javascript", _parse_js),
@@ -1551,6 +1768,38 @@ _EXT_PARSERS = {
     ".css": ("css", _parse_css),
     ".vue": ("vue", lambda p, c: _parse_embedded_script(p, c, "vue")),
     ".svelte": ("svelte", lambda p, c: _parse_embedded_script(p, c, "svelte")),
+    ".r": ("r", _parse_r),
+    ".R": ("r", _parse_r),
+    ".rmd": ("r", _parse_r),
+    ".qml": ("qml", _parse_qml),
+    ".html": ("html", _parse_html),
+    ".htm": ("html", _parse_html),
+    ".md": ("markdown", lambda p, c: _parse_text_doc(p, c, "markdown")),
+    ".markdown": ("markdown", lambda p, c: _parse_text_doc(p, c, "markdown")),
+    ".txt": ("text", lambda p, c: _parse_text_doc(p, c, "text")),
+    ".text": ("text", lambda p, c: _parse_text_doc(p, c, "text")),
+    ".rst": ("text", lambda p, c: _parse_text_doc(p, c, "text")),
+    ".adoc": ("asciidoc", lambda p, c: _parse_text_doc(p, c, "asciidoc")),
+    ".asciidoc": ("asciidoc", lambda p, c: _parse_text_doc(p, c, "asciidoc")),
+    ".org": ("org", lambda p, c: _parse_text_doc(p, c, "org")),
+    ".yaml": ("yaml", lambda p, c: _parse_text_doc(p, c, "yaml")),
+    ".yml": ("yaml", lambda p, c: _parse_text_doc(p, c, "yaml")),
+    ".toml": ("toml", lambda p, c: _parse_text_doc(p, c, "toml")),
+    ".json": ("json", lambda p, c: _parse_text_doc(p, c, "json")),
+    ".sh": ("shell", lambda p, c: _parse_text_doc(p, c, "shell")),
+    ".bash": ("shell", lambda p, c: _parse_text_doc(p, c, "shell")),
+    ".zsh": ("shell", lambda p, c: _parse_text_doc(p, c, "shell")),
+    ".ps1": ("powershell", lambda p, c: _parse_text_doc(p, c, "powershell")),
+}
+
+# filename-keyed formats (no extension): Dockerfile / Makefile
+# (language.rs: filename match precedes the extension map)
+_FILENAME_PARSERS = {
+    "dockerfile": ("dockerfile",
+                   lambda p, c: _parse_text_doc(p, c, "dockerfile")),
+    "makefile": ("makefile", lambda p, c: _parse_text_doc(p, c, "makefile")),
+    "gnumakefile": ("makefile",
+                    lambda p, c: _parse_text_doc(p, c, "makefile")),
 }
 
 
@@ -1564,6 +1813,16 @@ def _finalize(units: list[tuple], content: str, lang: str) -> list[tuple]:
 
 
 def _parse_one(path: str, content: str) -> list[tuple]:
+    fname = path.rsplit("/", 1)[-1].lower()
+    if fname in _FILENAME_PARSERS:
+        lang, parser = _FILENAME_PARSERS[fname]
+        units = parser(path, content)
+        if units:
+            return _finalize(units, content, lang)
+        lines = (content or "").count("\n") + 1
+        return _finalize(
+            [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
+              None, None, [], None, [], content, lang)], content, lang)
     for ext, (lang, parser) in _EXT_PARSERS.items():
         if path.endswith(ext):
             units = parser(path, content)

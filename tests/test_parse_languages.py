@@ -794,3 +794,145 @@ def test_parse_ocaml_units(spark):
     assert units["point"].unit_type == "Class"
     assert units["max_depth"].unit_type == "Constant"
     assert "Printf" in d.imports
+
+
+R_SRC = '''library(dplyr)
+
+#' Calculates the arithmetic mean of a vector.
+calc_mean <- function(x) {
+    sum(x) / length(x)
+}
+
+# Filter data frame
+filter_data <- function(df, column, value) {
+    df[df[[column]] == value, ]
+}
+
+MAX_ITER <- 1000
+'''
+
+
+def test_parse_r_units(spark):
+    """Unit shape from colgrep/src/parser/test_core.rs:195-215 (two
+    function_definitions extracted; assignments are variables,
+    ast.rs:31,149; no classes for R, ast.rs:100)."""
+    units = _units(spark, "stats.r", R_SRC)
+    cm = units["calc_mean"]
+    assert cm.unit_type == "Function" and cm.language == "r"
+    assert "arithmetic mean" in cm.docstring
+    assert cm.parameters == ["x"]
+    assert cm.end_line == 6
+    fd = units["filter_data"]
+    assert fd.unit_type == "Function"
+    assert fd.parameters == ["df", "column", "value"]
+    assert "Filter data frame" in fd.docstring
+    assert units["MAX_ITER"].unit_type == "Constant"
+    assert "dplyr" in cm.imports
+
+
+QML_SRC = '''import Quickshell
+
+PanelWindow {
+    id: root
+    required property var shell
+    readonly property int count: 0
+    signal toggled(next: bool)
+
+    function increment(step) {
+        return step + 1;
+    }
+
+    component FancyChip: Rectangle {
+        property string label
+
+        function activate() {
+            console.log(label);
+        }
+    }
+}
+'''
+
+
+def test_parse_qml_units(spark):
+    """Unit shapes from colgrep/src/parser/tests/test_qml.rs: the root
+    object is a Class whose variables are its id/property names; functions
+    and signals are Methods of the enclosing object; properties are
+    Constants; inline components are Classes without a duplicate object
+    unit (variables here are sorted — the repo-wide _variables_scan
+    discipline — where the reference keeps declaration order)."""
+    units = _units(spark, "shell.qml", QML_SRC)
+    root = units["PanelWindow"]
+    assert root.unit_type == "Class" and root.language == "qml"
+    for v in ("root", "shell", "count"):
+        assert v in root.variables
+    inc = units["PanelWindow.increment"]
+    assert inc.unit_type == "Method" and inc.parent_class == "PanelWindow"
+    assert inc.parameters == ["step"]
+    sig = units["PanelWindow.toggled"]
+    assert sig.unit_type == "Method"
+    assert sig.parameters == ["next: bool"]
+    shell_p = units["PanelWindow.shell"]
+    assert shell_p.unit_type == "Constant"
+    assert "property var shell" in shell_p.signature
+    chip = units["PanelWindow.FancyChip"]
+    assert chip.unit_type == "Class" and chip.parent_class == "PanelWindow"
+    act = units["FancyChip.activate"]
+    assert act.unit_type == "Method" and act.parent_class == "FancyChip"
+    assert "Quickshell" in root.imports
+
+
+def test_text_config_formats_are_typed_documents(spark):
+    """Text/config formats are first-class Document units with language
+    labels matching the reference's detect_language/extract_text_units
+    (colgrep/src/parser/language.rs, text.rs:7-123), not RawCode/unknown."""
+    files = [
+        ("README.md", "# Title\nIntro paragraph line.\n\nBody.", "markdown"),
+        ("conf/app.yaml", "server:\n  port: 8080\n", "yaml"),
+        ("Cargo.toml", "[package]\nname = \"demo\"\n", "toml"),
+        ("data.json", '{"a": 1}', "json"),
+        ("deploy.sh", "#!/bin/sh\necho hi\n", "shell"),
+        ("run.ps1", "Write-Host 'hi'\n", "powershell"),
+        ("notes.txt", "plain text here\n", "text"),
+        ("guide.adoc", "= Guide\n", "asciidoc"),
+        ("agenda.org", "* TODO things\n", "org"),
+        ("svc/Dockerfile", "FROM alpine\nRUN true\n", "dockerfile"),
+        ("Makefile", "all:\n\techo hi\n", "makefile"),
+    ]
+    sdf = spark.createDataFrame(
+        [(p, c) for p, c, _ in files], "path string, content string"
+    )
+    units = {r.file: r for r in parse_code_units(sdf).collect()}
+    assert len(units) == len(files)
+    for p, content, lang in files:
+        u = units[p]
+        assert u.language == lang, (p, u.language)
+        assert u.unit_type == "Document"
+        # name = file stem; signature = first non-empty line
+        assert u.name == p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        assert u.signature == next(
+            ln.strip() for ln in content.splitlines() if ln.strip()
+        )
+        assert u.code == "\n".join(content.splitlines())
+    md = units["README.md"]
+    # docstring = first paragraph (up to the blank line)
+    assert md.docstring == "# Title Intro paragraph line."
+
+
+def test_html_scripts_plus_rawcode_unit(spark):
+    """HTML: <script> content through the JS scanner + the page itself as
+    a searchable RawCode unit (colgrep/src/parser/html.rs:1-6)."""
+    src = """<html>
+<body>
+<script>
+function greet(name) {
+    return "hi " + name;
+}
+</script>
+</body>
+</html>"""
+    units = _units(spark, "index.html", src)
+    fn = units["greet"]
+    assert fn.unit_type == "Function" and fn.language == "html"
+    assert fn.line == 4  # offset into the page, not the script block
+    page = units["index.html"]
+    assert page.unit_type == "RawCode" and page.language == "html"
