@@ -60,14 +60,19 @@ class BM25Index:
     n_docs: int
     avgdl: float
     tokenizer: str = "unicode61"
+    # (term, doc_id, pos) — 0-based token positions; present only when the
+    # index is built with_positions (the FTS5 positional-postings analog
+    # phrase queries need; ~1 row per token occurrence, so opt-in)
+    positions: DataFrame | None = None
 
     @classmethod
     def build(cls, docs: DataFrame, *, id_col: str = "doc_id",
-              text_col: str = "text", tokenizer: str = "unicode61") -> "BM25Index":
+              text_col: str = "text", tokenizer: str = "unicode61",
+              with_positions: bool = False) -> "BM25Index":
         tok_fn = _tokenizer(tokenizer)
         toks = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.explode(tok_fn(F.col(text_col))).alias("term"),
+            F.posexplode(tok_fn(F.col(text_col))).alias("pos", "term"),
         )
         postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
         doclens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -76,7 +81,12 @@ class BM25Index:
         ).collect()[0]
         n_docs = stats.n or 0
         avgdl = (stats.total / n_docs) if n_docs else 0.0
-        return cls(postings.cache(), doclens.cache(), n_docs, avgdl, tokenizer)
+        positions = (
+            toks.select("term", "doc_id", "pos").cache()
+            if with_positions else None
+        )
+        return cls(postings.cache(), doclens.cache(), n_docs, avgdl,
+                   tokenizer, positions)
 
     def search(self, queries: DataFrame, k: int = 10, *,
                query_id_col: str = "query_id", text_col: str = "text",
@@ -174,6 +184,126 @@ class BM25Index:
             F.col("rank") <= k
         )
 
+    def search_phrases(self, queries: DataFrame, k: int = 10, *,
+                       query_id_col: str = "query_id",
+                       text_col: str = "text",
+                       subset: DataFrame | None = None,
+                       score_mode: str = "fts5",
+                       conjunctive: bool = True) -> DataFrame:
+        """FTS5 MATCH with quoted phrases (text_search.rs:1246-1272 runs
+        raw user MATCH strings; fts5 phrase semantics): ``"a b" c`` means
+        the consecutive-token phrase ``a b`` AND the term ``c``. Each
+        phrase is a BM25 scoring unit — tf = number of phrase occurrences
+        in the doc, df = number of docs containing the phrase — and
+        phrases combine with implicit AND (``conjunctive=True``, the FTS5
+        default; a phrase absent from the corpus matches nothing).
+
+        Phrase occurrence detection is ONE equi-join, not an n-way
+        self-join: every (phrase, offset j, term) row joins positional
+        postings on ``term``; a start position where ALL offsets matched
+        (count distinct j == phrase length at ``pos − j == start``) is one
+        occurrence. Scales like keyword search — the (small) query phrase
+        table broadcasts; the corpus positions never shuffle by doc.
+
+        Requires an index built ``with_positions=True``."""
+        if self.positions is None:
+            raise ValueError("phrase search needs BM25Index.build("
+                             "with_positions=True)")
+        tok_fn = _tokenizer(self.tokenizer)
+        # quoted spans are phrases; leftover words are 1-term phrases
+        base = queries.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(text_col).alias("_t"),
+        ).select(
+            "query_id",
+            F.concat(
+                F.expr(r"""regexp_extract_all(_t, '"([^"]+)"', 1)"""),
+                tok_fn(F.regexp_replace(F.col("_t"), r'"[^"]*"', " ")),
+            ).alias("_phrases"),
+        )
+        ph = base.select(
+            "query_id", F.posexplode("_phrases").alias("pid", "_ptext")
+        )
+        pterms = ph.select(
+            "query_id", "pid",
+            F.posexplode(tok_fn(F.col("_ptext"))).alias("j", "term"),
+        ).cache()
+        plens = pterms.groupBy("query_id", "pid").agg(
+            F.countDistinct("j").alias("_plen")
+        )
+        # one equi-join on term; a full diagonal = one phrase occurrence
+        occ = (
+            F.broadcast(pterms)
+            .join(self.positions, "term")
+            .select(
+                "query_id", "pid", "doc_id",
+                (F.col("pos") - F.col("j")).alias("_start"), "j",
+            )
+            .groupBy("query_id", "pid", "doc_id", "_start")
+            .agg(F.countDistinct("j").alias("_nm"))
+            .join(F.broadcast(plens), ["query_id", "pid"])
+            .filter(F.col("_nm") == F.col("_plen"))
+        )
+        ptf = occ.groupBy("query_id", "pid", "doc_id").agg(
+            F.count("*").alias("tf")
+        )
+        # df over the WHOLE corpus (FTS5 bm25() stats are table-wide even
+        # under filtered search) — computed before any subset restriction
+        pdf = ptf.groupBy("query_id", "pid").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        matched = ptf.join(F.broadcast(pdf), ["query_id", "pid"]).join(
+            self.doclens, "doc_id"
+        )
+        if subset is not None:
+            matched = matched.join(
+                subset.select(F.col("doc_id").cast("long")), "doc_id",
+                "left_semi",
+            )
+        if conjunctive:
+            n_ph = ph.groupBy("query_id").agg(
+                F.countDistinct("pid").alias("_np")
+            )
+            full = (
+                matched.groupBy("query_id", "doc_id")
+                .agg(F.countDistinct("pid").alias("_mp"))
+                .join(F.broadcast(n_ph), "query_id")
+                .filter(F.col("_mp") == F.col("_np"))
+                .select("query_id", "doc_id")
+            )
+            matched = matched.join(full, ["query_id", "doc_id"], "left_semi")
+        n, avgdl = float(self.n_docs), float(self.avgdl)
+        if score_mode == "fts5":
+            raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
+        elif score_mode == "okapi":
+            idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        else:
+            raise ValueError(f"unknown score_mode: {score_mode!r}")
+        sat = (F.col("tf") * (K1 + 1.0)) / (
+            F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+        )
+        scored = (
+            matched.select("query_id", "doc_id", (idf * sat).alias("contrib"))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.array_sort(F.collect_list("contrib")),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, v: acc + v,
+                    ),
+                    SCORE_DECIMALS,
+                ).alias("score")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
 
 def bm25_oracle_sql(*, n_queries: int, k: int, split_re: str,
                     query_max_tokens: int | None = None,
@@ -235,6 +365,88 @@ contribs AS (
   JOIN dfreq d USING (term)
   JOIN doclens l ON p.doc_id = l.doc_id
   CROSS JOIN stats s{conj_join}
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list_prepend(0.0, list_sort(list(contrib))), (a, b) -> a + b), {SCORE_DECIMALS}) AS score
+  FROM contribs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def bm25_phrase_oracle_sql(*, n_queries: int, k: int, split_re: str,
+                           phrase_len: int = 3, n_extras: int = 2) -> str:
+    """DuckDB mirror of :meth:`BM25Index.search_phrases` in fts5 mode over
+    a deterministic query construction: for each of the first
+    ``n_queries`` docs with ≥ phrase_len + n_extras tokens, the query is
+    the doc's first ``phrase_len`` tokens as ONE quoted phrase plus the
+    next ``n_extras`` tokens as loose terms — the same strings the Spark
+    entry builds (and then actually parses back through the quoted-phrase
+    grammar)."""
+    lo, hi = phrase_len + 1, phrase_len + n_extras
+    min_toks = phrase_len + n_extras
+    idf = ("CASE WHEN ln((s.n - d.df + 0.5) / (d.df + 0.5)) <= 0.0 THEN 1e-6 "
+           "ELSE ln((s.n - d.df + 0.5) / (d.df + 0.5)) END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '{split_re}'), x -> x <> '') AS toks
+  FROM documents
+),
+tokp AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM base, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+doclens AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM doclens),
+qdocs AS (
+  SELECT doc_id AS query_id, toks FROM base
+  WHERE doc_id < {n_queries} AND len(toks) >= {min_toks}
+),
+qp AS (
+  SELECT query_id, 0 AS pid, list_slice(toks, 1, {phrase_len}) AS pterms FROM qdocs
+  UNION ALL
+  SELECT query_id, i - {phrase_len} AS pid, [toks[i]] AS pterms
+  FROM qdocs, unnest(range({lo}, {hi} + 1)) AS r(i)
+),
+pterm AS (
+  SELECT query_id, pid, j - 1 AS j, pterms[j] AS term
+  FROM qp, unnest(range(1, len(pterms) + 1)) AS r(j)
+),
+plen AS (SELECT query_id, pid, count(DISTINCT j) AS plen FROM pterm GROUP BY 1, 2),
+occ AS (
+  SELECT q.query_id, q.pid, t.doc_id, t.pos - q.j AS start, count(DISTINCT q.j) AS nm
+  FROM pterm q JOIN tokp t USING (term)
+  GROUP BY 1, 2, 3, 4
+),
+pocc AS (
+  SELECT o.query_id, o.pid, o.doc_id, count(*) AS tf
+  FROM occ o JOIN plen p USING (query_id, pid)
+  WHERE o.nm = p.plen
+  GROUP BY 1, 2, 3
+),
+pdf AS (SELECT query_id, pid, count(DISTINCT doc_id) AS df FROM pocc GROUP BY 1, 2),
+nph AS (SELECT query_id, count(DISTINCT pid) AS np FROM qp GROUP BY 1),
+fullm AS (
+  SELECT m.query_id, m.doc_id FROM (
+    SELECT query_id, doc_id, count(DISTINCT pid) AS mp FROM pocc GROUP BY 1, 2
+  ) m JOIN nph USING (query_id) WHERE m.mp = nph.np
+),
+contribs AS (
+  SELECT c.query_id, c.doc_id,
+         ({idf}) * (c.tf * {K1 + 1.0})
+           / (c.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM pocc c
+  JOIN pdf d USING (query_id, pid)
+  JOIN doclens l ON c.doc_id = l.doc_id
+  JOIN fullm f ON f.query_id = c.query_id AND f.doc_id = c.doc_id
+  CROSS JOIN stats s
 ),
 scored AS (
   SELECT query_id, doc_id,

@@ -155,6 +155,19 @@ def _bm25_index(spark: SparkSession, sf_dir: str, tokenizer: str = "unicode61"):
     return _BM25_CACHE[key]
 
 
+def _bm25_index_pos(spark: SparkSession, sf_dir: str):
+    """Positional variant (phrase queries); cached separately because the
+    positions table is corpus-token-sized."""
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    key = (os.path.abspath(sf_dir), "unicode61#pos")
+    if key not in _BM25_CACHE:
+        _BM25_CACHE[key] = BM25Index.build(
+            _t(spark, sf_dir, "documents"), with_positions=True
+        )
+    return _BM25_CACHE[key]
+
+
 def _plaid_index(spark: SparkSession, sf_dir: str):
     from next_plaid_spark.plans.builder import IndexBuilder
     from next_plaid_spark.sources.index_store import PlaidIndex
@@ -649,6 +662,55 @@ def sql_bm25_fts5_topk() -> str:
     return bm25_oracle_sql(
         n_queries=N_SELF_QUERIES, k=BM25_TOPK, split_re=TOKEN_SPLIT_RE,
         score_mode="fts5",
+    )
+
+
+PHRASE_LEN = 3
+PHRASE_EXTRAS = 2
+
+
+def q_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K5 with FTS5 quoted-phrase semantics over positional postings:
+    each query is its doc's first 3 tokens as ONE consecutive-token phrase
+    plus 2 loose terms (`"t0 t1 t2" t3 t4`), parsed back through the
+    quoted-phrase grammar and scored per FTS5 bm25 (phrase tf/df units,
+    implicit AND between phrases — text_search.rs:1246-1272 runs raw MATCH
+    strings FTS5-side; operators/bm25.py::search_phrases)."""
+    from next_plaid_spark.functions.text import tokenize_unicode61
+
+    idx = _bm25_index_pos(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    min_toks = PHRASE_LEN + PHRASE_EXTRAS
+    qdf = (
+        docs.filter(F.col("doc_id") < N_SELF_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            tokenize_unicode61(F.col("text")).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= min_toks)
+        .select(
+            "query_id",
+            F.concat(
+                F.lit('"'),
+                F.concat_ws(" ", F.slice("_toks", 1, PHRASE_LEN)),
+                F.lit('" '),
+                F.concat_ws(
+                    " ", F.slice("_toks", PHRASE_LEN + 1, PHRASE_EXTRAS)
+                ),
+            ).alias("text"),
+        )
+    )
+    return idx.search_phrases(qdf, k=BM25_TOPK).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
+def _sql_bm25_phrase_topk() -> str:
+    from next_plaid_spark.operators.bm25 import bm25_phrase_oracle_sql
+
+    return bm25_phrase_oracle_sql(
+        n_queries=N_SELF_QUERIES, k=BM25_TOPK, split_re=TOKEN_SPLIT_RE,
+        phrase_len=PHRASE_LEN, n_extras=PHRASE_EXTRAS,
     )
 
 
@@ -2477,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_langs": q_distinct_langs,
         "bm25_topk": q_bm25_topk,
         "bm25_fts5_topk": q_bm25_fts5_topk,
+        "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "media_decode": q_media_decode,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -2564,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
         "bm25_fts5_topk": sql_bm25_fts5_topk(),
+        "bm25_phrase_topk": _sql_bm25_phrase_topk(),
         "bm25_and_topk": sql_bm25_and_topk(),
         "media_decode": SQL_MEDIA_DECODE,
         "ir_eval_bm25": sql_ir_eval_bm25(),

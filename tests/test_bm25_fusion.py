@@ -189,3 +189,69 @@ def test_bm25_conjunctive_requires_all_terms(spark):
     # disjunctive form matches doc 2 and q1's apple docs
     got_or = {(r.query_id, r.doc_id) for r in idx.search(q, k=5).collect()}
     assert (0, 2) in got_or and (1, 0) in got_or
+
+
+def test_phrase_requires_adjacency(spark):
+    """FTS5 quoted-phrase semantics: "quick brown" matches consecutive
+    tokens only; intervening tokens break the phrase; phrases AND with
+    loose terms (operators/bm25.py::search_phrases)."""
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "quick red brown fox naps"),       # split phrase -> no match
+            (2, "a quick brown dog and a quick brown cat"),  # tf = 2
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = BM25Index.build(docs, with_positions=True)
+    q = spark.createDataFrame(
+        [(0, '"quick brown"')], "query_id long, text string"
+    )
+    got = {r.doc_id: r for r in idx.search_phrases(q, k=10).collect()}
+    assert set(got) == {0, 2}
+    # doc 2 has two phrase occurrences -> higher tf saturation, and is
+    # shorter-normalized comparably; just assert both score > 0
+    assert all(r.score > 0 for r in got.values())
+
+    # phrase AND loose term: "quick brown" fox -> only doc 0 has both
+    q2 = spark.createDataFrame(
+        [(0, '"quick brown" fox')], "query_id long, text string"
+    )
+    got2 = {r.doc_id for r in idx.search_phrases(q2, k=10).collect()}
+    assert got2 == {0}
+
+    # absent phrase kills the conjunctive query entirely
+    q3 = spark.createDataFrame(
+        [(0, '"brown quick" fox')], "query_id long, text string"
+    )
+    assert idx.search_phrases(q3, k=10).count() == 0
+
+
+def test_phrase_repeated_term(spark):
+    """A phrase with a repeated token ("ha ha") must anchor both offsets:
+    'ha ha' matches, 'ha x ha' does not; overlapping occurrences count."""
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = spark.createDataFrame(
+        [(0, "ha ha ha"), (1, "ha x ha"), (2, "totally different")],
+        "doc_id long, text string",
+    )
+    idx = BM25Index.build(docs, with_positions=True)
+    q = spark.createDataFrame([(0, '"ha ha"')], "query_id long, text string")
+    got = {r.doc_id for r in idx.search_phrases(q, k=10).collect()}
+    assert got == {0}
+
+
+def test_phrase_needs_positions(spark):
+    import pytest as _pytest
+
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    idx = BM25Index.build(docs)  # no positions
+    q = spark.createDataFrame([(0, '"a b"')], "query_id long, text string")
+    with _pytest.raises(ValueError):
+        idx.search_phrases(q)
