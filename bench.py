@@ -178,7 +178,9 @@ def main() -> None:
                      "scrub_spans", "dedup_incremental", "events_asof",
                      "ir_eval_bm25", "text_normalize", "sample_per_source",
                      "leakage_split", "span_corrupt", "events_rolling",
-                     "perplexity_bigram"):
+                     "perplexity_bigram",
+                     # r6 additions
+                     "bm25_phrase_topk"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
 
@@ -211,6 +213,69 @@ def main() -> None:
                 stats[f"probe{n_probe}_recall_at10"] = round(sum(rec) / len(rec), 4)
         except Exception:
             errors["probe_sweep"] = traceback.format_exc(limit=3).splitlines()[-1]
+
+        # the same sweep on a SELECTIVE clustered corpus — the sf* text
+        # corpora are non-selective (recall 1.0 at every width says
+        # nothing), so this is the curve that actually measures the
+        # recall/latency trade the reference's README sweeps
+        try:
+            import tempfile
+
+            from next_plaid_spark.encoding import clustered_token_corpus
+            from next_plaid_spark.plans.builder import IndexBuilder
+
+            # geometry chosen so probe width actually binds: ~8 docs per
+            # cluster puts every query's top-10 across several cells
+            # (docs-per-cluster > top_k would hide the trade inside one
+            # cell, and tight high-dim clusters saturate recall at probe 1)
+            ctoks, _ = clustered_token_corpus(
+                spark, n_docs=2000, tokens_per_doc=4, dim=8,
+                n_clusters=250, seed=11,
+            )
+            ctoks = ctoks.cache()
+            cidx = IndexBuilder(spark, k=256).build(
+                ctoks, tempfile.mkdtemp(prefix="bench_cidx_") + "/idx"
+            )
+            cqt = ctoks.filter(F.col("doc_id") % 20 == 0).select(
+                F.col("doc_id").alias("query_id"), "token_idx", "vec"
+            ).cache()
+            c_exact = BatchSearcher(cidx, SearchParams(
+                top_k=10, n_ivf_probe=cidx.meta.k,
+                n_full_scores=4 * cidx.meta.num_documents,
+                centroid_score_threshold=float("-inf")))
+            c_truth = {}
+            for r in c_exact.search(cqt).collect():
+                c_truth.setdefault(r.query_id, set()).add(r.doc_id)
+            for n_probe in (1, 2, 4, 8, 16):
+                s = BatchSearcher(cidx, SearchParams(
+                    top_k=10, n_ivf_probe=n_probe, n_full_scores=256,
+                    keep_best_cell=True))
+                t0 = time.time()
+                got = {}
+                for r in s.search(cqt).collect():
+                    got.setdefault(r.query_id, set()).add(r.doc_id)
+                extras[f"clustered_probe{n_probe}_wall"] = round(
+                    time.time() - t0, 3)
+                rec = [len(c_truth[q] & got.get(q, set()))
+                       / max(len(c_truth[q]), 1) for q in c_truth]
+                stats[f"clustered_probe{n_probe}_recall_at10"] = round(
+                    sum(rec) / len(rec), 4)
+            # isolate the t_cs contribution: same probe=8 with the
+            # centroid-score threshold off shows how much of the residual
+            # recall gap is threshold-bound vs probe-bound
+            s = BatchSearcher(cidx, SearchParams(
+                top_k=10, n_ivf_probe=8, n_full_scores=256,
+                centroid_score_threshold=float("-inf")))
+            got = {}
+            for r in s.search(cqt).collect():
+                got.setdefault(r.query_id, set()).add(r.doc_id)
+            rec = [len(c_truth[q] & got.get(q, set()))
+                   / max(len(c_truth[q]), 1) for q in c_truth]
+            stats["clustered_probe8_no_tcs_recall_at10"] = round(
+                sum(rec) / len(rec), 4)
+        except Exception:
+            errors["clustered_sweep"] = traceback.format_exc(
+                limit=3).splitlines()[-1]
     except Exception:
         errors["__suite__"] = traceback.format_exc(limit=5).splitlines()[-1]
     finally:

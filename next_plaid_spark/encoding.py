@@ -120,3 +120,58 @@ def encode_queries(queries: DataFrame, *, dim: int = DEFAULT_DIM,
     return encode_tokens(
         queries, "query_id", "text", dim=dim, max_tokens=max_tokens, out_id="query_id"
     )
+
+
+def clustered_token_corpus(spark, *, n_docs: int = 2000,
+                           tokens_per_doc: int = 8, dim: int = 16,
+                           n_clusters: int = 64, noise: float = 0.25,
+                           seed: int = 7, cluster_weights=None):
+    """(doc_tokens, doc_cluster): a SELECTIVE synthetic embedding corpus —
+    unit-norm token vectors drawn around ``n_clusters`` well-separated
+    sphere points, so IVF cells align with clusters and probe width
+    genuinely trades recall (the sf* text corpora are deliberately
+    tie-heavy and non-selective: every probe width reaches ~every doc, so
+    recall curves read 1.0 everywhere and say nothing — this corpus is
+    the measurement instrument for the n_ivf_probe sweep the reference
+    documents in its README benchmark section).
+
+    ``cluster_weights``: None = uniform cluster popularity; ``"zipf"`` =
+    Zipfian (p ∝ 1/rank — hot IVF cells hold most docs, the skew shape
+    SURVEY §7 flags); or an explicit probability array.
+
+    Deterministic in ``seed``; returns (DataFrame(doc_id, token_idx, vec),
+    DataFrame(doc_id, cluster))."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    if cluster_weights is None:
+        doc_cluster = rng.integers(0, n_clusters, n_docs)
+    else:
+        if isinstance(cluster_weights, str) and cluster_weights == "zipf":
+            p = 1.0 / np.arange(1, n_clusters + 1)
+        else:
+            p = np.asarray(cluster_weights, dtype=np.float64)
+        p = p / p.sum()
+        doc_cluster = rng.choice(n_clusters, size=n_docs, p=p)
+    vecs = (
+        centers[np.repeat(doc_cluster, tokens_per_doc)]
+        + noise * rng.standard_normal(
+            (n_docs * tokens_per_doc, dim)
+        ).astype(np.float32)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [
+        (int(d), int(t), vecs[d * tokens_per_doc + t].tolist())
+        for d in range(n_docs)
+        for t in range(tokens_per_doc)
+    ]
+    toks = spark.createDataFrame(
+        rows, "doc_id long, token_idx int, vec array<float>"
+    )
+    clusters = spark.createDataFrame(
+        [(int(d), int(c)) for d, c in enumerate(doc_cluster)],
+        "doc_id long, cluster int",
+    )
+    return toks, clusters

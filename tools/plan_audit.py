@@ -234,6 +234,54 @@ def main() -> int:
         f"- row-Python-UDF-free: {'yes' if 'BatchEvalPython' not in rk_plan else 'NO'}\n"
     )
 
+    # A12: IVF skew probe (SURVEY §7) — a Zipfian cell distribution (hot
+    # clusters hold most docs) must not blow up the funnel wall vs a
+    # uniform corpus of identical size. The broadcast path scans candidate
+    # docs doc-parallel (no per-cell shuffle), so measured skew tolerance
+    # is the invariant — a serialization on hot cells would show here.
+    try:
+        import tempfile as _tf
+        import time as _time
+
+        from next_plaid_spark.encoding import clustered_token_corpus
+        from next_plaid_spark.plans.builder import IndexBuilder
+        from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+        walls = {}
+        for label, wts in (("uniform", None), ("zipf", "zipf")):
+            toks, _ = clustered_token_corpus(
+                spark, n_docs=1500, tokens_per_doc=6, dim=8, n_clusters=48,
+                seed=13, cluster_weights=wts,
+            )
+            toks = toks.cache()
+            toks.count()
+            sidx = IndexBuilder(spark, k=64).build(
+                toks, _tf.mkdtemp(prefix=f"audit_skew_{label}_") + "/idx"
+            )
+            qt = toks.filter(SF.col("doc_id") % 15 == 0).select(
+                SF.col("doc_id").alias("query_id"), "token_idx", "vec"
+            ).cache()
+            s = BatchSearcher(sidx, SearchParams(top_k=10))
+            s.search(qt).count()  # warm (caches, codegen)
+            t0 = _time.time()
+            s.search(qt).count()
+            walls[label] = _time.time() - t0
+            toks.unpersist()
+            qt.unpersist()
+        ratio = walls["zipf"] / max(walls["uniform"], 1e-9)
+        if ratio > 2.5:
+            failures.append(
+                f"A12 skew: zipf/uniform funnel wall ratio {ratio:.2f} > 2.5 "
+                "(hot IVF cells serialize the search)")
+        sections.append(
+            "## skew probe (A12, Zipfian vs uniform IVF cells)\n\n"
+            f"- uniform corpus search wall: {walls['uniform']:.2f}s\n"
+            f"- zipf corpus search wall: {walls['zipf']:.2f}s\n"
+            f"- ratio: {ratio:.2f} (gate ≤ 2.5)\n"
+        )
+    except Exception as e:  # audit must still write its report
+        failures.append(f"A12 skew probe errored: {e}")
+
     status = "ALL INVARIANTS HOLD" if not failures else "FAILURES:\n" + "\n".join(
         f"- {f}" for f in failures
     )
