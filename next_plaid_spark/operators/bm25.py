@@ -198,31 +198,70 @@ class BM25Index:
         phrases combine with implicit AND (``conjunctive=True``, the FTS5
         default; a phrase absent from the corpus matches nothing).
 
+        ``NEAR("a b" c, N)`` groups (FTS5 NEAR; N defaults to 10) are
+        supported with exactly TWO member phrases: both phrases must occur
+        with at most N tokens between them (gap = tokens strictly between
+        the earlier occurrence's end and the later one's start; overlap =
+        gap 0). The member phrases still score as ordinary BM25 phrase
+        units over ALL their occurrences — NEAR gates matching, not tf —
+        and the group ANDs with the rest of the query. At most one NEAR
+        group per query; >2 member phrases raise.
+
         Phrase occurrence detection is ONE equi-join, not an n-way
         self-join: every (phrase, offset j, term) row joins positional
         postings on ``term``; a start position where ALL offsets matched
         (count distinct j == phrase length at ``pos − j == start``) is one
         occurrence. Scales like keyword search — the (small) query phrase
-        table broadcasts; the corpus positions never shuffle by doc.
+        table broadcasts; the corpus positions never shuffle by doc. The
+        NEAR check adds one occurrence-level self-join per group, scoped
+        to docs containing both member phrases.
 
         Requires an index built ``with_positions=True``."""
         if self.positions is None:
             raise ValueError("phrase search needs BM25Index.build("
                              "with_positions=True)")
         tok_fn = _tokenizer(self.tokenizer)
-        # quoted spans are phrases; leftover words are 1-term phrases
+        near_re = r"NEAR\(([^,)]+)(?:,\s*(\d+))?\)"
+        # quoted spans are phrases; leftover words are 1-term phrases;
+        # a NEAR(...) group contributes its member phrases (flagged) + N
+        parse_phrases = lambda col: F.concat(  # noqa: E731
+            F.expr(
+                f"""regexp_extract_all({col}, '"([^"]+)"', 1)"""
+            ),
+            tok_fn(F.regexp_replace(F.col(col), r'"[^"]*"', " ")),
+        )
         base = queries.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(text_col).alias("_t"),
         ).select(
             "query_id",
+            F.regexp_extract(F.col("_t"), near_re, 1).alias("_near_inner"),
+            F.regexp_extract(F.col("_t"), near_re, 2).alias("_near_n"),
+            F.regexp_replace(F.col("_t"), near_re, " ").alias("_rest"),
+        ).select(
+            "query_id",
+            F.when(F.col("_near_n") == "", F.lit(10))
+            .otherwise(F.col("_near_n").cast("int")).alias("_near_n"),
             F.concat(
-                F.expr(r"""regexp_extract_all(_t, '"([^"]+)"', 1)"""),
-                tok_fn(F.regexp_replace(F.col("_t"), r'"[^"]*"', " ")),
+                F.transform(
+                    parse_phrases("_rest"),
+                    lambda x: F.struct(x.alias("_ptext"),
+                                       F.lit(False).alias("_near")),
+                ),
+                F.transform(
+                    parse_phrases("_near_inner"),
+                    lambda x: F.struct(x.alias("_ptext"),
+                                       F.lit(True).alias("_near")),
+                ),
             ).alias("_phrases"),
         )
         ph = base.select(
-            "query_id", F.posexplode("_phrases").alias("pid", "_ptext")
+            "query_id", "_near_n",
+            F.posexplode("_phrases").alias("pid", "_p"),
+        ).select(
+            "query_id", "_near_n", "pid",
+            F.col("_p._ptext").alias("_ptext"),
+            F.col("_p._near").alias("_near"),
         )
         pterms = ph.select(
             "query_id", "pid",
@@ -272,6 +311,53 @@ class BM25Index:
                 .select("query_id", "doc_id")
             )
             matched = matched.join(full, ["query_id", "doc_id"], "left_semi")
+        # NEAR gate: docs of NEAR-bearing queries must additionally have an
+        # occurrence pair within N tokens (the query table is small by
+        # contract, so the group shapes collect driver-side)
+        spark = queries.sparkSession
+        ncs = (
+            ph.filter(F.col("_near"))
+            .groupBy("query_id")
+            .agg(F.count("*").alias("_nn"), F.first("_near_n").alias("_N"),
+                 F.min("pid").alias("_pa"), F.max("pid").alias("_pb"))
+            .collect()
+        )
+        if any(r._nn > 2 for r in ncs):
+            raise ValueError("NEAR groups support exactly two member phrases")
+        npairs = [(r.query_id, r._pa, r._pb, r._N) for r in ncs if r._nn == 2]
+        if npairs:
+            pair_df = spark.createDataFrame(
+                npairs, "query_id long, _pa long, _pb long, _N int"
+            )
+            oa = occ.select(
+                "query_id", F.col("pid").alias("_pa"), "doc_id",
+                F.col("_start").alias("_sa"),
+                (F.col("_start") + F.col("_plen") - 1).alias("_ea"),
+            )
+            ob = occ.select(
+                "query_id", F.col("pid").alias("_pb"), "doc_id",
+                F.col("_start").alias("_sb"),
+                (F.col("_start") + F.col("_plen") - 1).alias("_eb"),
+            )
+            gap = F.greatest(
+                F.col("_sb") - F.col("_ea") - 1,
+                F.col("_sa") - F.col("_eb") - 1,
+                F.lit(0),
+            )
+            near_ok = (
+                oa.join(F.broadcast(pair_df), ["query_id", "_pa"])
+                .join(ob, ["query_id", "_pb", "doc_id"])
+                .filter(gap <= F.col("_N"))
+                .select("query_id", "doc_id")
+                .distinct()
+            )
+            nearq = F.broadcast(spark.createDataFrame(
+                [(q,) for q, _, _, _ in npairs], "query_id long"
+            ))
+            matched = matched.join(nearq, "query_id", "left_anti").unionByName(
+                matched.join(nearq, "query_id", "left_semi")
+                .join(near_ok, ["query_id", "doc_id"], "left_semi")
+            )
         n, avgdl = float(self.n_docs), float(self.avgdl)
         if score_mode == "fts5":
             raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))

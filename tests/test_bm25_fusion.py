@@ -255,3 +255,66 @@ def test_phrase_needs_positions(spark):
     q = spark.createDataFrame([(0, '"a b"')], "query_id long, text string")
     with _pytest.raises(ValueError):
         idx.search_phrases(q)
+
+
+def test_near_group_gating(spark):
+    """NEAR(a b, N): both member phrases must occur within N tokens; the
+    members still score as ordinary phrase units; the group ANDs with the
+    rest of the query (FTS5 NEAR, default N=10)."""
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),                       # gap 0 (adjacent)
+            (1, "alpha x y z beta end"),                   # gap 3
+            (2, "alpha " + "f " * 15 + "beta"),            # gap 15 > 10
+            (3, "alpha only here"),                        # missing beta
+        ],
+        "doc_id long, text string",
+    )
+    idx = BM25Index.build(docs, with_positions=True)
+
+    q = spark.createDataFrame(
+        [(0, "NEAR(alpha beta, 10)")], "query_id long, text string"
+    )
+    got = {r.doc_id for r in idx.search_phrases(q, k=10).collect()}
+    assert got == {0, 1}  # doc 2 too far apart, doc 3 missing a member
+
+    # explicit tight window
+    q2 = spark.createDataFrame(
+        [(0, "NEAR(alpha beta, 1)")], "query_id long, text string"
+    )
+    got2 = {r.doc_id for r in idx.search_phrases(q2, k=10).collect()}
+    assert got2 == {0}
+
+    # NEAR group ANDs with a loose term outside it
+    q3 = spark.createDataFrame(
+        [(0, "NEAR(alpha beta, 10) end")], "query_id long, text string"
+    )
+    got3 = {r.doc_id for r in idx.search_phrases(q3, k=10).collect()}
+    assert got3 == {1}
+
+    # quoted member phrase inside NEAR
+    q4 = spark.createDataFrame(
+        [(0, 'NEAR("x y" beta, 2)')], "query_id long, text string"
+    )
+    got4 = {r.doc_id for r in idx.search_phrases(q4, k=10).collect()}
+    assert got4 == {1}
+
+    # >2 members raises
+    import pytest as _pytest
+    q5 = spark.createDataFrame(
+        [(0, "NEAR(alpha beta gamma, 4)")], "query_id long, text string"
+    )
+    with _pytest.raises(ValueError):
+        idx.search_phrases(q5, k=10).collect()
+
+    # mixed batch: a NEAR query and a plain-phrase query together
+    q6 = spark.createDataFrame(
+        [(0, "NEAR(alpha beta, 1)"), (1, '"alpha only"')],
+        "query_id long, text string",
+    )
+    by_q = {}
+    for r in idx.search_phrases(q6, k=10).collect():
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    assert by_q == {0: {0}, 1: {3}}
