@@ -140,12 +140,16 @@ def write_index(
     os.makedirs(path, exist_ok=True)
     from pyspark.sql import functions as F
 
-    tp = token_partitions or max(1, spark.sparkContext.defaultParallelism)
-    (
-        tokens_coded.repartition(tp, "doc_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "tokens"))
-    )
+    # No repartition before the write: nothing downstream relies on
+    # doc-co-located token files (every per-doc consumer groupBys first,
+    # and Spark attaches no partitioning metadata to plain parquet), so a
+    # hash shuffle of the corpus's biggest table here would be pure cost —
+    # at 100 TB, THE cost. ``token_partitions`` remains for explicit
+    # output-file-count control (round-robin, cheaper than hash).
+    out = tokens_coded
+    if token_partitions:
+        out = out.repartition(token_partitions)
+    out.write.mode("overwrite").parquet(os.path.join(path, "tokens"))
     cdf = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
         "code long, vec array<float>",
