@@ -133,13 +133,163 @@ def topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
     )
 
 
+def query_side_arrays(qt_pdf):
+    """float64 query-side arrays for broadcast MaxSim kernels.
+
+    Input: a pandas frame of (query_id, token_idx, vec) SORTED by
+    (query_id, token_idx). Returns ``(qv, qi, ok, qids)``: unique query
+    vectors [V, dim] float64 (f64 straight from the source values — the
+    relational ``dot`` casts the raw column to double, so routing through
+    float32 would truncate), padded per-query vocab-row index matrix
+    [n_q, T], its validity mask, and the sorted query ids."""
+    import numpy as np
+
+    q = np.asarray([np.asarray(v, dtype=np.float64) for v in qt_pdf["vec"]])
+    qv, inverse = np.unique(q, axis=0, return_inverse=True)
+    inverse = inverse.astype(np.int64).ravel()
+    qids_per_row = qt_pdf["query_id"].to_numpy()
+    qids, starts = np.unique(qids_per_row, return_index=True)
+    bounds = np.append(starts, len(qids_per_row))
+    counts = np.diff(bounds)
+    t_max = int(counts.max())
+    qi = np.zeros((len(qids), t_max), dtype=np.int64)
+    ok = np.zeros((len(qids), t_max), dtype=bool)
+    col = np.arange(len(inverse)) - np.repeat(bounds[:-1], counts)
+    rows = np.repeat(np.arange(len(qids)), counts)
+    qi[rows, col] = inverse
+    ok[rows, col] = True
+    return qv, qi, ok, qids
+
+
+def maxsim_brute_kernel(query_tokens: DataFrame, doc_tokens: DataFrame,
+                        k: int = 10) -> DataFrame:
+    """Exact top-k MaxSim as ONE doc-parallel broadcast kernel.
+
+    Same results as the relational forms, same float discipline as the
+    searcher's Q9 kernel (plans/searcher.py::_rerank_broadcast): dots
+    accumulate 0.0 + Σ x·y sequentially over dim in double; per-doc
+    per-vocab-token maxima; per-(query, doc) scores sort the maxima
+    ascending and fold sequentially with exact-identity 0.0 padding.
+    Distinct doc vectors are deduped per chunk (np.unique row CSE — the
+    kernel-local analog of maxsim_scores_by_token's vocab trick, but
+    keyed on vector VALUES so no token column is required).
+
+    The query batch is the broadcast side by contract; each executor
+    scans its doc partitions once for the whole batch — no pair shuffle.
+    Per-partition chunks pre-prune to the local top-k under topk()'s
+    exact order (finite desc, score desc, doc asc), so the global rank
+    window sees O(partitions · k) rows per query."""
+    import pandas as pd
+
+    spark = query_tokens.sparkSession
+    schema = "query_id long, doc_id long, score double"
+    qt_pdf = (
+        query_tokens.select("query_id", "token_idx", "vec")
+        .sort("query_id", "token_idx")
+        .toPandas()
+    )
+    if not len(qt_pdf):
+        empty = pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64"})
+        return topk(spark.createDataFrame(empty, schema=schema), k)
+    b = spark.sparkContext.broadcast(query_side_arrays(qt_pdf))
+
+    def kern(batches):
+        import numpy as np
+
+        qv, qi, ok, qids = b.value
+        v_cnt, dim = qv.shape
+        n_q, t_max = qi.shape
+        # two chunk bounds: the [V, F] gather and the [nd, n_q, T] fold
+        chunk_flat = max(256, (32 << 20) // max(1, v_cnt))
+        max_docs = max(64, (64 << 20) // max(1, n_q * t_max * 8))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            vec_lists = pdf["vecs"]
+            start = 0
+            while start < len(doc_ids):
+                end = start
+                tot = 0
+                while end < len(doc_ids) and (
+                    tot == 0
+                    or (tot + len(vec_lists.iloc[end]) <= chunk_flat
+                        and end - start < max_docs)
+                ):
+                    tot += len(vec_lists.iloc[end])
+                    end += 1
+                lens = np.fromiter(
+                    (len(vec_lists.iloc[i]) for i in range(start, end)),
+                    dtype=np.int64, count=end - start,
+                )
+                keep = lens > 0
+                if not keep.any():
+                    start = end
+                    continue
+                arr = np.asarray(
+                    [np.asarray(v, dtype=np.float64)
+                     for i in range(start, end)
+                     for v in vec_lists.iloc[i]]
+                )
+                uvecs, uids = np.unique(arr, axis=0, return_inverse=True)
+                uids = uids.astype(np.int64).ravel()
+                dots = np.zeros((v_cnt, len(uvecs)), dtype=np.float64)
+                for j in range(dim):
+                    dots += qv[:, j][:, None] * uvecs[:, j][None, :]
+                offs = np.zeros(int(keep.sum()), dtype=np.int64)
+                np.cumsum(lens[keep][:-1], out=offs[1:])
+                m_t = np.maximum.reduceat(
+                    dots[:, uids], offs, axis=1
+                ).T.copy()  # [nd, V]
+                d_chunk = doc_ids[start:end][keep]
+                ordc = np.argsort(d_chunk)          # doc-asc for tie-break
+                d_sorted = d_chunk[ordc]
+                m_t = m_t[ordc]
+                vals = m_t[:, qi]                   # [nd, n_q, T]
+                vals = np.where(ok[None, :, :], vals, 0.0)
+                vals.sort(axis=2)
+                acc = np.zeros(vals.shape[:2], dtype=np.float64)
+                for t in range(vals.shape[2]):
+                    acc = acc + vals[:, :, t]
+                scores = acc.T                      # [n_q, nd]
+                if scores.shape[1] > k:
+                    finite = np.isfinite(scores)
+                    key = np.where(finite, scores, -np.inf)
+                    sel = np.argsort(-key, axis=1, kind="stable")[:, :k]
+                    sc = np.take_along_axis(scores, sel, axis=1).ravel()
+                    d = d_sorted[sel].ravel()
+                    qout = np.repeat(qids, k)
+                else:
+                    nd = scores.shape[1]
+                    qout = np.repeat(qids, nd)
+                    d = np.tile(d_sorted, n_q)
+                    sc = scores.ravel()
+                yield pd.DataFrame(
+                    {"query_id": qout, "doc_id": d, "score": sc}
+                )
+                start = end
+
+    docs_g = doc_tokens.select("doc_id", "vec").groupBy("doc_id").agg(
+        F.collect_list("vec").alias("vecs")
+    )
+    return topk(docs_g.mapInPandas(kern, schema=schema), k)
+
+
 def brute_force_search(
-    query_tokens: DataFrame, doc_tokens: DataFrame, k: int = 10
+    query_tokens: DataFrame, doc_tokens: DataFrame, k: int = 10,
+    *, strategy: str = "kernel",
 ) -> DataFrame:
     """Exact top-k MaxSim over the full corpus — the funnel's recall oracle.
 
-    Dispatches to the token-deduped fast path when both sides carry the
-    ``token`` column (bit-identical results, see maxsim_scores_by_token)."""
+    ``strategy="kernel"`` (default) — the doc-parallel broadcast kernel
+    (bit-identical results, one corpus scan, no pair shuffle).
+    ``"relational"`` — pure DataFrame ops (token-deduped when both sides
+    carry the ``token`` column); kept for plan comparison and environments
+    without Python workers."""
+    if strategy == "kernel":
+        return maxsim_brute_kernel(query_tokens, doc_tokens, k)
     if "token" in query_tokens.columns and "token" in doc_tokens.columns:
         scores = maxsim_scores_by_token(query_tokens, doc_tokens)
     else:

@@ -428,26 +428,12 @@ class BatchSearcher:
         idx = self.index
         schema = "query_id long, doc_id long, score double"
 
-        # query side, deduped by vector identity (same trick as the approx
-        # kernel: vectors are a pure function of the token for a
-        # deterministic encoder, and np.unique needs no token column).
-        # float64 from the SOURCE values: dot() casts the raw column to
-        # double, so routing through float32 here would truncate
-        q = np.asarray([np.asarray(v, dtype=np.float64) for v in qt_pdf["vec"]])
-        qv, inverse = np.unique(q, axis=0, return_inverse=True)
-        inverse = inverse.astype(np.int64).ravel()
-        qids_per_row = qt_pdf["query_id"].to_numpy()
-        qids, starts = np.unique(qids_per_row, return_index=True)
-        bounds = np.append(starts, len(qids_per_row))
-        counts = np.diff(bounds)
-        t_max = int(counts.max())
-        # padded [n_q, T] vocab-row indices + validity mask
-        qi_mat = np.zeros((len(qids), t_max), dtype=np.int64)
-        qi_ok = np.zeros((len(qids), t_max), dtype=bool)
-        col = (np.arange(len(inverse)) -
-               np.repeat(bounds[:-1], counts))
-        qi_mat[np.repeat(np.arange(len(qids)), counts), col] = inverse
-        qi_ok[np.repeat(np.arange(len(qids)), counts), col] = True
+        # query side, deduped by vector identity (np.unique needs no token
+        # column) in float64 straight from the source values — shared with
+        # the brute-force kernel (operators/maxsim.py::query_side_arrays)
+        from next_plaid_spark.operators.maxsim import query_side_arrays
+
+        qv, qi_mat, qi_ok, qids = query_side_arrays(qt_pdf)
 
         sc = survivors.sparkSession.sparkContext
         b_qv = sc.broadcast(qv)

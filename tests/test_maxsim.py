@@ -109,3 +109,37 @@ def test_topk_nonfinite_ranks_last(spark):
     # truncation still works with non-finites present
     top2 = {r.doc_id for r in topk(scored, 2).collect()}
     assert top2 == {3, 1}
+
+
+def test_brute_kernel_matches_relational_bitwise(spark):
+    """The broadcast brute-force kernel must return the exact rows of the
+    relational form (same scores to the bit under the shared fold
+    discipline, same (finite, score, doc) rank order)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    docs = [
+        (d, t, (rng.standard_normal(6) / 3).round(3).tolist())
+        for d in range(40) for t in range(rng.integers(1, 6))
+    ]
+    qs = [
+        (qid, t, (rng.standard_normal(6) / 3).round(3).tolist())
+        for qid in range(7) for t in range(rng.integers(1, 4))
+    ]
+    dt = spark.createDataFrame(
+        docs, "doc_id long, token_idx int, vec array<double>"
+    )
+    qt = spark.createDataFrame(
+        qs, "query_id long, token_idx int, vec array<double>"
+    )
+    from next_plaid_spark.operators.maxsim import brute_force_search
+
+    kern = sorted(
+        tuple(r) for r in
+        brute_force_search(qt, dt, k=5).collect()
+    )
+    rel = sorted(
+        tuple(r) for r in
+        brute_force_search(qt, dt, k=5, strategy="relational").collect()
+    )
+    assert kern == rel
