@@ -104,6 +104,14 @@ def main() -> None:
                 idx0.meta.num_documents / max(timings["plaid_index_build"], 1e-9), 1
             )
 
+        # the keyword postings index is likewise an INDEXING cost, not a
+        # search cost (the reference's FTS5 table is persisted; BASELINE's
+        # QPS excludes indexing) — build it once here so bm25/hybrid
+        # timings measure the query, with the build recorded separately
+        t0 = time.time()
+        q._bm25_index(spark, sf_dir)
+        extras["bm25_index_build"] = round(time.time() - t0, 3)
+
         registry = q.queries()
         for name in HEADLINE:
             fn = registry[name]

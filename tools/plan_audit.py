@@ -58,6 +58,8 @@ AUDITED = [
     "scrub_spans",
     "span_corrupt",
     "events_rolling",
+    "maxsim_brute_topk",
+    "bm25_phrase_topk",
 ]
 
 
@@ -171,6 +173,24 @@ def main() -> int:
         if name == "events_asof" and s["exchanges"] != 1:
             failures.append(
                 f"A11 events_asof: {s['exchanges']} exchanges (expected exactly 1)")
+        # A13: the brute-force kernel is one corpus scan — one groupBy(doc)
+        # exchange + the final rank window; a third exchange or any
+        # nested-loop means the pair-shuffle plan crept back
+        if name == "maxsim_brute_topk":
+            if s["cartesian"]:
+                failures.append("A13 maxsim_brute_topk: cartesian/nested-loop join")
+            if s["exchanges"] > 2:
+                failures.append(
+                    f"A13 maxsim_brute_topk: {s['exchanges']} exchanges (expected ≤2)")
+        # A14: phrase search broadcasts the (small) query phrase table —
+        # the positional postings never shuffle by doc, and there is no
+        # n-way positional self-join
+        if name == "bm25_phrase_topk":
+            if s["cartesian"]:
+                failures.append("A14 bm25_phrase_topk: cartesian/nested-loop join")
+            if s["broadcast_joins"] < 2:
+                failures.append(
+                    "A14 bm25_phrase_topk: query-side tables not broadcast")
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
             failures.append(f"A5 {name}: no WholeStageCodegen span")
