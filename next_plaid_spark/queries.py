@@ -1312,11 +1312,12 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal decode stage end-to-end over synthesized binary
-    assets (payload = utf-8 text bytes; real corpora carry real media
-    bytes in the same column). The STUB decode derives dimensions from
-    the payload md5 — deliberately, so this oracle can recompute the
-    exact same values in DuckDB and hash-check the whole Arrow-batched
-    mapInPandas plumbing (schema, batching, null handling)."""
+    assets (payload = utf-8 text bytes → no magic bytes → the
+    deterministic md5-derived fallback, codec='stub'), so this oracle can
+    recompute the exact same values in DuckDB and hash-check the whole
+    Arrow-batched mapInPandas plumbing (schema, batching, null handling).
+    The REAL WAV/PNG/BMP/PPM decoders are pinned by golden-value pytest
+    gates over constructed payloads (tests/test_colgrep_rerank_multimodal)."""
     from next_plaid_spark.operators.multimodal import decode_media, synthesize_assets
 
     docs = _t(spark, sf_dir, "documents")
@@ -1326,9 +1327,12 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIA_DECODE = """
 SELECT doc_id AS asset_id,
        'image' AS media_type,
+       'stub' AS codec,
        CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192 AS INT) AS width,
        CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192 AS INT) AS height,
        3 AS channels,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS n_samples,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
 FROM documents

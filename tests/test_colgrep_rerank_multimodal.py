@@ -121,5 +121,206 @@ def test_multimodal_pipeline_shapes(spark, documents):
 
 
 def test_multimodal_strict_raises(spark, documents):
-    with pytest.raises(NotImplementedError):
-        decode_media(synthesize_assets(documents.limit(1)), strict=True)
+    # text payloads carry no known magic bytes → strict mode raises at
+    # execution (inside the decode worker, surfaced as a PythonException)
+    with pytest.raises(Exception, match="codec"):
+        decode_media(
+            synthesize_assets(documents.limit(1)), strict=True
+        ).collect()
+
+
+def _make_wav(sr=8000, freq=440.0, n=800, ch=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack("<" + "h" * ch,
+                        *([int(12000 * math.sin(2 * math.pi * freq * i / sr))] * ch))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _make_png(px, filters=None):
+    """Minimal PNG writer (8-bit RGB/gray, non-interlaced) applying the
+    requested filter type per row — exercises every unfilter branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * h
+    stride = w * c
+    flat = px.astype(np.int32).reshape(h, stride)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        line = flat[y].copy()
+        prior = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        enc = line.copy()
+        for x in range(stride):
+            a = line[x - c] if x >= c else 0
+            b = prior[x]
+            cc = prior[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(int(v) for v in enc)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _make_bmp(px):
+    """24-bit bottom-up BMP from an [h, w, 3] RGB array."""
+    import struct
+
+    h, w, _ = px.shape
+    row = (w * 3 + 3) & ~3
+    pad = row - w * 3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = px[y, x]
+            body.extend((int(b), int(g), int(r)))
+        body.extend(b"\x00" * pad)
+    off = 54
+    return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          0, 0, 0, 0)
+            + bytes(body))
+
+
+def test_real_wav_decode_roundtrip():
+    from next_plaid_spark.operators.multimodal import decode_wav
+
+    payload = _make_wav(sr=8000, n=800, ch=2)
+    sr, ns, ch, x = decode_wav(payload)
+    assert (sr, ns, ch) == (8000, 800, 2)
+    assert x.shape == (800, 2)
+    # a 440 Hz tone at 12000/32768 amplitude has RMS ≈ amp/√2
+    import numpy as np
+    rms = float(np.sqrt(np.mean(x[:, 0] ** 2)))
+    assert abs(rms - (12000 / 32768) / np.sqrt(2)) < 0.01
+
+
+def test_real_png_decode_all_filters():
+    import numpy as np
+
+    from next_plaid_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    payload = _make_png(px, filters=[0, 1, 2, 3, 4])
+    h, w, c, got = decode_png(payload)
+    assert (h, w, c) == (5, 7, 3)
+    assert np.array_equal(got, px)
+
+
+def test_real_bmp_decode_roundtrip():
+    import numpy as np
+
+    from next_plaid_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    h, w, c, got = decode_bmp(_make_bmp(px))
+    assert (h, w, c) == (4, 5, 3)
+    assert np.array_equal(got, px)
+
+
+def test_real_ppm_decode_roundtrip():
+    import numpy as np
+
+    from next_plaid_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    payload = b"P6\n# comment\n4 3\n255\n" + px.tobytes()
+    h, w, c, got = decode_ppm(payload)
+    assert (h, w, c) == (3, 4, 3)
+    assert np.array_equal(got, px)
+
+
+def test_decode_media_routes_real_and_stub(spark):
+    """decode_media: real codecs fire on magic bytes, stub otherwise, and
+    feature extraction computes REAL channel means for decodable images."""
+    import numpy as np
+
+    from next_plaid_spark.operators.multimodal import (
+        decode_media, extract_features)
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    wav = _make_wav(sr=8000, n=400, ch=1)
+    assets = spark.createDataFrame(
+        [
+            (0, "image", bytearray(_make_png(px)), ("t", 0)),
+            (1, "image", bytearray(_make_bmp(px)), ("t", 0)),
+            (2, "audio", bytearray(wav), ("t", 0)),
+            (3, "image", bytearray(b"just some text"), ("t", 0)),
+        ],
+        "asset_id long, media_type string, content binary, "
+        "meta struct<source:string, created_ns:long>",
+    )
+    got = {r.asset_id: r for r in decode_media(assets).collect()}
+    assert got[0].codec == "png" and (got[0].width, got[0].height) == (4, 4)
+    assert got[1].codec == "bmp" and got[1].channels == 3
+    assert got[2].codec == "wav" and got[2].sample_rate == 8000
+    assert got[2].n_samples == 400 and got[2].channels == 1
+    assert got[3].codec == "stub" and got[3].width is not None
+
+    feats = {r.asset_id: r.feature for r in extract_features(assets).collect()}
+    # pure-red image: mean R channel = 1.0, G/B = 0.0
+    assert abs(feats[0][0] - 1.0) < 1e-9 and abs(feats[0][1]) < 1e-9
+    assert feats[0][:4] == feats[1][:4]  # png and bmp agree on the pixels
+    # audio RMS of the tone ≈ amp/√2
+    assert abs(feats[2][0] - (12000 / 32768) / 2 ** 0.5) < 0.01
+
+
+def test_decode_media_strict_raises_on_unknown_only(spark):
+    import pytest as _pytest
+
+    from next_plaid_spark.operators.multimodal import decode_media
+
+    wav_assets = spark.createDataFrame(
+        [(0, "audio", bytearray(_make_wav()), ("t", 0))],
+        "asset_id long, media_type string, content binary, "
+        "meta struct<source:string, created_ns:long>",
+    )
+    assert decode_media(wav_assets, strict=True).count() == 1  # real codec ok
+
+    bad = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x01mp4?"), ("t", 0))],
+        "asset_id long, media_type string, content binary, "
+        "meta struct<source:string, created_ns:long>",
+    )
+    with _pytest.raises(Exception):
+        decode_media(bad, strict=True).count()
