@@ -318,3 +318,91 @@ def test_near_group_gating(spark):
     for r in idx.search_phrases(q6, k=10).collect():
         by_q.setdefault(r.query_id, set()).add(r.doc_id)
     assert by_q == {0: {0}, 1: {3}}
+
+
+def test_phrase_search_matches_python_reference(spark):
+    """Randomized cross-check of search_phrases against an independent
+    pure-Python implementation of the documented spec (fts5 idf floor,
+    phrase tf/df units, implicit AND, (score desc, doc asc) ranking) —
+    one Spark job per seed over a whole query batch."""
+    import math
+    import re as _re
+
+    import numpy as np
+
+    from next_plaid_spark.operators.bm25 import B, K1, BM25Index
+
+    def tok(s):
+        return [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    def ref(docs, queries, k):
+        toks = {d: tok(t) for d, t in docs}
+        dls = {d: len(ts) for d, ts in toks.items()}
+        n = len(docs)
+        avgdl = sum(dls.values()) / n
+
+        def occurrences(ts, phrase):
+            m = len(phrase)
+            return sum(
+                1 for s in range(len(ts) - m + 1) if ts[s:s + m] == phrase
+            )
+
+        out = {}
+        for qid, qtext in queries:
+            phrases = [tok(p) for p in _re.findall(r'"([^"]+)"', qtext)]
+            phrases += [[w] for w in tok(_re.sub(r'"[^"]*"', " ", qtext))]
+            phrases = [p for p in phrases if p]
+            scored = []
+            for d, ts in toks.items():
+                tfs = [occurrences(ts, p) for p in phrases]
+                if not phrases or any(t == 0 for t in tfs):
+                    continue
+                contribs = []
+                for p, tf in zip(phrases, tfs):
+                    df = sum(
+                        1 for ts2 in toks.values() if occurrences(ts2, p)
+                    )
+                    idf = math.log((n - df + 0.5) / (df + 0.5))
+                    if idf <= 0.0:
+                        idf = 1e-6
+                    sat = (tf * (K1 + 1.0)) / (
+                        tf + K1 * (1.0 - B + B * dls[d] / avgdl))
+                    contribs.append(idf * sat)
+                score = round(sum(sorted(contribs)), 6)
+                scored.append((d, score))
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            out[qid] = [(d, s) for d, s in scored[:k]]
+        return out
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        vocab = ["ape", "bat", "cow", "dog", "eel"]
+        docs = [
+            (d, " ".join(rng.choice(vocab, size=rng.integers(1, 9))))
+            for d in range(25)
+        ]
+        queries = []
+        for qid in range(8):
+            n_ph = rng.integers(1, 3)
+            parts = []
+            for _ in range(n_ph):
+                ln = int(rng.integers(1, 3))
+                words = " ".join(rng.choice(vocab, size=ln))
+                parts.append(f'"{words}"' if ln > 1 or rng.random() < 0.5
+                             else words)
+            queries.append((qid, " ".join(parts)))
+
+        idx = BM25Index.build(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            with_positions=True,
+        )
+        got = {}
+        res = idx.search_phrases(
+            spark.createDataFrame(queries, "query_id long, text string"),
+            k=10,
+        ).collect()
+        for r in sorted(res, key=lambda r: (r.query_id, r.rank)):
+            got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+        want = ref(docs, queries, 10)
+        want = {q: v for q, v in want.items() if v}
+        assert got == want, f"seed {seed}"

@@ -117,6 +117,24 @@ def main():
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         hard = [p for p in problems if not p.startswith("NOTE")]
+        # dtype guard: the driver's value hash is order-insensitive and
+        # integer-width-tolerant, but an un-cast DuckDB sum() widens to
+        # HUGEINT → arrow decimal128, which hash-mismatches Spark's BIGINT
+        # even when values are equal (the r5 pack_sequences/span_corrupt
+        # failure class). Catch it here, at authoring time.
+        try:
+            atbl = con.execute(
+                f"SELECT * FROM ({oracles[name]}) LIMIT 1"
+            ).fetch_arrow_table()
+            dec = [f.name for f in atbl.schema if "decimal" in str(f.type)]
+            if dec:
+                problems.append(
+                    f"oracle emits decimal128 column(s) {dec} — CAST to "
+                    "BIGINT/DOUBLE or the driver hash will mismatch"
+                )
+                hard.append(problems[-1])
+        except Exception:
+            pass
         status = "FAIL" if hard else "PASS"
         if hard:
             failed.append(name)
