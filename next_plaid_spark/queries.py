@@ -1339,6 +1339,28 @@ FROM documents
 """.strip()
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal feature stage over the same synthesized assets
+    (stub path: first 8 md5 digest bytes / 256 — recomputable in DuckDB,
+    hash-checking the Arrow feature plumbing; the REAL image/audio
+    statistics are pinned by the golden-payload pytest gates)."""
+    from next_plaid_spark.operators.multimodal import (
+        extract_features, synthesize_assets)
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(synthesize_assets(docs), dim=8)
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS asset_id,
+       list_transform(
+         range(0, 8),
+         i -> CAST(CAST(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS INT) AS DOUBLE) / 256.0
+       ) AS feature
+FROM documents
+""".strip()
+
+
 BM25_AND_QUERY_TOKENS = 2
 
 
@@ -2546,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_and_topk": q_bm25_and_topk,
         "media_decode": q_media_decode,
+        "media_features": q_media_features,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_relative_topk": q_hybrid_relative_topk,
         "bm25_trigram_topk": q_bm25_trigram_topk,
@@ -2634,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_topk": _sql_bm25_phrase_topk(),
         "bm25_and_topk": sql_bm25_and_topk(),
         "media_decode": SQL_MEDIA_DECODE,
+        "media_features": SQL_MEDIA_FEATURES,
         "ir_eval_bm25": sql_ir_eval_bm25(),
         "ir_eval_plaid": sql_ir_eval_plaid(),
         "events_asof": SQL_EVENTS_ASOF,
