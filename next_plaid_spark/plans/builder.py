@@ -41,7 +41,8 @@ class IndexBuilder:
 
     def __init__(self, spark: SparkSession, *, nbits: int = 4, seed: int = 42,
                  k: int | None = None, kmeans_iters: int = 4,
-                 kmeans_strategy: str = "auto"):
+                 kmeans_strategy: str = "auto",
+                 bucket_tokens: int | None = None):
         """kmeans_strategy:
         'sample' — reference parity: seeded bounded sample → driver Lloyd's
         (deterministic, matches kmeans.rs:261-422's shape).
@@ -57,6 +58,9 @@ class IndexBuilder:
         self.k = k
         self.kmeans_iters = kmeans_iters
         self.kmeans_strategy = kmeans_strategy
+        # persist tokens as a doc_id-bucketed table (shuffle-free per-doc
+        # consumers; see sources/index_store.py::write_index)
+        self.bucket_tokens = bucket_tokens
 
     def build(self, doc_tokens: DataFrame, path: str) -> PlaidIndex:
         """doc_tokens(doc_id, token_idx, vec) → persisted PlaidIndex."""
@@ -107,6 +111,7 @@ class IndexBuilder:
         idx = write_index(
             self.spark, path, tokens_coded=tokens_out,
             centroids=model.centroids, meta=meta,
+            bucket_tokens=self.bucket_tokens,
         )
         doc_tokens.unpersist()
         return idx

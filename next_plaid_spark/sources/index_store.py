@@ -45,20 +45,26 @@ class IndexMeta:
     num_embeddings: int
     avg_doclen: float
     codec: CodecArtifacts
+    # set when tokens are persisted as a doc_id-bucketed table: catalog
+    # table name + bucket count (None = plain parquet directory)
+    bucket_table: str | None = None
+    n_buckets: int | None = None
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "k": self.k,
-                "dim": self.dim,
-                "nbits": self.nbits,
-                "num_documents": self.num_documents,
-                "num_embeddings": self.num_embeddings,
-                "avg_doclen": self.avg_doclen,
-                "codec": self.codec.to_dict(),
-                "next_plaid_spark_version": 1,
-            }
-        )
+        d = {
+            "k": self.k,
+            "dim": self.dim,
+            "nbits": self.nbits,
+            "num_documents": self.num_documents,
+            "num_embeddings": self.num_embeddings,
+            "avg_doclen": self.avg_doclen,
+            "codec": self.codec.to_dict(),
+            "next_plaid_spark_version": 1,
+        }
+        if self.bucket_table:
+            d["bucket_table"] = self.bucket_table
+            d["n_buckets"] = self.n_buckets
+        return json.dumps(d)
 
     @classmethod
     def from_json(cls, s: str) -> "IndexMeta":
@@ -67,6 +73,7 @@ class IndexMeta:
             k=d["k"], dim=d["dim"], nbits=d["nbits"],
             num_documents=d["num_documents"], num_embeddings=d["num_embeddings"],
             avg_doclen=d["avg_doclen"], codec=CodecArtifacts.from_dict(d["codec"]),
+            bucket_table=d.get("bucket_table"), n_buckets=d.get("n_buckets"),
         )
 
 
@@ -82,6 +89,17 @@ class PlaidIndex:
     # -- tables ------------------------------------------------------------
     @property
     def tokens(self) -> DataFrame:
+        bt = self.meta.bucket_table
+        if bt and self.spark.catalog.tableExists(bt):
+            # bucketed catalog table: groupBy(doc_id)/join(doc_id) read the
+            # bucket spec and skip the shuffle entirely
+            return self.spark.table(bt)
+        pb = os.path.join(self.path, "tokens_bucketed")
+        if os.path.isdir(pb):
+            # bucketed FILES from another session (in-memory catalog lost
+            # the table): still valid parquet, just without the bucket
+            # metadata — a persistent metastore keeps it at cluster scale
+            return self.spark.read.parquet(pb)
         return self.spark.read.parquet(os.path.join(self.path, "tokens"))
 
     @property
@@ -136,31 +154,59 @@ def write_index(
     centroids: np.ndarray,
     meta: IndexMeta,
     token_partitions: int | None = None,
+    bucket_tokens: int | None = None,
 ) -> PlaidIndex:
     os.makedirs(path, exist_ok=True)
+    import hashlib as _hl
+
     from pyspark.sql import functions as F
 
-    # No repartition before the write: nothing downstream relies on
-    # doc-co-located token files (every per-doc consumer groupBys first,
-    # and Spark attaches no partitioning metadata to plain parquet), so a
-    # hash shuffle of the corpus's biggest table here would be pure cost —
-    # at 100 TB, THE cost. ``token_partitions`` remains for explicit
-    # output-file-count control (round-robin, cheaper than hash).
-    out = tokens_coded
-    if token_partitions:
-        out = out.repartition(token_partitions)
-    out.write.mode("overwrite").parquet(os.path.join(path, "tokens"))
+    if bucket_tokens:
+        # doc_id-bucketed catalog table: ONE shuffle at write time buys
+        # shuffle-free groupBy(doc_id)/join(doc_id) for every downstream
+        # consumer (doc_stats build below, the rerank kernel's per-doc
+        # packing, reconstruction) — the cluster-scale layout the module
+        # docstring promises. Data lives inside the index directory
+        # (external table); the bucket METADATA lives in the session
+        # catalog, so other sessions fall back to plain parquet reads of
+        # the same files unless a persistent metastore carries it.
+        bt = f"nps_tokens_{_hl.md5(os.path.abspath(path).encode()).hexdigest()[:12]}"
+        spark.sql(f"DROP TABLE IF EXISTS {bt}")
+        (
+            tokens_coded.write.mode("overwrite")
+            .option("path", os.path.join(path, "tokens_bucketed"))
+            .bucketBy(bucket_tokens, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(bt)
+        )
+        meta.bucket_table = bt
+        meta.n_buckets = bucket_tokens
+        tokens_src = spark.table(bt)
+    else:
+        # No repartition before the write: nothing downstream relies on
+        # doc-co-located token FILES (plain parquet carries no partitioning
+        # metadata), so a hash shuffle of the corpus's biggest table here
+        # would be pure cost. ``token_partitions`` remains for explicit
+        # output-file-count control (round-robin, cheaper than hash).
+        out = tokens_coded
+        if token_partitions:
+            out = out.repartition(token_partitions)
+        out.write.mode("overwrite").parquet(os.path.join(path, "tokens"))
+        tokens_src = None
     cdf = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
         "code long, vec array<float>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
-    tokens = spark.read.parquet(os.path.join(path, "tokens"))
+    tokens = (tokens_src if tokens_src is not None
+              else spark.read.parquet(os.path.join(path, "tokens")))
     # B9 doclens + the per-doc distinct sorted codes (codes.npy analog) in
     # ONE groupBy(doc_id) pass — the only full-corpus shuffle after the
-    # encode; readers project just the column they need (Parquet pruning),
-    # so doclens consumers never touch the codes arrays
+    # encode (and with bucketed tokens, not even that: the bucket spec
+    # satisfies the groupBy's distribution requirement); readers project
+    # just the column they need (Parquet pruning), so doclens consumers
+    # never touch the codes arrays
     (
         tokens.groupBy("doc_id")
         .agg(

@@ -1,0 +1,61 @@
+"""doc_id-bucketed token storage: the cluster-scale layout where per-doc
+groupBys/joins read the bucket spec instead of shuffling the corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from next_plaid_spark.encoding import clustered_token_corpus
+from next_plaid_spark.plans.builder import IndexBuilder
+from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_tokens_skip_the_per_doc_shuffle(spark, tmp_path):
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=200, tokens_per_doc=4, dim=8, n_clusters=16, seed=3
+    )
+    plain = IndexBuilder(spark, k=16).build(toks, str(tmp_path / "plain"))
+    bidx = IndexBuilder(spark, k=16, bucket_tokens=8).build(
+        toks, str(tmp_path / "bucketed")
+    )
+    agg = lambda idx: idx.tokens.groupBy("doc_id").agg(  # noqa: E731
+        F.count("*").alias("n")
+    )
+    assert "Exchange" in _plan(agg(plain))
+    # the bucket spec satisfies the groupBy's required distribution
+    assert "Exchange" not in _plan(agg(bidx))
+    assert bidx.meta.bucket_table and bidx.meta.n_buckets == 8
+
+    # identical search results on both layouts
+    qt = toks.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), "token_idx", "vec"
+    )
+    p = SearchParams(top_k=5)
+    a = sorted(tuple(r) for r in BatchSearcher(plain, p).search(qt).collect())
+    b = sorted(tuple(r) for r in BatchSearcher(bidx, p).search(qt).collect())
+    assert a == b
+
+
+def test_bucketed_index_reloads_without_catalog(spark, tmp_path):
+    """A session whose catalog lost the table (fresh cluster) must still
+    read the bucketed FILES as plain parquet."""
+    from next_plaid_spark.sources.index_store import PlaidIndex
+
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=100, tokens_per_doc=3, dim=8, n_clusters=8, seed=4
+    )
+    bidx = IndexBuilder(spark, k=8, bucket_tokens=4).build(
+        toks, str(tmp_path / "b2")
+    )
+    n = bidx.tokens.count()
+    spark.sql(f"DROP TABLE IF EXISTS {bidx.meta.bucket_table}")
+    reloaded = PlaidIndex.load(spark, str(tmp_path / "b2"))
+    assert reloaded.tokens.count() == n
+    # and the fallback plan is a plain parquet scan (shuffle returns)
+    assert "Exchange" in _plan(
+        reloaded.tokens.groupBy("doc_id").agg(F.count("*"))
+    )
