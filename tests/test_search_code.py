@@ -122,3 +122,55 @@ def test_apply_ranking_single_job(spark, units):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before  # plan construction is lazy, no hidden jobs
     assert ranked.count() > 0
+
+
+def test_search_code_over_new_language_surface(spark):
+    """End-to-end search_code across the r6 language surface: R and QML
+    code units plus typed text/config Documents are all indexable and
+    retrievable, with reference-matching language labels flowing through
+    to ranking and glob filters."""
+    from next_plaid_spark.operators.code_parse import (
+        parse_code_units, with_unit_ids)
+    from next_plaid_spark.operators.colgrep import search_code
+
+    files = spark.createDataFrame(
+        [
+            ("stats.r",
+             "# Computes the weighted harmonic mean of samples\n"
+             "harmonic_mean <- function(x, w) {\n"
+             "    sum(w) / sum(w / x)\n"
+             "}\n"),
+            ("shell.qml",
+             "import QtQuick\n\nPanelWindow {\n    id: root\n"
+             "    function toggleOverlay(visible) {\n"
+             "        overlay.visible = visible;\n    }\n}\n"),
+            ("docs/deploy.md",
+             "# Deploying the analytics service\n\n"
+             "Run terraform apply and then restart the ingest workers.\n"),
+            ("conf/app.yaml",
+             "ingest:\n  workers: 8\n  queue: analytics\n"),
+            ("main.py",
+             "def unrelated():\n    return 42\n"),
+        ],
+        "path string, content string",
+    )
+    units = with_unit_ids(parse_code_units(files))
+
+    langs = {r.file: r.language for r in units.collect()}
+    assert langs["stats.r"] == "r" and langs["shell.qml"] == "qml"
+    assert langs["docs/deploy.md"] == "markdown"
+    assert langs["conf/app.yaml"] == "yaml"
+
+    got = search_code(units, "harmonic mean of samples", top_k=3).collect()
+    assert got and got[0].file == "stats.r"
+
+    got = search_code(units, "toggle overlay visible", top_k=3).collect()
+    assert got and got[0].file == "shell.qml"
+
+    got = search_code(units, "deploying analytics service", top_k=3,
+                      include_glob="*.md").collect()
+    assert got and got[0].file == "docs/deploy.md"
+
+    got = search_code(units, "ingest workers queue", top_k=3,
+                      include_glob="conf/*").collect()
+    assert got and got[0].file == "conf/app.yaml"
