@@ -788,6 +788,17 @@ class BatchSearcher:
                 F.countDistinct("query_id").alias("nq"),
                 (F.countDistinct("token") if has_token else F.count("*")).alias("nv"),
             ).collect()[0]
+            if strategy == "chunked":
+                # the RAW token pdf is dim/K times smaller than the score
+                # matrix that forced chunking — when it fits the same
+                # budget, collect it so Q9 can still run as the broadcast
+                # kernel (the approx stage stays chunked either way)
+                if qstats["ntok"] * idx.meta.dim * 8 <= self.broadcast_budget_bytes:
+                    qt_pdf = (
+                        query_tokens.select("query_id", "token_idx", "vec")
+                        .sort("query_id", "token_idx")
+                        .toPandas()
+                    )
 
         if strategy in ("broadcast", "chunked"):
             # Q1–Q6 in one shot: probe/prune driver-side, candidacy and
