@@ -156,3 +156,79 @@ SELECT doc_id, n_tokens, start_off,
 FROM cum
 ORDER BY doc_id
 """.strip()
+
+
+def write_training_shards(bins: DataFrame, path: str, *,
+                          bins_per_shard: int = 1024,
+                          compression: str = "zstd") -> dict:
+    """Materialize packed training shards: fixed-size parquet files of
+    consecutive bins plus a ``manifest.json`` (shard → bin range / row
+    count / token count) — the training-side contract every data loader
+    needs (shard addressing + deterministic order) without inventing a
+    bespoke container format; parquet shards stream into any framework's
+    loader and survive object storage.
+
+    Sharding is deterministic: shard_id = bin_id // bins_per_shard, so the
+    SAME corpus always produces the SAME shard boundaries (resumable,
+    diffable). One write-time shuffle on shard_id; files are written via
+    partitionBy so each shard is one directory with stable addressing.
+
+    Returns the manifest dict (also written to ``<path>/manifest.json``)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = bins.withColumn(
+        "shard_id", (F.col("bin_id") / bins_per_shard).cast("long")
+    )
+    (
+        out.repartition("shard_id")
+        .sortWithinPartitions("bin_id")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("shard_id")
+        .parquet(os.path.join(path, "shards"))
+    )
+    stats = (
+        out.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.min("bin_id").alias("first_bin"),
+            F.max("bin_id").alias("last_bin"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "bins_per_shard": bins_per_shard,
+        "compression": compression,
+        "n_shards": len(stats),
+        "total_bins": int(sum(r.n_bins for r in stats)),
+        "total_tokens": int(sum(r.n_tokens for r in stats)),
+        "shards": [
+            {
+                "shard_id": int(r.shard_id),
+                "path": f"shards/shard_id={int(r.shard_id)}",
+                "n_bins": int(r.n_bins),
+                "first_bin": int(r.first_bin),
+                "last_bin": int(r.last_bin),
+                "n_tokens": int(r.n_tokens),
+            }
+            for r in stats
+        ],
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_training_shards(spark, path: str) -> DataFrame:
+    """Load shards back as one DataFrame (bin order restored by sort)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "shards"))
+        .drop("shard_id")
+    )

@@ -158,3 +158,38 @@ def test_span_corrupt_reconstruction_invariant(spark):
             rebuilt.extend(spans[int(m.group(1))] if m else [t])
         assert rebuilt == orig, r.doc_id
         assert r.n_masked == sum(len(v) for v in spans.values())
+
+
+def test_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    """write_training_shards: deterministic shard boundaries, a manifest
+    whose counts reconcile exactly with the bins, and a lossless
+    roundtrip through read_training_shards."""
+    import json
+
+    from next_plaid_spark.operators.packing import (
+        pack_bins, read_training_shards, write_training_shards)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    bins = pack_bins(docs, capacity=16)
+    expect = {r.bin_id: (r.n_tokens, r.tokens) for r in bins.collect()}
+
+    out = str(tmp_path / "shards_out")
+    manifest = write_training_shards(bins, out, bins_per_shard=4)
+    assert manifest["total_bins"] == len(expect)
+    assert manifest["total_tokens"] == sum(n for n, _ in expect.values())
+    # deterministic boundaries: shard of bin b is b // 4
+    for s in manifest["shards"]:
+        assert s["first_bin"] // 4 == s["shard_id"]
+        assert s["last_bin"] // 4 == s["shard_id"]
+    # the file on disk matches the returned dict
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f) == manifest
+
+    back = {
+        r.bin_id: (r.n_tokens, r.tokens)
+        for r in read_training_shards(spark, out).collect()
+    }
+    assert back == expect
