@@ -1644,7 +1644,6 @@ _QML_PROP_RE = re.compile(
     r"^\s*(?:required\s+|readonly\s+|default\s+)*property\s+"
     r"(\w+(?:<[^>]*>)?)\s+([A-Za-z_]\w*)"
 )
-_QML_ID_RE = re.compile(r"^\s*id\s*:\s*([A-Za-z_]\w*)")
 
 
 def _parse_qml(path: str, content: str) -> list[tuple]:
