@@ -755,26 +755,35 @@ class BatchSearcher:
         has_token = "token" in query_tokens.columns
         strategy = self.approx_strategy
         qt_pdf = None
+        cols = ["query_id", "token_idx", "vec"] + (
+            ["token"] if has_token else []
+        )
         if strategy == "auto":
-            # broadcast while the batch's [q_tokens, K] score matrix fits
-            ntok = query_tokens.count()
-            est = ntok * idx.meta.k * 4
-            strategy = "broadcast" if est <= self.broadcast_budget_bytes else "chunked"
-        if strategy == "broadcast":
-            # ONE driver collect serves the kernel's token matrix, the
-            # probe, AND the rerank-budget stats (was: a separate
-            # count+countDistinct job plus the kernel's own toPandas —
-            # ~10% of a warm batch-500 search). Affordable by
-            # construction: the token pdf is [ntok, dim], dim ≪ K times
-            # smaller than the score matrix the budget already admits.
-            cols = ["query_id", "token_idx", "vec"] + (
-                ["token"] if has_token else []
-            )
+            # broadcast while the batch's [q_tokens, K] score matrix fits.
+            # Decide WITHOUT a separate count job: collect the token pdf
+            # under a limit of cap+1 rows — the pdf itself is [ntok, dim],
+            # dim ≪ K times smaller than the score matrix the budget
+            # admits, so within-cap collection is affordable by
+            # construction; cap+1 rows back means over budget (discard,
+            # go chunked). One driver roundtrip replaces count+toPandas.
+            cap = max(1, self.broadcast_budget_bytes // (idx.meta.k * 4))
+            pdf = query_tokens.select(*cols).limit(cap + 1).toPandas()
+            if len(pdf) <= cap:
+                strategy = "broadcast"
+                qt_pdf = pdf.sort_values(
+                    ["query_id", "token_idx"], kind="stable"
+                ).reset_index(drop=True)
+            else:
+                strategy = "chunked"
+        elif strategy == "broadcast":
             qt_pdf = (
                 query_tokens.select(*cols)
                 .sort("query_id", "token_idx")
                 .toPandas()
             )
+        if strategy == "broadcast":
+            # the single collect serves the kernel's token matrix, the
+            # probe, AND the rerank-budget stats
             qstats = {
                 "ntok": len(qt_pdf),
                 "nq": int(qt_pdf["query_id"].nunique()),
