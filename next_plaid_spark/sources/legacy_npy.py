@@ -133,3 +133,136 @@ def convert_npy_index(spark: SparkSession, src: str, dest: str, *,
         tokens_coded=legacy_tokens_df(spark, src),
         centroids=centroids, meta=meta, bucket_tokens=bucket_tokens,
     )
+
+
+def export_npy_index(spark: SparkSession, index: PlaidIndex, dest: str, *,
+                     docs_per_chunk: int = 50_000) -> int:
+    """The reverse direction: a parquet PlaidIndex → the reference's NPY
+    artifact directory (index.rs:400-520), so corpora can migrate BACK to
+    a next-plaid deployment. Returns the number of chunks written.
+
+    Docs are renumbered to dense 0..N−1 positions in doc_id order (the
+    reference addresses documents positionally) via the same two-phase
+    prefix sum as sequence packing — no corpus-wide single-partition
+    window. Chunk c = rank // docs_per_chunk (the reference's 50k-doc
+    chunking); each chunk's codes/residuals/doclens are assembled and
+    np.saved INSIDE one Spark task (``applyInPandas`` over
+    ``groupBy(chunk)``), so chunks export in parallel and only the
+    (K-bounded) IVF assembly and small artifacts touch the driver."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    meta = index.meta
+    codec = meta.codec
+    np.save(os.path.join(dest, "centroids.npy"),
+            index.centroids_np().astype(np.float32))
+    np.save(os.path.join(dest, "bucket_cutoffs.npy"),
+            codec.bucket_cutoffs.astype(np.float32))
+    np.save(os.path.join(dest, "bucket_weights.npy"),
+            codec.bucket_weights.astype(np.float32))
+    np.save(os.path.join(dest, "avg_residual.npy"),
+            codec.avg_residual.astype(np.float32))
+    np.save(os.path.join(dest, "cluster_threshold.npy"),
+            np.asarray([codec.cluster_threshold], dtype=np.float32))
+
+    # dense rank per doc without a global window: per-bucket counts,
+    # driver cumsum over |buckets| rows, within-bucket row_number
+    bucket_size = 1 << 20
+    dl = index.doclens.select(
+        "doc_id", F.floor(F.col("doc_id") / bucket_size).alias("_b")
+    )
+    pre = {
+        int(r._b): int(r.n)
+        for r in dl.groupBy("_b").agg(F.count("*").alias("n")).collect()
+    }
+    base, acc = {}, 0
+    for b in sorted(pre):
+        base[b] = acc
+        acc += pre[b]
+    n_docs = acc
+    base_df = spark.createDataFrame(
+        [(b, off) for b, off in base.items()], "_b long, _off long"
+    )
+    w_in = Window.partitionBy("_b").orderBy("doc_id")
+    ranks = (
+        dl.withColumn("_r", F.row_number().over(w_in) - 1)
+        .join(F.broadcast(base_df), "_b")
+        .select("doc_id", (F.col("_off") + F.col("_r")).alias("rank"))
+    )
+    toks = index.tokens.join(ranks, "doc_id").select(
+        "rank", "token_idx", "code", "residual",
+        F.floor(F.col("rank") / docs_per_chunk).alias("chunk"),
+    )
+    n_chunks = (n_docs + docs_per_chunk - 1) // docs_per_chunk
+
+    def write_chunk(key, pdf):
+        import pandas as pd
+
+        ci = int(key[0])
+        pdf = pdf.sort_values(["rank", "token_idx"], kind="stable")
+        codes = pdf["code"].to_numpy(dtype=np.int64)
+        res = np.asarray(
+            [np.frombuffer(r, dtype=np.uint8) for r in pdf["residual"]]
+        )
+        counts = pdf.groupby("rank", sort=True).size()
+        np.save(os.path.join(dest, f"{ci}.codes.npy"), codes)
+        np.save(os.path.join(dest, f"{ci}.residuals.npy"), res)
+        with open(os.path.join(dest, f"doclens.{ci}.json"), "w") as f:
+            json.dump([int(c) for c in counts], f)
+        with open(os.path.join(dest, f"{ci}.metadata.json"), "w") as f:
+            json.dump({
+                "num_documents": int(len(counts)),
+                "num_embeddings": int(len(codes)),
+                "embedding_offset": 0,  # patched below in rank order
+            }, f)
+        return pd.DataFrame({"chunk": [ci], "n_tokens": [len(codes)]})
+
+    chunk_stats = {
+        int(r.chunk): int(r.n_tokens)
+        for r in toks.groupBy("chunk").applyInPandas(
+            write_chunk, schema="chunk long, n_tokens long"
+        ).collect()
+    }
+    # embedding offsets are a running sum over chunk order
+    off = 0
+    for ci in range(n_chunks):
+        p = os.path.join(dest, f"{ci}.metadata.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["embedding_offset"] = off
+        off += chunk_stats.get(ci, 0)
+        with open(p, "w") as f:
+            json.dump(m, f)
+
+    # IVF in dense-rank space, concatenated in code order with lengths —
+    # K-bounded lists; the reference stores exactly this shape
+    rank_map = {
+        int(r.doc_id): int(r.rank) for r in ranks.collect()
+    }
+    ivf_rows = index.ivf.collect()
+    by_code = {int(r.code): sorted(rank_map[int(d)] for d in r.doc_ids)
+               for r in ivf_rows}
+    ivf_data: list[int] = []
+    ivf_lengths = np.zeros(meta.k, dtype=np.int32)
+    for c in range(meta.k):
+        docs = by_code.get(c, [])
+        ivf_lengths[c] = len(docs)
+        ivf_data.extend(docs)
+    np.save(os.path.join(dest, "ivf.npy"),
+            np.asarray(ivf_data, dtype=np.int64))
+    np.save(os.path.join(dest, "ivf_lengths.npy"), ivf_lengths)
+
+    with open(os.path.join(dest, "plan.json"), "w") as f:
+        json.dump({"nbits": meta.nbits, "num_chunks": n_chunks}, f)
+    with open(os.path.join(dest, "metadata.json"), "w") as f:
+        json.dump({
+            "num_chunks": n_chunks, "nbits": meta.nbits,
+            "num_partitions": meta.k,
+            "num_embeddings": meta.num_embeddings,
+            "avg_doclen": meta.avg_doclen,
+            "num_documents": n_docs,
+            "embedding_dim": meta.dim,
+            "next_plaid_compatible": True,
+        }, f)
+    return n_chunks

@@ -10,6 +10,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from next_plaid_spark.operators.codec import CodecArtifacts, _pack_batch
 from next_plaid_spark.sources.index_store import IndexMeta, write_index
@@ -133,3 +134,92 @@ def test_convert_matches_layout_and_native_search(spark, tmp_path, legacy_dir):
     a = sorted(tuple(r) for r in BatchSearcher(idx, p).search(qt).collect())
     b = sorted(tuple(r) for r in BatchSearcher(native, p).search(qt).collect())
     assert a == b and a
+
+
+def test_export_then_convert_roundtrip(spark, tmp_path):
+    """parquet index → NPY export → convert back: token-exact for dense
+    doc ids; sparse ids renumber to dense ranks (the reference addresses
+    docs positionally)."""
+    import numpy as np
+
+    from next_plaid_spark.encoding import clustered_token_corpus
+    from next_plaid_spark.plans.builder import IndexBuilder
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+    from next_plaid_spark.sources.legacy_npy import export_npy_index
+
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=120, tokens_per_doc=3, dim=8, n_clusters=8, seed=2
+    )
+    native = IndexBuilder(spark, k=8).build(toks, str(tmp_path / "nat"))
+
+    dest = str(tmp_path / "npy_export")
+    n_chunks = export_npy_index(spark, native, dest, docs_per_chunk=50)
+    assert n_chunks == 3  # 120 docs / 50
+
+    # the exported artifacts parse as the reference layout
+    import json
+
+    with open(f"{dest}/metadata.json") as f:
+        m = json.load(f)
+    assert m["num_documents"] == 120 and m["num_chunks"] == 3
+    assert np.load(f"{dest}/ivf_lengths.npy").sum() > 0
+    with open(f"{dest}/doclens.0.json") as f:
+        assert sum(json.load(f)) == 50 * 3
+
+    back = convert_npy_index(spark, dest, str(tmp_path / "back"))
+    a = sorted(
+        (r.doc_id, r.token_idx, r.code, bytes(r.residual))
+        for r in native.tokens.collect()
+    )
+    b = sorted(
+        (r.doc_id, r.token_idx, r.code, bytes(r.residual))
+        for r in back.tokens.collect()
+    )
+    assert a == b  # dense ids: byte-exact round trip
+
+    qt = toks.filter(F.col("doc_id") % 12 == 0).select(
+        F.col("doc_id").alias("query_id"), "token_idx", "vec"
+    )
+    p = SearchParams(top_k=5, centroid_score_threshold=float("-inf"),
+                     n_ivf_probe=8)
+    ra = sorted(tuple(r) for r in BatchSearcher(native, p).search(qt).collect())
+    rb = sorted(tuple(r) for r in BatchSearcher(back, p).search(qt).collect())
+    assert ra == rb and ra
+
+
+def test_export_renumbers_sparse_doc_ids(spark, tmp_path):
+    import json
+
+    import numpy as np
+
+    from next_plaid_spark.operators.codec import CodecArtifacts
+    from next_plaid_spark.sources.index_store import IndexMeta, write_index
+    from next_plaid_spark.sources.legacy_npy import export_npy_index
+
+    rows = [  # sparse ids 7, 100, 5000
+        (7, 0, 1, b"\x10"), (7, 1, 2, b"\x20"),
+        (100, 0, 0, b"\x30"), (5000, 0, 3, b"\x40"),
+    ]
+    cents = np.eye(4, dtype=np.float32)
+    codec = CodecArtifacts(
+        nbits=2, bucket_cutoffs=np.asarray([-0.1, 0.0, 0.1], np.float32),
+        bucket_weights=np.asarray([-0.15, -0.05, 0.05, 0.15], np.float32),
+        avg_residual=np.full(4, 0.05, np.float32), cluster_threshold=0.3,
+    )
+    idx = write_index(
+        spark, str(tmp_path / "sparse"),
+        tokens_coded=spark.createDataFrame(
+            rows, "doc_id long, token_idx int, code long, residual binary"),
+        centroids=cents,
+        meta=IndexMeta(k=4, dim=4, nbits=2, num_documents=3,
+                       num_embeddings=4, avg_doclen=4 / 3, codec=codec),
+    )
+    dest = str(tmp_path / "sparse_npy")
+    export_npy_index(spark, idx, dest, docs_per_chunk=2)
+    with open(f"{dest}/doclens.0.json") as f:
+        assert json.load(f) == [2, 1]   # ranks 0 (id 7), 1 (id 100)
+    with open(f"{dest}/doclens.1.json") as f:
+        assert json.load(f) == [1]      # rank 2 (id 5000)
+    # ivf refers to dense ranks
+    ivf = np.load(f"{dest}/ivf.npy")
+    assert set(ivf.tolist()) <= {0, 1, 2}
