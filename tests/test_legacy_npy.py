@@ -223,3 +223,38 @@ def test_export_renumbers_sparse_doc_ids(spark, tmp_path):
     # ivf refers to dense ranks
     ivf = np.load(f"{dest}/ivf.npy")
     assert set(ivf.tolist()) <= {0, 1, 2}
+
+
+def test_convert_handles_zero_token_docs(spark, tmp_path):
+    """Legacy doclens may contain 0-length documents (deleted/empty);
+    they must survive conversion as docs with no token rows while later
+    docs keep correct ids."""
+    import json
+
+    import numpy as np
+
+    src = str(tmp_path / "legacy0")
+    os.makedirs(src)
+    k, dim, nbits = 2, 4, 2
+    np.save(os.path.join(src, "centroids.npy"), np.eye(k, dim, dtype=np.float32))
+    np.save(os.path.join(src, "bucket_cutoffs.npy"), np.asarray([0.0], np.float32))
+    np.save(os.path.join(src, "bucket_weights.npy"),
+            np.asarray([-0.1, 0.1], np.float32))
+    np.save(os.path.join(src, "avg_residual.npy"), np.full(dim, 0.1, np.float32))
+    with open(os.path.join(src, "plan.json"), "w") as f:
+        json.dump({"nbits": nbits, "num_chunks": 1}, f)
+    # doc 0: 2 tokens, doc 1: EMPTY, doc 2: 1 token
+    codes = np.asarray([0, 1, 0], dtype=np.int64)
+    res = np.zeros((3, 1), dtype=np.uint8)
+    np.save(os.path.join(src, "0.codes.npy"), codes)
+    np.save(os.path.join(src, "0.residuals.npy"), res)
+    with open(os.path.join(src, "doclens.0.json"), "w") as f:
+        json.dump([2, 0, 1], f)
+    with open(os.path.join(src, "metadata.json"), "w") as f:
+        json.dump({"num_chunks": 1, "nbits": nbits, "num_partitions": k,
+                   "num_embeddings": 3, "num_documents": 3,
+                   "avg_doclen": 1.0, "embedding_dim": dim}, f)
+
+    idx = convert_npy_index(spark, src, str(tmp_path / "conv0"))
+    rows = sorted((r.doc_id, r.token_idx) for r in idx.tokens.collect())
+    assert rows == [(0, 0), (0, 1), (2, 0)]  # doc 1 empty, doc 2 intact
