@@ -1343,21 +1343,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal feature stage over the same synthesized assets
     (stub path: first 8 md5 digest bytes / 256 — recomputable in DuckDB,
     hash-checking the Arrow feature plumbing; the REAL image/audio
-    statistics are pinned by the golden-payload pytest gates)."""
+    statistics are pinned by the golden-payload pytest gates).
+
+    Gate shape: the ARRAY<DOUBLE> feature column is posexploded to
+    scalar `(asset_id, dim_idx, value)` rows — the driver's canonicalizer
+    sorts columns with pandas and cannot hash list cells (the one red row
+    in CORRECTNESS_r06); the array-returning API is `extract_features`
+    itself, pinned by tests/test_multimodal.py."""
     from next_plaid_spark.operators.multimodal import (
         extract_features, synthesize_assets)
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(synthesize_assets(docs), dim=8)
+    feats = extract_features(synthesize_assets(docs), dim=8)
+    return feats.select(
+        "asset_id",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    )
 
 
 SQL_MEDIA_FEATURES = """
 SELECT doc_id AS asset_id,
-       list_transform(
-         range(0, 8),
-         i -> CAST(CAST(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS INT) AS DOUBLE) / 256.0
-       ) AS feature
-FROM documents
+       CAST(i AS INT) AS dim_idx,
+       CAST(CAST(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS INT) AS DOUBLE) / 256.0 AS value
+FROM documents, range(0, 8) t(i)
 """.strip()
 
 

@@ -103,6 +103,26 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
             continue
+        # schema guard: the driver's canonicalizer sorts all columns with
+        # pandas sort_values, which crashes on unhashable cells — an
+        # array/map/struct column ships a guaranteed-red gate row even when
+        # values are correct (the r6 media_features failure class). Catch it
+        # at authoring time; array-returning APIs keep their pytest gates
+        # and explode/hash to scalars in the gate entry.
+        from pyspark.sql import types as _T
+
+        bad = [
+            f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, (_T.ArrayType, _T.MapType, _T.StructType))
+        ]
+        if bad:
+            print(
+                f"FAIL {name}: gate-incompatible column(s) {bad} — "
+                "array/map/struct break the driver canonicalizer; "
+                "explode or hash to scalar columns"
+            )
+            failed.append(name)
+            continue
         t1 = time.time()
         if name not in oracles:
             print(f"PASS(rows-only) {name}: {len(spark_rows)} rows [{t1-t0:.1f}s]")
