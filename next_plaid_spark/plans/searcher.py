@@ -26,6 +26,7 @@ joins run with AQE skew-join splitting; at extreme skew, salt ``code``.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -37,6 +38,80 @@ from next_plaid_spark.functions.vector import dot
 from next_plaid_spark.operators.codec import decompress
 from next_plaid_spark.operators.maxsim import maxsim_scores_relational, topk
 from next_plaid_spark.sources.index_store import PlaidIndex
+
+
+def _seq_centroid_scores(q64: np.ndarray, c64: np.ndarray,
+                         threads: int = 1) -> np.ndarray:
+    """[rows, K] query·centroid scores in float64, accumulated sequentially
+    over dim (0.0 + q₀c₀ + q₁c₁ + …) — the exact fold order of
+    functions/vector.py::dot and of the DuckDB oracle's
+    ``list_reduce(list_transform(...), (a,b) -> a+b)``, so the probe, t_cs
+    prune, and codes-only approx scores are bit-reproducible cross-engine
+    (the reference's f32 GEMM at search.rs:388-409 is NOT reproduced: the
+    funnel's contract is its own determinism, not the reference's bit
+    pattern). Row-blocked; with ``threads`` > 1 disjoint row blocks run on
+    a thread pool (numpy releases the GIL) — same per-element fold order,
+    bit-identical output."""
+    rows, dim = q64.shape
+    k = c64.shape[0]
+    if rows == 0:
+        return np.zeros((0, k), dtype=np.float64)
+    qt = np.ascontiguousarray(np.asarray(q64, dtype=np.float64).T)
+    ct = np.ascontiguousarray(np.asarray(c64, dtype=np.float64).T)
+    out = np.empty((rows, k), dtype=np.float64)
+    block = 256
+
+    def work(r0: int) -> None:
+        r1 = min(r0 + block, rows)
+        blk = out[r0:r1]
+        np.multiply(qt[0, r0:r1][:, None], ct[0][None, :], out=blk)
+        tmp = np.empty((r1 - r0, k), dtype=np.float64)
+        for j in range(1, dim):
+            np.multiply(qt[j, r0:r1][:, None], ct[j][None, :], out=tmp)
+            blk += tmp
+
+    starts = range(0, rows, block)
+    if threads > 1 and rows > block:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(work, starts))
+    else:
+        for r0 in starts:
+            work(r0)
+    return out
+
+
+def _topn_mask(scores: np.ndarray, n: int) -> np.ndarray:
+    """Boolean mask of the top-``n`` columns per row under the total order
+    (score desc, column-index asc) — deterministic under ties, unlike a raw
+    ``argpartition`` (whose boundary-tie choice is undefined, the one thing
+    that kept the approximate funnel un-oracle-able). Vectorized: nth-value
+    threshold, strictly-greater always in, boundary ties admitted lowest
+    index first via an in-row cumulative count. Matches the oracle's
+    ``row_number() OVER (ORDER BY score DESC, code ASC) <= n``."""
+    k = scores.shape[1]
+    if n >= k:
+        return np.ones(scores.shape, dtype=bool)
+    thresh = np.partition(scores, k - n, axis=1)[:, k - n][:, None]
+    strict = scores > thresh
+    need = n - strict.sum(axis=1)
+    tie = scores == thresh
+    tie_rank = np.cumsum(tie, axis=1)
+    return strict | (tie & (tie_rank <= need[:, None]))
+
+
+def _sorted_fold(col) -> "F.Column":
+    """Σ over a group in ascending-value order: collect, sort, sequential
+    double fold — the deterministic-order twin of F.sum, bit-identical to
+    DuckDB's list_reduce(list_prepend(0.0, list_sort(list(x)))). Used for
+    the approximate scores so every Q6 strategy (and the oracle) folds the
+    per-token maxima identically."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(col)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
 
 
 @dataclass
@@ -56,8 +131,12 @@ class SearchParams:
 
 
 # query-side size budget for the broadcast approx strategy: the precomputed
-# [q_tokens, K] centroid-score matrix must stay comfortably broadcastable
-BROADCAST_SCORES_BUDGET_BYTES = 128 << 20
+# [q_tokens, K] float64 centroid-score matrix (built once driver-side, then
+# broadcast) must stay comfortably broadcastable. 256 MB holds a
+# 500-query × 8-token batch against K=4096 cells; bigger batches fall to
+# the chunked strategy, which splits by whole queries and stays
+# bit-identical.
+BROADCAST_SCORES_BUDGET_BYTES = 256 << 20
 
 # row budget for the Q9 vocab dot tables — the funnel's only nested-loop
 # join (|distinct surviving quantized vecs| × |query vocab| rows). Fine at
@@ -108,6 +187,10 @@ class BatchSearcher:
             else broadcast_budget_bytes
         )
         self._centroids = index.centroids_np()
+        # float64 copy of the same values (f32 → f64 is exact): every
+        # centroid-score fold runs in double from source values
+        self._centroids64 = np.ascontiguousarray(self._centroids,
+                                                 dtype=np.float64)
         # DataFrames cached by search() calls (query tokens, subset, pruned
         # ivf). They must stay cached while the returned lazy plan is being
         # consumed, so search() can't unpersist them itself; long-lived
@@ -141,7 +224,7 @@ class BatchSearcher:
         import numpy as np
         import pandas as pd
 
-        c = np.ascontiguousarray(self._centroids, dtype=np.float32)
+        c64 = self._centroids64
         # codes are centroid ids (K ≤ 2^18 in any real config): shipping the
         # per-pair code list as INT halves the cogroup shuffle — the
         # strategy's dominant cost — with identical downstream values
@@ -157,13 +240,15 @@ class BatchSearcher:
                 ).astype({"query_id": "int64", "doc_id": "int64",
                           "approx_score": "float64"})
             q = np.asarray(
-                [np.asarray(v, dtype=np.float32)
+                [np.asarray(v, dtype=np.float64)
                  for v in qt_pdf.sort_values("token_idx")["vec"]]
             )
             # [K, q_tokens] (transposed): the per-code gather below pulls
             # whole contiguous rows instead of strided columns — same
-            # values, much better cache behavior on the hot gather
-            scores_t = np.ascontiguousarray((q @ c.T).T)
+            # values, much better cache behavior on the hot gather.
+            # float64 sequential fold — bit-identical to the broadcast
+            # strategy's driver matrix and the DuckDB oracle.
+            scores_t = np.ascontiguousarray(_seq_centroid_scores(q, c64).T)
             # segment-max over the flattened code lists — no per-doc Python
             # loop (maximum.reduceat segments at each doc's offset)
             code_lists = [np.asarray(cs, dtype=np.int64) for cs in cand_pdf["codes"]]
@@ -178,7 +263,12 @@ class BatchSearcher:
             offsets = np.zeros(int(keep_mask.sum()), dtype=np.int64)
             np.cumsum(lens[keep_mask][:-1], out=offsets[1:])
             seg_max = np.maximum.reduceat(scores_t[flat], offsets, axis=0)
-            approx = seg_max.sum(axis=1, dtype=np.float64)
+            # ascending-value sequential fold of the per-token maxima —
+            # same fold as _sorted_fold / the broadcast kernel / the oracle
+            vals = np.sort(seg_max, axis=1)
+            approx = np.zeros(len(vals), dtype=np.float64)
+            for t in range(vals.shape[1]):
+                approx += vals[:, t]
             return pd.DataFrame(
                 {"query_id": key[0],
                  "doc_id": np.asarray(cand_pdf["doc_id"])[keep_mask],
@@ -213,15 +303,24 @@ class BatchSearcher:
         a segment-max over a boolean cell mask inside a doc-parallel kernel
         that scans each candidate doc's code list exactly once per batch; the
         exploded (query × doc) pair shuffle of the other strategies
-        disappears entirely. Scores are bit-identical to the cogrouped
-        kernel: same argpartition probe, same float32 maxima, same float64
-        token-order sum.
+        disappears entirely.
+
+        Bit-determinism (what makes the approximate funnel hash-checkable
+        against a DuckDB oracle — see queries.py::sql_plaid_search_topk):
+        centroid scores are float64 sequential-over-dim folds from the
+        SOURCE vector values (_seq_centroid_scores, computed ONCE driver-side
+        and broadcast — the executors consume, never recompute); the probe
+        is deterministic under ties (_topn_mask: score desc, code asc); the
+        approx score folds each pair's per-token maxima in ascending-value
+        order (sorted fold with exact-identity 0.0 padding) — the same fold
+        the kernel/relational strategies and the oracle use, so all four
+        strategies are bit-identical, not just value-close.
         """
         import pandas as pd
 
         spark = query_tokens.sparkSession
-        c = np.ascontiguousarray(self._centroids, dtype=np.float32)
-        k_total = c.shape[0]
+        c64 = self._centroids64
+        k_total = c64.shape[0]
 
         if qt_pdf is None:
             qt_pdf = (
@@ -236,75 +335,65 @@ class BatchSearcher:
         if not len(qt_pdf):
             return spark.createDataFrame(empty, schema=schema)
 
-        q = np.asarray([np.asarray(v, dtype=np.float32) for v in qt_pdf["vec"]])
         # token-dedup (the vectors are a pure function of the token text for
         # a deterministic encoder; np.unique needs no token column): all
-        # score-matrix work — driver probe AND executor kernel — runs per
-        # distinct vector. The broadcast then carries the [V, dim] vocab
-        # (KBs) instead of the [q_tokens, K] score matrix (can be 100s of
-        # MB), and each executor rebuilds scores with one small GEMM.
-        qv, inverse = np.unique(q, axis=0, return_inverse=True)
-        inverse = inverse.astype(np.int64).ravel()
-        scores_v = qv @ c.T  # [V, K]
+        # score-matrix work runs per distinct vector. float64 straight from
+        # the source values + padded per-query row-index matrix — the same
+        # query-side arrays the Q9 kernel uses.
+        from next_plaid_spark.operators.maxsim import query_side_arrays
+
+        qv, qi_mat, qi_ok, qids = query_side_arrays(qt_pdf)
+        scores_v = _seq_centroid_scores(
+            qv, c64, threads=min(16, os.cpu_count() or 1))  # [V, K] float64
         if eligible_mask is not None:
             # Q4 under filter (search.rs:350-364): the probe pool is
             # restricted to eligible centroids — cells holding subset docs —
             # so no probe slot is wasted on a cell that cannot contribute.
-            # In-place float32 fill (np.where with a Python float would
-            # promote the [V, K] matrix to float64 — 2× probe memory).
-            scores_v[:, ~eligible_mask] = np.float32("-inf")
-        qids_per_row = qt_pdf["query_id"].to_numpy()
-        qids, starts = np.unique(qids_per_row, return_index=True)
-        bounds = np.append(starts, len(qids_per_row))
+            # Candidate docs are subset docs, and every code of a subset doc
+            # is by definition an eligible cell, so the kernel below never
+            # gathers a masked column — masking before broadcast is safe.
+            scores_v[:, ~eligible_mask] = -np.inf
 
-        # Q2 probe + Q3 prune, driver-side (same np.argpartition as the
-        # probe UDF — identical cell selection, ties included)
+        # Q2 probe + Q3 prune, driver-side (deterministic under ties:
+        # score desc, code asc — the oracle's row_number order)
         n = min(n_probe, k_total)
         if eligible_mask is not None:
-            # belt-and-braces: never let argpartition select a masked -inf
-            # column even if a caller skips the n_probe ≤ eligible-count cap
+            # never let the probe select a masked -inf column even if a
+            # caller skips the n_probe ≤ eligible-count cap
             n = max(1, min(n, int(eligible_mask.sum())))
-        top = np.argpartition(scores_v, -n, axis=1)[:, -n:]
+        sel = _topn_mask(scores_v, n)
         cell_mask = np.zeros((len(qids), k_total), dtype=bool)
-        for qi in range(len(qids)):
-            rows = inverse[bounds[qi]:bounds[qi + 1]]
-            probed_cells = np.unique(top[rows])
+        for qx in range(len(qids)):
+            rows = qi_mat[qx][qi_ok[qx]]
+            probed_cells = np.nonzero(sel[rows].any(axis=0))[0]
             cell_best = scores_v[rows][:, probed_cells].max(axis=0)
             keep = cell_best >= p.centroid_score_threshold
             if p.keep_best_cell and not keep.all():
                 # rank 1 by (cell_max desc, code asc) — always survives
                 best = probed_cells[np.lexsort((probed_cells, -cell_best))[0]]
                 keep |= probed_cells == best
-            cell_mask[qi, probed_cells[keep]] = True
+            cell_mask[qx, probed_cells[keep]] = True
 
-        b_qv = spark.sparkContext.broadcast(qv)
-        b_cent = spark.sparkContext.broadcast(c)
+        # The broadcast carries the driver-built [V, K] float64 score matrix
+        # itself (bounded by broadcast_budget_bytes via the auto/chunked
+        # split): executors consume the exact driver bits instead of
+        # rebuilding per partition, which keeps the sequential-fold scores
+        # bit-identical everywhere without paying the (non-BLAS) fold cost
+        # once per partition.
+        b_S = spark.sparkContext.broadcast(scores_v)
         b_mask = spark.sparkContext.broadcast(cell_mask)
-        b_meta = spark.sparkContext.broadcast((qids, bounds, inverse))
+        b_meta = spark.sparkContext.broadcast((qids, qi_mat, qi_ok))
 
         def kern(batches):
-            S = b_qv.value @ b_cent.value.T  # [V, K], once per partition
+            S = b_S.value  # [V, K] float64, the driver's exact bits
             Cm = b_mask.value
-            kqids, kbounds, kinv = b_meta.value
+            kqids, kqi, kok = b_meta.value
             n_q = len(kqids)
-            # token-multiplicity matrix: QS = A @ seg_max folds every
-            # query's token maxima in ONE dgemm — no per-query Python loop
-            # (that loop was O(n_q × chunks) interpreter iterations with a
-            # double fancy-index copy each, the kernel's hot spot at large
-            # batch sizes). [n_q, V] is bounded by the same broadcast
-            # budget discipline that bounds S — chunked splits queries.
-            # BLAS accumulation order differs from the old sequential
-            # token-order sum in ulps at most; the relational strategy's
-            # F.sum already admits arbitrary fold order, so cross-strategy
-            # agreement has always presumed order-insensitive addition.
-            A = np.zeros((n_q, S.shape[0]), dtype=np.float64)
-            np.add.at(
-                A,
-                (np.repeat(np.arange(n_q), np.diff(kbounds)), kinv),
-                1.0,
-            )
-            # bound the [V, F] gather below ~128 MB per chunk
-            chunk_flat = max(1024, (32 << 20) // max(1, S.shape[0]))
+            t_max = kqi.shape[1]
+            # bound the [V, F] gather below ~32 MB per chunk, and the
+            # [n_q, t_max, nd] per-token maxima tensor below ~32 MB too
+            chunk_flat = max(1024, (32 << 20) // max(1, 8 * S.shape[0]))
+            nd_cap = max(64, (32 << 20) // max(1, 8 * n_q * t_max))
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -321,7 +410,9 @@ class BatchSearcher:
                 while start < len(kept):
                     end = start
                     tot = 0
-                    while end < len(kept) and (tot == 0 or tot + klens[end] <= chunk_flat):
+                    while end < len(kept) and end - start < nd_cap and (
+                        tot == 0 or tot + klens[end] <= chunk_flat
+                    ):
                         tot += klens[end]
                         end += 1
                     flat = np.concatenate(kept[start:end])
@@ -336,7 +427,17 @@ class BatchSearcher:
                     d_sorted = doc_ids[start:end][ordc]
                     seg_max = seg_max[:, ordc]
                     is_cand = is_cand[:, ordc]
-                    qs = A @ seg_max.astype(np.float64)  # [n_q, nd]
+                    # per-(query, doc) approx score: gather each query's
+                    # per-token maxima (pads land on exact-identity 0.0),
+                    # sort ascending, fold sequentially — bit-identical to
+                    # the relational _sorted_fold and the DuckDB oracle's
+                    # list_reduce(list_prepend(0.0, list_sort(list(mx))))
+                    T = seg_max[kqi]            # [n_q, t_max, nd]
+                    T[~kok] = 0.0
+                    T.sort(axis=1)
+                    qs = np.zeros((n_q, T.shape[2]), dtype=np.float64)
+                    for t in range(t_max):
+                        qs += T[:, t, :]
                     if prune_to is not None and qs.shape[1] > prune_to:
                         # two-phase top-k (Q7 pre-prune): the global
                         # top-prune_to per query is contained in every
@@ -561,7 +662,7 @@ class BatchSearcher:
         filter is a range predicate that pushes into the token scan."""
         import math
 
-        est = query_tokens.count() * self.index.meta.k * 4
+        est = query_tokens.count() * self.index.meta.k * 8
         n_chunks = max(1, math.ceil(est / self.broadcast_budget_bytes))
         qids = sorted(
             r.query_id for r in query_tokens.select("query_id").distinct().collect()
@@ -618,7 +719,7 @@ class BatchSearcher:
                 .groupBy("query_id", "doc_id", "q_token_idx")
                 .agg(F.max("cscore").alias("max_c"))
                 .groupBy("query_id", "doc_id")
-                .agg(F.sum("max_c").alias("approx_score"))
+                .agg(_sorted_fold("max_c").alias("approx_score"))
             )
         needed_scores = (
             cand_codes.select("query_id", "code")
@@ -642,7 +743,7 @@ class BatchSearcher:
             .groupBy("query_id", "doc_id", "q_token_idx")
             .agg(F.max("cscore").alias("max_c"))
             .groupBy("query_id", "doc_id")
-            .agg(F.sum("max_c").alias("approx_score"))
+            .agg(_sorted_fold("max_c").alias("approx_score"))
         )
 
     # -- Q1 + Q2: probe ----------------------------------------------------
@@ -655,26 +756,27 @@ class BatchSearcher:
         (search.rs:417-425); t_cs filter + keep-best-cell. Returns the
         surviving ``(query_id, code)`` cells.
 
-        Same float32 scores / argpartition as the broadcast strategy's
-        driver-side probe — strategies stay bit-aligned — but with zero
-        joins: one shuffle by query_id, versus the old probe-then-rescore
-        plan that shuffled |probed cells| × |q_tokens| vector rows."""
+        Same float64 sequential-fold scores / deterministic top-n as the
+        broadcast strategy's driver-side probe — strategies stay bit-aligned
+        — but with zero joins: one shuffle by query_id, versus the old
+        probe-then-rescore plan that shuffled |probed cells| × |q_tokens|
+        vector rows."""
         import pandas as pd
 
-        c = np.ascontiguousarray(self._centroids, dtype=np.float32)
+        c64 = self._centroids64
         emask = None if eligible_mask is None else np.asarray(eligible_mask, bool)
         t_cs = p.centroid_score_threshold
         keep_best = p.keep_best_cell
 
         def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
-            scores = x @ c.T  # [tokens, K]
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            scores = _seq_centroid_scores(x, c64)  # [tokens, K] float64
             n = min(n_probe, scores.shape[1])
             if emask is not None:
-                scores[:, ~emask] = np.float32("-inf")
+                scores[:, ~emask] = -np.inf
                 n = max(1, min(n, int(emask.sum())))
-            top = np.argpartition(scores, -n, axis=1)[:, -n:]
-            cells = np.unique(top.ravel())
+            sel = _topn_mask(scores, n)
+            cells = np.nonzero(sel.any(axis=0))[0]
             cmax = scores[:, cells].max(axis=0)
             keep = cmax >= t_cs
             if keep_best and len(cells):
@@ -766,7 +868,7 @@ class BatchSearcher:
             # admits, so within-cap collection is affordable by
             # construction; cap+1 rows back means over budget (discard,
             # go chunked). One driver roundtrip replaces count+toPandas.
-            cap = max(1, self.broadcast_budget_bytes // (idx.meta.k * 4))
+            cap = max(1, self.broadcast_budget_bytes // (idx.meta.k * 8))
             pdf = query_tokens.select(*cols).limit(cap + 1).toPandas()
             if len(pdf) <= cap:
                 strategy = "broadcast"

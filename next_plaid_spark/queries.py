@@ -186,9 +186,19 @@ def _plaid_index(spark: SparkSession, sf_dir: str):
 
 
 def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT approximate funnel (Q1-Q10 at n_probe=8, t_cs=0.4,
+    n_full_scores=256). Hash-exact oracle since r7: every funnel stage is
+    bit-deterministic (float64 sequential-fold centroid scores, tie-broken
+    probe, sorted-fold approx scores — plans/searcher.py), so the oracle
+    recomputes the WHOLE funnel — probe, prune, candidacy, codes-only
+    approx MaxSim, survivor cuts, exact rerank, top-k — in DuckDB over the
+    trained-artifact sidecars (centroids, per-doc codes, decompressed
+    vectors)."""
     from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
 
     idx = _plaid_index(spark, sf_dir)
+    _write_exact_oracle_sidecar(idx)
+    _write_approx_oracle_sidecar(idx)
     docs = _t(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -196,6 +206,160 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = encode_queries(queries)
     searcher = BatchSearcher(idx, SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256, keep_best_cell=True))
     return searcher.search(qt).select("query_id", "doc_id", "score", "rank")
+
+
+# Trained-artifact sidecars for the approximate-funnel oracles: the coarse
+# quantizer (centroids; float64-exact copies of the index's float32 values)
+# and the per-doc distinct code sets — the SAME artifacts the funnel's
+# Q1/Q5/Q6 stages consume. Only the k-means TRAINING is trusted (it is
+# iterative, not SQL-expressible); everything downstream of the trained
+# artifacts — probe, t_cs prune, candidate generation, codes-only approx
+# scoring, rank cuts, decompression-fed rerank, final top-k — is recomputed
+# independently by the oracle SQL.
+APPROX_ORACLE_SIDECAR = "/tmp/next_plaid_spark_oracle/approx_funnel"
+
+
+def _write_approx_oracle_sidecar(idx) -> None:
+    import numpy as np
+
+    c = idx.centroids_np().astype(np.float64)  # f32 → f64 exact
+    cent = idx.spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
+        schema="code long, cvec array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        APPROX_ORACLE_SIDECAR + "/centroids")
+    dc = idx.doc_codes
+    codes = (
+        dc.select("doc_id", F.explode("codes").alias("code"))
+        if dc is not None
+        else idx.tokens.select("doc_id", "code").distinct()
+    )
+    codes.write.mode("overwrite").parquet(APPROX_ORACLE_SIDECAR + "/doc_codes")
+
+
+def _sql_plaid_funnel_ctes(top_k: int, n_full: int = 256, n_probe: int = 8,
+                           t_cs: float = 0.4, dim: int = 16,
+                           max_probe_scale: int = 16,
+                           pred: str | None = None) -> str:
+    """CTE chain (no WITH, no tokens CTE — callers prepend
+    ``_sql_tokens_cte``) recomputing the approximate PLAID funnel Q1-Q10 in
+    DuckDB over the sidecar artifacts; terminal CTE ``f_ranked`` has
+    (query_id, doc_id, score, rank). With ``pred`` set, mirrors the
+    FILTERED funnel: Q4 probe scaling (⌊N/|subset|⌋ capped at
+    max_probe_scale — search.rs:370-382), eligible-centroid restriction of
+    the probe pool (search.rs:350-364), and subset-intersected candidacy.
+
+    Bit-parity contract with plans/searcher.py: centroid scores are the
+    same float64 sequential fold; the probe is row_number(score DESC,
+    code ASC) ≤ n — the searcher's _topn_mask order; cell_max is taken
+    over ALL the query's tokens; approx and exact scores fold sorted
+    ascending; every rank cut ties on ascending doc_id."""
+    cut = min(n_full, max(n_full // 4, top_k))
+    filt = pred is not None
+    subset_ctes = f"""
+f_subset AS (SELECT doc_id FROM documents WHERE {pred}),
+f_elig AS (SELECT DISTINCT code FROM f_dcodes JOIN f_subset USING (doc_id)),
+""".strip() + "\n" if filt else ""
+    if filt:
+        # scale = clamp(⌊N/|subset|⌋, 1, max_scale); n = clamp to K and to
+        # the eligible-cell count — exactly BatchSearcher.search + the
+        # broadcast strategy's caps
+        n_expr = (
+            f"GREATEST(1, LEAST("
+            f"{n_probe} * LEAST(GREATEST(1, CAST(FLOOR("
+            f"CAST((SELECT count(DISTINCT doc_id) FROM f_dcodes) AS DOUBLE)"
+            f" / (SELECT count(*) FROM f_subset)) AS BIGINT)), {max_probe_scale}),"
+            f" (SELECT count(*) FROM f_cent),"
+            f" (SELECT count(*) FROM f_elig)))"
+        )
+        probe_src = "SELECT f_cs.* FROM f_cs JOIN f_elig USING (code)"
+        cand_subset = "JOIN f_subset ON f_subset.doc_id = d.doc_id"
+    else:
+        n_expr = f"LEAST({n_probe}, (SELECT count(*) FROM f_cent))"
+        probe_src = "SELECT * FROM f_cs"
+        cand_subset = ""
+    return f"""
+f_cent AS (SELECT code, cvec FROM '{APPROX_ORACLE_SIDECAR}/centroids/*.parquet'),
+f_dcodes AS (SELECT doc_id, code FROM '{APPROX_ORACLE_SIDECAR}/doc_codes/*.parquet'),
+{subset_ctes}f_cs AS (
+  SELECT qt.query_id, qt.token_idx, c.code,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * c.cvec[i]), (a, b) -> a + b) AS score
+  FROM qt CROSS JOIN f_cent c
+),
+f_probed AS (
+  SELECT DISTINCT query_id, code FROM (
+    SELECT query_id, code,
+           row_number() OVER (PARTITION BY query_id, token_idx ORDER BY score DESC, code ASC) AS r
+    FROM ({probe_src})
+  ) WHERE r <= {n_expr}
+),
+f_cellbest AS (
+  SELECT p.query_id, p.code, max(s.score) AS best
+  FROM f_probed p JOIN f_cs s ON s.query_id = p.query_id AND s.code = p.code
+  GROUP BY 1, 2
+),
+f_cells AS (
+  SELECT query_id, code FROM (
+    SELECT query_id, code, best,
+           row_number() OVER (PARTITION BY query_id ORDER BY best DESC, code ASC) AS br
+    FROM f_cellbest
+  ) WHERE best >= {t_cs} OR br = 1
+),
+f_cand AS (
+  SELECT DISTINCT cl.query_id, d.doc_id
+  FROM f_cells cl JOIN f_dcodes d USING (code) {cand_subset}
+),
+f_amax AS (
+  SELECT a.query_id, a.doc_id, s.token_idx, max(s.score) AS mx
+  FROM f_cand a
+  JOIN f_dcodes d ON d.doc_id = a.doc_id
+  JOIN f_cs s ON s.query_id = a.query_id AND s.code = d.code
+  GROUP BY 1, 2, 3
+),
+f_approx AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(mx))), (a, b) -> a + b) AS ascore
+  FROM f_amax GROUP BY 1, 2
+),
+f_surv AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, doc_id ASC) AS ar
+    FROM f_approx
+  ) WHERE ar <= {cut}
+),
+f_dots AS (
+  SELECT qt.query_id, q.doc_id, qt.token_idx AS q_token_idx,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * q.vec[i]), (a, b) -> a + b) AS dp
+  FROM qt
+  JOIN f_surv sv ON sv.query_id = qt.query_id
+  JOIN (SELECT doc_id, vec FROM '{EXACT_ORACLE_SIDECAR}/*.parquet') q ON q.doc_id = sv.doc_id
+),
+f_pqt AS (
+  SELECT query_id, doc_id, q_token_idx, max(dp) AS max_dp
+  FROM f_dots GROUP BY 1, 2, 3
+),
+f_scores AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list_sort(list(max_dp))), (a, b) -> a + b) AS score
+  FROM f_pqt GROUP BY 1, 2
+),
+f_ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM f_scores
+)
+""".strip()
+
+
+def sql_plaid_search_topk(k: int = MAXSIM_TOPK) -> str:
+    return f"""
+{_sql_tokens_cte(16, 48, 8, N_SELF_QUERIES)},
+{_sql_plaid_funnel_ctes(top_k=k)}
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM f_ranked WHERE rank <= {k}
+""".strip()
 
 
 # Deterministic sidecar for the exact-funnel oracle: the decompressed
@@ -329,13 +493,30 @@ def sql_plaid_filtered_exact_topk() -> str:
     )
 
 
+def sql_plaid_filtered_topk(k: int = MAXSIM_TOPK) -> str:
+    from next_plaid_spark.filtering import bind_condition_duckdb
+
+    pred = bind_condition_duckdb(FILTER_COND, FILTER_PARAMS)
+    return f"""
+{_sql_tokens_cte(16, 48, 8, N_SELF_QUERIES)},
+{_sql_plaid_funnel_ctes(top_k=k, pred=pred)}
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM f_ranked WHERE rank <= {k}
+""".strip()
+
+
 def q_plaid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The funnel under a metadata filter (Q4 subset probe scaling +
-    eligible-centroid pruning). Rows-only: k-means is non-SQL-expressible."""
+    """The approximate funnel under a metadata filter (Q4 subset probe
+    scaling + eligible-centroid pruning + subset candidacy). Hash-exact
+    oracle since r7 — same bit-determinism as `plaid_search_topk`, with
+    the filter's probe-scale arithmetic and eligibility restriction
+    recomputed in SQL."""
     from next_plaid_spark.filtering import MetadataStore
     from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
 
     idx = _plaid_index(spark, sf_dir)
+    _write_exact_oracle_sidecar(idx)
+    _write_approx_oracle_sidecar(idx)
     docs = _t(spark, sf_dir, "documents")
     subset = MetadataStore(docs).where_condition(FILTER_COND, FILTER_PARAMS)
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
@@ -350,12 +531,16 @@ def q_plaid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hybrid_plaid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K8 orchestration with the real ANN funnel as the semantic side:
     PLAID funnel fetch 3·k + BM25 fetch 3·k → relative-score fusion → top-k
-    (handlers/search.rs:124-400). Rows-only (funnel side is ANN)."""
+    (handlers/search.rs:124-400). Hash-exact oracle since r7: the funnel
+    side is bit-deterministic, so the oracle recomputes funnel + BM25 +
+    min-max fusion end-to-end."""
     from next_plaid_spark.operators.bm25 import BM25Index
     from next_plaid_spark.operators.fusion import fuse_relative_score
     from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
 
     idx = _plaid_index(spark, sf_dir)
+    _write_exact_oracle_sidecar(idx)
+    _write_approx_oracle_sidecar(idx)
     docs = _t(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
         F.col("doc_id").alias("query_id"), "text"
@@ -745,22 +930,33 @@ def q_hybrid_relative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hybrid_lists_cte(dim: int = 16, exact_sidecar: str | None = None) -> str:
+def _sql_hybrid_lists_cte(dim: int = 16, exact_sidecar: str | None = None,
+                          sem_funnel: bool = False) -> str:
     """CTE prefix producing sem_list / kw_list (query_id, doc_id, score, r),
     both cut at FETCH_K — mirrors _hybrid_lists. With ``exact_sidecar``
     set, the semantic side scores the decompressed quantized corpus the
     exact-funnel Spark entries just wrote (aliased ``dt`` so the dots body
     is shared) — mirroring the exact-config funnel instead of brute force
-    over the raw encoder output."""
+    over the raw encoder output. With ``sem_funnel``, the semantic side is
+    the full APPROXIMATE funnel (_sql_plaid_funnel_ctes) at fetch depth
+    FETCH_K — mirroring q_hybrid_plaid_topk's searcher."""
     from next_plaid_spark.operators.bm25 import B, K1, SCORE_DECIMALS
 
     maxsim = _sql_tokens_cte(dim, 48, 8, N_SELF_QUERIES)
-    if exact_sidecar is not None:
-        sem_from = f"FROM qt CROSS JOIN (SELECT doc_id, vec FROM '{exact_sidecar}/*.parquet') dt"
+    if sem_funnel:
+        sem_ctes = f"""
+{_sql_plaid_funnel_ctes(top_k=FETCH_K, dim=dim)},
+sem_list AS (
+  SELECT query_id, doc_id, score, rank AS r
+  FROM f_ranked WHERE rank <= {FETCH_K}
+),
+""".strip()
     else:
-        sem_from = "FROM qt CROSS JOIN dt"
-    return f"""
-{maxsim},
+        if exact_sidecar is not None:
+            sem_from = f"FROM qt CROSS JOIN (SELECT doc_id, vec FROM '{exact_sidecar}/*.parquet') dt"
+        else:
+            sem_from = "FROM qt CROSS JOIN dt"
+        sem_ctes = f"""
 dots AS (
   SELECT qt.query_id, dt.doc_id, qt.token_idx AS q_token_idx,
          list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * dt.vec[i]), (a, b) -> a + b) AS dp
@@ -781,6 +977,10 @@ sem_list AS (
     FROM sem_scored
   ) WHERE r <= {FETCH_K}
 ),
+""".strip()
+    return f"""
+{maxsim},
+{sem_ctes}
 kw_tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS term
   FROM documents
@@ -840,7 +1040,8 @@ SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank
 
 
 def sql_hybrid_relative_topk(alpha: float = 0.75, k: int = BM25_TOPK,
-                             exact_sidecar: str | None = None) -> str:
+                             exact_sidecar: str | None = None,
+                             sem_funnel: bool = False) -> str:
     norm = """
   SELECT query_id, doc_id,
          CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
@@ -851,7 +1052,7 @@ def sql_hybrid_relative_topk(alpha: float = 0.75, k: int = BM25_TOPK,
   FROM {src}
 """
     return f"""
-{_sql_hybrid_lists_cte(exact_sidecar=exact_sidecar)},
+{_sql_hybrid_lists_cte(exact_sidecar=exact_sidecar, sem_funnel=sem_funnel)},
 sem_norm AS ({norm.format(src="sem_list")}),
 kw_norm AS ({norm.format(src="kw_list")}),
 fused AS (
@@ -1490,10 +1691,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized packed sequences: every bin holds exactly 256
-    consecutive stream tokens (last bin short) in exact order."""
+    consecutive stream tokens (last bin short) in exact order.
+
+    Gate shape: the tokens ARRAY<STRING> is posexploded to scalar
+    (bin_id, n_tokens, tok_idx, token) rows — array columns break the
+    driver's canonicalizer (see tools/check.py's schema guard); the
+    array-returning API is pack_bins itself, pinned by
+    tests/test_packing.py."""
     from next_plaid_spark.operators.packing import pack_bins
 
-    return pack_bins(_t(spark, sf_dir, "documents"), capacity=256)
+    bins = pack_bins(_t(spark, sf_dir, "documents"), capacity=256)
+    return bins.select(
+        "bin_id", "n_tokens",
+        F.posexplode("tokens").alias("tok_idx", "token"),
+    )
 
 
 CURATE_Q_MIN = 0.60      # quality gate (median quality ≈ 0.63 on this corpus)
@@ -2406,7 +2617,11 @@ def _sql_pack_sequences() -> str:
 def _sql_packed_bins() -> str:
     from next_plaid_spark.operators.packing import sql_pack_bins
 
-    return sql_pack_bins(capacity=256, split_re=TOKEN_SPLIT_RE)
+    base = sql_pack_bins(capacity=256, split_re=TOKEN_SPLIT_RE)
+    return f"""
+SELECT bin_id, n_tokens, CAST(i - 1 AS INT) AS tok_idx, tokens[i] AS token
+FROM ({base}) b, unnest(range(1, len(tokens) + 1)) AS r(i)
+""".strip()
 
 
 def _sql_dedup_clusters_oracle() -> str:
@@ -2646,6 +2861,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "maxsim_brute_topk": sql_maxsim_brute_topk(),
         "plaid_search_exact_topk": sql_plaid_search_exact_topk(),
+        "plaid_search_topk": sql_plaid_search_topk(),
+        "plaid_filtered_topk": sql_plaid_filtered_topk(),
+        "hybrid_plaid_topk": sql_hybrid_relative_topk(
+            alpha=0.75, k=MAXSIM_TOPK, sem_funnel=True
+        ),
         "plaid_filtered_exact_topk": sql_plaid_filtered_exact_topk(),
         "hybrid_plaid_exact_topk": sql_hybrid_relative_topk(
             alpha=0.75, k=MAXSIM_TOPK, exact_sidecar=EXACT_ORACLE_SIDECAR
