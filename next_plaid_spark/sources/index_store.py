@@ -94,12 +94,16 @@ class PlaidIndex:
             # bucketed catalog table: groupBy(doc_id)/join(doc_id) read the
             # bucket spec and skip the shuffle entirely
             return self.spark.table(bt)
-        pb = os.path.join(self.path, "tokens_bucketed")
-        if os.path.isdir(pb):
+        if bt:
             # bucketed FILES from another session (in-memory catalog lost
             # the table): still valid parquet, just without the bucket
-            # metadata — a persistent metastore keeps it at cluster scale
-            return self.spark.read.parquet(pb)
+            # metadata — a persistent metastore keeps it at cluster scale.
+            # Gated on meta.bucket_table: a leftover tokens_bucketed/ dir
+            # from a previous bucketed build must never shadow a plain
+            # rebuild's tokens/ (write_index also deletes it, belt+braces).
+            pb = os.path.join(self.path, "tokens_bucketed")
+            if os.path.isdir(pb):
+                return self.spark.read.parquet(pb)
         return self.spark.read.parquet(os.path.join(self.path, "tokens"))
 
     @property
@@ -193,6 +197,18 @@ def write_index(
             out = out.repartition(token_partitions)
         out.write.mode("overwrite").parquet(os.path.join(path, "tokens"))
         tokens_src = None
+        # in-place rebuild hygiene: a stale bucketed table/dir from a prior
+        # bucketed build of the same path would otherwise keep serving the
+        # OLD corpus through the tokens property's bucketed fast path
+        stale_bt = f"nps_tokens_{_hl.md5(os.path.abspath(path).encode()).hexdigest()[:12]}"
+        spark.sql(f"DROP TABLE IF EXISTS {stale_bt}")
+        stale_pb = os.path.join(path, "tokens_bucketed")
+        if os.path.isdir(stale_pb):
+            import shutil
+
+            shutil.rmtree(stale_pb, ignore_errors=True)
+        meta.bucket_table = None
+        meta.n_buckets = None
     cdf = spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
         "code long, vec array<float>",

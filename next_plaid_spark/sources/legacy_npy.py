@@ -136,7 +136,8 @@ def convert_npy_index(spark: SparkSession, src: str, dest: str, *,
 
 
 def export_npy_index(spark: SparkSession, index: PlaidIndex, dest: str, *,
-                     docs_per_chunk: int = 50_000) -> int:
+                     docs_per_chunk: int = 50_000,
+                     include_id_gaps: bool = False) -> int:
     """The reverse direction: a parquet PlaidIndex → the reference's NPY
     artifact directory (index.rs:400-520), so corpora can migrate BACK to
     a next-plaid deployment. Returns the number of chunks written.
@@ -144,11 +145,22 @@ def export_npy_index(spark: SparkSession, index: PlaidIndex, dest: str, *,
     Docs are renumbered to dense 0..N−1 positions in doc_id order (the
     reference addresses documents positionally) via the same two-phase
     prefix sum as sequence packing — no corpus-wide single-partition
-    window. Chunk c = rank // docs_per_chunk (the reference's 50k-doc
-    chunking); each chunk's codes/residuals/doclens are assembled and
-    np.saved INSIDE one Spark task (``applyInPandas`` over
-    ``groupBy(chunk)``), so chunks export in parallel and only the
-    (K-bounded) IVF assembly and small artifacts touch the driver."""
+    window, and no driver-side doc_id→rank dict: the IVF is translated to
+    rank space by a distributed join. The mapping is also persisted as
+    ``doc_id_map/`` parquet inside ``dest`` so callers holding external
+    doc ids can translate results. With ``include_id_gaps``, doc ids
+    absent from the index in 0..max(doc_id) export as ZERO-length doclens
+    entries — a convert→export round trip of a legacy corpus with empty
+    docs then preserves every positional id instead of silently
+    renumbering past them.
+
+    Chunk c = rank // docs_per_chunk (the reference's 50k-doc chunking);
+    each chunk's codes/residuals and its doclens are np.saved INSIDE one
+    Spark task each (``applyInPandas`` over ``groupBy(chunk)``), so chunks
+    export in parallel. Driver-side state is bounded by the OUTPUT
+    artifact itself: ivf.npy is a single file the reference mmaps, so its
+    (rank-translated, code-ordered) content is necessarily assembled where
+    that file is written — O(|ivf.npy|), not O(corpus tokens)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -166,12 +178,23 @@ def export_npy_index(spark: SparkSession, index: PlaidIndex, dest: str, *,
     np.save(os.path.join(dest, "cluster_threshold.npy"),
             np.asarray([codec.cluster_threshold], dtype=np.float32))
 
+    dl0 = index.doclens.select(
+        "doc_id", F.col("num_tokens").cast("long").alias("num_tokens")
+    )
+    if include_id_gaps:
+        mx = dl0.agg(F.max("doc_id").alias("mx")).collect()[0].mx
+        if mx is not None:
+            universe = spark.range(0, int(mx) + 1).select(
+                F.col("id").alias("doc_id"))
+            dl0 = universe.join(dl0, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("num_tokens", F.lit(0).cast("long")).alias("num_tokens"),
+            )
+
     # dense rank per doc without a global window: per-bucket counts,
     # driver cumsum over |buckets| rows, within-bucket row_number
     bucket_size = 1 << 20
-    dl = index.doclens.select(
-        "doc_id", F.floor(F.col("doc_id") / bucket_size).alias("_b")
-    )
+    dl = dl0.withColumn("_b", F.floor(F.col("doc_id") / bucket_size))
     pre = {
         int(r._b): int(r.n)
         for r in dl.groupBy("_b").agg(F.count("*").alias("n")).collect()
@@ -188,11 +211,14 @@ def export_npy_index(spark: SparkSession, index: PlaidIndex, dest: str, *,
     ranks = (
         dl.withColumn("_r", F.row_number().over(w_in) - 1)
         .join(F.broadcast(base_df), "_b")
-        .select("doc_id", (F.col("_off") + F.col("_r")).alias("rank"))
-    )
-    toks = index.tokens.join(ranks, "doc_id").select(
-        "rank", "token_idx", "code", "residual",
-        F.floor(F.col("rank") / docs_per_chunk).alias("chunk"),
+        .select(
+            "doc_id", "num_tokens",
+            (F.col("_off") + F.col("_r")).alias("rank"),
+            F.floor((F.col("_off") + F.col("_r")) / docs_per_chunk).alias("chunk"),
+        )
+    ).cache()
+    toks = index.tokens.join(ranks.select("doc_id", "rank", "chunk"), "doc_id").select(
+        "rank", "token_idx", "code", "residual", "chunk",
     )
     n_chunks = (n_docs + docs_per_chunk - 1) // docs_per_chunk
 
@@ -205,17 +231,8 @@ def export_npy_index(spark: SparkSession, index: PlaidIndex, dest: str, *,
         res = np.asarray(
             [np.frombuffer(r, dtype=np.uint8) for r in pdf["residual"]]
         )
-        counts = pdf.groupby("rank", sort=True).size()
         np.save(os.path.join(dest, f"{ci}.codes.npy"), codes)
         np.save(os.path.join(dest, f"{ci}.residuals.npy"), res)
-        with open(os.path.join(dest, f"doclens.{ci}.json"), "w") as f:
-            json.dump([int(c) for c in counts], f)
-        with open(os.path.join(dest, f"{ci}.metadata.json"), "w") as f:
-            json.dump({
-                "num_documents": int(len(counts)),
-                "num_embeddings": int(len(codes)),
-                "embedding_offset": 0,  # patched below in rank order
-            }, f)
         return pd.DataFrame({"chunk": [ci], "n_tokens": [len(codes)]})
 
     chunk_stats = {
@@ -224,34 +241,72 @@ def export_npy_index(spark: SparkSession, index: PlaidIndex, dest: str, *,
             write_chunk, schema="chunk long, n_tokens long"
         ).collect()
     }
-    # embedding offsets are a running sum over chunk order
+
+    # doclens per chunk from the doc universe (NOT from token counts — a
+    # zero-token doc has no token rows but must still occupy its slot)
+    def write_doclens(key, pdf):
+        import pandas as pd
+
+        ci = int(key[0])
+        pdf = pdf.sort_values("rank")
+        with open(os.path.join(dest, f"doclens.{ci}.json"), "w") as f:
+            json.dump([int(x) for x in pdf["num_tokens"]], f)
+        return pd.DataFrame({"chunk": [ci], "n_docs": [len(pdf)]})
+
+    doc_stats = {
+        int(r.chunk): int(r.n_docs)
+        for r in ranks.groupBy("chunk").applyInPandas(
+            write_doclens, schema="chunk long, n_docs long"
+        ).collect()
+    }
+
+    # chunks whose docs are all zero-token never reach write_chunk —
+    # give them empty (shape-correct) code/residual files
+    res_width = max(1, (meta.dim * meta.nbits) // 8)
+    for ci in range(n_chunks):
+        if ci not in chunk_stats:
+            np.save(os.path.join(dest, f"{ci}.codes.npy"),
+                    np.zeros(0, dtype=np.int64))
+            np.save(os.path.join(dest, f"{ci}.residuals.npy"),
+                    np.zeros((0, res_width), dtype=np.uint8))
+            chunk_stats[ci] = 0
+
+    # per-chunk metadata + embedding offsets (running sum in chunk order)
     off = 0
     for ci in range(n_chunks):
-        p = os.path.join(dest, f"{ci}.metadata.json")
-        with open(p) as f:
-            m = json.load(f)
-        m["embedding_offset"] = off
+        with open(os.path.join(dest, f"{ci}.metadata.json"), "w") as f:
+            json.dump({
+                "num_documents": doc_stats.get(ci, 0),
+                "num_embeddings": chunk_stats.get(ci, 0),
+                "embedding_offset": off,
+            }, f)
         off += chunk_stats.get(ci, 0)
-        with open(p, "w") as f:
-            json.dump(m, f)
 
-    # IVF in dense-rank space, concatenated in code order with lengths —
-    # K-bounded lists; the reference stores exactly this shape
-    rank_map = {
-        int(r.doc_id): int(r.rank) for r in ranks.collect()
-    }
-    ivf_rows = index.ivf.collect()
-    by_code = {int(r.code): sorted(rank_map[int(d)] for d in r.doc_ids)
-               for r in ivf_rows}
+    # IVF translated to dense-rank space DISTRIBUTIVELY (explode → join →
+    # per-code sorted lists), then concatenated in code order with lengths
+    # where the single ivf.npy output file is written
+    ivf_ranked = (
+        index.ivf.select("code", F.explode("doc_ids").alias("doc_id"))
+        .join(ranks.select("doc_id", "rank"), "doc_id")
+        .groupBy("code")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        .collect()
+    )
+    by_code = {int(r.code): list(r.ranks) for r in ivf_ranked}
     ivf_data: list[int] = []
     ivf_lengths = np.zeros(meta.k, dtype=np.int32)
     for c in range(meta.k):
         docs = by_code.get(c, [])
         ivf_lengths[c] = len(docs)
-        ivf_data.extend(docs)
+        ivf_data.extend(int(x) for x in docs)
     np.save(os.path.join(dest, "ivf.npy"),
             np.asarray(ivf_data, dtype=np.int64))
     np.save(os.path.join(dest, "ivf_lengths.npy"), ivf_lengths)
+
+    # persist the id translation for callers holding external doc ids
+    ranks.select("doc_id", "rank").write.mode("overwrite").parquet(
+        os.path.join(dest, "doc_id_map"))
+    ranks.unpersist()
 
     with open(os.path.join(dest, "plan.json"), "w") as f:
         json.dump({"nbits": meta.nbits, "num_chunks": n_chunks}, f)

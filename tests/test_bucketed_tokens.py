@@ -59,3 +59,31 @@ def test_bucketed_index_reloads_without_catalog(spark, tmp_path):
     assert "Exchange" in _plan(
         reloaded.tokens.groupBy("doc_id").agg(F.count("*"))
     )
+
+
+def test_inplace_plain_rebuild_clears_stale_bucketed_dir(spark, tmp_path):
+    """Rebuilding an index IN PLACE with bucket_tokens=None after a
+    bucketed build must serve the NEW corpus — a leftover tokens_bucketed/
+    directory (or catalog table) from the old build must neither shadow
+    the fresh tokens/ nor survive on disk."""
+    import os
+
+    from next_plaid_spark.sources.index_store import PlaidIndex
+
+    path = str(tmp_path / "same")
+    toks_old, _ = clustered_token_corpus(
+        spark, n_docs=60, tokens_per_doc=3, dim=8, n_clusters=8, seed=5
+    )
+    IndexBuilder(spark, k=8, bucket_tokens=4).build(toks_old, path)
+    assert os.path.isdir(os.path.join(path, "tokens_bucketed"))
+
+    toks_new, _ = clustered_token_corpus(
+        spark, n_docs=90, tokens_per_doc=3, dim=8, n_clusters=8, seed=6
+    )
+    idx2 = IndexBuilder(spark, k=8).build(toks_new, path)
+    assert idx2.meta.bucket_table is None
+    assert not os.path.isdir(os.path.join(path, "tokens_bucketed"))
+    assert idx2.tokens.select("doc_id").distinct().count() == 90
+    # a cold reload (fresh metadata) must agree too
+    assert PlaidIndex.load(spark, path).tokens.select(
+        "doc_id").distinct().count() == 90

@@ -258,3 +258,59 @@ def test_convert_handles_zero_token_docs(spark, tmp_path):
     idx = convert_npy_index(spark, src, str(tmp_path / "conv0"))
     rows = sorted((r.doc_id, r.token_idx) for r in idx.tokens.collect())
     assert rows == [(0, 0), (0, 1), (2, 0)]  # doc 1 empty, doc 2 intact
+
+
+def test_export_preserves_zero_token_doc_ids(spark, tmp_path):
+    """convert(legacy with an empty doc) → export(include_id_gaps=True)
+    must reproduce the legacy doclens EXACTLY (zero entry included) instead
+    of renumbering later docs past the gap; the doc_id→rank map is
+    persisted for callers holding external ids."""
+    import json
+
+    import numpy as np
+
+    from next_plaid_spark.sources.legacy_npy import export_npy_index
+
+    src = str(tmp_path / "legacy_gap")
+    os.makedirs(src)
+    k, dim, nbits = 2, 4, 2
+    np.save(os.path.join(src, "centroids.npy"), np.eye(k, dim, dtype=np.float32))
+    np.save(os.path.join(src, "bucket_cutoffs.npy"),
+            np.asarray([-0.1, 0.0, 0.1], np.float32))
+    np.save(os.path.join(src, "bucket_weights.npy"),
+            np.asarray([-0.15, -0.05, 0.05, 0.15], np.float32))
+    np.save(os.path.join(src, "avg_residual.npy"), np.full(dim, 0.1, np.float32))
+    with open(os.path.join(src, "plan.json"), "w") as f:
+        json.dump({"nbits": nbits, "num_chunks": 1}, f)
+    codes = np.asarray([0, 1, 0], dtype=np.int64)
+    res = np.arange(3, dtype=np.uint8).reshape(3, 1)
+    np.save(os.path.join(src, "0.codes.npy"), codes)
+    np.save(os.path.join(src, "0.residuals.npy"), res)
+    with open(os.path.join(src, "doclens.0.json"), "w") as f:
+        json.dump([2, 0, 1], f)  # doc 1 is EMPTY
+    with open(os.path.join(src, "metadata.json"), "w") as f:
+        json.dump({"num_chunks": 1, "nbits": nbits, "num_partitions": k,
+                   "num_embeddings": 3, "num_documents": 3,
+                   "avg_doclen": 1.0, "embedding_dim": dim}, f)
+
+    idx = convert_npy_index(spark, src, str(tmp_path / "conv_gap"))
+    dest = str(tmp_path / "export_gap")
+    export_npy_index(spark, idx, dest, docs_per_chunk=50,
+                     include_id_gaps=True)
+
+    with open(os.path.join(dest, "doclens.0.json")) as f:
+        assert json.load(f) == [2, 0, 1]
+    with open(os.path.join(dest, "0.metadata.json")) as f:
+        cm = json.load(f)
+    assert cm["num_documents"] == 3 and cm["num_embeddings"] == 3
+    assert np.array_equal(np.load(os.path.join(dest, "0.codes.npy")), codes)
+    assert np.array_equal(np.load(os.path.join(dest, "0.residuals.npy")), res)
+    with open(os.path.join(dest, "metadata.json")) as f:
+        assert json.load(f)["num_documents"] == 3
+    # ivf ranks skip nothing: doc 2 keeps positional id 2
+    ivf = np.load(os.path.join(dest, "ivf.npy"))
+    assert set(ivf.tolist()) == {0, 2}
+    # the persisted id map round-trips external ids
+    m = {r.doc_id: r.rank for r in spark.read.parquet(
+        os.path.join(dest, "doc_id_map")).collect()}
+    assert m == {0: 0, 1: 1, 2: 2}
