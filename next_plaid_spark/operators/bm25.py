@@ -198,14 +198,18 @@ class BM25Index:
         phrases combine with implicit AND (``conjunctive=True``, the FTS5
         default; a phrase absent from the corpus matches nothing).
 
-        ``NEAR("a b" c, N)`` groups (FTS5 NEAR; N defaults to 10) are
-        supported with exactly TWO member phrases: both phrases must occur
-        with at most N tokens between them (gap = tokens strictly between
-        the earlier occurrence's end and the later one's start; overlap =
-        gap 0). The member phrases still score as ordinary BM25 phrase
-        units over ALL their occurrences — NEAR gates matching, not tf —
-        and the group ANDs with the rest of the query. At most one NEAR
-        group per query; >2 member phrases raise.
+        ``NEAR("a b" c ..., N)`` groups (FTS5 NEAR; N defaults to 10) are
+        fully general: any number of groups per query, any number of member
+        phrases per group. Semantics pinned against SQLite FTS5 itself
+        (tests/test_bm25_phrase.py::test_near_matches_sqlite_fts5): a group
+        matches a doc iff SOME selection of one occurrence per member
+        phrase has every PAIR within N tokens (gap = tokens strictly
+        between one occurrence's end and the other's start, overlap = 0) —
+        equivalently, iff some anchor occurrence ``a`` has, for every
+        member phrase, an occurrence with ``end ≥ end(a)`` and ``start ≤
+        end(a) + N + 1``. The member phrases still score as ordinary BM25
+        phrase units over ALL their occurrences — NEAR gates matching, not
+        tf — and each group ANDs with the rest of the query.
 
         Phrase occurrence detection is ONE equi-join, not an n-way
         self-join: every (phrase, offset j, term) row joins positional
@@ -221,47 +225,53 @@ class BM25Index:
             raise ValueError("phrase search needs BM25Index.build("
                              "with_positions=True)")
         tok_fn = _tokenizer(self.tokenizer)
-        near_re = r"NEAR\(([^,)]+)(?:,\s*(\d+))?\)"
-        # quoted spans are phrases; leftover words are 1-term phrases;
-        # a NEAR(...) group contributes its member phrases (flagged) + N
+        near_re = r"NEAR\(([^)]+)\)"
+        # quoted spans are phrases; leftover words are 1-term phrases; each
+        # NEAR(...) group contributes its member phrases tagged (gid, N)
         parse_phrases = lambda col: F.concat(  # noqa: E731
-            F.expr(
-                f"""regexp_extract_all({col}, '"([^"]+)"', 1)"""
-            ),
-            tok_fn(F.regexp_replace(F.col(col), r'"[^"]*"', " ")),
+            F.regexp_extract_all(col, F.lit(r'"([^"]+)"'), 1),
+            tok_fn(F.regexp_replace(col, r'"[^"]*"', " ")),
         )
+        inner_n = lambda inner: F.coalesce(  # noqa: E731
+            F.nullif(F.regexp_extract(inner, r",\s*(\d+)\s*$", 1), F.lit("")),
+            F.lit("10"),
+        ).cast("int")
+        inner_text = lambda inner: F.regexp_replace(  # noqa: E731
+            inner, r",\s*\d+\s*$", "")
         base = queries.select(
             F.col(query_id_col).cast("long").alias("query_id"),
             F.col(text_col).alias("_t"),
         ).select(
             "query_id",
-            F.regexp_extract(F.col("_t"), near_re, 1).alias("_near_inner"),
-            F.regexp_extract(F.col("_t"), near_re, 2).alias("_near_n"),
-            F.regexp_replace(F.col("_t"), near_re, " ").alias("_rest"),
-        ).select(
-            "query_id",
-            F.when(F.col("_near_n") == "", F.lit(10))
-            .otherwise(F.col("_near_n").cast("int")).alias("_near_n"),
             F.concat(
                 F.transform(
-                    parse_phrases("_rest"),
-                    lambda x: F.struct(x.alias("_ptext"),
-                                       F.lit(False).alias("_near")),
+                    parse_phrases(F.regexp_replace(F.col("_t"), near_re, " ")),
+                    lambda x: F.struct(
+                        x.alias("_ptext"),
+                        F.lit(-1).alias("_gid"), F.lit(0).alias("_N"),
+                    ),
                 ),
-                F.transform(
-                    parse_phrases("_near_inner"),
-                    lambda x: F.struct(x.alias("_ptext"),
-                                       F.lit(True).alias("_near")),
-                ),
+                F.flatten(F.transform(
+                    F.regexp_extract_all(F.col("_t"), F.lit(near_re), 1),
+                    lambda inner, gi: F.transform(
+                        parse_phrases(inner_text(inner)),
+                        lambda x: F.struct(
+                            x.alias("_ptext"),
+                            gi.cast("int").alias("_gid"),
+                            inner_n(inner).alias("_N"),
+                        ),
+                    ),
+                )),
             ).alias("_phrases"),
         )
         ph = base.select(
-            "query_id", "_near_n",
+            "query_id",
             F.posexplode("_phrases").alias("pid", "_p"),
         ).select(
-            "query_id", "_near_n", "pid",
+            "query_id", "pid",
             F.col("_p._ptext").alias("_ptext"),
-            F.col("_p._near").alias("_near"),
+            F.col("_p._gid").alias("_gid"),
+            F.col("_p._N").alias("_N"),
         )
         pterms = ph.select(
             "query_id", "pid",
@@ -311,53 +321,55 @@ class BM25Index:
                 .select("query_id", "doc_id")
             )
             matched = matched.join(full, ["query_id", "doc_id"], "left_semi")
-        # NEAR gate: docs of NEAR-bearing queries must additionally have an
-        # occurrence pair within N tokens (the query table is small by
-        # contract, so the group shapes collect driver-side)
-        spark = queries.sparkSession
-        ncs = (
-            ph.filter(F.col("_near"))
-            .groupBy("query_id")
-            .agg(F.count("*").alias("_nn"), F.first("_near_n").alias("_N"),
-                 F.min("pid").alias("_pa"), F.max("pid").alias("_pb"))
-            .collect()
+        # NEAR gate, fully relational (no driver collect, no group-shape
+        # limits): a group matches a doc iff some ANCHOR occurrence has,
+        # for every member phrase, an occurrence with end ≥ anchor end and
+        # start ≤ anchor end + N + 1 (⇔ ∃ selection with all pairwise gaps
+        # ≤ N — see the docstring's FTS5-pinned semantics). One
+        # occurrence-level self-join per doc-group, scoped by the
+        # conjunctive gate to docs containing every phrase.
+        ph_near = ph.filter(F.col("_gid") >= 0).select(
+            "query_id", "pid", "_gid", "_N")
+        occg = occ.join(F.broadcast(ph_near), ["query_id", "pid"]).select(
+            "query_id", "pid", "_gid", "_N", "doc_id",
+            F.col("_start").alias("_s"),
+            (F.col("_start") + F.col("_plen") - 1).alias("_e"),
         )
-        if any(r._nn > 2 for r in ncs):
-            raise ValueError("NEAR groups support exactly two member phrases")
-        npairs = [(r.query_id, r._pa, r._pb, r._N) for r in ncs if r._nn == 2]
-        if npairs:
-            pair_df = spark.createDataFrame(
-                npairs, "query_id long, _pa long, _pb long, _N int"
+        gsz = ph_near.groupBy("query_id", "_gid").agg(
+            F.countDistinct("pid").alias("_gsz"))
+        nearq = gsz.groupBy("query_id").agg(
+            F.countDistinct("_gid").alias("_ng"))
+        anchors = occg.select(
+            "query_id", "_gid", "_N", "doc_id", F.col("_e").alias("_ea")
+        ).distinct()
+        group_ok = (
+            anchors.join(
+                occg.select("query_id", "_gid", "doc_id", "pid", "_s", "_e"),
+                ["query_id", "_gid", "doc_id"],
             )
-            oa = occ.select(
-                "query_id", F.col("pid").alias("_pa"), "doc_id",
-                F.col("_start").alias("_sa"),
-                (F.col("_start") + F.col("_plen") - 1).alias("_ea"),
+            .filter(
+                (F.col("_e") >= F.col("_ea"))
+                & (F.col("_s") <= F.col("_ea") + F.col("_N") + 1)
             )
-            ob = occ.select(
-                "query_id", F.col("pid").alias("_pb"), "doc_id",
-                F.col("_start").alias("_sb"),
-                (F.col("_start") + F.col("_plen") - 1).alias("_eb"),
-            )
-            gap = F.greatest(
-                F.col("_sb") - F.col("_ea") - 1,
-                F.col("_sa") - F.col("_eb") - 1,
-                F.lit(0),
-            )
-            near_ok = (
-                oa.join(F.broadcast(pair_df), ["query_id", "_pa"])
-                .join(ob, ["query_id", "_pb", "doc_id"])
-                .filter(gap <= F.col("_N"))
-                .select("query_id", "doc_id")
-                .distinct()
-            )
-            nearq = F.broadcast(spark.createDataFrame(
-                [(q,) for q, _, _, _ in npairs], "query_id long"
-            ))
-            matched = matched.join(nearq, "query_id", "left_anti").unionByName(
-                matched.join(nearq, "query_id", "left_semi")
-                .join(near_ok, ["query_id", "doc_id"], "left_semi")
-            )
+            .groupBy("query_id", "_gid", "doc_id", "_ea")
+            .agg(F.countDistinct("pid").alias("_np"))
+            .join(F.broadcast(gsz), ["query_id", "_gid"])
+            .filter(F.col("_np") == F.col("_gsz"))
+            .select("query_id", "_gid", "doc_id")
+            .distinct()
+        )
+        near_ok = (
+            group_ok.groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("_gid").alias("_og"))
+            .join(F.broadcast(nearq), "query_id")
+            .filter(F.col("_og") == F.col("_ng"))
+            .select("query_id", "doc_id")
+        )
+        nearq_b = F.broadcast(nearq.select("query_id"))
+        matched = matched.join(nearq_b, "query_id", "left_anti").unionByName(
+            matched.join(nearq_b, "query_id", "left_semi")
+            .join(near_ok, ["query_id", "doc_id"], "left_semi")
+        )
         n, avgdl = float(self.n_docs), float(self.avgdl)
         if score_mode == "fts5":
             raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))

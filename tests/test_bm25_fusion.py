@@ -301,13 +301,12 @@ def test_near_group_gating(spark):
     got4 = {r.doc_id for r in idx.search_phrases(q4, k=10).collect()}
     assert got4 == {1}
 
-    # >2 members raises
-    import pytest as _pytest
+    # 3-member group: every PAIR must be within N (FTS5 semantics)
     q5 = spark.createDataFrame(
         [(0, "NEAR(alpha beta gamma, 4)")], "query_id long, text string"
     )
-    with _pytest.raises(ValueError):
-        idx.search_phrases(q5, k=10).collect()
+    got5 = {r.doc_id for r in idx.search_phrases(q5, k=10).collect()}
+    assert got5 == {0}  # doc 1 lacks gamma; doc 0 all-adjacent
 
     # mixed batch: a NEAR query and a plain-phrase query together
     q6 = spark.createDataFrame(
@@ -406,3 +405,60 @@ def test_phrase_search_matches_python_reference(spark):
         want = ref(docs, queries, 10)
         want = {q: v for q, v in want.items() if v}
         assert got == want, f"seed {seed}"
+
+
+def test_near_matches_sqlite_fts5(spark):
+    """NEAR parity against REAL SQLite FTS5 (the engine the reference's
+    text_search.rs:1246+ hands raw MATCH strings to): randomized corpora ×
+    multi-group / multi-member / multi-length NEAR queries — the matched
+    doc SET must agree exactly with fts5's."""
+    import random
+    import sqlite3
+
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    try:
+        sqlite3.connect(":memory:").execute(
+            "CREATE VIRTUAL TABLE _probe USING fts5(c)")
+    except sqlite3.OperationalError:
+        import pytest as _pytest
+
+        _pytest.skip("sqlite3 without FTS5")
+
+    rng = random.Random(77)
+    vocab = ["alpha", "beta", "gamma", "delta", "pad"]
+    docs_py = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        for _ in range(40)
+    ]
+    queries_py = [
+        "NEAR(alpha beta, 2)",
+        "NEAR(alpha beta gamma, 3)",
+        "NEAR(alpha beta, 1) NEAR(gamma delta, 2)",
+        'NEAR("alpha beta" gamma, 2)',
+        "NEAR(alpha beta gamma delta, 6)",
+        "NEAR(alpha beta)",          # default N=10
+        "NEAR(alpha, 0) delta",      # single-member group + loose term
+    ]
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE VIRTUAL TABLE ft USING fts5(c)")
+    for d in docs_py:
+        con.execute("INSERT INTO ft VALUES (?)", (d,))
+    want = {
+        qi: {int(r[0]) - 1 for r in con.execute(
+            "SELECT rowid FROM ft WHERE ft MATCH ?", (q,))}
+        for qi, q in enumerate(queries_py)
+    }
+
+    idx = BM25Index.build(
+        spark.createDataFrame(list(enumerate(docs_py)),
+                              "doc_id long, text string"),
+        with_positions=True,
+    )
+    qdf = spark.createDataFrame(list(enumerate(queries_py)),
+                                "query_id long, text string")
+    got: dict = {qi: set() for qi in range(len(queries_py))}
+    for r in idx.search_phrases(qdf, k=100).collect():
+        got[r.query_id].add(r.doc_id)
+    assert got == want
