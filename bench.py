@@ -189,6 +189,37 @@ def main() -> None:
         timed(extras, f"plaid_search_batch{n_q}_kernel",
               lambda: force(kernel_searcher.search(encode_queries(batch_queries))))
 
+        # doc_id-bucketed token storage payoff (SCALING.md's cluster-scale
+        # layout claim, measured): the same batch500 search against a
+        # bucketed build of the same corpus. The bucket spec should satisfy
+        # the funnel's per-doc required distributions, so the search plan
+        # loses Exchange nodes — counted from the executed plan — and the
+        # one-time write-side shuffle is amortized over every search.
+        try:
+            import tempfile as _tf
+
+            from next_plaid_spark.plans.builder import IndexBuilder as _IB
+
+            def _exchanges(df) -> int:
+                s = df._jdf.queryExecution().executedPlan().toString()
+                return s.count("Exchange") - s.count("ReusedExchange")
+
+            bpath = os.path.join(_tf.mkdtemp(prefix="bench_bidx_"), "index")
+            t0 = time.time()
+            bidx = _IB(spark, nbits=4, seed=42, bucket_tokens=32).build(
+                q._doc_tokens(spark, sf_dir), bpath
+            )
+            extras["plaid_index_build_bucketed"] = round(time.time() - t0, 3)
+            for tag, sidx in (("unbucketed", idx), ("bucketed", bidx)):
+                s = BatchSearcher(sidx, SearchParams(top_k=10, n_full_scores=256))
+                res = s.search(encode_queries(batch_queries))
+                t0 = time.time()
+                force(res)
+                extras[f"batch{n_q}_{tag}_wall"] = round(time.time() - t0, 3)
+                stats[f"batch{n_q}_{tag}_exchanges"] = _exchanges(res)
+        except Exception:
+            errors["bucketed_payoff"] = traceback.format_exc(limit=3).splitlines()[-1]
+
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",
                      "dsir_select", "mmr_topk", "semdedup",
@@ -231,6 +262,24 @@ def main() -> None:
                 rec = [len(truth[q] & got.get(q, set())) / max(len(truth[q]), 1)
                        for q in truth]
                 stats[f"probe{n_probe}_recall_at10"] = round(sum(rec) / len(rec), 4)
+            # the SECOND funnel knob at corpus scale: n_full_scores is the
+            # survivor budget Q7/Q8 rerank exactly (reference default 4096,
+            # search.rs:58-69). sf0.1's corpus is non-selective (recall 1.0
+            # throughout), so this measures the LATENCY cost of a wider
+            # budget; the recall axis is on the clustered corpus below.
+            for n_full in (64, 256, 1024, 4096):
+                s = BatchSearcher(idx, SearchParams(
+                    top_k=10, n_ivf_probe=8, n_full_scores=n_full,
+                    keep_best_cell=True))
+                t0 = time.time()
+                got = {}
+                for r in s.search(sweep_qt).collect():
+                    got.setdefault(r.query_id, set()).add(r.doc_id)
+                extras[f"nfull{n_full}_batch100"] = round(time.time() - t0, 3)
+                rec = [len(truth[q] & got.get(q, set())) / max(len(truth[q]), 1)
+                       for q in truth]
+                stats[f"nfull{n_full}_recall_at10"] = round(
+                    sum(rec) / len(rec), 4)
         except Exception:
             errors["probe_sweep"] = traceback.format_exc(limit=3).splitlines()[-1]
 
@@ -293,6 +342,24 @@ def main() -> None:
                    / max(len(c_truth[q]), 1) for q in c_truth]
             stats["clustered_probe8_no_tcs_recall_at10"] = round(
                 sum(rec) / len(rec), 4)
+            # n_full_scores recall curve at fixed probe=8: the probe sweep
+            # plateaus (probe 8 = 16 = no-tcs) because the SURVIVOR BUDGET
+            # binds, not the probe — this sweep shows where the budget
+            # stops binding and what each step costs
+            for n_full in (64, 256, 1024, 4096):
+                s = BatchSearcher(cidx, SearchParams(
+                    top_k=10, n_ivf_probe=8, n_full_scores=n_full,
+                    keep_best_cell=True))
+                t0 = time.time()
+                got = {}
+                for r in s.search(cqt).collect():
+                    got.setdefault(r.query_id, set()).add(r.doc_id)
+                extras[f"clustered_nfull{n_full}_wall"] = round(
+                    time.time() - t0, 3)
+                rec = [len(c_truth[q] & got.get(q, set()))
+                       / max(len(c_truth[q]), 1) for q in c_truth]
+                stats[f"clustered_nfull{n_full}_recall_at10"] = round(
+                    sum(rec) / len(rec), 4)
         except Exception:
             errors["clustered_sweep"] = traceback.format_exc(
                 limit=3).splitlines()[-1]

@@ -201,7 +201,7 @@ class BM25Index:
         ``NEAR("a b" c ..., N)`` groups (FTS5 NEAR; N defaults to 10) are
         fully general: any number of groups per query, any number of member
         phrases per group. Semantics pinned against SQLite FTS5 itself
-        (tests/test_bm25_phrase.py::test_near_matches_sqlite_fts5): a group
+        (tests/test_bm25_fusion.py::test_near_matches_sqlite_fts5): a group
         matches a doc iff SOME selection of one occurrence per member
         phrase has every PAIR within N tokens (gap = tokens strictly
         between one occurrence's end and the other's start, overlap = 0) —
@@ -225,13 +225,27 @@ class BM25Index:
             raise ValueError("phrase search needs BM25Index.build("
                              "with_positions=True)")
         tok_fn = _tokenizer(self.tokenizer)
-        near_re = r"NEAR\(([^)]+)\)"
+        # FTS5-parse order: ONE left-to-right scan matches quoted spans and
+        # NEAR(...) groups as non-overlapping alternatives, so a quoted
+        # phrase whose TEXT contains 'NEAR(' stays a phrase (the quote
+        # alternative consumes it first), and quotes inside a real group's
+        # parens stay with the group. Lowercase 'near(' is NOT a group —
+        # FTS5 itself rejects it as a syntax error; we lean lenient and
+        # score its words as loose terms (documented divergence).
+        span_re = r'"[^"]*"|NEAR\([^)]+\)'
+        spans = lambda col: F.regexp_extract_all(  # noqa: E731
+            col, F.lit(span_re), 0)
         # quoted spans are phrases; leftover words are 1-term phrases; each
         # NEAR(...) group contributes its member phrases tagged (gid, N)
         parse_phrases = lambda col: F.concat(  # noqa: E731
-            F.regexp_extract_all(col, F.lit(r'"([^"]+)"'), 1),
-            tok_fn(F.regexp_replace(col, r'"[^"]*"', " ")),
+            F.transform(
+                F.filter(spans(col), lambda s: s.rlike(r'^"[^"]+"$')),
+                lambda s: F.regexp_extract(s, r'"([^"]+)"', 1),
+            ),
+            tok_fn(F.regexp_replace(col, span_re, " ")),
         )
+        inner_of = lambda s: F.regexp_extract(  # noqa: E731
+            s, r"NEAR\(([^)]+)\)", 1)
         inner_n = lambda inner: F.coalesce(  # noqa: E731
             F.nullif(F.regexp_extract(inner, r",\s*(\d+)\s*$", 1), F.lit("")),
             F.lit("10"),
@@ -245,20 +259,21 @@ class BM25Index:
             "query_id",
             F.concat(
                 F.transform(
-                    parse_phrases(F.regexp_replace(F.col("_t"), near_re, " ")),
+                    parse_phrases(F.col("_t")),
                     lambda x: F.struct(
                         x.alias("_ptext"),
                         F.lit(-1).alias("_gid"), F.lit(0).alias("_N"),
                     ),
                 ),
                 F.flatten(F.transform(
-                    F.regexp_extract_all(F.col("_t"), F.lit(near_re), 1),
-                    lambda inner, gi: F.transform(
-                        parse_phrases(inner_text(inner)),
+                    F.filter(spans(F.col("_t")),
+                             lambda s: s.startswith("NEAR(")),
+                    lambda s, gi: F.transform(
+                        parse_phrases(inner_text(inner_of(s))),
                         lambda x: F.struct(
                             x.alias("_ptext"),
                             gi.cast("int").alias("_gid"),
-                            inner_n(inner).alias("_N"),
+                            inner_n(inner_of(s)).alias("_N"),
                         ),
                     ),
                 )),

@@ -208,6 +208,26 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return searcher.search(qt).select("query_id", "doc_id", "score", "rank")
 
 
+# Oracle sidecars live under a PROCESS-scoped root so two concurrent
+# processes (driver gate + a local tools/check.py run, say) with different
+# corpora never read each other's artifacts. Within a process, staleness is
+# prevented by fingerprinting (below), not by the path.
+_ORACLE_SIDECAR_ROOT = f"/tmp/next_plaid_spark_oracle_{os.getpid()}"
+
+# what is CURRENTLY on disk at each sidecar path: kind -> (index path,
+# index fingerprint). Keying on the fingerprint (a hash of the full meta
+# JSON: counts, avg_doclen, codec quantiles) means an in-place index
+# rebuild — or alternating between two indexes in one process — rewrites
+# the sidecar instead of serving stale artifacts.
+_SIDECAR_STATE: dict = {}
+
+
+def _index_fingerprint(idx) -> str:
+    import hashlib
+
+    return hashlib.sha1(idx.meta.to_json().encode()).hexdigest()[:12]
+
+
 # Trained-artifact sidecars for the approximate-funnel oracles: the coarse
 # quantizer (centroids; float64-exact copies of the index's float32 values)
 # and the per-doc distinct code sets — the SAME artifacts the funnel's
@@ -216,13 +236,14 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # artifacts — probe, t_cs prune, candidate generation, codes-only approx
 # scoring, rank cuts, decompression-fed rerank, final top-k — is recomputed
 # independently by the oracle SQL.
-APPROX_ORACLE_SIDECAR = "/tmp/next_plaid_spark_oracle/approx_funnel"
+APPROX_ORACLE_SIDECAR = _ORACLE_SIDECAR_ROOT + "/approx_funnel"
 
 
 def _write_approx_oracle_sidecar(idx) -> None:
     import numpy as np
 
-    if ("approx", idx.path) in _SIDECARS_WRITTEN:
+    key = (idx.path, _index_fingerprint(idx))
+    if _SIDECAR_STATE.get("approx") == key:
         return
     c = idx.centroids_np().astype(np.float64)  # f32 → f64 exact
     cent = idx.spark.createDataFrame(
@@ -238,7 +259,15 @@ def _write_approx_oracle_sidecar(idx) -> None:
         else idx.tokens.select("doc_id", "code").distinct()
     )
     codes.write.mode("overwrite").parquet(APPROX_ORACLE_SIDECAR + "/doc_codes")
-    _SIDECARS_WRITTEN.add(("approx", idx.path))
+    # num_documents from the index META, not count(distinct doc_id) over
+    # doc_codes: on an index with zero-token docs the two diverge, and the
+    # searcher's Q4 probe scaling uses meta (searcher.py) — the oracle must
+    # scale off the same N
+    idx.spark.createDataFrame(
+        [(int(idx.meta.num_documents),)], schema="num_documents long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        APPROX_ORACLE_SIDECAR + "/meta")
+    _SIDECAR_STATE["approx"] = key
 
 
 def _sql_plaid_funnel_ctes(top_k: int, n_full: int = 256, n_probe: int = 8,
@@ -268,10 +297,13 @@ f_elig AS (SELECT DISTINCT code FROM f_dcodes JOIN f_subset USING (doc_id)),
         # scale = clamp(⌊N/|subset|⌋, 1, max_scale); n = clamp to K and to
         # the eligible-cell count — exactly BatchSearcher.search + the
         # broadcast strategy's caps
+        # N comes from the index meta sidecar, NOT count(DISTINCT doc_id)
+        # over doc_codes: with zero-token docs in the index the two counts
+        # diverge, and BatchSearcher.search scales off meta.num_documents
         n_expr = (
             f"GREATEST(1, LEAST("
             f"{n_probe} * LEAST(GREATEST(1, CAST(FLOOR("
-            f"CAST((SELECT count(DISTINCT doc_id) FROM f_dcodes) AS DOUBLE)"
+            f"CAST((SELECT num_documents FROM f_meta) AS DOUBLE)"
             f" / (SELECT count(*) FROM f_subset)) AS BIGINT)), {max_probe_scale}),"
             f" (SELECT count(*) FROM f_cent),"
             f" (SELECT count(*) FROM f_elig)))"
@@ -285,6 +317,7 @@ f_elig AS (SELECT DISTINCT code FROM f_dcodes JOIN f_subset USING (doc_id)),
     return f"""
 f_cent AS (SELECT code, cvec FROM '{APPROX_ORACLE_SIDECAR}/centroids/*.parquet'),
 f_dcodes AS (SELECT doc_id, code FROM '{APPROX_ORACLE_SIDECAR}/doc_codes/*.parquet'),
+f_meta AS (SELECT num_documents FROM '{APPROX_ORACLE_SIDECAR}/meta/*.parquet'),
 {subset_ctes}f_cs AS (
   SELECT qt.query_id, qt.token_idx, c.code,
          list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * c.cvec[i]), (a, b) -> a + b) AS score
@@ -367,16 +400,11 @@ FROM f_ranked WHERE rank <= {k}
 
 # Deterministic sidecar for the exact-funnel oracle: the decompressed
 # quantized corpus (the B7 output the funnel's own rerank stage consumes),
-# written where the DuckDB oracle SQL can read it. A fixed path is safe:
-# the Spark query runs before its oracle (per-query in the driver and in
-# tools/check.py), and each run overwrites the sidecar for its sf_dir.
-EXACT_ORACLE_SIDECAR = "/tmp/next_plaid_spark_oracle/quantized_tokens"
-
-
-# oracle sidecars are pure functions of the built index — write once per
-# (kind, index path) per process (bench pre-warms them right after the index
-# build so gate-support I/O never lands inside a timed query)
-_SIDECARS_WRITTEN: set = set()
+# written where the DuckDB oracle SQL can read it. The path is
+# process-scoped and the write is fingerprint-memoized (see
+# _SIDECAR_STATE above); the Spark query runs before its oracle
+# (per-query in the driver and in tools/check.py).
+EXACT_ORACLE_SIDECAR = _ORACLE_SIDECAR_ROOT + "/quantized_tokens"
 
 
 def _write_exact_oracle_sidecar(idx) -> None:
@@ -384,13 +412,14 @@ def _write_exact_oracle_sidecar(idx) -> None:
     the funnel's rerank stage consumes (B7 output)."""
     from next_plaid_spark.operators.codec import decompress
 
-    if ("exact", idx.path) in _SIDECARS_WRITTEN:
+    key = (idx.path, _index_fingerprint(idx))
+    if _SIDECAR_STATE.get("exact") == key:
         return
     decompress(
         idx.tokens.select("doc_id", "code", "residual"),
         idx.centroids_np(), idx.meta.codec,
     ).select("doc_id", "vec").write.mode("overwrite").parquet(EXACT_ORACLE_SIDECAR)
-    _SIDECARS_WRITTEN.add(("exact", idx.path))
+    _SIDECAR_STATE["exact"] = key
 
 
 def q_plaid_search_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1612,7 +1641,7 @@ def sql_bm25_and_topk() -> str:
     )
 
 
-BPE_SIDECAR = "/tmp/next_plaid_spark_oracle/bpe_pieces"
+BPE_SIDECAR = _ORACLE_SIDECAR_ROOT + "/bpe_pieces"
 BPE_N_MERGES = 50
 
 

@@ -439,6 +439,12 @@ def test_near_matches_sqlite_fts5(spark):
         "NEAR(alpha beta gamma delta, 6)",
         "NEAR(alpha beta)",          # default N=10
         "NEAR(alpha, 0) delta",      # single-member group + loose term
+        # a quoted phrase whose TEXT contains 'NEAR(' is a phrase, not a
+        # group (fts5 parses quotes first) — must match nothing here, not
+        # degrade to 'docs with alpha AND beta'
+        '"alpha NEAR(beta, 1)"',
+        'gamma "delta NEAR(alpha beta, 5)"',
+        '"alpha beta" NEAR(gamma delta, 3)',  # quote then real group
     ]
 
     con = sqlite3.connect(":memory:")
