@@ -1802,6 +1802,190 @@ _FILENAME_PARSERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Optional real-tree-sitter backend — the P1 parity seam
+# ---------------------------------------------------------------------------
+# The reference's extractor IS tree-sitter (colgrep/src/parser/
+# extract.rs:1-825). py-tree-sitter is not in this container, so the
+# scanners above are the default backend; in an environment where
+# ``tree_sitter`` plus a grammar source import cleanly, setting
+# NEXT_PLAID_SPARK_TS=1 swaps _parse_one's BOUNDARY extraction (unit kind,
+# name, nesting, line span) to real grammars for the languages below,
+# keeping the same UNITS_OUT_SCHEMA, the same mapInPandas distribution, and
+# the scanners' text-based metadata helpers for the remaining columns.
+# Opt-in by env var — never auto-engaged — so behavior doesn't silently
+# change with what happens to be installed. Feature-detected once per
+# worker process; any failure falls back to the scanner for that file.
+# Seam pinned by tests/test_code_parse.py::test_treesitter_backend_*
+# (skipped when the libs are absent — the encoder-seam pattern).
+
+# grammar module name per language (tree_sitter_languages bundle first,
+# then per-language wheels like tree_sitter_python)
+_TS_GRAMMARS = {"python": "python", "rust": "rust",
+                "javascript": "javascript", "go": "go", "java": "java"}
+
+# which named nodes are code units. 'fn' → Function (Method under a class
+# context), 'cls' → Class, 'ctx' → class-context only (rust impl blocks:
+# extract.rs routes impl methods under the impl'd type, not the impl node)
+_TS_UNIT_NODES = {
+    "python": {"fn": {"function_definition"}, "cls": {"class_definition"}},
+    "rust": {"fn": {"function_item"},
+             "cls": {"struct_item", "enum_item", "trait_item"},
+             "ctx": {"impl_item"}},
+    "javascript": {"fn": {"function_declaration",
+                          "generator_function_declaration",
+                          "method_definition"},
+                   "cls": {"class_declaration"}},
+    # go: the named node is type_spec (type_declaration carries no name
+    # field and is descended through like any other wrapper)
+    "go": {"fn": {"function_declaration", "method_declaration"},
+           "cls": {"type_spec"}},
+    "java": {"fn": {"method_declaration", "constructor_declaration"},
+             "cls": {"class_declaration", "interface_declaration",
+                     "enum_declaration"}},
+}
+
+_TS_PARSER_CACHE: dict = {}
+
+
+def _ts_parser(lang: str):
+    """Feature-detected tree-sitter Parser for ``lang``, else None."""
+    import os as _os
+
+    if not _os.environ.get("NEXT_PLAID_SPARK_TS"):
+        return None
+    if lang in _TS_PARSER_CACHE:
+        return _TS_PARSER_CACHE[lang]
+    parser = None
+    try:
+        import importlib
+
+        import tree_sitter
+
+        gname = _TS_GRAMMARS[lang]
+        try:
+            import tree_sitter_languages
+
+            grammar = tree_sitter_languages.get_language(gname)
+        except Exception:
+            mod = importlib.import_module(f"tree_sitter_{gname}")
+            grammar = tree_sitter.Language(mod.language())
+        try:
+            parser = tree_sitter.Parser(grammar)
+        except TypeError:  # py-tree-sitter < 0.22
+            parser = tree_sitter.Parser()
+            parser.set_language(grammar)
+    except Exception:
+        parser = None
+    _TS_PARSER_CACHE[lang] = parser
+    return parser
+
+
+def _ts_try_parse(path: str, content: str, lang: str) -> list[tuple] | None:
+    """Scanner-shaped 13-tuples via a real tree-sitter grammar, or None to
+    fall back to the scanner (backend off, grammar missing, parse error).
+
+    Boundary columns (name, qualified_name, unit_type, line, end_line,
+    parent_class) come from the grammar; signature / docstring / params /
+    calls reuse the same text helpers the scanners use, so the two
+    backends agree wherever the scanner's line heuristics are right — the
+    property the gated parity test asserts."""
+    parser = _ts_parser(lang)
+    if parser is None or lang not in _TS_UNIT_NODES:
+        return None
+    try:
+        tree = parser.parse((content or "").encode("utf-8"))
+    except Exception:
+        return None
+    spec = _TS_UNIT_NODES[lang]
+    fn_types, cls_types = spec["fn"], spec["cls"]
+    ctx_types = spec.get("ctx", set())
+    lines = (content or "").splitlines()
+    units: list[tuple] = []
+
+    def text_of(node) -> str:
+        return node.text.decode("utf-8", "replace")
+
+    def name_of(node):
+        for field in ("name", "type"):
+            ch = node.child_by_field_name(field)
+            if ch is not None:
+                return text_of(ch).strip()
+        return None
+
+    def params_of(node) -> list:
+        p = node.child_by_field_name("parameters")
+        if p is None:
+            return []
+        out = []
+        for c in p.named_children:
+            if c.type in ("identifier", "self", "self_parameter"):
+                out.append(text_of(c).lstrip("&").strip())
+            else:
+                n = (c.child_by_field_name("name")
+                     or c.child_by_field_name("pattern"))
+                if n is not None:
+                    out.append(text_of(n))
+        return out
+
+    def py_docstring(node):
+        b = node.child_by_field_name("body")
+        if b is None or not b.named_children:
+            return None
+        first = b.named_children[0]
+        if first.type == "expression_statement" and first.named_children \
+                and first.named_children[0].type == "string":
+            import inspect
+
+            try:
+                return inspect.cleandoc(ast.literal_eval(
+                    text_of(first.named_children[0])))
+            except Exception:
+                return None
+        return None
+
+    def emit(node, node_type: str, parent, prefix: str):
+        nm = name_of(node)
+        if not nm:
+            return None
+        start, end = node.start_point[0] + 1, node.end_point[0] + 1
+        body = "\n".join(lines[start - 1:end])
+        sig = lines[start - 1].strip() if start - 1 < len(lines) else nm
+        qn = f"{prefix}{nm}"
+        if node_type in cls_types:
+            doc = (py_docstring(node) if lang == "python"
+                   else _doc_above(lines, start, lang))
+            units.append((path, nm, qn, "Class", start, end, sig, doc,
+                          [], parent, _calls_in(body, nm), body, lang))
+        else:
+            doc = (py_docstring(node) if lang == "python"
+                   else _doc_above(lines, start, lang))
+            units.append((path, nm, qn,
+                          "Method" if parent else "Function", start, end,
+                          sig, doc, params_of(node), parent,
+                          _calls_in(body, nm), body, lang))
+        return qn
+
+    def walk(node, parent, prefix: str):
+        for ch in node.children:
+            t = ch.type
+            if t in ctx_types:
+                nm = name_of(ch)
+                walk(ch, nm or parent, f"{nm}." if nm else prefix)
+            elif t in cls_types:
+                qn = emit(ch, t, parent, prefix)
+                walk(ch, name_of(ch) or parent,
+                     f"{qn}." if qn else prefix)
+            elif t in fn_types:
+                qn = emit(ch, t, parent, prefix)
+                walk(ch, parent, f"{qn}." if qn else prefix)
+            else:
+                walk(ch, parent, prefix)
+
+    walk(tree.root_node, None, "")
+    return units or None
+
+
 def _finalize(units: list[tuple], content: str, lang: str) -> list[tuple]:
     """Append the layer-3/5 columns (complexity, file imports) to ast-lite
     13-tuples; file imports are shared by every unit of the file, like the
@@ -1822,6 +2006,15 @@ def _parse_one(path: str, content: str) -> list[tuple]:
         return _finalize(
             [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
               None, None, [], None, [], content, lang)], content, lang)
+    # env-gated real-tree-sitter boundary backend (no-op unless
+    # NEXT_PLAID_SPARK_TS=1 and the grammar imports — see seam above)
+    ts_lang = "python" if path.endswith(".py") else next(
+        (lg for ext, (lg, _) in _EXT_PARSERS.items() if path.endswith(ext)),
+        None)
+    if ts_lang in _TS_UNIT_NODES:
+        ts_units = _ts_try_parse(path, content, ts_lang)
+        if ts_units:
+            return _finalize(ts_units, content, ts_lang)
     for ext, (lang, parser) in _EXT_PARSERS.items():
         if path.endswith(ext):
             units = parser(path, content)
