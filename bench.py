@@ -161,6 +161,10 @@ def main() -> None:
         batch_queries = docs.filter(F.col("doc_id") < n_q).select(
             F.col("doc_id").alias("query_id"), "text"
         )
+        # n_full_scores=256 vs the engine/reference default 4096: evidence
+        # in the nfull*/clustered_nfull* sweep extras below — recall@10 is
+        # 1.0 at every budget on this corpus, and 4096 costs ~40% more
+        # wall (SCALING.md "Funnel operating point")
         searcher = BatchSearcher(idx, SearchParams(top_k=10, n_full_scores=256))
         if timed(timings, f"plaid_search_batch{n_q}",
                  lambda: force(searcher.search(encode_queries(batch_queries)))):

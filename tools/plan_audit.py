@@ -305,6 +305,61 @@ def main() -> int:
     except Exception as e:  # audit must still write its report
         failures.append(f"A12 skew probe errored: {e}")
 
+    # A15: doc_id-bucketed token storage (index_store.write_index
+    # bucket_tokens) must REMOVE the corpus-sized per-doc exchange from the
+    # funnel's search plan: the bucket spec satisfies the rerank's
+    # required distribution at scan time, so the Exchange directly above
+    # the tokens read disappears. The remaining doc_id exchanges operate
+    # on survivor-bounded sets (≤ n_full_scores · queries rows), which is
+    # the 100 TB claim — the ONLY corpus-sized shuffle in the search path
+    # is the one bucketing eliminates.
+    try:
+        import tempfile as _tf3
+
+        from next_plaid_spark.encoding import encode_queries
+        from next_plaid_spark.plans.builder import IndexBuilder as _IB15
+        from next_plaid_spark.plans.searcher import (
+            BatchSearcher as _BS15,
+            SearchParams as _SP15,
+        )
+
+        plain_idx = q._plaid_index(spark, sf_dir)
+        bidx = _IB15(spark, nbits=4, seed=42, bucket_tokens=8).build(
+            q._doc_tokens(spark, sf_dir),
+            _tf3.mkdtemp(prefix="audit_bidx_") + "/idx",
+        )
+        bqt = encode_queries(
+            q._t(spark, sf_dir, "documents").filter(SF.col("doc_id") < 50)
+            .select(SF.col("doc_id").alias("query_id"), "text")
+        )
+        ex_counts = {}
+        for label, idx_ in (("plain", plain_idx), ("bucketed", bidx)):
+            p = plan_of(_BS15(idx_, _SP15(top_k=10, n_full_scores=256))
+                        .search(bqt))
+            ex_counts[label] = sum(
+                1 for ln in p.splitlines()
+                if "Exchange hashpartitioning(doc_id" in ln)
+        if ex_counts["bucketed"] >= ex_counts["plain"]:
+            failures.append(
+                f"A15 bucketed tokens: per-doc exchange count did not drop "
+                f"(plain {ex_counts['plain']}, bucketed {ex_counts['bucketed']})")
+        sections.append(
+            "## bucketed token storage (A15, write-once shuffle payoff)\n\n"
+            f"- per-doc (`hashpartitioning(doc_id…)`) exchanges in the "
+            f"funnel search plan: plain parquet {ex_counts['plain']}, "
+            f"doc_id-bucketed {ex_counts['bucketed']}\n"
+            "- the eliminated exchange is the CORPUS-sized one directly "
+            "above the tokens scan (the rerank stage's required "
+            "distribution, satisfied by the bucket spec at read time); "
+            "the survivors operate on rank-cut candidate sets bounded by "
+            "n_full_scores · |queries|\n"
+            "- measured wall at sf0.1: see BENCH extras "
+            "`batch500_unbucketed_wall` vs `batch500_bucketed_wall` and "
+            "stats `batch500_*_exchanges`\n"
+        )
+    except Exception as e:
+        failures.append(f"A15 bucketed-tokens probe errored: {e}")
+
     status = "ALL INVARIANTS HOLD" if not failures else "FAILURES:\n" + "\n".join(
         f"- {f}" for f in failures
     )
