@@ -301,10 +301,11 @@ def main() -> None:
             # cluster puts every query's top-10 across several cells
             # (docs-per-cluster > top_k would hide the trade inside one
             # cell, and tight high-dim clusters saturate recall at probe 1)
-            ctoks, _ = clustered_token_corpus(
+            ctoks, cclu = clustered_token_corpus(
                 spark, n_docs=2000, tokens_per_doc=4, dim=8,
                 n_clusters=250, seed=11,
             )
+            cclu = cclu.cache()
             ctoks = ctoks.cache()
             cidx = IndexBuilder(spark, k=256).build(
                 ctoks, tempfile.mkdtemp(prefix="bench_cidx_") + "/idx"
@@ -364,6 +365,37 @@ def main() -> None:
                        / max(len(c_truth[q]), 1) for q in c_truth]
                 stats[f"clustered_nfull{n_full}_recall_at10"] = round(
                     sum(rec) / len(rec), 4)
+            # BEIR-style quality axis for the same sweep: mean NDCG@10
+            # against cluster-membership qrels (the query's own doc rel=2,
+            # its cluster-mates rel=1 — the clustered analog of the sf*
+            # stratum qrels), directionally comparable to the NDCG tables
+            # in the reference's README. Exact funnel = the ceiling.
+            from next_plaid_spark.operators.evaluation import ir_metrics
+
+            qd = cclu.filter(F.col("doc_id") % 20 == 0).select(
+                F.col("doc_id").alias("query_id"),
+                F.col("cluster").alias("_qc"),
+            )
+            c_qrels = qd.join(cclu, F.col("cluster") == F.col("_qc")).select(
+                "query_id", "doc_id",
+                F.when(F.col("doc_id") == F.col("query_id"), 2)
+                .otherwise(1).alias("rel"),
+            ).cache()
+
+            def _mean_ndcg(searcher) -> float:
+                m = ir_metrics(searcher.search(cqt), c_qrels, k=10)
+                row = m.agg(F.avg("ndcg_at_k")).collect()[0]
+                return round(float(row[0]), 4)
+
+            stats["clustered_ndcg10_exact"] = _mean_ndcg(c_exact)
+            for label, probe, n_full in (("p1_f256", 1, 256),
+                                         ("p8_f256", 8, 256),
+                                         ("p8_f1024", 8, 1024),
+                                         ("p8_f4096", 8, 4096)):
+                stats[f"clustered_ndcg10_{label}"] = _mean_ndcg(
+                    BatchSearcher(cidx, SearchParams(
+                        top_k=10, n_ivf_probe=probe, n_full_scores=n_full,
+                        keep_best_cell=True)))
         except Exception:
             errors["clustered_sweep"] = traceback.format_exc(
                 limit=3).splitlines()[-1]

@@ -1822,7 +1822,9 @@ _FILENAME_PARSERS = {
 # grammar module name per language (tree_sitter_languages bundle first,
 # then per-language wheels like tree_sitter_python)
 _TS_GRAMMARS = {"python": "python", "rust": "rust",
-                "javascript": "javascript", "go": "go", "java": "java"}
+                "javascript": "javascript", "go": "go", "java": "java",
+                "typescript": "typescript", "ruby": "ruby", "php": "php",
+                "csharp": "c_sharp"}
 
 # which named nodes are code units. 'fn' → Function (Method under a class
 # context), 'cls' → Class, 'ctx' → class-context only (rust impl blocks:
@@ -1843,6 +1845,23 @@ _TS_UNIT_NODES = {
     "java": {"fn": {"method_declaration", "constructor_declaration"},
              "cls": {"class_declaration", "interface_declaration",
                      "enum_declaration"}},
+    "typescript": {"fn": {"function_declaration",
+                          "generator_function_declaration",
+                          "method_definition", "function_signature"},
+                   "cls": {"class_declaration", "interface_declaration",
+                           "enum_declaration"}},
+    "ruby": {"fn": {"method", "singleton_method"},
+             "cls": {"class", "module"}},
+    "php": {"fn": {"function_definition", "method_declaration"},
+            "cls": {"class_declaration", "interface_declaration",
+                    "trait_declaration"}},
+    "csharp": {"fn": {"method_declaration", "constructor_declaration"},
+               "cls": {"class_declaration", "interface_declaration",
+                       "struct_declaration", "enum_declaration"}},
+    # c/cpp are deliberately absent: their grammars name functions through
+    # declarator chains (no 'name' field on function_definition), which
+    # this generic boundary walker can't resolve — those languages stay on
+    # the scanner even with the backend enabled.
 }
 
 _TS_PARSER_CACHE: dict = {}

@@ -468,3 +468,27 @@ def test_near_matches_sqlite_fts5(spark):
     for r in idx.search_phrases(qdf, k=100).collect():
         got[r.query_id].add(r.doc_id)
     assert got == want
+
+
+def test_lowercase_near_is_loose_terms(spark):
+    """Documented divergence (bm25.py::search_phrases): FTS5 rejects
+    lowercase 'near(a b, 2)' as a syntax error; we lean lenient and score
+    its words as ordinary loose terms — pinned here so the behavior is a
+    contract, not an accident."""
+    from next_plaid_spark.operators.bm25 import BM25Index
+
+    docs = [
+        "alpha beta gamma",      # all terms incl. 'near'-free
+        "alpha near beta 2",     # contains the literal word 'near'
+        "delta only",
+    ]
+    idx = BM25Index.build(
+        spark.createDataFrame(list(enumerate(docs)),
+                              "doc_id long, text string"),
+        with_positions=True,
+    )
+    qdf = spark.createDataFrame([(0, "near(alpha beta, 2)")],
+                                "query_id long, text string")
+    got = {r.doc_id for r in idx.search_phrases(qdf, k=10).collect()}
+    # loose-term AND over {near, alpha, beta, 2}: only doc 1 has them all
+    assert got == {1}
