@@ -235,7 +235,11 @@ def main() -> None:
                      "leakage_split", "span_corrupt", "events_rolling",
                      "perplexity_bigram",
                      # r6 additions
-                     "bm25_phrase_topk"):
+                     "bm25_phrase_topk",
+                     # r8: BEIR-style quality of the funnel itself (exact
+                     # configuration vs stratum qrels; the clustered sweep
+                     # below adds the approximate operating points)
+                     "ir_eval_plaid"):
             fn = registry[name]
             timed(extras, name, lambda fn=fn: force(fn(spark, sf_dir)))
 

@@ -113,8 +113,18 @@ def main() -> None:
             f"| {g:.1f}× | {dg:.0f}× |"
         )
     out = "\n".join(lines) + "\n"
-    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
-        f.write(out)
+    # preserve hand-written analysis sections (everything from the first
+    # '## ' heading onward) across regenerations — the table above is the
+    # generated part, the appendix is curated per-round
+    path = os.path.join(REPO, "SCALING.md")
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            appendix = old[cut:]
+    with open(path, "w") as f:
+        f.write(out + appendix)
     print(out)
 
 
