@@ -164,6 +164,29 @@ def _planes(dim: int, n_bits: int, seed: int, table: int) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
+def _seq_dot_matrix(x64, m64):
+    """[rows, P] x·m in float64, accumulated sequentially over dim
+    (x₀m₀ + x₁m₁ + …) — the exact fold order of functions/vector.py::dot,
+    plans/searcher.py::_seq_centroid_scores, and the DuckDB oracles'
+    ``list_reduce(list_prepend(0.0, list_transform(...)), (a,b)->a+b)``.
+    This (not a BLAS GEMM) is what makes LSH bucket signs and IVF cell
+    argmax bit-reproducible cross-engine, so the approximate ANN entries
+    can be hash-checked, not just recall-gated."""
+    out = x64[:, 0, None] * m64[None, :, 0]
+    for j in range(1, x64.shape[1]):
+        out = out + x64[:, j, None] * m64[None, :, j]
+    return out
+
+
+def _seq_sqnorm(x64):
+    """Per-row Σ x² folded sequentially over dim — the norm fold of the
+    cosine oracles (0.0 + x₀² + x₁² + …)."""
+    out = x64[:, 0] * x64[:, 0]
+    for j in range(1, x64.shape[1]):
+        out = out + x64[:, j] * x64[:, j]
+    return out
+
+
 def lsh_bucket_assignments(
     df: DataFrame,
     *,
@@ -200,7 +223,9 @@ def lsh_bucket_assignments(
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            bits = (x @ all_planes.T) >= 0  # [rows, n_tables*n_bits]
+            # sequential-fold dots (not GEMM): bucket signs match the
+            # DuckDB oracle's list_reduce fold bit-for-bit (_seq_dot_matrix)
+            bits = _seq_dot_matrix(x, all_planes) >= 0
             bits = bits.reshape(len(x), n_tables, n_bits)
             buckets = (bits * pow2).sum(axis=2)  # [rows, n_tables]
             out = pd.DataFrame(
@@ -262,13 +287,19 @@ def ivf_cell_assignments(
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest cells (by cosine).
 
-    One GEMM per Arrow batch against the broadcast centroid matrix; rows
-    come back exploded as ``(_id, _vec, _cell)``. ``n_probe=1`` is corpus
-    assignment; queries pass the probe width.
-    """
+    Rows come back exploded as ``(_id, _vec, _cell)``. ``n_probe=1`` is
+    corpus assignment; queries pass the probe width.
+
+    Bit-determinism: cell scores are float64 sequential-fold dots of the
+    explicitly-normalized vector (norm = √(sequential Σx²), zero-norm →
+    divide by 1) against the float64 copies of the centroids, and the
+    top-p selection is a stable sort on (score desc, cell asc) — exactly
+    the DuckDB oracle's ``row_number() OVER (ORDER BY s DESC, cell ASC)``,
+    so the candidate sets (and therefore the whole ANN result) hash-match
+    cross-engine."""
     import numpy as np
 
-    cmat = np.asarray(centroids, dtype=np.float32)
+    cmat = np.asarray(centroids, dtype=np.float64)
     k = cmat.shape[0]
     p = max(1, min(n_probe, k))
 
@@ -278,19 +309,13 @@ def ivf_cell_assignments(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
-            n = np.linalg.norm(x, axis=1, keepdims=True)
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n = np.sqrt(_seq_sqnorm(x))
             n[n == 0] = 1.0
-            scores = (x / n) @ cmat.T  # [rows, k]
-            if p == 1:
-                cells = np.argmax(scores, axis=1)[:, None]
-            else:
-                part = np.argpartition(scores, -p, axis=1)[:, -p:]
-                # deterministic probe order: best cell first
-                order = np.argsort(
-                    np.take_along_axis(scores, part, axis=1), axis=1
-                )[:, ::-1]
-                cells = np.take_along_axis(part, order, axis=1)
+            scores = _seq_dot_matrix(x / n[:, None], cmat)  # [rows, k]
+            # stable argsort on -scores: ties fall to the lower cell id,
+            # the oracle's (s DESC, cell ASC) order
+            cells = np.argsort(-scores, axis=1, kind="stable")[:, :p]
             yield pd.DataFrame(
                 {
                     "_id": pdf[id_col].to_numpy().repeat(p),

@@ -2076,33 +2076,183 @@ def _sql_perplexity_bigram() -> str:
     return sql_bigram_logprob()
 
 
+# ANN oracle sidecars (same trusted-artifact discipline as the PLAID
+# funnel's): the LSH hyperplanes are a pure function of (dim, n_tables,
+# n_bits, seed); the IVF centroids are the trained coarse quantizer
+# (iterative Lloyd's — the one non-SQL-expressible piece). Everything
+# downstream — bucket signs / cell argmax, candidacy, exact cosine,
+# top-k — is recomputed independently by the oracle SQL: the Spark side
+# computes every score as a float64 sequential fold (similarity.py::
+# _seq_dot_matrix) with deterministic tie-breaks, so the comparison is
+# hash-exact, not recall-gated.
+LSH_ORACLE_SIDECAR = _ORACLE_SIDECAR_ROOT + "/lsh_planes"
+IVF_ORACLE_SIDECAR = _ORACLE_SIDECAR_ROOT + "/ivf_centroids"
+
+ANN_LSH_TABLES, ANN_LSH_BITS, ANN_SEED = 16, 4, 42
+ANN_IVF_CELLS, ANN_IVF_PROBE = 32, 8
+
+
+def _write_lsh_oracle_sidecar(spark: SparkSession, *, dim: int) -> None:
+    from next_plaid_spark.operators.similarity import _planes
+
+    key = ("lsh", dim, ANN_LSH_TABLES, ANN_LSH_BITS, ANN_SEED)
+    if _SIDECAR_STATE.get("lsh") == key:
+        return
+    rows = [
+        (t, b, [float(x) for x in p])
+        for t in range(ANN_LSH_TABLES)
+        for b, p in enumerate(_planes(dim, ANN_LSH_BITS, ANN_SEED, t))
+    ]
+    spark.createDataFrame(
+        rows, "tbl int, bit int, pvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(LSH_ORACLE_SIDECAR)
+    _SIDECAR_STATE["lsh"] = key
+
+
+def _write_ivf_oracle_sidecar(spark: SparkSession, cmat) -> None:
+    import hashlib
+
+    import numpy as np
+
+    c = np.asarray(cmat, dtype=np.float64)  # f32 → f64 exact
+    key = ("ivf", hashlib.sha1(c.tobytes()).hexdigest()[:12])
+    if _SIDECAR_STATE.get("ivf") == key:
+        return
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
+        "cell int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(IVF_ORACLE_SIDECAR)
+    _SIDECAR_STATE["ivf"] = key
+
+
+_SQL_SEQ_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform({arr}, "
+                 "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (p,q) -> p+q))")
+_SQL_COS_QC = ("CASE WHEN {nq} = 0.0 OR {nc} = 0.0 THEN 0.0 ELSE "
+               "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.v) + 1), "
+               "i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))), (a,b) -> a+b)"
+               " / ({nq} * {nc}) END")
+
+
+def sql_ann_lsh_topk(n_queries: int = COSINE_N_QUERIES,
+                     k: int = COSINE_TOPK) -> str:
+    """Recomputes multi-table hyperplane LSH end to end: bucket = Σ 2^bit
+    over sign(sequential-fold dot(vec, plane)) per table, candidacy = any
+    shared (table, bucket), then the exact-cosine rank — the same folds
+    and tie-breaks as similarity.py's kernels (bit-identical)."""
+    seqdot = ("list_reduce(list_prepend(0.0, list_transform(range(1, len(s.v) + 1), "
+              "i -> CAST(s.v[i] AS DOUBLE) * pl.pvec[i])), (a,b) -> a+b)")
+    sig = (f"SELECT s.vec_id, pl.tbl, "
+           f"sum(CASE WHEN {seqdot} >= 0 THEN (1::BIGINT << pl.bit) ELSE 0 END) AS bucket "
+           f"FROM {{src}} s CROSS JOIN pl GROUP BY 1, 2")
+    cos = _SQL_COS_QC.format(nq=_SQL_SEQ_NORM.format(arr="q.v"),
+                             nc=_SQL_SEQ_NORM.format(arr="c.v"))
+    return f"""
+WITH pl AS (SELECT tbl, bit, pvec FROM '{LSH_ORACLE_SIDECAR}/*.parquet'),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < {n_queries}),
+csig AS ({sig.format(src='c')}),
+qsig AS ({sig.format(src='q')}),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id
+  FROM qsig qs JOIN csig cs ON cs.tbl = qs.tbl AND cs.bucket = qs.bucket
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {cos} AS cos_sim
+  FROM cand
+  JOIN q ON q.vec_id = cand.query_id
+  JOIN c ON c.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def sql_ann_ivf_topk(n_queries: int = COSINE_N_QUERIES,
+                     k: int = COSINE_TOPK,
+                     n_probe: int = ANN_IVF_PROBE) -> str:
+    """Recomputes IVF ANN over the trained-centroid sidecar: cell scores
+    as sequential-fold dots of the explicitly-normalized vector (zero
+    norm → /1), corpus assignment = rank-1 cell, query probe = top-n_probe
+    cells, both under (score DESC, cell ASC) — then the exact-cosine rank
+    on raw vectors. Mirrors similarity.py::ivf_cell_assignments bit for
+    bit."""
+    nrm = _SQL_SEQ_NORM.format(arr="s.v")
+    cellscore = ("list_reduce(list_prepend(0.0, list_transform(range(1, len(s.v) + 1), "
+                 "i -> (CAST(s.v[i] AS DOUBLE) / s.nv) * ct.cvec[i])), (a,b) -> a+b)")
+    assign = (f"SELECT vec_id, cell FROM ("
+              f"SELECT s.vec_id, ct.cell, "
+              f"row_number() OVER (PARTITION BY s.vec_id ORDER BY {cellscore} DESC, ct.cell ASC) AS r "
+              f"FROM (SELECT vec_id, v, CASE WHEN {nrm} = 0.0 THEN 1.0 ELSE {nrm} END AS nv "
+              f"FROM {{src}} s) s CROSS JOIN ct) WHERE r <= {{rmax}}")
+    cos = _SQL_COS_QC.format(nq=_SQL_SEQ_NORM.format(arr="q.v"),
+                             nc=_SQL_SEQ_NORM.format(arr="c.v"))
+    return f"""
+WITH ct AS (SELECT cell, cvec FROM '{IVF_ORACLE_SIDECAR}/*.parquet'),
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < {n_queries}),
+cassign AS ({assign.format(src='c', rmax=1)}),
+qprobe AS ({assign.format(src='q', rmax=n_probe)}),
+scored AS (
+  SELECT qp.vec_id AS query_id, ca.vec_id, {cos} AS cos_sim
+  FROM qprobe qp
+  JOIN cassign ca ON ca.cell = qp.cell
+  JOIN q ON q.vec_id = qp.vec_id
+  JOIN c ON c.vec_id = ca.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN. Hash-exact oracle since r8: the
+    planes are a deterministic artifact (sidecar), bucket signs come from
+    float64 sequential-fold dots on BOTH engines, and candidacy/top-k are
+    set-based/tie-broken — so the oracle recomputes the whole path, not
+    just a recall gate (the r7 funnel treatment applied to ANN)."""
     from next_plaid_spark.operators.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
+    _write_lsh_oracle_sidecar(spark, dim=dim)
     queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     # 16 tables × 4 bits measures ≈0.85 recall@10 on the near-isotropic
     # synthetic embeddings (tighter buckets drop recall fast at dim=64)
     return lsh_bucket_topk(
-        emb, queries, k=COSINE_TOPK, dim=dim, n_tables=16, n_bits=4, seed=42
+        emb, queries, k=COSINE_TOPK, dim=dim,
+        n_tables=ANN_LSH_TABLES, n_bits=ANN_LSH_BITS, seed=ANN_SEED,
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN (the funnel's coarse-quantizer discipline on
-    single-vector rows) — rows-only; recall vs exact cosine is gated in
-    tests/test_similarity.py."""
-    from next_plaid_spark.operators.similarity import ivf_topk
+    single-vector rows). Hash-exact oracle since r8: only the k-means
+    TRAINING is trusted (centroid sidecar); assignment, probe, candidacy
+    and the exact-cosine rank are recomputed by the oracle under the same
+    float64 sequential folds and (score DESC, cell ASC) tie-breaks."""
+    from next_plaid_spark.operators.similarity import ivf_topk, train_ivf_cells
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    cmat = train_ivf_cells(emb, ANN_IVF_CELLS, seed=ANN_SEED)
+    _write_ivf_oracle_sidecar(spark, cmat)
     return ivf_topk(
-        emb, queries, k=COSINE_TOPK, n_cells=32, n_probe=8, seed=42
+        emb, queries, k=COSINE_TOPK, n_cells=ANN_IVF_CELLS,
+        n_probe=ANN_IVF_PROBE, seed=ANN_SEED, centroids=cmat,
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
@@ -2916,6 +3066,8 @@ def oracle_sql() -> dict[str, str]:
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
         "source_overlap": SQL_SOURCE_OVERLAP,
         "cosine_topk": sql_cosine_topk(),
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_exact_topk": sql_cosine_topk(),
         "mmr_topk": sql_mmr_topk(),
         "hard_negatives": sql_hard_negatives(),

@@ -20,8 +20,10 @@ def main() -> None:
         "# QUERIES — the `__spark_entry__` correctness surface",
         "",
         f"{len(qs)} entries; {len(oracles)} DuckDB hash-checked (*oracle*), "
-        f"{len(qs) - len(oracles)} rows-only (genuinely approximate ANN, "
-        "each with a hash-exact companion entry in its exact configuration).",
+        f"{len(qs) - len(oracles)} rows-only. Since r8 the approximate ANN "
+        "entries are hash-checked too (trusted-artifact sidecars + "
+        "deterministic folds — the funnel treatment), so the whole surface "
+        "is value-verified.",
         "",
         "| entry | gate | what it pins |",
         "|---|---|---|",
