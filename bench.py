@@ -120,6 +120,9 @@ def main() -> None:
             idx0 = q._plaid_index(spark, sf_dir)
             q._write_exact_oracle_sidecar(idx0)
             q._write_approx_oracle_sidecar(idx0)
+            emb0 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            q._write_lsh_oracle_sidecar(
+                spark, dim=len(emb0.select("embedding").first()[0]))
             extras["oracle_sidecar_write"] = round(time.time() - t0, 3)
         except Exception:
             errors["oracle_sidecar_write"] = traceback.format_exc(limit=3).splitlines()[-1]
