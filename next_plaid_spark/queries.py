@@ -208,11 +208,29 @@ def q_plaid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return searcher.search(qt).select("query_id", "doc_id", "score", "rank")
 
 
-# Oracle sidecars live under a PROCESS-scoped root so two concurrent
-# processes (driver gate + a local tools/check.py run, say) with different
-# corpora never read each other's artifacts. Within a process, staleness is
-# prevented by fingerprinting (below), not by the path.
-_ORACLE_SIDECAR_ROOT = f"/tmp/next_plaid_spark_oracle_{os.getpid()}"
+# Oracle sidecars live under a root scoped to (repo checkout, uid): two
+# users or two different checkouts never read each other's artifacts, while
+# the path stays STABLE across processes of the same checkout — required
+# because the driver may run a Spark query and its DuckDB oracle in
+# different processes (the sidecar must survive the boundary; a pid-scoped
+# path would not). Within-checkout staleness is prevented by the
+# fingerprint memo below, not by the path; the one unguarded case — two
+# simultaneous processes of the SAME checkout racing on DIFFERENT corpora —
+# is a local-tooling discipline (don't overlap bench and check runs), or
+# set SPARK_GRAFT_ORACLE_DIR to split them explicitly.
+def _oracle_root() -> str:
+    import hashlib
+
+    env = os.environ.get("SPARK_GRAFT_ORACLE_DIR")
+    if env:
+        return env
+    tag = hashlib.md5(
+        f"{os.path.dirname(os.path.abspath(__file__))}:{os.getuid()}".encode()
+    ).hexdigest()[:10]
+    return f"/tmp/next_plaid_spark_oracle_{tag}"
+
+
+_ORACLE_SIDECAR_ROOT = _oracle_root()
 
 # what is CURRENTLY on disk at each sidecar path: kind -> (index path,
 # index fingerprint). Keying on the fingerprint (a hash of the full meta
