@@ -496,7 +496,7 @@ class BatchSearcher:
                 .groupBy("doc_id")
                 .agg(F.collect_list("code").alias("codes"))
             )
-        return doc_lists.mapInPandas(kern, schema=schema)
+        return self._spread_small(doc_lists).mapInPandas(kern, schema=schema)
 
     def _rerank_broadcast(self, survivors: DataFrame, qt_pdf) -> DataFrame:
         """Q9 as ONE doc-parallel kernel over the survivor docs.
@@ -645,7 +645,28 @@ class BatchSearcher:
             .agg(F.collect_list(F.struct("code", "residual")).alias("crs"))
             .join(F.broadcast(surv_by_doc), "doc_id")
         )
-        return packed.mapInPandas(kern, schema=schema)
+        return self._spread_small(packed).mapInPandas(kern, schema=schema)
+
+    def _spread_small(self, df: DataFrame) -> DataFrame:
+        """Round-robin a SMALL kernel input across the cluster's cores.
+
+        Tiny corpora defeat both natural sources of kernel parallelism:
+        the parquet reader bin-packs small files into one split, and AQE
+        coalesces a sub-advisory-size shuffle down to one partition — so
+        the doc-parallel numpy kernels end up serialized on a single
+        worker, which at bench scale costs more wall than every exchange
+        in the plan combined. The explicit repartition is an exchange of a
+        few hundred KB (~free) and is skipped entirely once the index is
+        big enough (64 MB of token cells) for scans to carry real
+        parallelism — at cluster scale this is a no-op. Per-doc kernel
+        outputs are partitioning-independent (doc-local folds, chunk-local
+        CSE over identical per-pair inputs), so results are bit-identical
+        either way."""
+        meta = self.index.meta
+        if meta.num_embeddings * 24 >= (64 << 20):
+            return df
+        sc = df.sparkSession.sparkContext
+        return df.repartition(sc.defaultParallelism)
 
     def _approx_chunked(self, query_tokens: DataFrame, n_probe: int,
                         p: "SearchParams", ivf: DataFrame,
