@@ -22,6 +22,13 @@ def get_spark(app_name: str = "next-plaid-spark", shuffle_partitions: int | None
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # never coalesce below the core count: AQE's advisory-size
+        # coalescing collapses small shuffle outputs to ONE partition,
+        # which serializes the doc-parallel numpy kernels downstream of
+        # groupBy (measured ~2× on the sf0.1 funnel's approx/rerank
+        # stages). Keeping ≥cores partitions costs nothing — the same
+        # setting is standard practice on clusters to keep executors busy
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
