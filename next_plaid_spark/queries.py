@@ -135,7 +135,16 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = os.path.abspath(sf_dir)
     df = _TOKENS_CACHE.get(key)
     if df is None:
-        df = encode_documents(_t(spark, sf_dir, "documents")).cache()
+        # spread the single-file documents scan across cores BEFORE the
+        # encode UDF and the cache: a 1-split input otherwise serializes
+        # the encode pass AND every downstream consumer of the cached
+        # tokens (the build's assign+quantize measured 11.2→9.2 s at
+        # sf0.1). Harness-only: the engine takes whatever partitioning
+        # the caller's doc_tokens carries.
+        par = spark.sparkContext.defaultParallelism
+        df = encode_documents(
+            _t(spark, sf_dir, "documents").repartition(par)
+        ).cache()
         _TOKENS_CACHE[key] = df
     return df
 
