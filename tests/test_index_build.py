@@ -411,3 +411,25 @@ def test_builder_auto_strategy_threshold(spark, documents, tmp_path):
     assert sample_token_budget(200, 40.0) <= IndexBuilder.KMEANS_DRIVER_SAMPLE_CAP
     # ~1M docs × 300 tokens: the law exceeds the cap → auto would go distributed
     assert sample_token_budget(1_000_000, 300.0) > IndexBuilder.KMEANS_DRIVER_SAMPLE_CAP
+
+
+def test_spread_small_is_scale_gated(spark, built_index):
+    """The kernel-input spread (searcher.py::_spread_small) must engage on
+    tiny corpora (parallelize the numpy kernels) and be a STRICT no-op
+    past the size gate — at cluster scale an explicit repartition of the
+    token table would be a corpus-wide exchange."""
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    idx, _, _ = built_index
+    s = BatchSearcher(idx, SearchParams(top_k=5))
+    df = idx.tokens.select("doc_id", "code")
+    spread = s._spread_small(df)
+    assert spread is not df
+    assert (spread.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+    old = idx.meta.num_embeddings
+    try:
+        idx.meta.num_embeddings = 10**9  # pretend 100 TB-ish
+        assert s._spread_small(df) is df  # identical plan, no exchange
+    finally:
+        idx.meta.num_embeddings = old
