@@ -290,7 +290,7 @@ class BatchSearcher:
                           p: "SearchParams", ivf: DataFrame,
                           prune_to: int | None = None,
                           eligible_mask: np.ndarray | None = None,
-                          qt_pdf=None) -> DataFrame:
+                          qt_pdf=None, spread: bool = True) -> DataFrame:
         """Q1–Q6 with the query side broadcast.
 
         Collects the batch's query tokens to the driver (the small side of
@@ -496,7 +496,9 @@ class BatchSearcher:
                 .groupBy("doc_id")
                 .agg(F.collect_list("code").alias("codes"))
             )
-        return self._spread_small(doc_lists).mapInPandas(kern, schema=schema)
+        if spread:
+            doc_lists = self._spread_small(doc_lists)
+        return doc_lists.mapInPandas(kern, schema=schema)
 
     def _rerank_broadcast(self, survivors: DataFrame, qt_pdf) -> DataFrame:
         """Q9 as ONE doc-parallel kernel over the survivor docs.
@@ -701,9 +703,13 @@ class BatchSearcher:
             sub = query_tokens.filter(
                 (F.col("query_id") >= lo) & (F.col("query_id") <= hi)
             )
+            # spread=False: per-chunk kernels are quarter-size, and paying
+            # the round-robin exchange once per chunk measured net-NEGATIVE
+            # at sf0.1 (chunked4 8.3 s → 11.6 s with it; the union of
+            # chunk outputs restores cross-chunk parallelism anyway)
             part = self._approx_broadcast(
                 sub, n_probe, p, ivf, prune_to=prune_to,
-                eligible_mask=eligible_mask,
+                eligible_mask=eligible_mask, spread=False,
             )
             out = part if out is None else out.unionByName(part)
         return out
