@@ -88,6 +88,28 @@ class IndexCatalog:
 
     # -- write surface -----------------------------------------------------
 
+    def create_from_jsonl(self, name: str, path: str, *,
+                          text_col: str = "text",
+                          id_col: str | None = None,
+                          encoder=None, **build_kw) -> LocalIndex:
+        """Raw JSONL drop → searchable index in one call — the batch
+        analog of the reference's full ingestion flow (POST /indices +
+        JSON documents with metadata, documents.rs:975/1118).
+
+        Every JSON field besides the text becomes a metadata column
+        (queryable through the WHERE grammar); ``encoder`` maps the
+        documents DF to doc_tokens (default: the synthetic deterministic
+        encoder — pass ``encode_with_model``-backed callables for a real
+        model)."""
+        from next_plaid_spark.encoding import encode_documents
+        from next_plaid_spark.sources.corpus_io import load_documents_jsonl
+
+        docs = load_documents_jsonl(
+            self.spark, path, text_col=text_col, id_col=id_col
+        )
+        toks = (encoder or encode_documents)(docs)
+        return self.create(name, toks, metadata=docs, **build_kw)
+
     def create(self, name: str, doc_tokens: DataFrame, *,
                metadata: DataFrame | None = None, **build_kw) -> LocalIndex:
         """create_index + add_documents in one step (the batch analog of

@@ -81,3 +81,21 @@ def test_round_trip_and_engine_use(spark, jsonl_path, tmp_path):
     assert sorted(r.text for r in back.collect()) == \
         sorted(r.text for r in docs.collect())
     assert {r.doc_id for r in back.collect()} == {r.doc_id for r in docs.collect()}
+
+
+def test_catalog_create_from_jsonl(spark, jsonl_path, tmp_path):
+    """The full reference ingestion flow from a raw drop: index builds,
+    semantic search returns the right doc, metadata WHERE works."""
+    from next_plaid_spark.catalog import IndexCatalog
+    from next_plaid_spark.encoding import encode_queries
+
+    cat = IndexCatalog(spark, str(tmp_path / "cat"))
+    li = cat.create_from_jsonl("drop", jsonl_path)
+    qt = encode_queries(spark.createDataFrame(
+        [(0, "delta epsilon")], "query_id long, text string"))
+    top = li.searcher().search(qt).orderBy("rank").first()
+    docs = {r.doc_id: r.text for r in li.metadata().get().collect()}
+    assert docs[top.doc_id] == "delta epsilon"
+    # metadata columns from the JSON ride along into the WHERE surface
+    en = li.metadata().where_condition("lang = ?", ["en"])
+    assert en.count() == 2  # dedup collapsed the duplicate 'en' text
