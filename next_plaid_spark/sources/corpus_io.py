@@ -20,35 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def load_documents_jsonl(
-    spark: SparkSession,
-    path: str,
-    *,
-    text_col: str = "text",
-    id_col: str | None = None,
-    dedup_exact: bool = True,
-    schema=None,
-) -> DataFrame:
-    """Read a JSONL corpus into the documents contract.
+def _to_documents(df: DataFrame, path: str, text_col: str,
+                  id_col: str | None, dedup_exact: bool) -> DataFrame:
+    """Normalize a raw frame onto (doc_id, text, metadata...).
 
-    - ``text_col`` names the text field (renamed to ``text``).
-    - ``id_col``: an existing stable-id field (cast to long). When absent,
-      ``doc_id = xxhash64(text)`` — content-addressed ids, which makes
-      ingestion idempotent and EXACT-DEDUPS identical texts by
-      construction (the first curation step of every LLM pipeline;
-      disable with ``dedup_exact=False`` to keep hash-equal rows, but
-      then doc_id is no longer unique). 64-bit hash collisions on
-      distinct texts are ~N²/2⁶⁵ — negligible below ~10⁹ docs; above
-      that, supply real ids.
-    - every other JSON field is preserved as a metadata column (the
-      MetadataStore surface; nested objects stay as structs, which
-      ``metadata_text`` flattening and the WHERE grammar's dotted paths
-      can address).
+    Without ``id_col``, ``doc_id = xxhash64(text)`` — content-addressed
+    ids, which makes ingestion idempotent and EXACT-DEDUPS identical
+    texts by construction (the first curation step of every LLM
+    pipeline; ``dedup_exact=False`` keeps hash-equal rows, but then
+    doc_id is no longer unique). 64-bit collisions on distinct texts are
+    ~N²/2⁶⁵ — negligible below ~10⁹ docs; above that, supply real ids.
     """
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.json(path)
     if text_col != "text":
         df = df.withColumnRenamed(text_col, "text")
     if "text" not in df.columns:
@@ -65,6 +47,53 @@ def load_documents_jsonl(
             df = df.dropDuplicates(["doc_id"])
     front = ["doc_id", "text"]
     return df.select(*front, *[c for c in df.columns if c not in front])
+
+
+def load_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str | None = None,
+    dedup_exact: bool = True,
+    schema=None,
+) -> DataFrame:
+    """Read a JSONL corpus into the documents contract.
+
+    ``text_col`` names the text field (renamed to ``text``); every other
+    JSON field is preserved as a metadata column (the MetadataStore
+    surface; nested objects stay as structs). Id assignment and the
+    exact-dedup-on-ingest semantics: see ``_to_documents``.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return _to_documents(reader.json(path), path, text_col, id_col,
+                         dedup_exact)
+
+
+def load_documents_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str | None = None,
+    dedup_exact: bool = True,
+    sep: str = ",",
+    header: bool = True,
+    schema=None,
+) -> DataFrame:
+    """CSV/TSV variant of ``load_documents_jsonl`` (``sep="\\t"`` for
+    TSV). Same contract: header columns become metadata columns,
+    content-addressed ids dedup identical texts on ingest."""
+    reader = (spark.read.option("header", str(header).lower())
+              .option("multiLine", "true").option("escape", '"'))
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return _to_documents(reader.option("sep", sep).csv(path), path,
+                         text_col, id_col, dedup_exact)
 
 
 def write_documents_jsonl(df: DataFrame, path: str, *,

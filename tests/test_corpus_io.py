@@ -99,3 +99,20 @@ def test_catalog_create_from_jsonl(spark, jsonl_path, tmp_path):
     # metadata columns from the JSON ride along into the WHERE surface
     en = li.metadata().where_condition("lang = ?", ["en"])
     assert en.count() == 2  # dedup collapsed the duplicate 'en' text
+
+
+def test_load_documents_csv_and_tsv(spark, tmp_path):
+    from next_plaid_spark.sources.corpus_io import load_documents_csv
+
+    p = tmp_path / "c.csv"
+    p.write_text('text,lang,score\n"alpha, with comma",en,3\nbeta,de,1\n'
+                 '"alpha, with comma",en,9\n')
+    df = load_documents_csv(spark, str(p))
+    rows = {r.text: r for r in df.collect()}
+    assert df.count() == 2  # duplicate text collapsed
+    assert rows["beta"].lang == "de" and rows["beta"].score == 1
+    t = tmp_path / "c.tsv"
+    t.write_text("body\tlang\ngamma delta\tfr\n")
+    tdf = load_documents_csv(spark, str(t), sep="\t", text_col="body")
+    assert [r.text for r in tdf.collect()] == ["gamma delta"]
+    assert tdf.columns[:2] == ["doc_id", "text"]
