@@ -2064,6 +2064,107 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+# CCNet/GPT-3 trained-quality filtering (operators/quality_model.py).
+# Trusted-artifact oracle, the k-means discipline: only the distributed
+# L-BFGS TRAINING is trusted — the fitted coefficients are exported as a
+# (term → bucket weight) sidecar over the corpus vocabulary plus a one-row
+# intercept — while tokenization, the margin sum, the sigmoid, and the
+# Pareto content-hash acceptance are recomputed independently in DuckDB.
+# Hash-bucket collisions need no special casing: by linearity the
+# per-bucket tf·w sum equals the per-token w(bucket(term)) sum, which is
+# what both sides compute. Probabilities are rounded on BOTH sides
+# (sigmoid/pow cross-libm ulp — the suite's standard rounding bridge).
+QUALITY_SIDECAR = _ORACLE_SIDECAR_ROOT + "/quality_weights"
+QUALITY_ROUND = 6
+QUALITY_ALPHA = 9.0
+QUALITY_SEED = 42
+QUALITY_FEATURES = 1 << 14
+QUALITY_VOCAB_CAP = 200_000  # sidecar vocab guard (sf vocab ≈ thousands)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF
+
+    from next_plaid_spark.operators.quality_model import (
+        pareto_quality_filter,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+    model = train_quality_classifier(
+        docs.filter(F.col("source") == srcs[0]),
+        docs.filter(F.col("source") == srcs[-1]),
+        n_features=QUALITY_FEATURES, max_iter=10,
+    )
+    # (term → weight) sidecar: index each distinct corpus token through
+    # the SAME hasher the model was trained with, then look its bucket's
+    # coefficient up driver-side (vocab-bounded collect; guarded)
+    terms = [r[0] for r in docs.select(
+        F.explode(tokenize_unicode61(F.col("text"))).alias("t")
+    ).distinct().limit(QUALITY_VOCAB_CAP + 1).collect()]
+    if len(terms) > QUALITY_VOCAB_CAP:
+        raise ValueError("corpus vocabulary exceeds the sidecar guard")
+    h = HashingTF(numFeatures=QUALITY_FEATURES)
+    w = model.coefficients
+    spark.createDataFrame(
+        [(t, float(w[h.indexOf(t)])) for t in terms],
+        "term string, weight double",
+    ).coalesce(1).write.mode("overwrite").parquet(QUALITY_SIDECAR + "/terms")
+    spark.createDataFrame(
+        [(float(model.intercept),)], "intercept double"
+    ).coalesce(1).write.mode("overwrite").parquet(QUALITY_SIDECAR + "/meta")
+
+    out = pareto_quality_filter(
+        model, docs.select("doc_id", "text"),
+        alpha=QUALITY_ALPHA, seed=QUALITY_SEED, keep_col="keep",
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.col("quality_prob"), QUALITY_ROUND).alias("quality_prob"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def sql_quality_classifier() -> str:
+    from next_plaid_spark.operators.quality_model import COIN_BITS
+
+    # the same unicode61 tokenize the bm25 oracles use; per-token weight
+    # sum (linearity — see the sidecar note above), sigmoid, then the
+    # GPT-3 Pareto acceptance from the same md5 content-hash coin
+    coin = (f"((CAST(concat('0x', substr(md5(concat('{QUALITY_SEED}', ':', "
+            f"'quality_pareto', ':', d.text)), 1, 15)) AS BIGINT) + 0.5)"
+            f" / {float(1 << COIN_BITS)})")
+    return f"""
+WITH w AS (SELECT term, weight FROM '{QUALITY_SIDECAR}/terms/*.parquet'),
+m AS (SELECT intercept FROM '{QUALITY_SIDECAR}/meta/*.parquet'),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS term
+  FROM documents
+),
+tw AS (
+  SELECT t.doc_id, sum(w.weight) AS sw
+  FROM tok t LEFT JOIN w USING (term)
+  GROUP BY t.doc_id
+),
+margin AS (
+  SELECT d0.doc_id,
+         (SELECT intercept FROM m) + coalesce(tw.sw, 0.0) AS mg
+  FROM documents d0 LEFT JOIN tw USING (doc_id)
+),
+scored AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-mg)), {QUALITY_ROUND}) AS quality_prob,
+         CASE WHEN 1.0 / (1.0 + exp(-mg)) >
+                   1.0 - (pow(1.0 - {coin}, -1.0 / {QUALITY_ALPHA}) - 1.0)
+              THEN 1 ELSE 0 END AS keep
+  FROM margin JOIN documents d USING (doc_id)
+)
+SELECT doc_id, quality_prob, keep FROM scored
+""".strip()
+
+
 def q_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.textstats import unigram_logprob
 
@@ -3052,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
+        "quality_classifier": q_quality_classifier,
         "doc_fingerprint": q_fingerprint,
         "perplexity_proxy": q_perplexity_proxy,
         "perplexity_bigram": q_perplexity_bigram,
@@ -3155,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _sql_pii_scrub(),
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],
+        "quality_classifier": sql_quality_classifier(),
         "doc_fingerprint": _textstats_sqls()[2],
         "perplexity_proxy": _textstats_sqls()[3],
         "pricing_summary": SQL_PRICING_SUMMARY,
