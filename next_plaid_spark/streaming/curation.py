@@ -53,10 +53,19 @@ def _dedup_first(docs_with_fp: DataFrame) -> DataFrame:
 
 def curate_batch(docs: DataFrame, eval_shingles: DataFrame, *, n: int = 3,
                  max_contamination: float = 0.5,
-                 min_quality: float | None = None) -> DataFrame:
+                 min_quality: float | None = None,
+                 quality_model=None, pareto_alpha: float = 9.0,
+                 pareto_seed: int = 42) -> DataFrame:
     """One-shot batch curation: dedup (min doc_id wins) → contamination
-    gate → quality gate. Returns the kept docs plus their ``fp`` column.
-    The streaming pipeline applies the same gates per micro-batch."""
+    gate → quality gate(s). Returns the kept docs plus their ``fp``
+    column. The streaming pipeline applies the same gates per
+    micro-batch.
+
+    ``quality_model``: an optional fitted CCNet/GPT-3 classifier
+    (operators/quality_model.py) applied AFTER the heuristic gate with
+    the Pareto content-hash acceptance — the keep decision is a pure
+    function of (text, seed), so stream ≡ batch holds for this gate by
+    construction (no per-batch state, no randomness)."""
     d = _dedup_first(docs.join(fingerprint(docs).select("doc_id", "fp"), "doc_id"))
     flagged = (
         contamination(d, n=n, eval_shingles=eval_shingles)
@@ -71,6 +80,14 @@ def curate_batch(docs: DataFrame, eval_shingles: DataFrame, *, n: int = 3,
             .select("doc_id")
         )
         d = d.join(bad, "doc_id", "left_anti")
+    if quality_model is not None:
+        from next_plaid_spark.operators.quality_model import (
+            pareto_quality_filter,
+        )
+
+        d = pareto_quality_filter(
+            quality_model, d, alpha=pareto_alpha, seed=pareto_seed,
+        ).drop("quality_prob")
     return d
 
 
@@ -80,12 +97,14 @@ class StreamingCurator:
     def __init__(self, spark: SparkSession, root: str,
                  eval_docs: DataFrame | None = None, *, n: int = 3,
                  max_contamination: float = 0.5,
-                 min_quality: float | None = None):
+                 min_quality: float | None = None,
+                 quality_model=None):
         self.spark = spark
         self.root = root
         self.n = n
         self.max_contamination = max_contamination
         self.min_quality = min_quality
+        self.quality_model = quality_model
         self._ev_path = os.path.join(root, "eval_shingles")
         if not os.path.exists(self._ev_path):
             if eval_docs is None:
@@ -110,6 +129,7 @@ class StreamingCurator:
             batch_df, ev, n=self.n,
             max_contamination=self.max_contamination,
             min_quality=self.min_quality,
+            quality_model=self.quality_model,
         )
         if os.path.isdir(self._ledger_path):
             seen = self.spark.read.parquet(self._ledger_path)

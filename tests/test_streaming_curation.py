@@ -212,3 +212,42 @@ def test_text_dedup_stream_matches_batch(spark, tmp_path_factory):
     kept_batch = sorted(
         r.doc_id for r in text_dedup_batch(all_docs, threshold=0.5).collect())
     assert kept_stream == kept_batch == [1, 3, 5]
+
+
+def test_trained_quality_model_gate_stream_matches_batch(spark,
+                                                         tmp_path_factory):
+    """The CCNet-style trained classifier as a curation gate: the Pareto
+    keep decision is a pure function of (text, seed), so the streamed
+    kept set must equal the batch kept set exactly."""
+    from next_plaid_spark.operators.quality_model import (
+        train_quality_classifier,
+    )
+
+    good = spark.createDataFrame(
+        [(i, "clean prose about science history literature", "seed")
+         for i in range(40)], SCHEMA)
+    bad = spark.createDataFrame(
+        [(i + 100, "click buy spam casino winner free jackpot", "crawl")
+         for i in range(40)], SCHEMA)
+    model = train_quality_classifier(good, bad, n_features=1 << 10,
+                                     max_iter=10)
+
+    mixed1 = [(1, "clean prose about science and history", "web"),
+              (2, "spam casino click winner free now", "web")]
+    mixed2 = [(6, "literature and science history prose", "web"),
+              (7, "buy jackpot spam casino free", "web")]
+    tmp = tmp_path_factory.mktemp("cur_qm")
+    cur = _run_stream(spark, tmp, [mixed1, mixed2],
+                      max_contamination=0.5, quality_model=model)
+    kept_stream = sorted(r.doc_id for r in cur.kept().collect())
+
+    all_docs = spark.createDataFrame(mixed1 + mixed2, SCHEMA)
+    ev = eval_shingle_set(spark.createDataFrame(EVAL, SCHEMA), n=3)
+    kept_batch = sorted(
+        r.doc_id for r in curate_batch(
+            all_docs, ev, max_contamination=0.5, quality_model=model
+        ).collect())
+    assert kept_stream == kept_batch
+    # the gate actually separates: clean docs in, spammy docs out
+    assert set(kept_stream) >= {1, 6}
+    assert not {2, 7} & set(kept_stream)
