@@ -2082,6 +2082,55 @@ QUALITY_FEATURES = 1 << 14
 QUALITY_VOCAB_CAP = 200_000  # sidecar vocab guard (sf vocab ≈ thousands)
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL gate (operators/webfilter.py) over URLs
+    synthesized deterministically from (source, doc_id % 100) — mixed
+    case + www. + scheme exercise normalization, the modulus plants
+    canonical-URL duplicates, and the blocklist bans the lexicographically
+    first source's domain (subdomain suffix semantics). The oracle
+    recomputes the SPEC (domain ban ⇔ source match here; canon-URL
+    first-id-wins dedup) rather than the suffix-explode plan."""
+    from next_plaid_spark.operators.webfilter import (
+        dedup_by_url,
+        filter_by_domain_blocklist,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("https://WWW."), F.col("source"),
+            F.lit(".example.com/doc/"), (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+    )
+    blocked_src = min(r[0] for r in docs.select("source").distinct().collect())
+    kept = dedup_by_url(
+        filter_by_domain_blocklist(docs, [f"{blocked_src}.example.com"])
+    )
+    return kept.select("doc_id", "url")
+
+
+def sql_url_filter() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, source,
+         'https://WWW.' || source || '.example.com/doc/' ||
+         CAST(doc_id % 100 AS VARCHAR) AS url,
+         lower(source) || '.example.com/doc/' ||
+         CAST(doc_id % 100 AS VARCHAR) AS canon
+  FROM documents
+),
+kept AS (
+  SELECT * FROM d WHERE source <> (SELECT min(source) FROM documents)
+),
+ranked AS (
+  SELECT doc_id, url,
+         row_number() OVER (PARTITION BY canon ORDER BY doc_id ASC) AS rn
+  FROM kept
+)
+SELECT doc_id, url FROM ranked WHERE rn = 1
+""".strip()
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF
 
@@ -3154,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "quality_classifier": q_quality_classifier,
+        "url_filter": q_url_filter,
         "doc_fingerprint": q_fingerprint,
         "perplexity_proxy": q_perplexity_proxy,
         "perplexity_bigram": q_perplexity_bigram,
@@ -3258,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _textstats_sqls()[0],
         "quality_score": _textstats_sqls()[1],
         "quality_classifier": sql_quality_classifier(),
+        "url_filter": sql_url_filter(),
         "doc_fingerprint": _textstats_sqls()[2],
         "perplexity_proxy": _textstats_sqls()[3],
         "pricing_summary": SQL_PRICING_SUMMARY,
