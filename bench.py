@@ -97,7 +97,11 @@ def main() -> None:
             .select("doc_id").mapInPandas(_noop_batches, "doc_id long") \
             .write.mode("overwrite").format("noop").save()
 
-        # index build timed on its own (populates the cache plaid_search uses)
+        # index build timed on its own (populates the cache plaid_search
+        # uses). Since r9 this is the doc_id-BUCKETED build — the default
+        # layout (PLANS.md §A15): one write-side shuffle here buys a funnel
+        # with zero corpus-sized exchanges on every subsequent search. The
+        # unbucketed control is timed in the A/B extras below.
         if timed(timings, "plaid_index_build", lambda: q._plaid_index(spark, sf_dir)):
             idx0 = q._plaid_index(spark, sf_dir)
             stats["index_docs_per_sec"] = round(
@@ -197,11 +201,13 @@ def main() -> None:
               lambda: force(kernel_searcher.search(encode_queries(batch_queries))))
 
         # doc_id-bucketed token storage payoff (SCALING.md's cluster-scale
-        # layout claim, measured): the same batch500 search against a
-        # bucketed build of the same corpus. The bucket spec should satisfy
-        # the funnel's per-doc required distributions, so the search plan
-        # loses Exchange nodes — counted from the executed plan — and the
-        # one-time write-side shuffle is amortized over every search.
+        # layout claim, measured): the headline index is the BUCKETED build
+        # since r9; this A/B builds the UNBUCKETED control of the same
+        # corpus and runs the same batch500 against both. The bucket spec
+        # satisfies the funnel's per-doc required distributions, so the
+        # bucketed search plan loses Exchange nodes — counted from the
+        # executed plan — and the one-time write-side shuffle is amortized
+        # over every search.
         try:
             import tempfile as _tf
 
@@ -211,13 +217,13 @@ def main() -> None:
                 s = df._jdf.queryExecution().executedPlan().toString()
                 return s.count("Exchange") - s.count("ReusedExchange")
 
-            bpath = os.path.join(_tf.mkdtemp(prefix="bench_bidx_"), "index")
+            upath = os.path.join(_tf.mkdtemp(prefix="bench_uidx_"), "index")
             t0 = time.time()
-            bidx = _IB(spark, nbits=4, seed=42, bucket_tokens=32).build(
-                q._doc_tokens(spark, sf_dir), bpath
+            uidx = _IB(spark, nbits=4, seed=42, bucket_tokens=None).build(
+                q._doc_tokens(spark, sf_dir), upath
             )
-            extras["plaid_index_build_bucketed"] = round(time.time() - t0, 3)
-            for tag, sidx in (("unbucketed", idx), ("bucketed", bidx)):
+            extras["plaid_index_build_unbucketed"] = round(time.time() - t0, 3)
+            for tag, sidx in (("unbucketed", uidx), ("bucketed", idx)):
                 s = BatchSearcher(sidx, SearchParams(top_k=10, n_full_scores=256))
                 res = s.search(encode_queries(batch_queries))
                 t0 = time.time()

@@ -1888,7 +1888,14 @@ def _ts_parser(lang: str):
             grammar = tree_sitter_languages.get_language(gname)
         except Exception:
             mod = importlib.import_module(f"tree_sitter_{gname}")
-            grammar = tree_sitter.Language(mod.language())
+            # some wheels don't expose language(): tree_sitter_typescript
+            # has language_typescript()/language_tsx(), tree_sitter_php
+            # has language_php() — probe the per-name variant too
+            lang_fn = getattr(mod, "language", None) \
+                or getattr(mod, f"language_{gname}", None)
+            if lang_fn is None:
+                raise ImportError(f"no language entry point in tree_sitter_{gname}")
+            grammar = tree_sitter.Language(lang_fn())
         try:
             parser = tree_sitter.Parser(grammar)
         except TypeError:  # py-tree-sitter < 0.22

@@ -99,7 +99,8 @@ def pareto_quality_filter(model, docs: DataFrame, *,
                           text_col: str = "text",
                           alpha: float = 9.0,
                           seed: int = 42,
-                          keep_col: str | None = None) -> DataFrame:
+                          keep_col: str | None = None,
+                          round_digits: int | None = None) -> DataFrame:
     """GPT-3's acceptance rule: keep a doc iff
     ``quality_prob > 1 − draw`` with ``draw ~ Pareto(α)`` (Brown et al.
     2020 appendix A — α=9 keeps mostly-high-quality text but admits a
@@ -109,11 +110,23 @@ def pareto_quality_filter(model, docs: DataFrame, *,
     ``(1−u)^(−1/α) − 1``, so the decision is a pure function of
     (text, seed): reproducible, partitioning-independent, and stable as
     the rest of the corpus changes. ``keep_col`` keeps all rows and adds
-    the boolean instead of filtering."""
+    the boolean instead of filtering.
+
+    ``round_digits`` rounds BOTH sides of the acceptance comparison before
+    comparing. Sigmoid/pow go through libm, which differs across engines
+    by ~1 ulp; a doc whose probability lands within that of its Pareto
+    threshold could otherwise flip the keep bit between engines. Gate
+    entries that cross-check against DuckDB set this to match the suite's
+    rounding discipline; the default (None) compares exact doubles."""
     scored = score_quality(model, docs, text_col=text_col)
     u = _hash_coin(F.col(text_col), seed, "quality_pareto")
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
-    keep = F.col("quality_prob") > (F.lit(1.0) - draw)
+    thresh = F.lit(1.0) - draw
+    if round_digits is not None:
+        keep = (F.round(F.col("quality_prob"), round_digits)
+                > F.round(thresh, round_digits))
+    else:
+        keep = F.col("quality_prob") > thresh
     if keep_col is not None:
         return scored.withColumn(keep_col, keep)
     return scored.filter(keep)

@@ -187,7 +187,14 @@ def _plaid_index(spark: SparkSession, sf_dir: str):
 
         path = os.path.join(tempfile.mkdtemp(prefix="plaid_idx_"), "index")
         docs = _t(spark, sf_dir, "documents")
-        idx = IndexBuilder(spark, nbits=4, seed=42).build(
+        # doc_id-bucketed token storage is the DEFAULT layout (r9): the
+        # bucket spec satisfies every per-doc groupBy/join distribution in
+        # the funnel, eliminating the one corpus-sized exchange above the
+        # tokens scan (PLANS.md §A15, measured in BENCH_r08+). Search
+        # results are layout-independent (tests/test_bucketed_tokens.py);
+        # SPARK_GRAFT_BUCKET_TOKENS=0 restores the plain layout.
+        buckets = int(os.environ.get("SPARK_GRAFT_BUCKET_TOKENS", "32")) or None
+        idx = IndexBuilder(spark, nbits=4, seed=42, bucket_tokens=buckets).build(
             _doc_tokens(spark, sf_dir), path
         )
         _INDEX_CACHE[key] = idx
@@ -2167,6 +2174,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pareto_quality_filter(
         model, docs.select("doc_id", "text"),
         alpha=QUALITY_ALPHA, seed=QUALITY_SEED, keep_col="keep",
+        round_digits=QUALITY_ROUND,
     )
     return out.select(
         "doc_id",
@@ -2205,8 +2213,9 @@ margin AS (
 scored AS (
   SELECT d.doc_id,
          round(1.0 / (1.0 + exp(-mg)), {QUALITY_ROUND}) AS quality_prob,
-         CASE WHEN 1.0 / (1.0 + exp(-mg)) >
-                   1.0 - (pow(1.0 - {coin}, -1.0 / {QUALITY_ALPHA}) - 1.0)
+         CASE WHEN round(1.0 / (1.0 + exp(-mg)), {QUALITY_ROUND}) >
+                   round(1.0 - (pow(1.0 - {coin}, -1.0 / {QUALITY_ALPHA}) - 1.0),
+                         {QUALITY_ROUND})
               THEN 1 ELSE 0 END AS keep
   FROM margin JOIN documents d USING (doc_id)
 )

@@ -28,7 +28,14 @@ def get_spark(app_name: str = "next-plaid-spark", shuffle_partitions: int | None
         # groupBy (measured ~2× on the sf0.1 funnel's approx/rerank
         # stages). Keeping ≥cores partitions costs nothing — the same
         # setting is standard practice on clusters to keep executors busy
+        # minPartitionNum is deprecated since 3.2 (still effective in 4.x;
+        # tests/test_session.py pins that it takes effect). The supported
+        # path to the same outcome: parallelismFirst (default true) targets
+        # default parallelism bounded below by minPartitionSize — dropping
+        # that floor from 1 MB to 1 byte keeps tiny shuffles at ~cores
+        # partitions even on a Spark that removes minPartitionNum.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

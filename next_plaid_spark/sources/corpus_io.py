@@ -32,6 +32,12 @@ def _to_documents(df: DataFrame, path: str, text_col: str,
     ~N²/2⁶⁵ — negligible below ~10⁹ docs; above that, supply real ids.
     """
     if text_col != "text":
+        # renaming onto an existing 'text' column would create a duplicate
+        # name that only fails later as an ambiguous reference — fail here
+        if "text" in df.columns:
+            raise ValueError(
+                f"{path} has both '{text_col}' and 'text' fields; pass "
+                "text_col='text' or drop one before loading")
         df = df.withColumnRenamed(text_col, "text")
     if "text" not in df.columns:
         raise ValueError(f"no '{text_col}' field in {path}")
@@ -39,9 +45,17 @@ def _to_documents(df: DataFrame, path: str, text_col: str,
         if id_col not in df.columns:
             raise ValueError(f"no '{id_col}' field in {path}")
         if id_col != "doc_id":
+            if "doc_id" in df.columns:
+                raise ValueError(
+                    f"{path} has both '{id_col}' and 'doc_id' fields; pass "
+                    "id_col='doc_id' or drop one before loading")
             df = df.withColumnRenamed(id_col, "doc_id")
         df = df.withColumn("doc_id", F.col("doc_id").cast("long"))
     else:
+        if "doc_id" in df.columns:
+            raise ValueError(
+                f"{path} already has a 'doc_id' field; pass id_col='doc_id' "
+                "to use it (content-hash ids would silently overwrite it)")
         df = df.withColumn("doc_id", F.xxhash64(F.col("text")))
         if dedup_exact:
             df = df.dropDuplicates(["doc_id"])

@@ -6,6 +6,12 @@ order-insensitive value comparison (exact for ints/strings, bitwise-first
 then tolerance-reported for floats so parity regressions are visible).
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
+
+Set ``CHECK_JSON_OUT=/path/to/file.json`` to also record the run as a
+diffable artifact: ``{"sf_dir": ..., "results": {name: {"status":
+"pass"|"pass_rows_only"|"fail", "rows": N, "wall_spark_s": ...,
+"problems": [...]}}}`` — the per-round ``CHECKLOCAL_r{N}.json`` record of
+the entries the driver's 50-sample gate didn't cover.
 """
 
 from __future__ import annotations
@@ -91,6 +97,7 @@ def main():
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,6 +109,9 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "rows": None,
+                            "wall_spark_s": round(time.time() - t0, 2),
+                            "problems": [f"spark error: {e}"]}
             continue
         # schema guard: the driver's canonicalizer sorts all columns with
         # pandas sort_values, which crashes on unhashable cells — an
@@ -122,10 +132,15 @@ def main():
                 "explode or hash to scalar columns"
             )
             failed.append(name)
+            record[name] = {"status": "fail", "rows": len(spark_rows),
+                            "wall_spark_s": round(time.time() - t0, 2),
+                            "problems": [f"gate-incompatible column(s) {bad}"]}
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"PASS(rows-only) {name}: {len(spark_rows)} rows [{t1-t0:.1f}s]")
+            record[name] = {"status": "pass_rows_only", "rows": len(spark_rows),
+                            "wall_spark_s": round(t1 - t0, 2), "problems": []}
             continue
         try:
             res = con.execute(oracles[name])
@@ -134,6 +149,9 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "rows": len(spark_rows),
+                            "wall_spark_s": round(t1 - t0, 2),
+                            "problems": [f"duckdb error: {e}"]}
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         hard = [p for p in problems if not p.startswith("NOTE")]
@@ -161,8 +179,22 @@ def main():
         print(f"{status} {name}: {len(spark_rows)} rows [spark {t1-t0:.1f}s, duck {time.time()-t1:.1f}s]")
         for p in problems:
             print(f"    {p}")
+        record[name] = {"status": status.lower(), "rows": len(spark_rows),
+                        "wall_spark_s": round(t1 - t0, 2),
+                        "wall_duck_s": round(time.time() - t1, 2),
+                        "problems": problems}
     print()
     print(f"{'ALL PASS' if not failed else 'FAILURES: ' + ', '.join(failed)}")
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir,
+                       "n_entries": len(record),
+                       "n_fail": len(failed),
+                       "results": record}, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path} ({len(record)} entries, {len(failed)} failures)")
     return 1 if failed else 0
 
 
