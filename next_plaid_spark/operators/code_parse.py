@@ -31,7 +31,7 @@ UNITS_OUT_SCHEMA = (
     "line int, end_line int, signature string, docstring string, "
     "parameters array<string>, parent_class string, calls array<string>, "
     "code string, language string, complexity int, imports array<string>, "
-    "variables array<string>"
+    "variables array<string>, return_type string, extends string"
 )
 
 
@@ -63,11 +63,13 @@ def _complexity_py(node: ast.AST) -> int:
 def _variables_py(node: ast.AST) -> list[str]:
     """Layer 4 data flow: declared-variable names in the unit, reference
     extract_variables (colgrep/src/parser/analysis.rs:690-760) — Python
-    node kinds assignment / named_expression / augmented_assignment. Where
-    the reference takes the raw left-side text (so ``a, b = …`` yields the
-    string ``"a, b"``), we emit each Name target individually — strictly
-    more useful for the "Variables:" embed part and ranking stems. Same
-    output contract: sorted, deduped, name length < 50."""
+    node kinds assignment / named_expression / augmented_assignment. The
+    reference takes the raw left-side text, so attribute targets keep
+    their dotted form (``self.value = …`` yields ``"self.value"`` — its
+    class fixtures assert this). For tuple targets (``a, b = …`` →
+    reference ``"a, b"``) we emit each Name individually — strictly more
+    useful for the "Variables:" embed part and ranking stems. Same output
+    contract: sorted, deduped, name length < 50."""
     out: set[str] = set()
     for n in ast.walk(node):
         if isinstance(n, ast.Assign):
@@ -77,6 +79,9 @@ def _variables_py(node: ast.AST) -> list[str]:
         else:
             continue
         for t in targets:
+            if isinstance(t, (ast.Attribute, ast.Subscript)):
+                out.add(ast.unparse(t))
+                continue
             for leaf in ast.walk(t):
                 if isinstance(leaf, ast.Name):
                     out.add(leaf.id)
@@ -98,6 +103,132 @@ def _imports_py(tree: ast.AST) -> list[str]:
     for m in out:
         seen.setdefault(m)
     return list(seen)
+
+
+def _py_params(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> list[str]:
+    """Parameter NAMES in source order, excluding self/this/cls — reference
+    extract_parameters (colgrep/src/parser/analysis.rs:403-568: name-field
+    text per parameter child, the self/this/cls filter at :545, splat
+    names via list/dictionary_splat_pattern)."""
+    a = fn.args
+    names = [p.arg for p in a.posonlyargs + a.args]
+    if a.vararg:
+        names.append(a.vararg.arg)
+    names += [p.arg for p in a.kwonlyargs]
+    if a.kwarg:
+        names.append(a.kwarg.arg)
+    return [n for n in names if n not in ("self", "this", "cls")]
+
+
+def _py_docstring_ref(node, src_lines: list[str]) -> str | None:
+    """Docstring the way the reference computes it (analysis.rs:100-121):
+    the WHOLE source lines of the first string expression statement, joined,
+    then quote-chars trimmed from the string ends and whitespace trimmed.
+    Quirk preserved on purpose: an indented docstring keeps its leading
+    quotes (the indentation blocks the end-trim), e.g.
+    '\"\"\"Say hello.' — the reference's own fixtures assert this."""
+    body = getattr(node, "body", None)
+    if not body:
+        return None
+    first = body[0]
+    if not (isinstance(first, ast.Expr) and isinstance(first.value, ast.Constant)
+            and isinstance(first.value.value, str)):
+        return None
+    raw = "\n".join(src_lines[first.lineno - 1:first.end_lineno])
+    return raw.strip("\"'").strip() or None
+
+
+def _py_used_modules(node: ast.AST) -> set[str]:
+    """Base names used via attribute access (``json`` from ``json.loads``)
+    — reference extract_used_modules feeding the per-unit import filter."""
+    out: set[str] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+            out.add(n.value.id)
+    return out
+
+
+def _filter_imports_ref(file_imports: list[str], used: set[str],
+                        calls: list[str]) -> list[str]:
+    """The reference's per-unit import filter (extract.rs:69-82): keep a
+    file import iff the unit uses it as a module OR a call name and the
+    import contain each other (case-insensitive substring both ways)."""
+    used_l = {u.lower() for u in used}
+    calls_l = [c.lower() for c in calls]
+    return [
+        imp for imp in file_imports
+        if imp.lower() in used_l
+        or any(imp.lower() in c or c in imp.lower() for c in calls_l)
+    ]
+
+
+# return-type text from the signature line for the ast-lite scanners —
+# the same languages the reference extracts return_type for
+# (analysis.rs:571-585: python/rust/ts via the return_type field, go via
+# result, java/c#/c/cpp via the type field); regex stands in for the field
+_RET_RES = {
+    "rust": re.compile(r"->\s*([^{;]+?)\s*[{;]?\s*$"),
+    "typescript": re.compile(r"\)\s*:\s*([^{=;]+?)\s*[{;]?\s*$"),
+    "go": re.compile(r"\)\s*(\([^)]*\)|[^(){\s][^{]*?)\s*\{\s*$"),
+}
+_JAVALIKE_RET_RE = re.compile(
+    r"^\s*(?:(?:public|private|protected|static|final|abstract|synchronized|"
+    r"native|default|override|virtual|sealed|internal|async|extern|unsafe)\s+)*"
+    r"([\w.$]+(?:<[^>]*>)?(?:\[\])*[?]?)\s+[\w$]+\s*\("
+)
+
+
+def _return_type_scan(sig: str | None, lang: str,
+                      unit_type: str) -> str | None:
+    if not sig or unit_type not in ("Function", "Method"):
+        return None
+    if lang in _RET_RES:
+        m = _RET_RES[lang].search(sig)
+        return m.group(1).strip() if m else None
+    if lang in ("java", "csharp", "c", "cpp"):
+        m = _JAVALIKE_RET_RE.match(sig)
+        if m and m.group(1) not in ("new", "return", "else", "case"):
+            return m.group(1)
+    return None
+
+
+# first superclass identifier for Class units — reference
+# extract_parent_class (analysis.rs:1182-1280); the scanners read it off
+# the declaration line
+_EXTENDS_RES = {
+    "javascript": re.compile(r"\bextends\s+([A-Za-z_$][\w$]*)"),
+    "typescript": re.compile(r"\bextends\s+([A-Za-z_$][\w$]*)"),
+    "java": re.compile(r"\bextends\s+([\w.]+)"),
+    "php": re.compile(r"\bextends\s+\\?([\w\\]+)"),
+    "ruby": re.compile(r"^\s*class\s+[\w:]+\s*<\s*([\w:]+)"),
+}
+
+
+def _extends_scan(sig: str | None, lang: str, unit_type: str) -> str | None:
+    if not sig or unit_type != "Class":
+        return None
+    m = _EXTENDS_RES.get(lang)
+    if m:
+        hit = m.search(sig)
+        if hit:
+            return hit.group(1)
+    return None
+
+
+def _attr_start(lines: list[str], idx: int, prefixes: tuple[str, ...]) -> int:
+    """Walk upward from 0-based line ``idx`` over attribute/decorator/doc
+    lines (reference find_start_with_attributes, ast.rs:364-409): empty
+    lines are skipped but only attribute lines move the start."""
+    start = idx
+    for i in range(idx - 1, -1, -1):
+        t = lines[i].strip()
+        if not t:
+            continue
+        if t.startswith(prefixes):
+            start = i
+        else:
+            break
+    return start
 
 
 # branch/loop keyword scan for the ast-lite languages (the same node-kind
@@ -189,6 +320,16 @@ def _variables_scan(code: str, lang: str) -> list[str]:
             for m in rx.finditer(s):
                 name = m.group(1)
                 if name and len(name) < 50 and name not in _VAR_KEYWORDS:
+                    # a function-valued declaration is the UNIT, not one of
+                    # its variables (`const add = (a, b) => …` — the
+                    # reference's arrow-function fixtures have no
+                    # Variables line)
+                    if re.match(
+                        r"\s*=\s*(?:async\s*)?(?:function\b|\([^)]*\)\s*(?::[^=]*)?=>|"
+                        r"[A-Za-z_$][\w$]*\s*=>)",
+                        s[m.end(1):],
+                    ):
+                        continue
                     out.add(name)
     return sorted(out)
 
@@ -480,14 +621,31 @@ def _doc_above(lines: list[str], start: int, kind: str) -> str | None:
             return " ".join(x for x in reversed(doc)).strip() or None
         return None
     if i >= 0 and lines[i].strip().endswith("*/"):
-        doc = []
-        while i >= 0:
-            t = lines[i].strip()
-            doc.append(re.sub(r"\s*\*+/$|^/?\*+\s?", "", t).strip())
-            if t.startswith("/**") or t.startswith("/*"):
-                break
-            i -= 1
-        return " ".join(x for x in reversed(doc) if x).strip() or None
+        j = i
+        while j >= 0 and not lines[j].strip().startswith(("/**", "/*")):
+            j -= 1
+        if j < 0:
+            return None
+        # per-line trimming exactly as the reference flattens JSDoc blocks
+        # (analysis.rs:158-178): trim, strip leading "/**"/"/*" then '*'s,
+        # strip a trailing "*/", trim, drop empties, join with spaces.
+        # Quirk preserved: a dedicated " */" line survives as "/" (its
+        # leading '*' is stripped first, so nothing ends with "*/") — the
+        # reference's own jsdoc fixtures assert the trailing " /".
+        frags = []
+        for k in range(j, i + 1):
+            t = lines[k].strip()
+            while t.startswith("/**"):
+                t = t[3:]
+            while t.startswith("/*"):
+                t = t[2:]
+            t = t.lstrip("*")
+            while t.endswith("*/"):
+                t = t[:-2]
+            t = t.strip()
+            if t:
+                frags.append(t)
+        return " ".join(frags) or None
     return None
 
 
@@ -515,11 +673,15 @@ def _parse_rust(path: str, content: str) -> list[tuple]:
         if m:
             name = m.group(1)
             end = _brace_end(lines, lineno)
-            body = "\n".join(lines[lineno - 1:end])
+            # doc comments and #[attributes] above the item belong to its
+            # line range and code (reference find_start_with_attributes,
+            # ast.rs:364-409 Rust branch) — the signature stays the fn line
+            start = _attr_start(lines, i, ("///", "#[", "#!["))
+            body = "\n".join(lines[start:end])
             parent = impl_ctx[-1][0] if impl_ctx else None
             units.append((
                 path, name, f"{parent}.{name}" if parent else name,
-                "Method" if parent else "Function", lineno, end,
+                "Method" if parent else "Function", start + 1, end,
                 line.strip(), _doc_above(lines, lineno, "rust"),
                 _params_rust(line), parent, _calls_in(body, name), body, "rust",
             ))
@@ -529,9 +691,10 @@ def _parse_rust(path: str, content: str) -> list[tuple]:
         if m:
             name = m.group(1)
             end = _brace_end(lines, lineno)
-            body = "\n".join(lines[lineno - 1:end])
+            start = _attr_start(lines, i, ("///", "#[", "#!["))
+            body = "\n".join(lines[start:end])
             units.append((
-                path, name, name, "Class", lineno, end, line.strip(),
+                path, name, name, "Class", start + 1, end, line.strip(),
                 _doc_above(lines, lineno, "rust"), [], None,
                 _calls_in(body, name), body, "rust",
             ))
@@ -563,9 +726,13 @@ def _parse_js(path: str, content: str) -> list[tuple]:
         if m:
             name = m.group(1)
             end = _brace_end(lines, lineno)
-            body = "\n".join(lines[lineno - 1:end])
+            # JSDoc blocks and decorators above the unit belong to its line
+            # range and code (find_start_with_attributes, ast.rs:391-394:
+            # '@', '/**' and '*' lines)
+            start = _attr_start(lines, i, ("@", "/**", "*"))
+            body = "\n".join(lines[start:end])
             units.append((
-                path, name, name, "Class", lineno, end, line.strip(),
+                path, name, name, "Class", start + 1, end, line.strip(),
                 _doc_above(lines, lineno, "js"), [], None,
                 _calls_in(body, name), body, "javascript",
             ))
@@ -576,9 +743,10 @@ def _parse_js(path: str, content: str) -> list[tuple]:
         if m and not class_ctx:
             name = m.group(1)
             end = _brace_end(lines, lineno)
-            body = "\n".join(lines[lineno - 1:end])
+            start = _attr_start(lines, i, ("@", "/**", "*"))
+            body = "\n".join(lines[start:end])
             units.append((
-                path, name, name, "Function", lineno, end, line.strip(),
+                path, name, name, "Function", start + 1, end, line.strip(),
                 _doc_above(lines, lineno, "js"), _params_js(line), None,
                 _calls_in(body, name), body, "javascript",
             ))
@@ -589,9 +757,10 @@ def _parse_js(path: str, content: str) -> list[tuple]:
             if m and m.group(1) not in _JS_KEYWORD_NOT_METHOD:
                 name, parent = m.group(1), class_ctx[-1][0]
                 end = _brace_end(lines, lineno)
-                body = "\n".join(lines[lineno - 1:end])
+                start = _attr_start(lines, i, ("@", "/**", "*"))
+                body = "\n".join(lines[start:end])
                 units.append((
-                    path, name, f"{parent}.{name}", "Method", lineno, end,
+                    path, name, f"{parent}.{name}", "Method", start + 1, end,
                     line.strip(), _doc_above(lines, lineno, "js"),
                     _params_js(line), parent, _calls_in(body, name), body,
                     "javascript",
@@ -2012,13 +2181,28 @@ def _ts_try_parse(path: str, content: str, lang: str) -> list[tuple] | None:
     return units or None
 
 
+_USED_MODULE_RE = re.compile(r"\b([A-Za-z_][\w$]*)\s*(?:\.|::)\s*[A-Za-z_]")
+
+
 def _finalize(units: list[tuple], content: str, lang: str) -> list[tuple]:
-    """Append the layer-3/5 columns (complexity, file imports) to ast-lite
-    13-tuples; file imports are shared by every unit of the file, like the
-    reference attaches extract_file_imports to each CodeUnit."""
+    """Append the layer-3/4/5 columns (complexity, per-unit imports,
+    variables, return_type, extends) to ast-lite 13-tuples. File imports
+    are filtered per unit the way the reference does (extract.rs:69-82:
+    module actually used via attribute/path access, or call-name overlap);
+    used-module detection is the scanners' regex stand-in for
+    extract_used_modules."""
     imports = _file_imports(content, lang)
-    return [t + (_complexity_scan(t[11]), imports, _variables_scan(t[11], lang))
-            for t in units]
+    out = []
+    for t in units:
+        code, sig, utype, calls = t[11], t[6], t[3], t[10]
+        used = set(_USED_MODULE_RE.findall(code or ""))
+        out.append(t + (
+            _complexity_scan(code), _filter_imports_ref(imports, used, calls),
+            _variables_scan(code, lang),
+            _return_type_scan(sig, lang, utype),
+            _extends_scan(sig, lang, utype),
+        ))
+    return out
 
 
 def _parse_one(path: str, content: str) -> list[tuple]:
@@ -2053,7 +2237,8 @@ def _parse_one(path: str, content: str) -> list[tuple]:
     if not path.endswith(".py"):
         lines = (content or "").count("\n") + 1
         return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
-                 None, None, [], None, [], content, "unknown", 1, [], [])]
+                 None, None, [], None, [], content, "unknown", 1, [], [],
+                 None, None)]
     try:
         tree = ast.parse(content)
     except SyntaxError:
@@ -2061,7 +2246,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
         return [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,
                  None, None, [], None, [], content, "python",
                  _complexity_scan(content), [],
-                 _variables_scan(content, "python"))]
+                 _variables_scan(content, "python"), None, None)]
     src_lines = content.splitlines()
     file_imports = _imports_py(tree)
 
@@ -2070,26 +2255,53 @@ def _parse_one(path: str, content: str) -> list[tuple]:
 
     units: list[tuple] = []
 
+    def unit_imports(child) -> list[str]:
+        # reference extract.rs:69-82: per-unit filter of the file imports
+        return _filter_imports_ref(
+            file_imports, _py_used_modules(child), _calls_of(child))
+
+    def def_line(child) -> str:
+        # reference signature = the raw source line at the def/class node
+        # (extract.rs:44-47), decorators excluded
+        return src_lines[child.lineno - 1].strip()
+
+    def code_span(child) -> tuple[int, str]:
+        # decorators are part of the unit's line range and code —
+        # find_start_with_attributes (ast.rs:364-409, Python '@' branch)
+        decos = getattr(child, "decorator_list", [])
+        start = min([child.lineno] + [d.lineno for d in decos])
+        return start, "\n".join(src_lines[start - 1:child.end_lineno])
+
     def visit(node, parent_class: str | None, prefix: str):
         for child in ast.iter_child_nodes(node):
             if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 qn = f"{prefix}{child.name}"
+                start, code = code_span(child)
                 units.append((
                     path, child.name, qn,
                     "Method" if parent_class else "Function",
-                    child.lineno, child.end_lineno, _signature(child),
-                    ast.get_docstring(child), [a.arg for a in child.args.args],
-                    parent_class, _calls_of(child), body(child), "python",
-                    _complexity_py(child), file_imports, _variables_py(child),
+                    start, child.end_lineno, def_line(child),
+                    _py_docstring_ref(child, src_lines), _py_params(child),
+                    parent_class, _calls_of(child), code, "python",
+                    _complexity_py(child), unit_imports(child),
+                    _variables_py(child),
+                    ast.unparse(child.returns) if child.returns else None,
+                    None,
                 ))
                 visit(child, parent_class, qn + ".")
             elif isinstance(child, ast.ClassDef):
                 qn = f"{prefix}{child.name}"
+                start, code = code_span(child)
+                extends = next(
+                    (b.id for b in child.bases if isinstance(b, ast.Name)),
+                    None)
                 units.append((
-                    path, child.name, qn, "Class", child.lineno,
-                    child.end_lineno, None, ast.get_docstring(child), [],
-                    parent_class, _calls_of(child), body(child), "python",
-                    _complexity_py(child), file_imports, _variables_py(child),
+                    path, child.name, qn, "Class", start,
+                    child.end_lineno, def_line(child),
+                    _py_docstring_ref(child, src_lines), [],
+                    parent_class, _calls_of(child), code, "python",
+                    _complexity_py(child), unit_imports(child),
+                    _variables_py(child), None, extends,
                 ))
                 visit(child, child.name, qn + ".")
             elif isinstance(child, ast.Assign) and parent_class is None:
@@ -2099,7 +2311,7 @@ def _parse_one(path: str, content: str) -> list[tuple]:
                             path, t.id, f"{prefix}{t.id}", "Constant",
                             child.lineno, child.end_lineno, None, None, [],
                             None, [], body(child), "python", 1, file_imports,
-                            [],
+                            [], None, None,
                         ))
 
     visit(tree, None, "")

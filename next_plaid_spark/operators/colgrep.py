@@ -108,51 +108,94 @@ def identifier_tokens(col: Column) -> Column:
 
 # -- P2: embedding-text builder ------------------------------------------------
 
-EMBED_TEXT_CAP = 8192
+EMBED_TEXT_CAP = 8 * 1024  # MAX_EMBEDDING_TEXT_CHARS, embed.rs:9
+TRUNCATION_MARKER = "\n[...truncated...]\n"  # embed.rs:10
+
+
+def _truncate_expr(text: Column) -> Column:
+    """embed.rs::truncate_text: over-cap text keeps a right-trimmed prefix
+    and appends the truncation marker."""
+    keep = EMBED_TEXT_CAP - len(TRUNCATION_MARKER)
+    return F.when(
+        F.length(text) <= EMBED_TEXT_CAP, text
+    ).otherwise(
+        F.concat(
+            F.regexp_replace(F.substring(text, 1, keep), r"\s+$", ""),
+            F.lit(TRUNCATION_MARKER),
+        )
+    )
+
+
+def _embed_file_expr(file_col: Column) -> Column:
+    """embed.rs::shorten_path + normalize_path_for_embedding: keep the last
+    4 path components, strip the extension, split separators/underscores/
+    dots/CamelCase into spaces, lowercase, and append the raw filename."""
+    parts = F.split(file_col, r"[/\\]")
+    short = F.array_join(
+        F.when(F.size(parts) > 4, F.slice(parts, -4, 4)).otherwise(parts),
+        "/",
+    )
+    fname = F.element_at(parts, -1)
+    no_ext = F.regexp_replace(short, r"\.[^.]*$", "")
+    camel = F.regexp_replace(no_ext, r"([a-z])([A-Z])", r"$1 $2")
+    seps = F.regexp_replace(camel, r"[/\\_.\-]+", " ")
+    norm = F.lower(F.trim(F.regexp_replace(seps, r"\s+", " ")))
+    return F.concat(norm, F.lit(" "), fname)
 
 
 def build_embedding_text(units: DataFrame) -> DataFrame:
-    """Adds ``embed_text``: structured description, path before code so the
-    8 KiB truncation keeps it (embed.rs:115-207). Layer-2/5 parts
-    ("Called by:", "Uses:" — embed.rs:178-190) engage when the units frame
-    carries ``called_by`` (from code_parse.build_call_graph) / ``imports``
-    (from the parser); older frames without them still work."""
+    """Adds ``embed_text``: the reference's 5-layer structured text,
+    byte-compatible with embed.rs::build_embedding_text (115-207) — the
+    fixture tests in tests/test_code_parse_fixtures.py assert equality
+    against the reference's own expected strings. Path before code so the
+    8 KiB truncation keeps it. RawCode and Constant units embed the raw
+    code only (embed.rs:117-120). Layer-2/4/5 parts engage when the frame
+    carries ``called_by`` (from code_parse.build_call_graph) /
+    ``variables`` / ``imports``; older frames without them still work."""
     cols = set(units.columns)
+
+    def arr_part(col: str, label: str):
+        return F.when(F.size(F.coalesce(col, F.array())) > 0,
+                      F.concat(F.lit(label), F.concat_ws(", ", col)))
+
+    def str_part(col: str, label: str):
+        return F.when(F.col(col).isNotNull() & (F.col(col) != ""),
+                      F.concat(F.lit(label), F.col(col)))
+
+    type_label = F.when(F.col("unit_type") == "RawCode", F.lit("Code block")) \
+        .otherwise(F.coalesce("unit_type", F.lit("Code")))
     parts = [
-        F.concat(F.coalesce("unit_type", F.lit("Code")), F.lit(": "),
-                 F.coalesce("name", F.lit(""))),
-        F.when(F.col("signature").isNotNull(),
-               F.concat(F.lit("Signature: "), F.col("signature"))),
-        F.when(F.col("parent_class").isNotNull(),
-               F.concat(F.lit("Class: "), F.col("parent_class"))),
-        F.when(F.col("docstring").isNotNull(),
-               F.concat(F.lit("Description: "), F.col("docstring"))),
-        F.when(F.size(F.coalesce("calls", F.array())) > 0,
-               F.concat(F.lit("Calls: "), F.concat_ws(", ", "calls"))),
+        F.concat(type_label, F.lit(": "), F.coalesce("name", F.lit(""))),
+        str_part("signature", "Signature: "),
     ]
-    if "called_by" in cols:
-        parts.append(
-            F.when(F.size(F.coalesce("called_by", F.array())) > 0,
-                   F.concat(F.lit("Called by: "),
-                            F.concat_ws(", ", "called_by")))
-        )
-    if "variables" in cols:  # Layer 4 data flow (embed.rs:182-185)
-        parts.append(
-            F.when(F.size(F.coalesce("variables", F.array())) > 0,
-                   F.concat(F.lit("Variables: "),
-                            F.concat_ws(", ", "variables")))
-        )
-    if "imports" in cols:
-        parts.append(
-            F.when(F.size(F.coalesce("imports", F.array())) > 0,
-                   F.concat(F.lit("Uses: "), F.concat_ws(", ", "imports")))
-        )
+    if "extends" in cols:
+        parts.append(str_part("extends", "Extends: "))
     parts += [
-        F.concat(F.lit("File: "), F.col("file")),
-        F.concat(F.lit("Code: "), F.coalesce("code", F.lit(""))),
+        str_part("parent_class", "Class: "),
+        str_part("docstring", "Description: "),
     ]
+    if "parameters" in cols:
+        parts.append(arr_part("parameters", "Parameters: "))
+    if "return_type" in cols:
+        parts.append(str_part("return_type", "Returns: "))
+    parts.append(arr_part("calls", "Calls: "))
+    if "called_by" in cols:
+        parts.append(arr_part("called_by", "Called by: "))
+    if "variables" in cols:  # Layer 4 data flow (embed.rs:182-185)
+        parts.append(arr_part("variables", "Variables: "))
+    if "imports" in cols:
+        parts.append(arr_part("imports", "Uses: "))
+    parts += [
+        F.concat(F.lit("File: "), _embed_file_expr(F.col("file"))),
+        F.when(F.coalesce("code", F.lit("")) != "",
+               F.concat(F.lit("Code:\n"), F.col("code"))),
+    ]
+    structured = F.concat_ws("\n", *parts)
+    raw = F.coalesce("code", F.lit(""))
     return units.withColumn(
-        "embed_text", F.substring(F.concat_ws("\n", *parts), 1, EMBED_TEXT_CAP)
+        "embed_text",
+        F.when(F.col("unit_type").isin("RawCode", "Constant"),
+               _truncate_expr(raw)).otherwise(_truncate_expr(structured)),
     )
 
 
@@ -259,12 +302,21 @@ def apply_ranking(
         .otherwise(F.lit(0.0)),
     )
 
-    # R4 file-coherence: bonus to each file's best unit ∝ file score mass
+    # R4 file-coherence: bonus to each file's best unit ∝ file score mass.
+    # The file sum folds in SORTED order (not a plain window SUM): the fold
+    # order of a float window aggregate is partition-layout-dependent, and
+    # this operator is oracle-checked cross-engine (code_search_topk) —
+    # same discipline as every other float fold in the suite.
     wfile = Window.partitionBy("file").orderBy(
         F.col("score").desc(), F.col("unit_id").asc()
     )
+    fsum_sorted = F.aggregate(
+        F.array_sort(F.collect_list("score").over(Window.partitionBy("file"))),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
     r = (
-        r.withColumn("_fsum", F.sum("score").over(Window.partitionBy("file")))
+        r.withColumn("_fsum", fsum_sorted)
         .withColumn("_best_fsum", F.coalesce(F.max("_fsum").over(w_all), F.lit(1.0)))
         .withColumn("_file_rank", F.row_number().over(wfile))
         .withColumn(

@@ -3144,6 +3144,383 @@ def sql_ir_eval_bm25() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Composed colgrep code search (P1→P6 + K1/K3/K6-K8 + R1-R5 end-to-end) —
+# the colgrep query lifecycle (colgrep/src/index/mod.rs:4093-4290) as ONE
+# hash-gated entry. Corpus: a deterministic synthetic Python package derived
+# from the documents table (one function per doc, ~4 per file, 1-in-7 file
+# groups under tests/ for the R1 penalty, files named after their first
+# doc's first token for the R3 stem boosts, every function calling its
+# file's anchor for layer-2 called_by edges). Trusted artifact: the PARSED
+# UNITS sidecar (the ast parser is the one non-SQL-expressible stage — same
+# discipline as the quality classifier's term-weight sidecar); everything
+# downstream — embed-text assembly, call-graph reverse edges, identifier
+# tokenization, BM25, MaxSim, relative-score fusion, R1-R5 boosts, collapse,
+# top-k — is recomputed in DuckDB.
+# ---------------------------------------------------------------------------
+
+CODE_UNITS_SIDECAR = _ORACLE_SIDECAR_ROOT + "/code_units"
+CODE_TOPK = 25
+CODE_ALPHA = 0.75
+
+
+def _code_query_text(spark: SparkSession, sf_dir: str) -> str:
+    """First two unicode61 tokens of the lowest-doc_id document — the
+    deterministic self-query (driver-side 1-row collect; the oracle
+    rebuilds the same string relationally)."""
+    row = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .select(tokenize_unicode61(F.col("text")).alias("t"))
+        .first()
+    )
+    toks = (row.t or ["x", "y"])[:2]
+    return " ".join(toks) if toks else "x y"
+
+
+def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → files(path, content): the synthetic Python package."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_unicode61(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.element_at(toks, 1), F.lit("x")).alias("t0"),
+        F.coalesce(F.element_at(toks, 2), F.lit("y")).alias("t1"),
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("gist"),
+    ).withColumn("grp", (F.col("doc_id") / 4).cast("long"))
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    d = d.withColumn(
+        "anchor",
+        F.concat(F.lit("a_"), F.first("t0").over(w), F.lit("_"),
+                 F.col("grp").cast("string")),
+    )
+    snippet = F.concat(
+        F.lit("def fn_"), F.col("t0"), F.lit("_"), F.col("t1"), F.lit("_"),
+        F.col("doc_id").cast("string"), F.lit('(value):\n    """'),
+        F.col("gist"), F.lit('"""\n    return '), F.col("anchor"),
+        F.lit("(value)\n"),
+    )
+    grouped = d.withColumn("snip", snippet).groupBy("grp").agg(
+        F.min("anchor").alias("anchor"),
+        F.expr("min_by(t0, doc_id)").alias("ft0"),
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "snip"))
+        ).alias("snips"),
+    )
+    content = F.concat(
+        F.lit("def "), F.col("anchor"), F.lit("(x):\n    return x\n\n"),
+        F.concat_ws("\n", F.transform("snips", lambda s: s.snip)),
+    )
+    path = F.when(
+        F.col("grp") % 7 == 0,
+        F.concat(F.lit("tests/test_"), F.col("ft0"), F.lit("_"),
+                 F.col("grp").cast("string"), F.lit(".py")),
+    ).otherwise(
+        F.concat(F.lit("src/pkg"), (F.col("grp") % 5).cast("string"),
+                 F.lit("/"), F.col("ft0"), F.lit("_"),
+                 F.col("grp").cast("string"), F.lit(".py")),
+    )
+    return grouped.select(path.alias("path"), content.alias("content"))
+
+
+def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from next_plaid_spark.operators.code_parse import (
+        build_call_graph,
+        parse_code_units,
+        with_unit_ids,
+    )
+    from next_plaid_spark.operators.colgrep import search_code
+
+    files = _code_corpus(spark, sf_dir)
+    units = with_unit_ids(build_call_graph(parse_code_units(files)))
+    units.coalesce(1).write.mode("overwrite").parquet(CODE_UNITS_SIDECAR)
+    units = spark.read.parquet(CODE_UNITS_SIDECAR)
+    res = search_code(units, _code_query_text(spark, sf_dir),
+                      top_k=CODE_TOPK, alpha=CODE_ALPHA)
+    return res.select(
+        "unit_id", "file", "name", "line", "end_line",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
+def _sql_ident_toks(expr: str) -> str:
+    """DuckDB list expression mirroring ``tokenize_identifiers`` (K1): per
+    word its lowered form, camel/underscore parts, compound, and adjacent
+    bigrams. RE2 has no lookahead, so the camel classes become two
+    boundary-insertion replaces (lower→Upper, ACRONYM→Word) — equivalent on
+    [A-Za-z0-9_] words."""
+    parts = (
+        "list_filter(string_split(lower(regexp_replace(regexp_replace("
+        "replace(w, '_', ' '), '([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+        "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), ' '), x -> x <> '')"
+    )
+    per_word = (
+        f"(CASE WHEN len({parts}) > 1 THEN "
+        f"[lower(w)] || {parts} || "
+        f"(CASE WHEN array_to_string({parts}, '') <> lower(w) "
+        f"THEN [array_to_string({parts}, '')] ELSE CAST([] AS VARCHAR[]) END) || "
+        f"list_transform(range(1, len({parts})), i -> {parts}[i] || {parts}[i+1]) "
+        f"ELSE [lower(w)] END)"
+    )
+    return (f"flatten(list_transform(regexp_extract_all({expr}, "
+            f"'[A-Za-z0-9_]+'), w -> {per_word}))")
+
+
+def sql_code_search_topk(top_k: int = CODE_TOPK,
+                         alpha: float = CODE_ALPHA) -> str:
+    from next_plaid_spark.operators.bm25 import B, K1, SCORE_DECIMALS
+    from next_plaid_spark.operators.colgrep import (
+        _BARREL_PATH_RE,
+        _COMPAT_PATH_RE,
+        _QUERY_WANTS_TEST_RE,
+        _STEM_STOPWORDS,
+        _TEST_PATH_RE,
+        COHERENCE_BOOST,
+        DEF_BOOST,
+        DEF_TYPES,
+        PENALTY_BARREL,
+        PENALTY_COMPAT,
+        PENALTY_TEST,
+        STEM_EXACT_BOOST,
+        STEM_PREFIX_BOOST,
+    )
+    from next_plaid_spark.encoding import DOC_MAX_TOKENS
+
+    dim = 16
+    stop = ", ".join(f"'{s}'" for s in _STEM_STOPWORDS)
+    def_types = ", ".join(f"'{t}'" for t in DEF_TYPES)
+    # the embed-text parts, straight from embed.rs order (colgrep.py
+    # build_embedding_text is the Spark twin). The synthetic corpus is far
+    # below the 8 KiB truncation cap, so the truncation branch is omitted.
+    file_norm = (
+        "lower(trim(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(file, '\\.[^.]*$', ''), "
+        "'([a-z])([A-Z])', '\\1 \\2', 'g'), "
+        "'[/\\\\_.\\-]+', ' ', 'g'), '\\s+', ' ', 'g'))) "
+        "|| ' ' || string_split(file, '/')[-1]"
+    )
+    embed = f"""
+CASE WHEN unit_type IN ('RawCode', 'Constant') THEN code ELSE concat_ws(chr(10),
+  (CASE WHEN unit_type = 'RawCode' THEN 'Code block' ELSE unit_type END) || ': ' || coalesce(name, ''),
+  CASE WHEN signature IS NOT NULL AND signature <> '' THEN 'Signature: ' || signature END,
+  CASE WHEN extends IS NOT NULL AND extends <> '' THEN 'Extends: ' || extends END,
+  CASE WHEN parent_class IS NOT NULL AND parent_class <> '' THEN 'Class: ' || parent_class END,
+  CASE WHEN docstring IS NOT NULL AND docstring <> '' THEN 'Description: ' || docstring END,
+  CASE WHEN len(parameters) > 0 THEN 'Parameters: ' || array_to_string(parameters, ', ') END,
+  CASE WHEN return_type IS NOT NULL AND return_type <> '' THEN 'Returns: ' || return_type END,
+  CASE WHEN len(calls) > 0 THEN 'Calls: ' || array_to_string(calls, ', ') END,
+  CASE WHEN len(called_by) > 0 THEN 'Called by: ' || array_to_string(called_by, ', ') END,
+  CASE WHEN len(variables) > 0 THEN 'Variables: ' || array_to_string(variables, ', ') END,
+  CASE WHEN len(imports) > 0 THEN 'Uses: ' || array_to_string(imports, ', ') END,
+  'File: ' || {file_norm},
+  CASE WHEN coalesce(code, '') <> '' THEN 'Code:' || chr(10) || code END
+) END""".strip()
+    u61 = (f"list_filter(string_split_regex(lower({{src}}), "
+           f"'{TOKEN_SPLIT_RE}'), x -> x <> '')")
+    fetch_k = f"least(greatest({20 * top_k}, 200), (SELECT n FROM nu))"
+    # precomputed fragments (f-string expressions cannot carry backslashes)
+    stem_expr = ("regexp_replace(string_split(file, '/')[-1], "
+                 "'\\.[A-Za-z0-9.]+$', '')")
+    name_toks = _sql_ident_toks("name")
+    qt_toks = _sql_ident_toks("qt")
+    embed_toks = _sql_ident_toks("embed_text")
+    stem_toks = _sql_ident_toks(stem_expr)
+    return f"""
+WITH raw_units AS (SELECT * FROM '{CODE_UNITS_SIDECAR}/*.parquet'),
+edges AS (
+  SELECT DISTINCT u.name AS caller_name, c.callee AS callee
+  FROM raw_units u, unnest(u.calls) AS c(callee)
+),
+cb AS (
+  SELECT e.callee AS name, list_sort(list(DISTINCT e.caller_name)) AS called_by
+  FROM edges e WHERE e.callee IN (SELECT name FROM raw_units)
+  GROUP BY 1
+),
+u2 AS (
+  SELECT u.* EXCLUDE (called_by),
+         coalesce(cb.called_by, CAST([] AS VARCHAR[])) AS called_by
+  FROM raw_units u LEFT JOIN cb USING (name)
+),
+emb AS (
+  SELECT unit_id, file, name, unit_type, line, end_line,
+         {embed} AS embed_text
+  FROM u2
+),
+nu AS (SELECT count(*) AS n FROM emb),
+qtext AS (
+  SELECT array_to_string(list_slice({u61.format(src='text')}, 1, 2), ' ') AS qt
+  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+-- semantic side: synthetic-encoder MaxSim over the embed text
+unit_sem AS (
+  SELECT unit_id, unnest(range(0, len(toks))) AS token_idx, unnest(toks) AS token
+  FROM (SELECT unit_id,
+               list_slice({u61.format(src='embed_text')}, 1, {DOC_MAX_TOKENS}) AS toks
+        FROM emb)
+),
+q_sem AS (
+  SELECT unnest(range(0, len(toks))) AS token_idx, unnest(toks) AS token
+  FROM (SELECT list_slice({u61.format(src='qt')}, 1, 16) AS toks FROM qtext)
+),
+dt AS (SELECT unit_id, token_idx, {token_vector_sql('token', 16)} AS vec FROM unit_sem),
+qv AS (SELECT token_idx, {token_vector_sql('token', 16)} AS vec FROM q_sem),
+dots AS (
+  SELECT dt.unit_id, qv.token_idx AS q_token_idx,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> qv.vec[i] * dt.vec[i]), (a, b) -> a + b) AS dp
+  FROM qv CROSS JOIN dt
+),
+per_qtok AS (
+  SELECT unit_id, q_token_idx, max(dp) AS max_dp FROM dots GROUP BY 1, 2
+),
+sem_scores AS (
+  SELECT unit_id,
+         list_reduce(list_prepend(0.0, list_sort(list(max_dp))), (a, b) -> a + b) AS score
+  FROM per_qtok GROUP BY 1
+),
+sem_list AS (
+  SELECT unit_id, score FROM (
+    SELECT unit_id, score,
+           row_number() OVER (ORDER BY score DESC, unit_id ASC) AS r
+    FROM sem_scores
+  ) WHERE r <= {fetch_k}
+),
+-- keyword side: identifier-aware BM25 over the embed text
+unit_kw AS (
+  SELECT unit_id, unnest({embed_toks}) AS term FROM emb
+),
+postings AS (SELECT term, unit_id, count(*) AS tf FROM unit_kw GROUP BY 1, 2),
+doclens AS (SELECT unit_id, count(*) AS dl FROM unit_kw GROUP BY 1),
+kstats AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM doclens),
+dfreq AS (SELECT term, count(DISTINCT unit_id) AS df FROM postings GROUP BY 1),
+qterms AS (
+  SELECT term, count(*) AS qtf FROM (
+    SELECT unnest({qt_toks}) AS term FROM qtext
+  ) GROUP BY 1
+),
+contribs AS (
+  SELECT p.unit_id,
+         q.qtf * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * {K1 + 1.0}) / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)) AS contrib
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN doclens l ON p.unit_id = l.unit_id
+  CROSS JOIN kstats s
+),
+kw_scores AS (
+  SELECT unit_id,
+         round(list_reduce(list_prepend(0.0, list_sort(list(contrib))), (a, b) -> a + b), {SCORE_DECIMALS}) AS score
+  FROM contribs GROUP BY 1
+),
+kw_list AS (
+  SELECT unit_id, score FROM (
+    SELECT unit_id, score,
+           row_number() OVER (ORDER BY score DESC, unit_id ASC) AS r
+    FROM kw_scores
+  ) WHERE r <= {fetch_k}
+),
+-- K6-K8: relative-score fusion (both lists are non-empty by construction)
+sem_norm AS (
+  SELECT unit_id,
+         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+         END AS n
+  FROM sem_list
+),
+kw_norm AS (
+  SELECT unit_id,
+         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+              ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ())
+         END AS n
+  FROM kw_list
+),
+fused AS (
+  SELECT unit_id, score FROM (
+    SELECT coalesce(s.unit_id, w.unit_id) AS unit_id,
+           {alpha} * coalesce(s.n, 0.0) + {1.0 - alpha} * coalesce(w.n, 0.0) AS score,
+           row_number() OVER (
+             ORDER BY {alpha} * coalesce(s.n, 0.0) + {1.0 - alpha} * coalesce(w.n, 0.0) DESC,
+                      coalesce(s.unit_id, w.unit_id) ASC) AS r
+    FROM sem_norm s FULL OUTER JOIN kw_norm w USING (unit_id)
+  ) WHERE r <= {fetch_k}
+),
+-- R1-R4 boosts over the fetched list
+r0 AS (
+  SELECT f.unit_id, f.score, e.file, e.name, e.unit_type, e.line, e.end_line,
+         (SELECT qt FROM qtext) AS qt
+  FROM fused f JOIN emb e USING (unit_id)
+),
+mx AS (SELECT coalesce(max(score), 0.0) AS m FROM r0),
+qtoks AS (SELECT {qt_toks} AS ts FROM qtext),
+r3 AS (
+  -- qtoks/mx are CROSS JOINed (1 row each): DuckDB forbids subqueries
+  -- inside lambda expressions
+  SELECT unit_id, file, name, line, end_line,
+         -- R1 multiplicative path penalty (unless the query wants tests)
+         (score * (CASE
+            WHEN regexp_matches(lower(qt), '{_QUERY_WANTS_TEST_RE}') THEN 1.0
+            WHEN regexp_matches(file, '{_TEST_PATH_RE}') THEN {PENALTY_TEST}
+            WHEN regexp_matches(file, '{_COMPAT_PATH_RE}') THEN {PENALTY_COMPAT}
+            WHEN regexp_matches(file, '{_BARREL_PATH_RE}') THEN {PENALTY_BARREL}
+            ELSE 1.0 END))
+         -- R2 definition boost
+         + (CASE WHEN unit_type IN ({def_types})
+                  AND len(list_intersect({name_toks}, qk.ts)) > 0
+                 THEN {DEF_BOOST} * mx.m ELSE 0.0 END)
+         -- R3 path-stem boost (exact > prefix>=3; stopword-filtered stems)
+         + (CASE
+            WHEN len(list_intersect(
+                   list_filter({stem_toks},
+                       s -> s NOT IN ({stop})),
+                   qk.ts)) > 0
+            THEN {STEM_EXACT_BOOST} * mx.m
+            WHEN len(list_filter(
+                   list_filter({stem_toks},
+                       s -> s NOT IN ({stop})),
+                   s -> len(list_filter(qk.ts,
+                                        q -> len(q) >= 3 AND starts_with(s, q))) > 0)) > 0
+            THEN {STEM_PREFIX_BOOST} * mx.m
+            ELSE 0.0 END) AS score
+  FROM r0 CROSS JOIN qtoks qk CROSS JOIN mx
+),
+-- R4 file coherence: sorted-fold file sums (cross-engine float discipline)
+fsums AS (
+  SELECT file,
+         list_reduce(list_prepend(0.0, list_sort(list(score))), (a, b) -> a + b) AS fsum
+  FROM r3 GROUP BY 1
+),
+r4 AS (
+  SELECT r3.unit_id, r3.file, r3.name, r3.line, r3.end_line,
+         r3.score
+         + (CASE WHEN row_number() OVER (PARTITION BY r3.file
+                                         ORDER BY r3.score DESC, r3.unit_id ASC) = 1
+                  AND (SELECT max(fsum) FROM fsums) <> 0.0
+                 THEN {COHERENCE_BOOST} * (SELECT m FROM mx)
+                      * f.fsum / (SELECT max(fsum) FROM fsums)
+                 ELSE 0.0 END) AS score
+  FROM r3 JOIN fsums f USING (file)
+),
+-- R5 collapse-by-file (merged line ranges) + final top-k
+flines AS (SELECT file, min(line) AS line, max(end_line) AS end_line FROM r4 GROUP BY 1),
+best AS (
+  SELECT r4.unit_id, r4.file, r4.name, r4.score,
+         row_number() OVER (PARTITION BY r4.file ORDER BY r4.score DESC, r4.unit_id ASC) AS fr
+  FROM r4
+),
+final AS (
+  SELECT b.unit_id, b.file, b.name, fl.line, fl.end_line, b.score,
+         row_number() OVER (ORDER BY b.score DESC, b.unit_id ASC) AS rank
+  FROM best b JOIN flines fl USING (file)
+  WHERE b.fr = 1
+)
+SELECT unit_id, file, name, line, end_line,
+       round(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM final WHERE rank <= {top_k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3233,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "ir_eval_bm25": q_ir_eval_bm25,
         "ir_eval_plaid": q_ir_eval_plaid,
+        "code_search_topk": q_code_search_topk,
     }
 
 
@@ -3250,6 +3628,7 @@ def oracle_sql() -> dict[str, str]:
             alpha=0.75, k=MAXSIM_TOPK, exact_sidecar=EXACT_ORACLE_SIDECAR
         ),
         "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
+        "code_search_topk": sql_code_search_topk(),
         "update_append_doclens": sql_update_append_doclens(),
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
         "source_overlap": SQL_SOURCE_OVERLAP,

@@ -86,7 +86,9 @@ def test_embedding_text_structure(spark, units):
     t = [r.embed_text for r in out if r.unit_id == 0][0]
     assert t.startswith("Function: parse_config")
     assert "Signature: def parse_config(path)" in t
-    assert "File: src/config.py" in t
+    # path shortened + normalized for embedding (embed.rs:14-82): words
+    # split, lowercased, raw filename appended
+    assert "File: src config config.py" in t
     assert t.index("File:") < t.index("Code:")
 
 

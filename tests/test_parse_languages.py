@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from next_plaid_spark.operators.code_parse import parse_code_units, with_unit_ids
+from next_plaid_spark.operators.code_parse import (
+    _file_imports,
+    parse_code_units,
+    with_unit_ids,
+)
 
 GO_SRC = '''package main
 
@@ -316,6 +320,9 @@ def caller1(a):
 
 def caller2(b):
     return helper(b) if b else 0
+
+def lister(d):
+    return os.path.join(d, "x")
 '''
 
 RS_GRAPH = '''use std::collections::HashMap;
@@ -330,6 +337,10 @@ fn caller(a: u32) -> u32 {
         _ => { if a > 10 { helper(a) } else { a } }
     }
 }
+
+fn reader(p: &str) -> String {
+    std::fs::read_to_string(p).unwrap()
+}
 '''
 
 JS_GRAPH = '''import React from 'react';
@@ -342,6 +353,10 @@ function caller(a) {
   if (a > 0) { return helper(a); }
   while (a < 10) { a = helper(a); }
   return a;
+}
+
+function render() {
+  return React.createElement('div');
 }
 '''
 
@@ -367,9 +382,17 @@ def test_python_called_by_complexity_imports(spark):
     assert by["caller1"].complexity == 3  # 1 + if + for
     assert by["caller2"].complexity == 2  # 1 + conditional_expression
     assert by["helper"].complexity == 1
-    # file-level imports attached to every unit, first dotted component
-    assert by["helper"].imports == ["os", "numpy", "collections"]
-    assert by["caller1"].imports == ["os", "numpy", "collections"]
+    # per-unit imports are the reference-FILTERED file imports
+    # (extract.rs:69-82): helper/caller1 touch none of the modules, lister
+    # uses os.path so "os" survives
+    import ast as _ast
+
+    from next_plaid_spark.operators.code_parse import _imports_py
+
+    assert _imports_py(_ast.parse(PY_GRAPH)) == ["os", "numpy", "collections"]
+    assert by["helper"].imports == []
+    assert by["caller1"].imports == []
+    assert by["lister"].imports == ["os"]
 
 
 def test_rust_called_by_complexity_imports(spark):
@@ -377,8 +400,11 @@ def test_rust_called_by_complexity_imports(spark):
     assert by["helper"].called_by == ["caller"]
     # 1 + match + if (keyword scan over stripped lines)
     assert by["caller"].complexity == 3
-    # use first path component (analysis.rs default: split("::")[0])
-    assert by["caller"].imports == ["std", "serde"]
+    # use first path component (analysis.rs default: split("::")[0]);
+    # per-unit filter keeps only modules the unit actually touches
+    assert _file_imports(RS_GRAPH, "rust") == ["std", "serde"]
+    assert by["caller"].imports == []
+    assert by["reader"].imports == ["std"]
 
 
 def test_js_called_by_complexity_imports(spark):
@@ -386,7 +412,9 @@ def test_js_called_by_complexity_imports(spark):
     assert by["helper"].called_by == ["caller"]
     assert by["caller"].complexity == 3  # 1 + if + while
     # specifier first component; @scope/pkg → pkg; ./utils/parser → utils
-    assert by["caller"].imports == ["react", "utils", "pkg"]
+    assert _file_imports(JS_GRAPH, "javascript") == ["react", "utils", "pkg"]
+    assert by["caller"].imports == []
+    assert by["render"].imports == ["react"]  # uses React.createElement
 
 
 def test_embed_text_carries_call_graph_layers(spark):
@@ -403,7 +431,10 @@ def test_embed_text_carries_call_graph_layers(spark):
     units = with_unit_ids(build_call_graph(parse_code_units(files)))
     texts = {r.name: r.embed_text for r in build_embedding_text(units).collect()}
     assert "Called by: caller1, caller2" in texts["helper"]
-    assert "Uses: os, numpy, collections" in texts["helper"]
+    # "Uses:" carries the reference-FILTERED imports: helper touches no
+    # module (no line at all), lister uses os.path
+    assert "Uses:" not in texts["helper"]
+    assert "Uses: os" in texts["lister"]
     assert "Calls: helper" in texts["caller1"]
     # Layer 4 data flow (embed.rs:182-185)
     assert "Variables: a" in texts["caller1"]
@@ -483,7 +514,10 @@ def test_parse_swift_units(spark):
     assert meth.unit_type == "Method" and meth.parent_class == "Cart"
     assert "recalculate" in meth.calls
     assert units["MAX_ITEMS"].unit_type == "Constant"
-    assert "Foundation" in tp.imports
+    # per-unit imports are reference-filtered (extract.rs:69-82); the
+    # extraction layer is asserted on the file-level scan
+    assert "Foundation" in _file_imports(SWIFT_SRC, "swift")
+    assert tp.imports == []  # totalPrice never touches Foundation
 
 
 KOTLIN_SRC = '''import kotlinx.coroutines.launch
@@ -512,7 +546,7 @@ def test_parse_kotlin_units(spark):
     dep = units["Account.deposit"]
     assert dep.unit_type == "Method" and "checkAmount" in dep.calls
     assert units["RETRY_LIMIT"].unit_type == "Constant"
-    assert "launch" in fn.imports
+    assert "launch" in _file_imports(KOTLIN_SRC, "kotlin")
 
 
 SCALA_SRC = '''import scala.collection.mutable
@@ -541,7 +575,7 @@ def test_parse_scala_units(spark):
     cl = units["MathUtil.clamp"]
     assert cl.unit_type == "Method" and cl.parent_class == "MathUtil"
     assert units["DEFAULT_SEED"].unit_type == "Constant"
-    assert "mutable" in ss.imports
+    assert "mutable" in _file_imports(SCALA_SRC, "scala")
 
 
 ZIG_SRC = '''const std = @import("std");
@@ -574,7 +608,7 @@ def test_parse_zig_units(spark):
     v = units["Config.validate"]
     assert v.unit_type == "Method" and v.parent_class == "Config"
     assert units["MAX_DEPTH"].unit_type == "Constant"
-    assert "std" in mo.imports
+    assert "std" in _file_imports(ZIG_SRC, "zig")
 
 
 LUA_SRC = '''local json = require("cjson")
@@ -606,7 +640,7 @@ def test_parse_lua_units(spark):
     d = units["Router.dispatch"]
     assert d.unit_type == "Method" and d.parent_class == "Router"
     assert units["MAX_ROUTES"].unit_type == "Constant"
-    assert "cjson" in sp.imports
+    assert "cjson" in _file_imports(LUA_SRC, "lua")
 
 
 JULIA_SRC = '''using LinearAlgebra
@@ -637,7 +671,7 @@ def test_parse_julia_units(spark):
     assert nv.end_line == 10 and "norm" in nv.calls
     assert units["Point"].unit_type == "Class"
     assert units["MAX_ITER"].unit_type == "Constant"
-    assert "LinearAlgebra" in nv.imports
+    assert "LinearAlgebra" in _file_imports(JULIA_SRC, "julia")
 
 
 ELIXIR_SRC = '''defmodule Geometry do
@@ -666,7 +700,7 @@ def test_parse_elixir_units(spark):
     assert p.parameters == ["sides"] and "sum" in p.calls
     assert units["Geometry.validate"].unit_type == "Method"
     assert units["Geometry.max_sides"].unit_type == "Constant"
-    assert "Repo" in p.imports
+    assert "Repo" in _file_imports(ELIXIR_SRC, "elixir")
 
 
 SQL_SRC = '''-- Users of the system.
@@ -718,7 +752,7 @@ def test_parse_vue_units(spark):
     assert ct.unit_type == "Function" and ct.language == "vue"
     assert ct.line == 8  # offset into the SFC, not the script block
     assert "reduce" in ct.calls
-    assert "axios" in ct.imports
+    assert "axios" in _file_imports(VUE_SRC, "vue")
 
 
 CSS_SRC = '''.button {
@@ -766,7 +800,7 @@ def test_parse_haskell_units(spark):
     # ast-lite calls are paren-application shaped: `sum (…)` registers,
     # bare application `sort xs` does not (accepted approximation)
     assert "sum" in t.calls
-    assert "List" in t.imports
+    assert "List" in _file_imports(HS_SRC, "haskell")
 
 
 ML_SRC = '''open Printf
@@ -793,7 +827,7 @@ def test_parse_ocaml_units(spark):
     assert f.unit_type == "Function" and "fact" not in f.calls  # self-call excluded
     assert units["point"].unit_type == "Class"
     assert units["max_depth"].unit_type == "Constant"
-    assert "Printf" in d.imports
+    assert "Printf" in _file_imports(ML_SRC, "ocaml")
 
 
 R_SRC = '''library(dplyr)
@@ -827,7 +861,7 @@ def test_parse_r_units(spark):
     assert fd.parameters == ["df", "column", "value"]
     assert "Filter data frame" in fd.docstring
     assert units["MAX_ITER"].unit_type == "Constant"
-    assert "dplyr" in cm.imports
+    assert "dplyr" in _file_imports(R_SRC, "r")
 
 
 QML_SRC = '''import Quickshell
@@ -878,7 +912,7 @@ def test_parse_qml_units(spark):
     assert chip.unit_type == "Class" and chip.parent_class == "PanelWindow"
     act = units["FancyChip.activate"]
     assert act.unit_type == "Method" and act.parent_class == "FancyChip"
-    assert "Quickshell" in root.imports
+    assert "Quickshell" in _file_imports(QML_SRC, "qml")
 
 
 def test_text_config_formats_are_typed_documents(spark):

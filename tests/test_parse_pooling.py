@@ -37,11 +37,15 @@ def test_parse_python_units(spark):
     units = {r.qualified_name: r for r in parse_code_units(files).collect()}
     assert set(units) == {"LIMIT", "top", "Store", "Store.put"}
     top = units["top"]
-    assert top.unit_type == "Function" and top.signature == "def top(a, b)"
-    assert top.docstring == "Pick the larger." and "max" in top.calls
+    # signature = the raw def line (extract.rs:44-47); the indented
+    # docstring keeps its leading quotes (the reference's trim quirk —
+    # see _py_docstring_ref)
+    assert top.unit_type == "Function" and top.signature == "def top(a, b):"
+    assert top.docstring == '"""Pick the larger.' and "max" in top.calls
     put = units["Store.put"]
     assert put.unit_type == "Method" and put.parent_class == "Store"
-    assert put.parameters == ["self", "key", "value"] and "flush" in put.calls
+    # self excluded per the reference's parameter filter (analysis.rs:545)
+    assert put.parameters == ["key", "value"] and "flush" in put.calls
     assert units["Store"].unit_type == "Class"
     assert units["LIMIT"].unit_type == "Constant"
     assert top.line == 4 and top.end_line == 6
@@ -127,7 +131,9 @@ def test_parse_rust_units(spark):
     assert add.signature == "pub fn add(a: i32, b: i32) -> i32 {"
     assert add.parameters == ["a", "b"]
     assert "Calculates the sum" in add.docstring
-    assert (add.line, add.end_line) == (4, 6)
+    # the /// doc block above the fn is part of the unit's line range
+    # (find_start_with_attributes, ast.rs:364-409)
+    assert (add.line, add.end_line) == (1, 6)
 
     assert units["MAX_RETRIES"].unit_type == "Constant"
     assert units["Calculator"].unit_type == "Class"
