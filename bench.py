@@ -245,6 +245,9 @@ def main() -> None:
                      "perplexity_bigram",
                      # r6 additions
                      "bm25_phrase_topk",
+                     # r9: composed colgrep code search (parse → embed →
+                     # hybrid → R1-R5)
+                     "code_search_topk",
                      # r8: BEIR-style quality of the funnel itself (exact
                      # configuration vs stratum qrels; the clustered sweep
                      # below adds the approximate operating points)

@@ -36,8 +36,18 @@ UNITS_OUT_SCHEMA = (
 
 
 def _calls_of(node: ast.AST) -> list[str]:
+    # decorators sit OUTSIDE the reference's function_definition node
+    # (tree-sitter wraps it in decorated_definition), so decorator calls
+    # are not the unit's calls — its decorated-function fixture asserts no
+    # Calls line for @decorator_with_args(...)
+    skip: set[int] = set()
+    for d in getattr(node, "decorator_list", []):
+        for n in ast.walk(d):
+            skip.add(id(n))
     out = []
     for n in ast.walk(node):
+        if id(n) in skip:
+            continue
         if isinstance(n, ast.Call):
             f = n.func
             if isinstance(f, ast.Name):
@@ -168,7 +178,10 @@ def _filter_imports_ref(file_imports: list[str], used: set[str],
 # result, java/c#/c/cpp via the type field); regex stands in for the field
 _RET_RES = {
     "rust": re.compile(r"->\s*([^{;]+?)\s*[{;]?\s*$"),
-    "typescript": re.compile(r"\)\s*:\s*([^{=;]+?)\s*[{;]?\s*$"),
+    # the reference's TS return_type is the type_annotation NODE TEXT,
+    # which includes the leading ": " (its own fixtures assert
+    # "Returns: : number")
+    "typescript": re.compile(r"\)\s*(:\s*[^{=;]+?)\s*[{;]?\s*$"),
     "go": re.compile(r"\)\s*(\([^)]*\)|[^(){\s][^{]*?)\s*\{\s*$"),
 }
 _JAVALIKE_RET_RE = re.compile(
@@ -901,11 +914,14 @@ def _parse_go(path: str, content: str) -> list[tuple]:
                 toks = recv.replace("*", " ").split()
                 parent = toks[-1] if toks else None
             end = _brace_end(lines, lineno)
-            body = "\n".join(lines[lineno - 1:end])
+            # Go doc comments above the decl are part of its line range and
+            # code (find_start_with_attributes, ast.rs:395-396)
+            start = _attr_start(lines, i, ("//",))
+            body = "\n".join(lines[start:end])
             params = _params_go(_paren_group(line, m.end() - 1))
             units.append((
                 path, name, f"{parent}.{name}" if parent else name,
-                "Method" if parent else "Function", lineno, end,
+                "Method" if parent else "Function", start + 1, end,
                 line.strip(), _doc_above(lines, lineno, "line"),
                 params, parent, _calls_in(body, name), body, "go",
             ))
@@ -914,9 +930,10 @@ def _parse_go(path: str, content: str) -> list[tuple]:
         m = _GO_TYPE_RE.match(line)
         if m:
             end = _brace_end(lines, lineno)
-            body = "\n".join(lines[lineno - 1:end])
+            start = _attr_start(lines, i, ("//",))
+            body = "\n".join(lines[start:end])
             units.append((
-                path, m.group(1), m.group(1), "Class", lineno, end,
+                path, m.group(1), m.group(1), "Class", start + 1, end,
                 line.strip(), _doc_above(lines, lineno, "line"), [], None,
                 _calls_in(body, m.group(1)), body, "go",
             ))

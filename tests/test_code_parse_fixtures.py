@@ -2,7 +2,7 @@
 
 Each test is one of the reference's own per-language extraction tests
 (colgrep/src/parser/tests/test_python.rs / test_rust.rs /
-test_javascript.rs), with the EXPECTED STRING copied unchanged: the
+test_javascript.rs / test_go.rs / test_typescript.rs), with the EXPECTED STRING copied unchanged: the
 scanner output run through build_embedding_text must equal what the
 reference's tree-sitter extractor + embed.rs::build_embedding_text
 produce on the same source. This pins the ast-lite scanners against
@@ -268,3 +268,226 @@ def test_js_function_with_jsdoc(spark):
     # the reference's JSDoc flattening keeps the closing "*/" line as a
     # bare "/" fragment — its own fixture asserts the trailing " /"
     assert _embed(spark, "test.js", JS_JSDOC)["add"] == JS_JSDOC_EXPECTED
+
+
+# -- Go (test_go.rs) -----------------------------------------------------------
+
+GO_BASIC = '''package main
+
+func add(a, b int) int {
+    return a + b
+}
+'''
+
+GO_BASIC_EXPECTED = '''Function: add
+Signature: func add(a, b int) int {
+Parameters: a, b
+Returns: int
+File: test test.go
+Code:
+func add(a, b int) int {
+    return a + b
+}'''
+
+
+def test_go_basic_function(spark):
+    assert _embed(spark, "test.go", GO_BASIC)["add"] == GO_BASIC_EXPECTED
+
+
+GO_DOC = '''package main
+
+// Add calculates the sum of two integers.
+// It returns the result as an integer.
+func Add(a, b int) int {
+    return a + b
+}
+'''
+
+GO_DOC_EXPECTED = '''Function: Add
+Signature: func Add(a, b int) int {
+Description: Add calculates the sum of two integers. It returns the result as an integer.
+Parameters: a, b
+Returns: int
+File: test test.go
+Code:
+// Add calculates the sum of two integers.
+// It returns the result as an integer.
+func Add(a, b int) int {
+    return a + b
+}'''
+
+
+def test_go_function_with_doc_comment(spark):
+    # Go convention: the // doc block belongs to the declaration's code
+    assert _embed(spark, "test.go", GO_DOC)["Add"] == GO_DOC_EXPECTED
+
+
+# -- TypeScript (test_typescript.rs) --------------------------------------------
+
+TS_BASIC = '''function add(a: number, b: number): number {
+    return a + b;
+}'''
+
+TS_BASIC_EXPECTED = '''Function: add
+Signature: function add(a: number, b: number): number {
+Parameters: a, b
+Returns: : number
+File: test test.ts
+Code:
+function add(a: number, b: number): number {
+    return a + b;
+}'''
+
+
+def test_ts_basic_function_with_types(spark):
+    # the reference's TS return type is the type_annotation node text,
+    # leading ": " included — its fixture asserts "Returns: : number"
+    assert _embed(spark, "test.ts", TS_BASIC)["add"] == TS_BASIC_EXPECTED
+
+
+TS_IFACE = '''interface User {
+    id: number;
+    name: string;
+}
+
+function getUser(id: number): User {
+    return { id, name: "John" };
+}'''
+
+TS_IFACE_EXPECTED = '''Function: getUser
+Signature: function getUser(id: number): User {
+Parameters: id
+Returns: : User
+File: test test.ts
+Code:
+function getUser(id: number): User {
+    return { id, name: "John" };
+}'''
+
+
+def test_ts_interface_and_function(spark):
+    texts = _embed(spark, "test.ts", TS_IFACE)
+    assert texts["getUser"] == TS_IFACE_EXPECTED
+    assert "User" in texts  # the interface is extracted as its own unit
+
+
+# -- Python, round 2 (decorators / async / variadic / multiline doc) -----------
+
+PY_DECORATED = '''@staticmethod
+@decorator_with_args(arg=1)
+def decorated_func():
+    """A decorated function."""
+    pass'''
+
+PY_DECORATED_EXPECTED = '''Function: decorated_func
+Signature: def decorated_func():
+Description: """A decorated function.
+File: test test.py
+Code:
+@staticmethod
+@decorator_with_args(arg=1)
+def decorated_func():
+    """A decorated function."""
+    pass'''
+
+
+def test_python_decorated_function(spark):
+    # decorators belong to the unit's code; the signature stays the def line
+    assert _embed(spark, "test.py", PY_DECORATED)["decorated_func"] \
+        == PY_DECORATED_EXPECTED
+
+
+PY_ASYNC = '''async def fetch_async(url: str) -> bytes:
+    """Fetch data asynchronously."""
+    return b"data"'''
+
+PY_ASYNC_EXPECTED = '''Function: fetch_async
+Signature: async def fetch_async(url: str) -> bytes:
+Description: """Fetch data asynchronously.
+Parameters: url
+Returns: bytes
+File: test test.py
+Code:
+async def fetch_async(url: str) -> bytes:
+    """Fetch data asynchronously."""
+    return b"data"'''
+
+
+def test_python_async_function(spark):
+    assert _embed(spark, "test.py", PY_ASYNC)["fetch_async"] == PY_ASYNC_EXPECTED
+
+
+PY_VARIADIC = '''def variadic_func(*args, **kwargs):
+    """Function with variadic arguments."""
+    return args, kwargs'''
+
+PY_VARIADIC_EXPECTED = '''Function: variadic_func
+Signature: def variadic_func(*args, **kwargs):
+Description: """Function with variadic arguments.
+Parameters: args, kwargs
+File: test test.py
+Code:
+def variadic_func(*args, **kwargs):
+    """Function with variadic arguments."""
+    return args, kwargs'''
+
+
+def test_python_args_kwargs(spark):
+    # splat parameter NAMES, stars stripped (analysis.rs:552-566)
+    assert _embed(spark, "test.py", PY_VARIADIC)["variadic_func"] \
+        == PY_VARIADIC_EXPECTED
+
+
+PY_MULTILINE_DOC = '''def complex_function(x: int, y: int) -> int:
+    """
+    This is a complex function that does many things.
+
+    It processes x and y in a special way.
+
+    Args:
+        x: First number
+        y: Second number
+
+    Returns:
+        The processed result
+    """
+    return x + y'''
+
+PY_MULTILINE_DOC_EXPECTED = '''Function: complex_function
+Signature: def complex_function(x: int, y: int) -> int:
+Description: """
+    This is a complex function that does many things.
+
+    It processes x and y in a special way.
+
+    Args:
+        x: First number
+        y: Second number
+
+    Returns:
+        The processed result
+Parameters: x, y
+Returns: int
+File: test test.py
+Code:
+def complex_function(x: int, y: int) -> int:
+    """
+    This is a complex function that does many things.
+
+    It processes x and y in a special way.
+
+    Args:
+        x: First number
+        y: Second number
+
+    Returns:
+        The processed result
+    """
+    return x + y'''
+
+
+def test_python_multiline_docstring(spark):
+    # whole-line docstring extraction: opening quotes survive (indentation
+    # blocks the start trim), the closing quote line trims away
+    assert _embed(spark, "test.py", PY_MULTILINE_DOC)["complex_function"] \
+        == PY_MULTILINE_DOC_EXPECTED
