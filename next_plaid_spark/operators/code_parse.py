@@ -572,12 +572,33 @@ def _brace_end(lines: list[str], start: int) -> int:
     return len(lines)
 
 
+# a name(...)-shaped match that is actually a DECLARATION head, not a
+# call: the reference walks call_expression nodes only, so `public int
+# add(int a, int b) {` inside a class body contributes no call (its java
+# class fixture asserts no Calls line). Heuristic: the match starts the
+# line (after modifiers/type tokens only) and the line opens a block.
+_DECL_HEAD_RE = re.compile(
+    r"^\s*(?:[\w.<>\[\],?*&$]+\s+){0,6}$"
+)
+
+
 def _calls_in(text: str, own_name: str) -> list[str]:
-    names = {
-        m.group(1)
-        for m in _CALL_RE.finditer(text)
-        if m.group(1) not in _NON_CALL_KEYWORDS and m.group(1) != own_name
-    }
+    names = set()
+    for line in (text or "").splitlines():
+        s = _strip_code_line(line)
+        opens_block = s.rstrip().endswith("{")
+        for m in _CALL_RE.finditer(s):
+            name = m.group(1)
+            if name in _NON_CALL_KEYWORDS or name == own_name:
+                continue
+            # declaration head: only modifier/type tokens precede the name
+            # on a block-opening line, and nothing call-like follows the
+            # parameter list
+            if opens_block and _DECL_HEAD_RE.match(s[:m.start(1)]) \
+                    and re.match(r"\([^()]*\)\s*(?:->|:)?[\w\s.<>\[\],?*&$:]*\{\s*$",
+                                 s[m.start(1) + len(name):]):
+                continue
+            names.add(name)
     return sorted(names)
 
 
@@ -2138,23 +2159,26 @@ def _ts_try_parse(path: str, content: str, lang: str) -> list[tuple] | None:
                      or c.child_by_field_name("pattern"))
                 if n is not None:
                     out.append(text_of(n))
-        return out
+        # self/this/cls are never parameters (analysis.rs:545 — the
+        # scanners apply the same filter)
+        return [x for x in out if x not in ("self", "this", "cls")]
 
     def py_docstring(node):
+        # the reference's WHOLE-LINE extraction + quote/whitespace trim
+        # (analysis.rs:100-121) — same quirks as _py_docstring_ref, so the
+        # grammar backend and the ast scanner stay parity-testable
         b = node.child_by_field_name("body")
         if b is None or not b.named_children:
             return None
         first = b.named_children[0]
         if first.type == "expression_statement" and first.named_children \
                 and first.named_children[0].type == "string":
-            import inspect
-
-            try:
-                return inspect.cleandoc(ast.literal_eval(
-                    text_of(first.named_children[0])))
-            except Exception:
-                return None
+            s = first.named_children[0]
+            raw = "\n".join(lines[s.start_point[0]:s.end_point[0] + 1])
+            return raw.strip("\"'").strip() or None
         return None
+
+    _doc_kind = {"rust": "rust", "go": "line", "ruby": "hash"}.get(lang, "js")
 
     def emit(node, node_type: str, parent, prefix: str):
         nm = name_of(node)
@@ -2166,12 +2190,12 @@ def _ts_try_parse(path: str, content: str, lang: str) -> list[tuple] | None:
         qn = f"{prefix}{nm}"
         if node_type in cls_types:
             doc = (py_docstring(node) if lang == "python"
-                   else _doc_above(lines, start, lang))
+                   else _doc_above(lines, start, _doc_kind))
             units.append((path, nm, qn, "Class", start, end, sig, doc,
                           [], parent, _calls_in(body, nm), body, lang))
         else:
             doc = (py_docstring(node) if lang == "python"
-                   else _doc_above(lines, start, lang))
+                   else _doc_above(lines, start, _doc_kind))
             units.append((path, nm, qn,
                           "Method" if parent else "Function", start, end,
                           sig, doc, params_of(node), parent,

@@ -177,7 +177,13 @@ def write_index(
         bt = f"nps_tokens_{_hl.md5(os.path.abspath(path).encode()).hexdigest()[:12]}"
         spark.sql(f"DROP TABLE IF EXISTS {bt}")
         (
-            tokens_coded.write.mode("overwrite")
+            # repartition on the bucket column first: each task then writes
+            # exactly ONE file per bucket — the condition under which
+            # Spark's scan exposes the sortBy order to sort-merge joins
+            # (multiple files per bucket force a corpus re-sort above the
+            # scan), and it avoids the writers-x-buckets small-file blowup
+            tokens_coded.repartition(bucket_tokens, F.col("doc_id"))
+            .write.mode("overwrite")
             .option("path", os.path.join(path, "tokens_bucketed"))
             .bucketBy(bucket_tokens, "doc_id")
             .sortBy("doc_id")

@@ -2,7 +2,8 @@
 
 Each test is one of the reference's own per-language extraction tests
 (colgrep/src/parser/tests/test_python.rs / test_rust.rs /
-test_javascript.rs / test_go.rs / test_typescript.rs), with the EXPECTED STRING copied unchanged: the
+test_javascript.rs / test_go.rs / test_typescript.rs / test_java.rs /
+test_ruby.rs), with the EXPECTED STRING copied unchanged: the
 scanner output run through build_embedding_text must equal what the
 reference's tree-sitter extractor + embed.rs::build_embedding_text
 produce on the same source. This pins the ast-lite scanners against
@@ -491,3 +492,78 @@ def test_python_multiline_docstring(spark):
     # blocks the start trim), the closing quote line trims away
     assert _embed(spark, "test.py", PY_MULTILINE_DOC)["complex_function"] \
         == PY_MULTILINE_DOC_EXPECTED
+
+
+# -- Java (test_java.rs) --------------------------------------------------------
+
+JAVA_BASIC = '''public class Calculator {
+    public int add(int a, int b) {
+        return a + b;
+    }
+}'''
+
+JAVA_BASIC_EXPECTED = '''Class: Calculator
+Signature: public class Calculator {
+File: calculator Calculator.java
+Code:
+public class Calculator {
+    public int add(int a, int b) {
+        return a + b;
+    }
+}'''
+
+
+def test_java_basic_method(spark):
+    # the class is a single chunk (declaration heads inside the body are
+    # NOT calls — the fixture asserts no Calls line) and the method is
+    # also extracted alongside
+    texts = _embed(spark, "Calculator.java", JAVA_BASIC)
+    assert texts["Calculator"] == JAVA_BASIC_EXPECTED
+    assert "add" in texts
+
+
+# -- Ruby (test_ruby.rs) --------------------------------------------------------
+
+RB_BASIC = '''def greet(name)
+  "Hello, #{name}!"
+end
+'''
+
+RB_BASIC_EXPECTED = '''Function: greet
+Signature: def greet(name)
+Parameters: name
+File: test test.rb
+Code:
+def greet(name)
+  "Hello, #{name}!"
+end'''
+
+
+def test_ruby_basic_method(spark):
+    assert _embed(spark, "test.rb", RB_BASIC)["greet"] == RB_BASIC_EXPECTED
+
+
+RB_RDOC = '''# Calculates the sum of two numbers.
+# @param a [Integer] First number
+# @param b [Integer] Second number
+# @return [Integer] Sum of a and b
+def add(a, b)
+  a + b
+end
+'''
+
+RB_RDOC_EXPECTED = '''Function: add
+Signature: def add(a, b)
+Description: Calculates the sum of two numbers. @param a [Integer] First number @param b [Integer] Second number @return [Integer] Sum of a and b
+Parameters: a, b
+File: test test.rb
+Code:
+def add(a, b)
+  a + b
+end'''
+
+
+def test_ruby_method_with_rdoc(spark):
+    # ruby has no find_start_with_attributes branch: the # rdoc block is
+    # the Description but NOT part of the unit's code
+    assert _embed(spark, "test.rb", RB_RDOC)["add"] == RB_RDOC_EXPECTED
