@@ -140,8 +140,12 @@ def update_index(
         avg_doclen=(index.meta.num_embeddings + n_new_tokens) / max(total_docs, 1),
         codec=index.meta.codec,
     )
+    # the source's storage layout is sticky: a bucketed index stays
+    # bucketed across append snapshots (the layout is the 100 TB search
+    # contract, not a per-snapshot accident)
     return write_index(spark, out_path, tokens_coded=all_tokens,
-                       centroids=centroids, meta=meta)
+                       centroids=centroids, meta=meta,
+                       bucket_tokens=index.meta.n_buckets)
 
 
 def delete_from_index(
@@ -169,7 +173,8 @@ def delete_from_index(
         avg_doclen=n_tokens / max(n_docs, 1), codec=index.meta.codec,
     )
     return write_index(spark, out_path, tokens_coded=survivors,
-                       centroids=index.centroids_np(), meta=meta)
+                       centroids=index.centroids_np(), meta=meta,
+                       bucket_tokens=index.meta.n_buckets)
 
 
 def dense_id_mapping(index: PlaidIndex) -> DataFrame:

@@ -3224,19 +3224,56 @@ def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(path.alias("path"), content.alias("content"))
 
 
-def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+_CODE_UNITS_CACHE: dict[str, DataFrame] = {}
+
+# the F10/F11 prefilter exercised by code_search_filtered_topk: glob keeps
+# the src/ tree (drops the tests/ groups), regex keeps snippet functions
+# (drops the anchor defs) — both reach the scan before any scoring
+CODE_FILTER_REGEX = "def fn_"
+CODE_FILTER_GLOB = "src/*"
+
+
+def _code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed + call-graphed units of the synthetic corpus, with the
+    trusted-artifact sidecar written once per (process, sf_dir)."""
     from next_plaid_spark.operators.code_parse import (
         build_call_graph,
         parse_code_units,
         with_unit_ids,
     )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CODE_UNITS_CACHE:
+        files = _code_corpus(spark, sf_dir)
+        units = with_unit_ids(build_call_graph(parse_code_units(files)))
+        units.coalesce(1).write.mode("overwrite").parquet(CODE_UNITS_SIDECAR)
+        _CODE_UNITS_CACHE[key] = spark.read.parquet(CODE_UNITS_SIDECAR)
+    return _CODE_UNITS_CACHE[key]
+
+
+def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.colgrep import search_code
 
-    files = _code_corpus(spark, sf_dir)
-    units = with_unit_ids(build_call_graph(parse_code_units(files)))
-    units.coalesce(1).write.mode("overwrite").parquet(CODE_UNITS_SIDECAR)
-    units = spark.read.parquet(CODE_UNITS_SIDECAR)
-    res = search_code(units, _code_query_text(spark, sf_dir),
+    res = search_code(_code_units(spark, sf_dir),
+                      _code_query_text(spark, sf_dir),
+                      top_k=CODE_TOPK, alpha=CODE_ALPHA)
+    return res.select(
+        "unit_id", "file", "name", "line", "end_line",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
+def q_code_search_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11 inside the composed pipeline: the regex/glob prefilter
+    shrinks the searched subset BEFORE any index/score work (colgrep's
+    --include/--regexp flags, index/mod.rs:4104-4150), which also changes
+    the BM25 corpus statistics and fetch_k — the oracle recomputes all of
+    it over the filtered subset."""
+    from next_plaid_spark.operators.colgrep import search_code
+
+    res = search_code(_code_units(spark, sf_dir),
+                      _code_query_text(spark, sf_dir),
+                      regex=CODE_FILTER_REGEX, include_glob=CODE_FILTER_GLOB,
                       top_k=CODE_TOPK, alpha=CODE_ALPHA)
     return res.select(
         "unit_id", "file", "name", "line", "end_line",
@@ -3268,7 +3305,8 @@ def _sql_ident_toks(expr: str) -> str:
 
 
 def sql_code_search_topk(top_k: int = CODE_TOPK,
-                         alpha: float = CODE_ALPHA) -> str:
+                         alpha: float = CODE_ALPHA,
+                         subset_where: str = "") -> str:
     from next_plaid_spark.operators.bm25 import B, K1, SCORE_DECIMALS
     from next_plaid_spark.operators.colgrep import (
         _BARREL_PATH_RE,
@@ -3319,6 +3357,7 @@ CASE WHEN unit_type IN ('RawCode', 'Constant') THEN code ELSE concat_ws(chr(10),
     u61 = (f"list_filter(string_split_regex(lower({{src}}), "
            f"'{TOKEN_SPLIT_RE}'), x -> x <> '')")
     fetch_k = f"least(greatest({20 * top_k}, 200), (SELECT n FROM nu))"
+    where_sql = f"WHERE {subset_where}" if subset_where else ""
     # precomputed fragments (f-string expressions cannot carry backslashes)
     stem_expr = ("regexp_replace(string_split(file, '/')[-1], "
                  "'\\.[A-Za-z0-9.]+$', '')")
@@ -3345,7 +3384,7 @@ u2 AS (
 emb AS (
   SELECT unit_id, file, name, unit_type, line, end_line,
          {embed} AS embed_text
-  FROM u2
+  FROM u2 {where_sql}
 ),
 nu AS (SELECT count(*) AS n FROM emb),
 qtext AS (
@@ -3611,6 +3650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_eval_bm25": q_ir_eval_bm25,
         "ir_eval_plaid": q_ir_eval_plaid,
         "code_search_topk": q_code_search_topk,
+        "code_search_filtered_topk": q_code_search_filtered_topk,
     }
 
 
@@ -3629,6 +3669,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
         "code_search_topk": sql_code_search_topk(),
+        "code_search_filtered_topk": sql_code_search_topk(
+            subset_where=("file LIKE 'src/%' AND "
+                          f"regexp_matches(code, '{CODE_FILTER_REGEX}')")),
         "update_append_doclens": sql_update_append_doclens(),
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
         "source_overlap": SQL_SOURCE_OVERLAP,

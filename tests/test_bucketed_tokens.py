@@ -87,3 +87,41 @@ def test_inplace_plain_rebuild_clears_stale_bucketed_dir(spark, tmp_path):
     # a cold reload (fresh metadata) must agree too
     assert PlaidIndex.load(spark, path).tokens.select(
         "doc_id").distinct().count() == 90
+
+
+def test_update_and_delete_preserve_bucketed_layout(spark, tmp_path):
+    """Append/delete snapshots of a bucketed index stay bucketed (the
+    layout is the search contract, not a per-snapshot accident), and the
+    results match the unbucketed twin."""
+    from next_plaid_spark.operators.update import (
+        delete_from_index,
+        update_index,
+    )
+
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=120, tokens_per_doc=4, dim=8, n_clusters=8, seed=9
+    )
+    old = toks.filter(F.col("doc_id") < 100)
+    new = toks.filter(F.col("doc_id") >= 100)
+    bidx = IndexBuilder(spark, k=8, bucket_tokens=4).build(
+        old, str(tmp_path / "b0")
+    )
+    b1 = update_index(spark, bidx, new, str(tmp_path / "b1"))
+    assert b1.meta.bucket_table and b1.meta.n_buckets == 4
+    b2 = delete_from_index(spark, b1, [0, 1, 2], str(tmp_path / "b2"))
+    assert b2.meta.bucket_table and b2.meta.n_buckets == 4
+    # shuffle-free per-doc groupBy still holds on the updated snapshot
+    assert "Exchange" not in _plan(
+        b2.tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
+    )
+    # and the unbucketed twin produces identical search results
+    pidx = IndexBuilder(spark, k=8).build(old, str(tmp_path / "p0"))
+    p1 = update_index(spark, pidx, new, str(tmp_path / "p1"))
+    p2 = delete_from_index(spark, p1, [0, 1, 2], str(tmp_path / "p2"))
+    qt = toks.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("query_id"), "token_idx", "vec"
+    )
+    prm = SearchParams(top_k=5)
+    a = sorted(tuple(r) for r in BatchSearcher(b2, prm).search(qt).collect())
+    b = sorted(tuple(r) for r in BatchSearcher(p2, prm).search(qt).collect())
+    assert a == b
