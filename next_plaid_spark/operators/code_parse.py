@@ -580,6 +580,12 @@ def _brace_end(lines: list[str], start: int) -> int:
 _DECL_HEAD_RE = re.compile(
     r"^\s*(?:[\w.<>\[\],?*&$]+\s+){0,6}$"
 )
+# a statement keyword before name(...) means it IS a call/expression
+# (`return checkAmount(x)`, `new Foo(x)`, `yield f(x)`) — never a
+# declaration head
+_DECL_PREFIX_STOP = frozenset(
+    "return else case await yield throw new in not and or assert".split()
+)
 
 
 def _calls_in(text: str, own_name: str) -> list[str]:
@@ -592,11 +598,20 @@ def _calls_in(text: str, own_name: str) -> list[str]:
             if name in _NON_CALL_KEYWORDS or name == own_name:
                 continue
             # declaration head: only modifier/type tokens precede the name
-            # on a block-opening line, and nothing call-like follows the
-            # parameter list
-            if opens_block and _DECL_HEAD_RE.match(s[:m.start(1)]) \
+            # on a block-opening line (or, Allman style, a line that ends
+            # at the close paren AND has at least one modifier/type token
+            # before the name), and nothing call-like follows the list
+            prefix = s[:m.start(1)]
+            tail = s[m.start(1) + len(name):]
+            if any(t.lower() in _DECL_PREFIX_STOP for t in prefix.split()):
+                names.add(name)
+                continue
+            if opens_block and _DECL_HEAD_RE.match(prefix) \
                     and re.match(r"\([^()]*\)\s*(?:->|:)?[\w\s.<>\[\],?*&$:]*\{\s*$",
-                                 s[m.start(1) + len(name):]):
+                                 tail):
+                continue
+            if _DECL_HEAD_RE.match(prefix) and prefix.strip() \
+                    and re.match(r"\([^()]*\)\s*$", tail):
                 continue
             names.add(name)
     return sorted(names)
@@ -989,7 +1004,7 @@ _JAVALIKE_METHOD_RE = re.compile(
     r"(?:<[^>]+>\s+)?"
     r"(?:[A-Za-z_$][\w.<>\[\],?$ ]*?\s+)?"
     r"([A-Za-z_$][A-Za-z0-9_$]*)\s*\(([^)]*)\)\s*"
-    r"(?:throws\s+[\w.,\s]+)?\s*\{"
+    r"(?:throws\s+[\w.,\s]+)?\s*\{?\s*$"
 )
 _JAVALIKE_KEYWORDS = frozenset(
     "if for while switch catch return new else do try synchronized using "
@@ -1042,7 +1057,11 @@ def _parse_javalike(path: str, content: str, lang: str) -> list[tuple]:
             continue
         if class_ctx:
             m = _JAVALIKE_METHOD_RE.match(line)
-            if m and m.group(1) not in _JAVALIKE_KEYWORDS:
+            # _opens_block admits Allman style (the '{' on its own next
+            # line — the C# house style in the reference's fixtures) while
+            # rejecting abstract declarations and call statements
+            if m and m.group(1) not in _JAVALIKE_KEYWORDS \
+                    and _opens_block(lines, i):
                 name, parent = m.group(1), class_ctx[-1][0]
                 end = _brace_end(lines, lineno)
                 body = "\n".join(lines[lineno - 1:end])
@@ -1176,7 +1195,9 @@ _PHP_CONST_RE = re.compile(r"^\s*const\s+([A-Z_][A-Z0-9_]*)\s*=")
 
 
 def _params_php(arglist: str) -> list[str]:
-    return re.findall(r"\$([A-Za-z_][A-Za-z0-9_]*)", arglist)
+    # the reference keeps the $ sigil (the tree-sitter name node text IS
+    # "$name" — test_php.rs asserts "Parameters: $name")
+    return re.findall(r"\$[A-Za-z_][A-Za-z0-9_]*", arglist)
 
 
 def _parse_php(path: str, content: str) -> list[tuple]:

@@ -3,7 +3,7 @@
 Each test is one of the reference's own per-language extraction tests
 (colgrep/src/parser/tests/test_python.rs / test_rust.rs /
 test_javascript.rs / test_go.rs / test_typescript.rs / test_java.rs /
-test_ruby.rs), with the EXPECTED STRING copied unchanged: the
+test_ruby.rs / test_csharp.rs / test_php.rs), with the EXPECTED STRING copied unchanged: the
 scanner output run through build_embedding_text must equal what the
 reference's tree-sitter extractor + embed.rs::build_embedding_text
 produce on the same source. This pins the ast-lite scanners against
@@ -567,3 +567,86 @@ def test_ruby_method_with_rdoc(spark):
     # ruby has no find_start_with_attributes branch: the # rdoc block is
     # the Description but NOT part of the unit's code
     assert _embed(spark, "test.rb", RB_RDOC)["add"] == RB_RDOC_EXPECTED
+
+
+# -- C# (test_csharp.rs) --------------------------------------------------------
+
+CS_BASIC = '''public class Calculator
+{
+    public int Add(int a, int b)
+    {
+        return a + b;
+    }
+}'''
+
+CS_BASIC_EXPECTED = '''Class: Calculator
+Signature: public class Calculator
+File: calculator Calculator.cs
+Code:
+public class Calculator
+{
+    public int Add(int a, int b)
+    {
+        return a + b;
+    }
+}'''
+
+
+def test_csharp_basic_method(spark):
+    # Allman-style braces: the method decl line ends at ')', its block
+    # opens on the next line — still a Method unit, still not a "call"
+    texts = _embed(spark, "Calculator.cs", CS_BASIC)
+    assert texts["Calculator"] == CS_BASIC_EXPECTED
+    assert "Add" in texts
+
+
+# -- PHP (test_php.rs) ----------------------------------------------------------
+
+PHP_BASIC = '''<?php
+function greet($name) {
+    return "Hello, " . $name . "!";
+}
+'''
+
+PHP_BASIC_EXPECTED = '''Function: greet
+Signature: function greet($name) {
+Parameters: $name
+File: test test.php
+Code:
+function greet($name) {
+    return "Hello, " . $name . "!";
+}'''
+
+
+def test_php_basic_function(spark):
+    # parameter names keep the $ sigil (the tree-sitter name node text)
+    assert _embed(spark, "test.php", PHP_BASIC)["greet"] == PHP_BASIC_EXPECTED
+
+
+PHP_DOC = '''<?php
+/**
+ * Calculates the sum of two numbers.
+ * @param int $a First number
+ * @param int $b Second number
+ * @return int Sum of a and b
+ */
+function add($a, $b) {
+    return $a + $b;
+}
+'''
+
+PHP_DOC_EXPECTED = '''Function: add
+Signature: function add($a, $b) {
+Description: Calculates the sum of two numbers. @param int $a First number @param int $b Second number @return int Sum of a and b /
+Parameters: $a, $b
+File: test test.php
+Code:
+function add($a, $b) {
+    return $a + $b;
+}'''
+
+
+def test_php_function_with_phpdoc(spark):
+    # phpdoc flattens like JSDoc (trailing " /" quirk included); php has
+    # no find_start_with_attributes branch so the block is not code
+    assert _embed(spark, "test.php", PHP_DOC)["add"] == PHP_DOC_EXPECTED

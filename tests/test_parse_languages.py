@@ -259,7 +259,8 @@ def test_parse_php_units(spark):
     units = _units(spark, "repo.php", PHP_SRC)
     assert units["MAX_USERS"].unit_type == "Constant"
     g = units["greet"]
-    assert g.unit_type == "Function" and g.parameters == ["name", "greeting"]
+    # $ sigil kept — the reference's name-node text (test_php.rs)
+    assert g.unit_type == "Function" and g.parameters == ["$name", "$greeting"]
     assert "Say hello" in g.docstring
     f = units["UserRepo.find"]
     assert f.unit_type == "Method" and f.parent_class == "UserRepo"
