@@ -655,6 +655,10 @@ def _doc_above(lines: list[str], start: int, kind: str) -> str | None:
     kind='js': a /** … */ block (also tried first for C-family).
     Joined with spaces the way the reference flattens them."""
     i = start - 2
+    if kind == "jsline":
+        # kotlin/scala: KDoc/Scaladoc block first (the reference's branch,
+        # analysis.rs:143-152), plain // lines as the scanner fallback
+        return _doc_above(lines, start, "js") or _doc_above(lines, start, "line")
     if kind in ("rust", "line", "hash", "dash", "rhash"):
         pat = {"rust": r"\s*//[/!]", "line": r"\s*//(?!/)", "hash": r"\s*#",
                "dash": r"\s*--", "rhash": r"\s*#"}[kind]
@@ -1359,13 +1363,13 @@ _KWFN_SPECS: dict[str, dict] = {
         "fn": re.compile(r"\s*(?:@\w+\s+)?(?:(?:public|private|internal|protected|open|override|suspend|inline|operator|infix|tailrec)\s+)*fun\s+(?:<[^>]*>\s+)?(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)"),
         "type": re.compile(r"\s*(?:@\w+\s+)?(?:(?:public|private|internal|abstract|open|sealed|data|final|annotation|inner)\s+)*(?:class|object|interface)\s+([A-Za-z_]\w*)"),
         "const": re.compile(r"\s*(?:(?:public|private|internal)\s+)?(?:const\s+)?val\s+([A-Z][A-Z0-9_]*)\s*[:=]"),
-        "doc": "line",
+        "doc": "jsline",
     },
     "scala": {
         "fn": re.compile(r"\s*(?:(?:override|private|protected|final|implicit|lazy)\s+)*def\s+([A-Za-z_]\w*)"),
         "type": re.compile(r"\s*(?:(?:abstract|final|sealed|case|implicit)\s+)*(?:class|object|trait)\s+([A-Za-z_]\w*)"),
         "const": re.compile(r"\s*(?:(?:private|protected|final|lazy)\s+)*val\s+([A-Z][A-Za-z0-9_]*)\s*[:=]"),
-        "doc": "line",
+        "doc": "jsline",
     },
     "zig": {
         "fn": re.compile(r"\s*(?:pub\s+)?(?:export\s+)?(?:extern\s+)?(?:inline\s+)?fn\s+([A-Za-z_]\w*)"),

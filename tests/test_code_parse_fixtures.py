@@ -3,7 +3,8 @@
 Each test is one of the reference's own per-language extraction tests
 (colgrep/src/parser/tests/test_python.rs / test_rust.rs /
 test_javascript.rs / test_go.rs / test_typescript.rs / test_java.rs /
-test_ruby.rs / test_csharp.rs / test_php.rs), with the EXPECTED STRING copied unchanged: the
+test_ruby.rs / test_csharp.rs / test_php.rs / test_kotlin.rs /
+test_c.rs), with the EXPECTED STRING copied unchanged: the
 scanner output run through build_embedding_text must equal what the
 reference's tree-sitter extractor + embed.rs::build_embedding_text
 produce on the same source. This pins the ast-lite scanners against
@@ -650,3 +651,96 @@ def test_php_function_with_phpdoc(spark):
     # phpdoc flattens like JSDoc (trailing " /" quirk included); php has
     # no find_start_with_attributes branch so the block is not code
     assert _embed(spark, "test.php", PHP_DOC)["add"] == PHP_DOC_EXPECTED
+
+
+# -- Kotlin (test_kotlin.rs) ----------------------------------------------------
+
+KT_BASIC = '''fun greet(name: String): String {
+    return "Hello, $name!"
+}'''
+
+KT_BASIC_EXPECTED = '''Function: greet
+Signature: fun greet(name: String): String {
+Parameters: name
+File: test test.kt
+Code:
+fun greet(name: String): String {
+    return "Hello, $name!"
+}'''
+
+
+def test_kotlin_basic_function(spark):
+    # no Returns line: the reference's extract_return_type has no kotlin
+    # branch (analysis.rs:571-585)
+    assert _embed(spark, "test.kt", KT_BASIC)["greet"] == KT_BASIC_EXPECTED
+
+
+KT_KDOC = '''/**
+ * Calculates the sum of two numbers.
+ * @param a First number
+ * @param b Second number
+ * @return Sum of a and b
+ */
+fun add(a: Int, b: Int): Int {
+    return a + b
+}'''
+
+KT_KDOC_EXPECTED = '''Function: add
+Signature: fun add(a: Int, b: Int): Int {
+Description: Calculates the sum of two numbers. @param a First number @param b Second number @return Sum of a and b /
+Parameters: a, b
+File: test test.kt
+Code:
+fun add(a: Int, b: Int): Int {
+    return a + b
+}'''
+
+
+def test_kotlin_function_with_kdoc(spark):
+    assert _embed(spark, "test.kt", KT_KDOC)["add"] == KT_KDOC_EXPECTED
+
+
+# -- C (test_c.rs) --------------------------------------------------------------
+
+C_BASIC = '''int add(int a, int b) {
+    return a + b;
+}'''
+
+C_BASIC_EXPECTED = '''Function: add
+Signature: int add(int a, int b) {
+Parameters: a, b
+Returns: int
+File: test test.c
+Code:
+int add(int a, int b) {
+    return a + b;
+}'''
+
+
+def test_c_basic_function(spark):
+    assert _embed(spark, "test.c", C_BASIC)["add"] == C_BASIC_EXPECTED
+
+
+C_COMMENT = '''/* Calculates the sum of two integers.
+ * Returns the result.
+ */
+int add(int a, int b) {
+    return a + b;
+}'''
+
+C_COMMENT_EXPECTED = '''Function: add
+Signature: int add(int a, int b) {
+Description: Calculates the sum of two integers. Returns the result. /
+Parameters: a, b
+Returns: int
+File: test test.c
+Code:
+int add(int a, int b) {
+    return a + b;
+}'''
+
+
+def test_c_function_with_comment(spark):
+    # C has no find_start_with_attributes branch: the /* */ block is the
+    # Description but not part of the code
+    assert _embed(spark, "test.c", C_COMMENT)["add"] == C_COMMENT_EXPECTED
