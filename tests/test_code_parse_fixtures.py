@@ -4,7 +4,7 @@ Each test is one of the reference's own per-language extraction tests
 (colgrep/src/parser/tests/test_python.rs / test_rust.rs /
 test_javascript.rs / test_go.rs / test_typescript.rs / test_java.rs /
 test_ruby.rs / test_csharp.rs / test_php.rs / test_kotlin.rs /
-test_c.rs), with the EXPECTED STRING copied unchanged: the
+test_c.rs / test_swift.rs / test_cpp.rs / test_lua.rs / test_scala.rs), with the EXPECTED STRING copied unchanged: the
 scanner output run through build_embedding_text must equal what the
 reference's tree-sitter extractor + embed.rs::build_embedding_text
 produce on the same source. This pins the ast-lite scanners against
@@ -744,3 +744,79 @@ def test_c_function_with_comment(spark):
     # C has no find_start_with_attributes branch: the /* */ block is the
     # Description but not part of the code
     assert _embed(spark, "test.c", C_COMMENT)["add"] == C_COMMENT_EXPECTED
+
+
+# -- Swift / C++ / Lua / Scala basics (test_{swift,cpp,lua,scala}.rs) -----------
+
+SWIFT_BASIC = '''func greet(name: String) -> String {
+    return "Hello, \\(name)!"
+}'''
+
+SWIFT_BASIC_EXPECTED = '''Function: greet
+Signature: func greet(name: String) -> String {
+Parameters: name
+File: test test.swift
+Code:
+func greet(name: String) -> String {
+    return "Hello, \\(name)!"
+}'''
+
+
+def test_swift_basic_function(spark):
+    # no Returns line — swift is not in extract_return_type's language list
+    assert _embed(spark, "test.swift", SWIFT_BASIC)["greet"] == SWIFT_BASIC_EXPECTED
+
+
+CPP_BASIC = '''int add(int a, int b) {
+    return a + b;
+}'''
+
+CPP_BASIC_EXPECTED = '''Function: add
+Signature: int add(int a, int b) {
+Parameters: a, b
+Returns: int
+File: test test.cpp
+Code:
+int add(int a, int b) {
+    return a + b;
+}'''
+
+
+def test_cpp_basic_function(spark):
+    assert _embed(spark, "test.cpp", CPP_BASIC)["add"] == CPP_BASIC_EXPECTED
+
+
+LUA_BASIC = '''function greet(name)
+    return "Hello, " .. name .. "!"
+end'''
+
+LUA_BASIC_EXPECTED = '''Function: greet
+Signature: function greet(name)
+Parameters: name
+File: test test.lua
+Code:
+function greet(name)
+    return "Hello, " .. name .. "!"
+end'''
+
+
+def test_lua_basic_function(spark):
+    assert _embed(spark, "test.lua", LUA_BASIC)["greet"] == LUA_BASIC_EXPECTED
+
+
+SCALA_BASIC = '''def greet(name: String): String = {
+  s"Hello, $name!"
+}'''
+
+SCALA_BASIC_EXPECTED = '''Function: greet
+Signature: def greet(name: String): String = {
+Parameters: name
+File: test test.scala
+Code:
+def greet(name: String): String = {
+  s"Hello, $name!"
+}'''
+
+
+def test_scala_basic_function(spark):
+    assert _embed(spark, "test.scala", SCALA_BASIC)["greet"] == SCALA_BASIC_EXPECTED
