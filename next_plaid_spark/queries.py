@@ -3244,7 +3244,11 @@ def _code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = os.path.abspath(sf_dir)
     if key not in _CODE_UNITS_CACHE:
-        files = _code_corpus(spark, sf_dir)
+        # spread the grouped-files output across cores before the parse
+        # mapInPandas (same serialization trap as _doc_tokens: a small
+        # shuffle output otherwise lands on few partitions)
+        files = _code_corpus(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism)
         units = with_unit_ids(build_call_graph(parse_code_units(files)))
         units.coalesce(1).write.mode("overwrite").parquet(CODE_UNITS_SIDECAR)
         _CODE_UNITS_CACHE[key] = spark.read.parquet(CODE_UNITS_SIDECAR)
