@@ -177,6 +177,9 @@ def _filter_imports_ref(file_imports: list[str], used: set[str],
 # (analysis.rs:571-585: python/rust/ts via the return_type field, go via
 # result, java/c#/c/cpp via the type field); regex stands in for the field
 _RET_RES = {
+    # python arm keeps the tree-sitter backend in parity with the ast
+    # backend's ast.unparse(child.returns) on one-line defs
+    "python": re.compile(r"->\s*(.+?)\s*:\s*$"),
     "rust": re.compile(r"->\s*([^{;]+?)\s*[{;]?\s*$"),
     # the reference's TS return_type is the type_annotation NODE TEXT,
     # which includes the leading ": " (its own fixtures assert
@@ -219,6 +222,16 @@ _EXTENDS_RES = {
 
 def _extends_scan(sig: str | None, lang: str, unit_type: str) -> str | None:
     if not sig or unit_type != "Class":
+        return None
+    if lang == "python":
+        # first plain-identifier base, matching the ast backend's
+        # first-ast.Name rule (dotted bases like abc.ABC are skipped)
+        hit = re.match(r"\s*class\s+\w+\s*\(([^)]*)\)", sig)
+        if hit:
+            for base in hit.group(1).split(","):
+                base = base.strip()
+                if re.fullmatch(r"[A-Za-z_]\w*", base):
+                    return base
         return None
     m = _EXTENDS_RES.get(lang)
     if m:
@@ -581,16 +594,18 @@ _DECL_HEAD_RE = re.compile(
     r"^\s*(?:[\w.<>\[\],?*&$]+\s+){0,6}$"
 )
 # a statement keyword before name(...) means it IS a call/expression
-# (`return checkAmount(x)`, `new Foo(x)`, `yield f(x)`) — never a
-# declaration head
+# (`return checkAmount(x)`, `new Foo(x)`, `yield f(x)`, `defer cleanup()`,
+# `go worker(ch)`, `raise ValueError(msg)`) — never a declaration head
 _DECL_PREFIX_STOP = frozenset(
-    "return else case await yield throw new in not and or assert".split()
+    "return else case await yield throw new in not and or assert "
+    "raise defer go del puts print echo".split()
 )
 
 
 def _calls_in(text: str, own_name: str) -> list[str]:
     names = set()
-    for line in (text or "").splitlines():
+    lines = (text or "").splitlines()
+    for i, line in enumerate(lines):
         s = _strip_code_line(line)
         opens_block = s.rstrip().endswith("{")
         for m in _CALL_RE.finditer(s):
@@ -600,7 +615,8 @@ def _calls_in(text: str, own_name: str) -> list[str]:
             # declaration head: only modifier/type tokens precede the name
             # on a block-opening line (or, Allman style, a line that ends
             # at the close paren AND has at least one modifier/type token
-            # before the name), and nothing call-like follows the list
+            # before the name — but only when the block actually opens on
+            # a following line; `defer cleanup()` is a call, not a head)
             prefix = s[:m.start(1)]
             tail = s[m.start(1) + len(name):]
             if any(t.lower() in _DECL_PREFIX_STOP for t in prefix.split()):
@@ -611,7 +627,8 @@ def _calls_in(text: str, own_name: str) -> list[str]:
                                  tail):
                 continue
             if _DECL_HEAD_RE.match(prefix) and prefix.strip() \
-                    and re.match(r"\([^()]*\)\s*$", tail):
+                    and re.match(r"\([^()]*\)\s*$", tail) \
+                    and _opens_block(lines, i):
                 continue
             names.add(name)
     return sorted(names)

@@ -221,14 +221,18 @@ _STEM_STOPWORDS = ("index", "main", "mod", "lib", "util", "utils", "common", "co
 
 
 def path_penalty(file_col: Column, query_text: str) -> Column:
-    """R1: multiplicative penalty unless the query itself asks for tests."""
+    """R1: multiplicative penalty unless the query itself asks for tests.
+
+    Penalties for different path-noise classes COMPOUND, matching the
+    reference's ``file_path_penalty`` (ranking.rs:133-157: ``penalty *=``
+    per matching class) — e.g. ``compat/foo_test.py`` gets
+    0.30 * 0.50 = 0.15, not first-match-wins 0.30."""
     if re.search(_QUERY_WANTS_TEST_RE, (query_text or "").lower()):
         return F.lit(1.0)
     return (
-        F.when(file_col.rlike(_TEST_PATH_RE), F.lit(PENALTY_TEST))
-        .when(file_col.rlike(_COMPAT_PATH_RE), F.lit(PENALTY_COMPAT))
-        .when(file_col.rlike(_BARREL_PATH_RE), F.lit(PENALTY_BARREL))
-        .otherwise(F.lit(1.0))
+        F.when(file_col.rlike(_TEST_PATH_RE), F.lit(PENALTY_TEST)).otherwise(F.lit(1.0))
+        * F.when(file_col.rlike(_COMPAT_PATH_RE), F.lit(PENALTY_COMPAT)).otherwise(F.lit(1.0))
+        * F.when(file_col.rlike(_BARREL_PATH_RE), F.lit(PENALTY_BARREL)).otherwise(F.lit(1.0))
     )
 
 

@@ -3288,13 +3288,15 @@ def q_code_search_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_ident_toks(expr: str) -> str:
     """DuckDB list expression mirroring ``tokenize_identifiers`` (K1): per
     word its lowered form, camel/underscore parts, compound, and adjacent
-    bigrams. RE2 has no lookahead, so the camel classes become two
-    boundary-insertion replaces (lower→Upper, ACRONYM→Word) — equivalent on
-    [A-Za-z0-9_] words."""
+    bigrams. RE2 has no lookahead, so the camel classes become three
+    boundary-insertion replaces (lower→Upper, ACRONYM→Word, ACRONYM→digit
+    — the last because ``[A-Z]+`` never swallows a digit, so 'HTML5Parser'
+    must split [html, 5, parser] in both engines)."""
     parts = (
-        "list_filter(string_split(lower(regexp_replace(regexp_replace("
+        "list_filter(string_split(lower(regexp_replace(regexp_replace(regexp_replace("
         "replace(w, '_', ' '), '([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
-        "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), ' '), x -> x <> '')"
+        "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+        "'([A-Z]+)([0-9])', '\\1 \\2', 'g')), ' '), x -> x <> '')"
     )
     per_word = (
         f"(CASE WHEN len({parts}) > 1 THEN "
@@ -3500,13 +3502,14 @@ r3 AS (
   -- qtoks/mx are CROSS JOINed (1 row each): DuckDB forbids subqueries
   -- inside lambda expressions
   SELECT unit_id, file, name, line, end_line,
-         -- R1 multiplicative path penalty (unless the query wants tests)
+         -- R1 multiplicative path penalty (unless the query wants tests);
+         -- classes COMPOUND like the reference's penalty *= (ranking.rs:133-157)
          (score * (CASE
             WHEN regexp_matches(lower(qt), '{_QUERY_WANTS_TEST_RE}') THEN 1.0
-            WHEN regexp_matches(file, '{_TEST_PATH_RE}') THEN {PENALTY_TEST}
-            WHEN regexp_matches(file, '{_COMPAT_PATH_RE}') THEN {PENALTY_COMPAT}
-            WHEN regexp_matches(file, '{_BARREL_PATH_RE}') THEN {PENALTY_BARREL}
-            ELSE 1.0 END))
+            ELSE (CASE WHEN regexp_matches(file, '{_TEST_PATH_RE}') THEN {PENALTY_TEST} ELSE 1.0 END)
+               * (CASE WHEN regexp_matches(file, '{_COMPAT_PATH_RE}') THEN {PENALTY_COMPAT} ELSE 1.0 END)
+               * (CASE WHEN regexp_matches(file, '{_BARREL_PATH_RE}') THEN {PENALTY_BARREL} ELSE 1.0 END)
+            END))
          -- R2 definition boost
          + (CASE WHEN unit_type IN ({def_types})
                   AND len(list_intersect({name_toks}, qk.ts)) > 0
