@@ -88,6 +88,48 @@ class BM25Index:
         return cls(postings.cache(), doclens.cache(), n_docs, avgdl,
                    tokenizer, positions)
 
+    # -- persistence (S6: the FTS index is an on-disk artifact in the
+    # reference — text_search.rs builds a SQLite file once and serves many
+    # queries; parquet postings + a stats json are the Spark analog) -------
+    def save(self, path: str) -> None:
+        """Persist postings/doclens (+positions) as parquet + stats json.
+
+        A saved index serves queries across processes without re-tokenizing
+        the corpus — the prebuilt-index half of every search entry point
+        (e.g. ``CodeIndex``). Overwrites any index already at ``path``."""
+        import json
+        import os
+
+        self.postings.write.mode("overwrite").parquet(
+            os.path.join(path, "postings"))
+        self.doclens.write.mode("overwrite").parquet(
+            os.path.join(path, "doclens"))
+        if self.positions is not None:
+            self.positions.write.mode("overwrite").parquet(
+                os.path.join(path, "positions"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
+                       "tokenizer": self.tokenizer,
+                       "with_positions": self.positions is not None}, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BM25Index":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        positions = (
+            spark.read.parquet(os.path.join(path, "positions"))
+            if meta.get("with_positions") else None
+        )
+        return cls(
+            spark.read.parquet(os.path.join(path, "postings")),
+            spark.read.parquet(os.path.join(path, "doclens")),
+            int(meta["n_docs"]), float(meta["avgdl"]),
+            meta.get("tokenizer", "unicode61"), positions,
+        )
+
     def search(self, queries: DataFrame, k: int = 10, *,
                query_id_col: str = "query_id", text_col: str = "text",
                subset: DataFrame | None = None,

@@ -1,0 +1,404 @@
+"""Prebuilt persistent code-search index — the serve-many-queries form of P4.
+
+The reference's colgrep CLI searches a PERSISTED index: parse + encode +
+PLAID build + FTS happen at ``colgrep index`` time, and each query is served
+from the stored artifacts through the probe-bounded PLAID funnel
+(``colgrep/src/index/mod.rs:4115-4124`` — ``self.index.search(query_emb,
+&params, subset)`` over the on-disk index; ``:1615-1750`` — the auto-update
+path re-encodes only changed files). ``search_code`` (operators/colgrep.py)
+re-derives everything per call — exact and convenient at small N, but O(corpus)
+work per query; this module is the scale path.
+
+Layout at ``path``:
+
+    units/    parsed + call-graphed units incl. ``embed_text`` (parquet)
+    files/    (path, content_hash, size) state for change detection (P3)
+    plaid/    PLAID index over the units' embed-text token vectors
+    bm25/     identifier-aware BM25 postings/doclens/stats
+
+Search cost shape: the semantic leg runs ``BatchSearcher`` over ``plaid/``
+(IVF probe → codes-only approx → budgeted exact rerank — sublinear in corpus
+size at the default ``SearchParams``), the keyword leg joins the broadcast
+query terms against stored postings, and the R1–R5 ranking touches only the
+fetch_k result list. Nothing re-parses, re-tokenizes, or re-encodes the
+corpus per query.
+
+Update cost shape (``update``): unchanged files are never re-parsed; the
+call graph + embed text are re-derived by one aggregation over unit rows
+(no file I/O), and only units whose embed text actually changed are
+re-encoded into the PLAID index (delete + append snapshots, U1–U8). Below
+the reference's ``rebuild_threshold`` the whole index is rebuilt from the
+merged (mostly reused) parse — the same policy next-plaid applies
+(lib.rs:47-62), which also makes a small-corpus update bit-identical to a
+fresh build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from next_plaid_spark.operators.colgrep import (
+    _glob_to_like,
+    apply_ranking,
+    build_embedding_text,
+)
+
+# reference query_length for code search (the gate oracles slice the same 16)
+CODE_QUERY_MAX_TOKENS = 16
+
+# raw parser output columns (pre call-graph, pre unit_id) — the schema
+# parse_code_units emits and update() merges on
+_RAW_COLS = [
+    "file", "name", "qualified_name", "unit_type", "line", "end_line",
+    "signature", "docstring", "parameters", "parent_class", "calls",
+    "code", "language", "complexity", "imports", "variables",
+    "return_type", "extends",
+]
+
+
+def file_state(files: DataFrame, *, path_col: str = "path",
+               content_col: str = "content") -> DataFrame:
+    """(path, content) → (path, content_hash, size) — the P3 change-probe
+    state (the reference stores xxh3+size per file, state.rs:18-136; any
+    collision-resistant content hash serves)."""
+    return files.select(
+        F.col(path_col).alias("path"),
+        F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256).alias("content_hash"),
+        F.length(F.coalesce(F.col(content_col), F.lit(""))).alias("size"),
+    )
+
+
+class CodeIndex:
+    """Handle over a persisted code-search index (build once, query many)."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        from next_plaid_spark.operators.bm25 import BM25Index
+        from next_plaid_spark.sources.index_store import PlaidIndex
+
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.plaid = PlaidIndex.load(spark, os.path.join(path, "plaid"))
+        self.bm25 = BM25Index.load(spark, os.path.join(path, "bm25"))
+        self._searcher = None
+
+    # -- tables --------------------------------------------------------------
+    @property
+    def units(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "units"))
+
+    @property
+    def files(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "files"))
+
+    # -- build / load --------------------------------------------------------
+    @classmethod
+    def build(cls, files: DataFrame, path: str, *, nbits: int = 4,
+              seed: int = 42, bucket_tokens: int | None = None,
+              dim: int | None = None) -> "CodeIndex":
+        """files(path, content) → persisted CodeIndex at ``path``.
+
+        Parse (P1) → call graph → embed text (P2) → unit ids, then one
+        PLAID build over the encoded embed text and one BM25 build over the
+        identifier tokens — the ``colgrep index`` lifecycle
+        (index/mod.rs:363-423 equivalent staging)."""
+        from next_plaid_spark.operators.code_parse import parse_code_units
+
+        spark = files.sparkSession
+        raw = parse_code_units(files)
+        return cls._build_from_units(spark, raw, file_state(files), path,
+                                     nbits=nbits, seed=seed,
+                                     bucket_tokens=bucket_tokens, dim=dim)
+
+    @classmethod
+    def _build_from_units(cls, spark: SparkSession, raw_units: DataFrame,
+                          state: DataFrame, path: str, *, nbits: int = 4,
+                          seed: int = 42, bucket_tokens: int | None = None,
+                          dim: int | None = None) -> "CodeIndex":
+        """Index a pre-parsed unit table (the update path re-enters here so
+        unchanged files skip the parse but share every later stage)."""
+        from next_plaid_spark.encoding import (
+            DEFAULT_DIM,
+            DOC_MAX_TOKENS,
+            encode_tokens,
+        )
+        from next_plaid_spark.operators.bm25 import BM25Index
+        from next_plaid_spark.operators.code_parse import (
+            build_call_graph,
+            with_unit_ids,
+        )
+        from next_plaid_spark.plans.builder import IndexBuilder
+
+        dim = dim or DEFAULT_DIM
+        units = build_embedding_text(
+            with_unit_ids(build_call_graph(raw_units))
+        )
+        units.write.mode("overwrite").parquet(os.path.join(path, "units"))
+        state.write.mode("overwrite").parquet(os.path.join(path, "files"))
+        units = spark.read.parquet(os.path.join(path, "units"))
+
+        tokens = encode_tokens(
+            units, "unit_id", "embed_text", dim=dim,
+            max_tokens=DOC_MAX_TOKENS, out_id="doc_id",
+        ).select("doc_id", "token_idx", "vec")
+        IndexBuilder(spark, nbits=nbits, seed=seed,
+                     bucket_tokens=bucket_tokens).build(
+            tokens, os.path.join(path, "plaid"))
+        BM25Index.build(units, id_col="unit_id", text_col="embed_text",
+                        tokenizer="identifier_aware").save(
+            os.path.join(path, "bm25"))
+
+        meta = {"dim": dim, "doc_max_tokens": DOC_MAX_TOKENS,
+                "query_max_tokens": CODE_QUERY_MAX_TOKENS,
+                "nbits": nbits, "seed": seed}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CodeIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            return cls(spark, path, json.load(f))
+
+    # -- search --------------------------------------------------------------
+    def exact_search_params(self, fetch_k: int):
+        """The funnel's exact configuration (every cell probed, t_cs off,
+        survivor budget ≥ N): results provably equal brute-force MaxSim
+        over the decompressed index — the hash-gateable mode."""
+        from next_plaid_spark.plans.searcher import SearchParams
+
+        return SearchParams(
+            top_k=fetch_k,
+            n_ivf_probe=self.plaid.meta.k,
+            n_full_scores=4 * max(self.plaid.meta.num_documents, 1),
+            centroid_score_threshold=float("-inf"),
+        )
+
+    def _subset(self, regex, include_glob, exclude_glob) -> DataFrame | None:
+        if regex is None and include_glob is None and exclude_glob is None:
+            return None
+        sub = self.units
+        if regex is not None:
+            sub = sub.filter(F.col("code").rlike(regex))
+        if include_glob is not None:
+            sub = sub.filter(F.col("file").like(_glob_to_like(include_glob)))
+        if exclude_glob is not None:
+            sub = sub.filter(~F.col("file").like(_glob_to_like(exclude_glob)))
+        return sub.select(F.col("unit_id").alias("doc_id"))
+
+    def search(
+        self,
+        query_text: str,
+        *,
+        regex: str | None = None,
+        include_glob: str | None = None,
+        exclude_glob: str | None = None,
+        top_k: int = 10,
+        alpha: float = 0.75,
+        collapse: bool = True,
+        params=None,
+        semantic: str = "funnel",
+    ) -> DataFrame:
+        """One query through the prebuilt index: F10/F11 subset → PLAID
+        funnel (semantic) + stored-postings BM25 (keyword) → relative-score
+        fusion → R1-R5 → collapse → top-k.
+
+        Prebuilt-index filter semantics (the reference's, mod.rs:4104-4150):
+        ``fetch_k`` caps at the FULL index's document count, and BM25 runs
+        with full-corpus statistics restricted to the subset — unlike the
+        index-free ``search_code``, which recomputes stats over the
+        filtered subset it just built.
+
+        ``params``: SearchParams for the semantic funnel (top_k is
+        overridden with fetch_k). Default = the reference's approximate
+        defaults (n_probe=8, t_cs=0.4) — the scale path; pass
+        ``exact_search_params(fetch_k)`` for brute-force-equal results.
+        ``semantic="brute"`` bypasses the PLAID index entirely and scores
+        raw embed-text vectors (the documented small-N fallback; exact, but
+        O(N) per query)."""
+        from next_plaid_spark.encoding import encode_queries
+        from next_plaid_spark.operators.bm25 import BM25Index  # noqa: F401
+        from next_plaid_spark.operators.fusion import hybrid_search
+        from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+        n_docs = self.plaid.meta.num_documents
+        fetch_k = min(max(20 * top_k, 200), max(n_docs, top_k))
+        subset = self._subset(regex, include_glob, exclude_glob)
+
+        qdf = self.spark.createDataFrame(
+            [(0, query_text)], "query_id long, text string")
+        qt = encode_queries(qdf, dim=self.meta["dim"],
+                            max_tokens=self.meta["query_max_tokens"])
+
+        if semantic == "funnel":
+            p = params or SearchParams()
+            p = dataclasses.replace(p, top_k=fetch_k)
+            if self._searcher is None:
+                self._searcher = BatchSearcher(self.plaid)
+            sem = self._searcher.search(qt, subset=subset, params=p).select(
+                "query_id", "doc_id", "score")
+        elif semantic == "brute":
+            from next_plaid_spark.encoding import encode_tokens
+            from next_plaid_spark.operators.maxsim import brute_force_search
+
+            sub_units = self.units
+            if subset is not None:
+                sub_units = sub_units.join(
+                    subset.withColumnRenamed("doc_id", "unit_id"),
+                    "unit_id", "left_semi")
+            sem = brute_force_search(
+                qt,
+                encode_tokens(sub_units, "unit_id", "embed_text",
+                              dim=self.meta["dim"],
+                              max_tokens=self.meta["doc_max_tokens"],
+                              out_id="doc_id"),
+                k=fetch_k,
+            ).select("query_id", "doc_id", "score")
+        else:
+            raise ValueError(f"unknown semantic mode: {semantic!r}")
+
+        kw = self.bm25.search(qdf, k=fetch_k, subset=subset).select(
+            "query_id", "doc_id", "score")
+        fused = hybrid_search(
+            sem, kw, mode="relative_score", alpha=alpha, k=fetch_k
+        ).select(F.col("doc_id").alias("unit_id"), "score")
+        return apply_ranking(fused, self.units, query_text,
+                             top_k=top_k, collapse=collapse)
+
+    # -- incremental update (P3 + U1-U8 composed) ----------------------------
+    def update(self, new_files: DataFrame, out_path: str, *,
+               rebuild_threshold: int | None = None) -> "CodeIndex":
+        """Re-index against a NEW full file snapshot → new CodeIndex at
+        ``out_path`` (immutable-snapshot discipline, like update_index).
+
+        detect_changes (P3) picks the added/modified/removed paths; ONLY
+        those files re-parse. The call graph and embed text are re-derived
+        globally (one aggregation — called_by edges can change for units in
+        UNCHANGED files when a caller was edited), then:
+
+        - merged corpus ≤ rebuild_threshold (999, lib.rs:47-62) → full
+          rebuild from the merged parse: bit-identical to a fresh build on
+          the new tree (same rows → same dense unit ids → same seeds).
+        - else → incremental: survivors whose embed text is unchanged keep
+          their unit_id, PLAID tokens, and BM25 postings untouched; gone +
+          changed units are deleted (U5) and changed + new units appended
+          (U1-U4) with the existing codec; BM25 stats are re-aggregated
+          from the merged doclens."""
+        from next_plaid_spark.operators.bm25 import BM25Index
+        from next_plaid_spark.operators.code_parse import (
+            build_call_graph,
+            parse_code_units,
+        )
+        from next_plaid_spark.operators.colgrep import detect_changes, identifier_tokens
+        from next_plaid_spark.operators.update import (
+            REBUILD_THRESHOLD,
+            delete_from_index,
+            update_index,
+        )
+
+        if rebuild_threshold is None:
+            rebuild_threshold = REBUILD_THRESHOLD
+        spark = self.spark
+        new_state = file_state(new_files).cache()
+        changes = detect_changes(self.files, new_state).cache()
+        gone_paths = changes.filter(
+            F.col("change").isin("removed", "modified")).select("path")
+        changed_paths = changes.filter(
+            F.col("change").isin("added", "modified")).select("path")
+
+        old_units = self.units
+        survivors = old_units.join(
+            gone_paths, old_units["file"] == gone_paths["path"], "left_anti")
+        new_raw = parse_code_units(
+            new_files.join(changed_paths, "path", "left_semi"))
+        merged_raw = survivors.select(*_RAW_COLS).unionByName(
+            new_raw.select(*_RAW_COLS))
+
+        n_merged = merged_raw.select("file", "line", "name").distinct().count()
+        if n_merged <= rebuild_threshold:
+            return CodeIndex._build_from_units(
+                spark, merged_raw, new_state, out_path,
+                nbits=self.meta["nbits"], seed=self.meta["seed"],
+                dim=self.meta["dim"])
+
+        # -- incremental path ------------------------------------------------
+        from next_plaid_spark.encoding import encode_tokens
+
+        merged = build_embedding_text(build_call_graph(merged_raw))
+        # survivors keep their unit_id (stable-id discipline, update.py);
+        # new units take max_id + dense rank over (file, line, name)
+        old_ids = old_units.select(
+            "unit_id", F.col("file").alias("_f"), F.col("line").alias("_l"),
+            F.col("name").alias("_n"), F.col("embed_text").alias("_old_embed"))
+        joined = merged.join(
+            old_ids,
+            (merged["file"] == old_ids["_f"]) & (merged["line"] == old_ids["_l"])
+            & (merged["name"] == old_ids["_n"]),
+            "left").drop("_f", "_l", "_n")
+        max_id = (old_units.agg(F.max("unit_id")).collect()[0][0] or 0)
+        w_new = Window.orderBy("file", "line", "name")
+        fresh = joined.filter(F.col("unit_id").isNull()).drop("unit_id")
+        fresh = fresh.withColumn(
+            "unit_id", F.lit(max_id).cast("long") + F.row_number().over(w_new))
+        kept = joined.filter(F.col("unit_id").isNotNull())
+        unchanged = kept.filter(F.col("embed_text") == F.col("_old_embed"))
+        changed = kept.filter(F.col("embed_text") != F.col("_old_embed"))
+        units_out = (
+            unchanged.drop("_old_embed")
+            .unionByName(changed.drop("_old_embed"))
+            .unionByName(fresh.drop("_old_embed"))
+        ).cache()
+        units_out.write.mode("overwrite").parquet(
+            os.path.join(out_path, "units"))
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(out_path, "files"))
+        units_out = spark.read.parquet(os.path.join(out_path, "units"))
+        unchanged_ids = unchanged.select(
+            F.col("unit_id").alias("doc_id")).cache()
+        reindex = units_out.join(
+            unchanged_ids.withColumnRenamed("doc_id", "unit_id"),
+            "unit_id", "left_anti")
+
+        # PLAID: delete everything not kept verbatim, append the re-encoded
+        gone_doc = self.plaid.doclens.select("doc_id").join(
+            unchanged_ids, "doc_id", "left_anti")
+        shrunk = delete_from_index(
+            spark, self.plaid, gone_doc, os.path.join(out_path, "_plaid_del"))
+        new_tokens = encode_tokens(
+            reindex, "unit_id", "embed_text", dim=self.meta["dim"],
+            max_tokens=self.meta["doc_max_tokens"], out_id="doc_id",
+        ).select("doc_id", "token_idx", "vec")
+        update_index(spark, shrunk, new_tokens,
+                     os.path.join(out_path, "plaid"),
+                     seed=self.meta["seed"])
+
+        # BM25: unchanged units' postings ride along; changed/new re-tokenize
+        toks_new = reindex.select(
+            F.col("unit_id").cast("long").alias("doc_id"),
+            F.posexplode(identifier_tokens(F.col("embed_text"))).alias(
+                "pos", "term"))
+        post_new = toks_new.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"))
+        dl_new = toks_new.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        postings = self.bm25.postings.join(
+            unchanged_ids, "doc_id", "left_semi").unionByName(post_new)
+        doclens = self.bm25.doclens.join(
+            unchanged_ids, "doc_id", "left_semi").unionByName(dl_new)
+        stats = doclens.agg(F.count("*").alias("n"),
+                            F.sum("dl").alias("total")).collect()[0]
+        BM25Index(postings, doclens, stats.n or 0,
+                  (stats.total / stats.n) if stats.n else 0.0,
+                  "identifier_aware").save(os.path.join(out_path, "bm25"))
+
+        with open(os.path.join(out_path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+        units_out.unpersist()
+        new_state.unpersist()
+        changes.unpersist()
+        return CodeIndex(spark, out_path, dict(self.meta))
