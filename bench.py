@@ -233,6 +233,16 @@ def main() -> None:
         except Exception:
             errors["bucketed_payoff"] = traceback.format_exc(limit=3).splitlines()[-1]
 
+        # the code-search index is likewise a one-time INDEXING cost (the
+        # reference's `colgrep index` builds once, queries serve from the
+        # stored artifacts) — build it here so the code_search timings
+        # below measure the query path over the prebuilt index
+        if timed(extras, "code_index_build", lambda: q._code_index(spark, sf_dir)):
+            ci = q._code_index(spark, sf_dir)
+            stats["code_index_units_per_sec"] = round(
+                ci.plaid.meta.num_documents
+                / max(extras["code_index_build"], 1e-9), 1)
+
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",
                      "dsir_select", "mmr_topk", "semdedup",
@@ -245,9 +255,9 @@ def main() -> None:
                      "perplexity_bigram",
                      # r6 additions
                      "bm25_phrase_topk",
-                     # r9: composed colgrep code search (parse → embed →
-                     # hybrid → R1-R5)
-                     "code_search_topk",
+                     # r9: composed colgrep code search; r10: served from
+                     # the prebuilt CodeIndex (build timed separately above)
+                     "code_search_topk", "code_search_filtered_topk",
                      # r8: BEIR-style quality of the funnel itself (exact
                      # configuration vs stratum qrels; the clustered sweep
                      # below adds the approximate operating points)

@@ -143,8 +143,14 @@ class CodeIndex:
         state.write.mode("overwrite").parquet(os.path.join(path, "files"))
         units = spark.read.parquet(os.path.join(path, "units"))
 
+        # the units artifact is often one file (unit ids come from a global
+        # window) — spread rows across cores before the Arrow encode pass
+        # and the build's cache fill, or every build stage runs single-task
+        # (same serialization trap as queries._doc_tokens; measured 4× on
+        # the sf0.1 code corpus: 133 s → 32 s)
         tokens = encode_tokens(
-            units, "unit_id", "embed_text", dim=dim,
+            units.repartition(spark.sparkContext.defaultParallelism),
+            "unit_id", "embed_text", dim=dim,
             max_tokens=DOC_MAX_TOKENS, out_id="doc_id",
         ).select("doc_id", "token_idx", "vec")
         IndexBuilder(spark, nbits=nbits, seed=seed,

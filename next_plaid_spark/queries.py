@@ -3255,12 +3255,55 @@ def _code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CODE_UNITS_CACHE[key]
 
 
-def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from next_plaid_spark.operators.colgrep import search_code
+CODE_INDEX_PATH = _ORACLE_SIDECAR_ROOT + "/code_index"
+CODE_EXACT_SIDECAR = _ORACLE_SIDECAR_ROOT + "/code_quantized_tokens"
+_CODE_INDEX_CACHE: dict = {}
 
-    res = search_code(_code_units(spark, sf_dir),
-                      _code_query_text(spark, sf_dir),
-                      top_k=CODE_TOPK, alpha=CODE_ALPHA)
+
+def _code_index(spark: SparkSession, sf_dir: str):
+    """Prebuilt CodeIndex over the synthetic corpus — built once per
+    (process, sf_dir), the reference's persisted-index lifecycle
+    (``colgrep index``, index/mod.rs:363-423): both code_search entries
+    serve queries from the stored PLAID + BM25 artifacts instead of
+    re-parsing/re-tokenizing/re-encoding the corpus per call. Also writes
+    the decompressed-vector sidecar the oracle's semantic leg scores —
+    the same B7-output recipe as EXACT_ORACLE_SIDECAR."""
+    from next_plaid_spark.operators.code_index import (
+        _RAW_COLS,
+        CodeIndex,
+        file_state,
+    )
+    from next_plaid_spark.operators.codec import decompress
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CODE_INDEX_CACHE:
+        units = _code_units(spark, sf_dir)  # writes CODE_UNITS_SIDECAR
+        buckets = int(os.environ.get("SPARK_GRAFT_BUCKET_TOKENS", "32")) or None
+        idx = CodeIndex._build_from_units(
+            spark, units.select(*_RAW_COLS),
+            file_state(_code_corpus(spark, sf_dir)),
+            CODE_INDEX_PATH, nbits=4, seed=42, bucket_tokens=buckets)
+        decompress(
+            idx.plaid.tokens.select("doc_id", "code", "residual"),
+            idx.plaid.centroids_np(), idx.plaid.meta.codec,
+        ).select("doc_id", "vec").write.mode("overwrite").parquet(
+            CODE_EXACT_SIDECAR)
+        _CODE_INDEX_CACHE[key] = idx
+    return _CODE_INDEX_CACHE[key]
+
+
+def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The colgrep query lifecycle over the PREBUILT index
+    (index/mod.rs:4115-4124 — the CLI searches stored artifacts, never
+    re-derives the corpus per query). The semantic leg runs the PLAID
+    funnel in its exact configuration (every cell probed, t_cs off,
+    survivor budget ≥ N — provably equal brute MaxSim over the
+    decompressed index), so the oracle scores the same decompressed
+    vectors from the sidecar; the keyword leg joins the stored postings."""
+    idx = _code_index(spark, sf_dir)
+    res = idx.search(_code_query_text(spark, sf_dir),
+                     top_k=CODE_TOPK, alpha=CODE_ALPHA,
+                     params=idx.exact_search_params(CODE_TOPK))
     return res.select(
         "unit_id", "file", "name", "line", "end_line",
         F.round("score", 6).alias("score"), "rank",
@@ -3268,17 +3311,18 @@ def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_code_search_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10/F11 inside the composed pipeline: the regex/glob prefilter
-    shrinks the searched subset BEFORE any index/score work (colgrep's
-    --include/--regexp flags, index/mod.rs:4104-4150), which also changes
-    the BM25 corpus statistics and fetch_k — the oracle recomputes all of
-    it over the filtered subset."""
-    from next_plaid_spark.operators.colgrep import search_code
-
-    res = search_code(_code_units(spark, sf_dir),
-                      _code_query_text(spark, sf_dir),
-                      regex=CODE_FILTER_REGEX, include_glob=CODE_FILTER_GLOB,
-                      top_k=CODE_TOPK, alpha=CODE_ALPHA)
+    """F10/F11 against the PREBUILT index: the regex/glob subset restricts
+    the funnel's candidacy (F9) and the BM25 scoring, but — unlike the
+    index-free ``search_code`` — corpus statistics and fetch_k stay
+    full-index (the reference's indexed filter semantics,
+    index/mod.rs:4104-4150: FTS5 stats are whole-table, fetch_k caps at
+    the index's document count). The oracle applies the same subset to
+    the sidecar vectors and the contribution join only."""
+    idx = _code_index(spark, sf_dir)
+    res = idx.search(_code_query_text(spark, sf_dir),
+                     regex=CODE_FILTER_REGEX, include_glob=CODE_FILTER_GLOB,
+                     top_k=CODE_TOPK, alpha=CODE_ALPHA,
+                     params=idx.exact_search_params(CODE_TOPK))
     return res.select(
         "unit_id", "file", "name", "line", "end_line",
         F.round("score", 6).alias("score"), "rank",
@@ -3329,7 +3373,6 @@ def sql_code_search_topk(top_k: int = CODE_TOPK,
         STEM_EXACT_BOOST,
         STEM_PREFIX_BOOST,
     )
-    from next_plaid_spark.encoding import DOC_MAX_TOKENS
 
     dim = 16
     stop = ", ".join(f"'{s}'" for s in _STEM_STOPWORDS)
@@ -3390,25 +3433,28 @@ u2 AS (
 emb AS (
   SELECT unit_id, file, name, unit_type, line, end_line,
          {embed} AS embed_text
-  FROM u2 {where_sql}
+  FROM u2
 ),
+-- prebuilt-index filter semantics (index/mod.rs:4104-4150): the subset
+-- restricts candidacy and scoring; stats and fetch_k stay full-index
+subq AS (SELECT unit_id FROM u2 {where_sql}),
 nu AS (SELECT count(*) AS n FROM emb),
 qtext AS (
   SELECT array_to_string(list_slice({u61.format(src='text')}, 1, 2), ' ') AS qt
   FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
 ),
--- semantic side: synthetic-encoder MaxSim over the embed text
-unit_sem AS (
-  SELECT unit_id, unnest(range(0, len(toks))) AS token_idx, unnest(toks) AS token
-  FROM (SELECT unit_id,
-               list_slice({u61.format(src='embed_text')}, 1, {DOC_MAX_TOKENS}) AS toks
-        FROM emb)
-),
+-- semantic side: the funnel's exact configuration equals brute MaxSim
+-- over the DECOMPRESSED index vectors (B7 output) — score the same
+-- doubles from the sidecar the Spark entry just wrote
 q_sem AS (
   SELECT unnest(range(0, len(toks))) AS token_idx, unnest(toks) AS token
   FROM (SELECT list_slice({u61.format(src='qt')}, 1, 16) AS toks FROM qtext)
 ),
-dt AS (SELECT unit_id, token_idx, {token_vector_sql('token', 16)} AS vec FROM unit_sem),
+dt AS (
+  SELECT doc_id AS unit_id, vec
+  FROM '{CODE_EXACT_SIDECAR}/*.parquet'
+  WHERE doc_id IN (SELECT unit_id FROM subq)
+),
 qv AS (SELECT token_idx, {token_vector_sql('token', 16)} AS vec FROM q_sem),
 dots AS (
   SELECT dt.unit_id, qv.token_idx AS q_token_idx,
@@ -3452,6 +3498,7 @@ contribs AS (
   JOIN dfreq d USING (term)
   JOIN doclens l ON p.unit_id = l.unit_id
   CROSS JOIN kstats s
+  WHERE p.unit_id IN (SELECT unit_id FROM subq)
 ),
 kw_scores AS (
   SELECT unit_id,
