@@ -839,17 +839,26 @@ class BatchSearcher:
         self._live_caches.append(query_tokens)
 
         n_probe = p.n_ivf_probe
+        # exact configuration (every cell probed, t_cs off): Q4 probe
+        # scaling and eligible-cell probe restriction cannot change which
+        # cells are probed, so their two eager driver jobs (subset count +
+        # eligible-code collect) are pure overhead — the subset-restricted
+        # IVF below already enforces the filter on Q5 candidates alone
+        probe_all = (p.n_ivf_probe >= idx.meta.k
+                     and p.centroid_score_threshold == float("-inf"))
         if subset is not None:
-            # Q4: widen the probe when the filter is selective
-            # (n_probe · n_docs/|subset|, capped — search.rs:370-382)
             subset = subset.select(F.col("doc_id").cast("long")).distinct().cache()
             self._live_caches.append(subset)
-            subset_len = subset.count()
-            if subset_len > 0:
-                scale = min(
-                    max(1, int(idx.meta.num_documents / subset_len)), p.max_probe_scale
-                )
-                n_probe = min(p.n_ivf_probe * scale, idx.meta.k)
+            if not probe_all:
+                # Q4: widen the probe when the filter is selective
+                # (n_probe · n_docs/|subset|, capped — search.rs:370-382)
+                subset_len = subset.count()
+                if subset_len > 0:
+                    scale = min(
+                        max(1, int(idx.meta.num_documents / subset_len)),
+                        p.max_probe_scale,
+                    )
+                    n_probe = min(p.n_ivf_probe * scale, idx.meta.k)
 
         # subset-pruned IVF feeds Q5 under every strategy
         ivf = idx.ivf
@@ -857,13 +866,24 @@ class BatchSearcher:
         if subset is not None:
             # eligible-centroid pruning under filter (search.rs:350-364):
             # only cells containing subset docs can contribute
-            ivf = (
-                ivf.select("code", F.explode("doc_ids").alias("doc_id"))
-                .join(subset, "doc_id", "left_semi")
-                .groupBy("code")
-                .agg(F.collect_list("doc_id").alias("doc_ids"))
-            ).cache()
+            restricted = ivf.select(
+                "code", F.explode("doc_ids").alias("doc_id")
+            ).join(subset, "doc_id", "left_semi")
+            if probe_all:
+                # every consumer re-explodes doc_ids right away, so the
+                # per-cell list regroup is a wasted corpus-sized shuffle
+                # here — singleton arrays keep the schema, shuffle-free
+                ivf = restricted.select(
+                    "code", F.array("doc_id").alias("doc_ids"))
+            else:
+                # the approximate path probes few cells: per-cell lists keep
+                # the cells→candidates join |cells|-sized, and the eligible
+                # collect below needs one row per cell
+                ivf = restricted.groupBy("code").agg(
+                    F.collect_list("doc_id").alias("doc_ids"))
+            ivf = ivf.cache()
             self._live_caches.append(ivf)
+        if subset is not None and not probe_all:
             # the probe pool itself is restricted to those eligible cells
             # (search.rs:350-364): rank probe slots among them only, and cap
             # the scaled n_probe at the eligible-cell count. The collect is

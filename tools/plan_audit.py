@@ -60,6 +60,8 @@ AUDITED = [
     "events_rolling",
     "maxsim_brute_topk",
     "bm25_phrase_topk",
+    "code_search_topk",
+    "code_search_filtered_topk",
 ]
 
 
@@ -204,6 +206,34 @@ def main() -> int:
             if s["broadcast_joins"] < 2:
                 failures.append(
                     "A14 bm25_phrase_topk: query-side tables not broadcast")
+        # A16: code search serves from the PREBUILT CodeIndex — the
+        # corpus-side vectors come from a stored index scan (never a
+        # per-query re-encode of the unit table), the units scans are
+        # column-pruned to the join/filter columns (embed_text/docstring
+        # in a scan would mean the embed text is re-derived per query),
+        # and there is no cartesian join or row-at-a-time Python UDF
+        if name in ("code_search_topk", "code_search_filtered_topk"):
+            if s["cartesian"]:
+                failures.append(f"A16 {name}: cartesian/nested-loop join")
+            if not any(sc["path"].startswith("tokens") for sc in s["scans"]):
+                failures.append(
+                    f"A16 {name}: semantic leg not served from the stored "
+                    "index tokens (per-query corpus re-encode suspected)")
+            for sc in s["scans"]:
+                if sc["path"] == "units" and (
+                        "embed_text" in sc["columns"]
+                        or "docstring" in sc["columns"]):
+                    failures.append(
+                        f"A16 {name}: units scan not pruned ({sc['columns']})")
+            if "BatchEvalPython" in plan:
+                failures.append(f"A16 {name}: row-at-a-time Python UDF")
+        if name == "code_search_filtered_topk":
+            sub_scans = [sc for sc in s["scans"]
+                         if sc["path"] == "units" and "code" in sc["columns"]]
+            if not (sub_scans and all(sc["pushed"] for sc in sub_scans)):
+                failures.append(
+                    "A16 code_search_filtered_topk: F10/F11 subset predicate "
+                    "not pushed into the units scan")
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
             failures.append(f"A5 {name}: no WholeStageCodegen span")
