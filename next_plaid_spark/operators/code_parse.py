@@ -196,6 +196,11 @@ _JAVALIKE_RET_RE = re.compile(
 
 def _return_type_scan(sig: str | None, lang: str,
                       unit_type: str) -> str | None:
+    if lang == "qml" and unit_type == "Constant" and sig:
+        # a QML property's declared type is its return_type
+        # (test_qml.rs: `required property var shell` → "var")
+        m = re.search(r"\bproperty\s+(\w+(?:<[^>]*>)?)\s+", sig)
+        return m.group(1) if m else None
     if not sig or unit_type not in ("Function", "Method"):
         return None
     if lang in _RET_RES:
@@ -217,6 +222,8 @@ _EXTENDS_RES = {
     "java": re.compile(r"\bextends\s+([\w.]+)"),
     "php": re.compile(r"\bextends\s+\\?([\w\\]+)"),
     "ruby": re.compile(r"^\s*class\s+[\w:]+\s*<\s*([\w:]+)"),
+    # inline component base type (test_qml.rs: FancyChip extends Rectangle)
+    "qml": re.compile(r"^component\s+\w+\s*:\s*([A-Z][\w.]*)"),
 }
 
 
@@ -340,12 +347,24 @@ def _variables_scan(code: str, lang: str) -> list[str]:
     if not res:
         return []
     out: set[str] = set()
+    ordered: list[str] = []
     for line in (code or "").splitlines():
         s = _strip_code_line(line)
         for rx in res:
             for m in rx.finditer(s):
                 name = m.group(1)
                 if name and len(name) < 50 and name not in _VAR_KEYWORDS:
+                    # SFC quirk: the reference's vue/svelte analysis lists
+                    # the declaration keyword alongside the name
+                    # (test_vue.rs pins `Variables: const, user`)
+                    if lang in ("vue", "svelte"):
+                        kw = re.match(r".*\b(let|const|var)\s+" + re.escape(name),
+                                      s[:m.end(1)])
+                        if kw and not re.match(
+                                r"\s*=\s*(?:async\s*)?(?:function\b|"
+                                r"\([^)]*\)\s*(?::[^=]*)?=>|[A-Za-z_$][\w$]*\s*=>)",
+                                s[m.end(1):]):
+                            out.add(kw.group(1))
                     # a function-valued declaration is the UNIT, not one of
                     # its variables (`const add = (a, b) => …` — the
                     # reference's arrow-function fixtures have no
@@ -357,6 +376,13 @@ def _variables_scan(code: str, lang: str) -> list[str]:
                     ):
                         continue
                     out.add(name)
+                    if lang == "qml":
+                        ordered.append(name)
+    if lang == "qml":
+        # QML variables keep DOCUMENT order (test_qml.rs pins
+        # ["root", "shell", "count"], the id/property declaration order)
+        seen: set[str] = set()
+        return [n for n in ordered if not (n in seen or seen.add(n))]
     return sorted(out)
 
 
@@ -1568,41 +1594,48 @@ _SQL_DDL_RE = re.compile(
 
 
 def _parse_sql(path: str, content: str) -> list[tuple]:
-    """SQL DDL units: each CREATE statement is one unit ending at its
-    terminating `;` (test_sql.rs shapes: tables/views → Class-like,
-    functions/procedures → Function)."""
+    """SQL statements as RawCode units (test_sql.rs, all 10 tests:
+    ``build_embedding_text`` of a SQL unit is the statement text itself,
+    leading ``--`` comments included — the reference's SQL grammar yields
+    no typed header). Each unit runs from its first line (a comment block
+    or the statement head) through the terminating ``;``."""
     lines = (content or "").splitlines()
     units: list[tuple] = []
     i = 0
-    while i < len(lines):
-        lineno = i + 1
-        m = _SQL_DDL_RE.match(lines[i])
-        if m:
-            kind_raw = m.group(1).upper()
-            name = m.group(2).split(".")[-1].strip('`"\'')
-            end = lineno
-            for j in range(i, len(lines)):
-                if ";" in lines[j].split("--", 1)[0]:
-                    end = j + 1
-                    break
-            else:
-                end = len(lines)
-            body = "\n".join(lines[lineno - 1:end])
-            unit_type = ("Function" if kind_raw in ("FUNCTION", "PROCEDURE")
-                         else "Class")
-            units.append((
-                path, name, name, unit_type, lineno, end,
-                lines[i].strip(), _doc_above(lines, lineno, "dash"), [],
-                None, [], body, "sql",
-            ))
-            i = end
+    n = len(lines)
+    while i < n:
+        if not lines[i].strip():
+            i += 1
             continue
-        i += 1
+        start = i
+        j = i
+        while j < n:
+            s = ("" if lines[j].lstrip().startswith("--")
+                 else lines[j].split("--", 1)[0])
+            if ";" in s:
+                break
+            j += 1
+        end = min(j + 1, n)
+        code = "\n".join(lines[start:end]).rstrip()
+        head = next((ln for ln in lines[start:end]
+                     if ln.strip() and not ln.lstrip().startswith("--")), "")
+        m = _SQL_DDL_RE.match(head)
+        name = (m.group(2).split(".")[-1].strip("`\"'") if m
+                else (head.split() or ["sql"])[0].lower())
+        units.append((
+            path, name, name, "RawCode", start + 1, end, None, None, [],
+            None, [], code, "sql",
+        ))
+        i = end
     return units
 
 
 _CSS_RULE_RE = re.compile(r"^\s*([^{@/][^{]*?)\s*\{")
 _CSS_AT_RE = re.compile(r"^\s*@(media|keyframes|supports|font-face)\b([^{]*)\{")
+# brace-less at-statements (@charset/@import/@namespace …;) are Constant
+# units named by the at-keyword alone (test_css.rs::
+# test_at_import_and_charset_become_constants)
+_CSS_AT_STMT_RE = re.compile(r"^\s*(@[A-Za-z-]+)\b[^{]*;\s*$")
 
 
 def _parse_css(path: str, content: str) -> list[tuple]:
@@ -1614,6 +1647,14 @@ def _parse_css(path: str, content: str) -> list[tuple]:
     while i < len(lines):
         lineno = i + 1
         line = lines[i]
+        m = _CSS_AT_STMT_RE.match(line)
+        if m:
+            units.append((
+                path, m.group(1), m.group(1), "Constant", lineno, lineno,
+                line.strip(), None, [], None, [], line.strip(), "css",
+            ))
+            i += 1
+            continue
         m = _CSS_AT_RE.match(line) or _CSS_RULE_RE.match(line)
         if m and "{" in line:
             name = " ".join(m.group(0).rstrip("{").split())
@@ -1668,66 +1709,202 @@ def _ml_doc_above(lines: list[str], start: int) -> str | None:
     return " ".join(x for x in reversed(doc) if x).strip() or None
 
 
+_HS_SKIP_KW = frozenset(
+    "import module infix infixl infixr foreign where deriving".split())
+
+
 def _parse_haskell(path: str, content: str) -> list[tuple]:
+    """Fixture-pinned Haskell shapes (test_haskell.rs, all 10 tests):
+    type signatures (`name :: …`) are SKIPPED — a Function unit is one
+    equation clause (signature = the clause line) plus its indented
+    continuation lines (guards, where blocks); `data`/`type`/`class`
+    blocks coalesce into RawCode (embed text = the code verbatim);
+    `newtype` is a Class; `instance` bodies surface their indented
+    equations as Function units while the header stays RawCode. The
+    reference extracts neither parameters nor calls for Haskell."""
     lines = (content or "").splitlines()
-    decl_res = [_HS_SIG_RE, _HS_TYPE_RE, _HS_EQ_RE,
-                re.compile(r"^(?:import|module|instance|infix)")]
     units: list[tuple] = []
-    seen: set[str] = set()
+    raw: list[tuple[int, str]] = []  # pending (lineno, line) RawCode run
+    raw_name: str | None = None
+
+    def cont_end(i: int) -> int:
+        """1-based end line: the opener plus its indented continuations."""
+        last = i + 1
+        j = i + 1
+        while j < len(lines):
+            s = lines[j]
+            if s and not s[0].isspace():
+                break
+            if s.strip():
+                last = j + 1
+            j += 1
+        return last
+
+    def flush_raw() -> None:
+        nonlocal raw, raw_name
+        if raw:
+            units.append((
+                path, raw_name or "code", raw_name or "code", "RawCode",
+                raw[0][0], raw[-1][0], None, None, [], None, [],
+                "\n".join(x[1] for x in raw), "haskell",
+            ))
+        raw, raw_name = [], None
+
     i = 0
     while i < len(lines):
         lineno = i + 1
         line = lines[i]
-        m = _HS_TYPE_RE.match(line)
+        if not line.strip() or line[0].isspace():
+            i += 1
+            continue
+        first_word = line.split()[0]
+        if first_word in _HS_SKIP_KW or _HS_SIG_RE.match(line):
+            flush_raw()
+            i += 1
+            continue
+        m = re.match(r"^newtype\s+([A-Z][A-Za-z0-9_']*)", line)
         if m:
-            end = _toplevel_end(lines, lineno, decl_res)
+            flush_raw()
+            end = cont_end(i)
             units.append((
                 path, m.group(1), m.group(1), "Class", lineno, end,
-                line.strip(), _doc_above(lines, lineno, "dash"), [], None,
-                [], "\n".join(lines[lineno - 1:end]), "haskell",
+                line.strip(), None, [], None, [],
+                "\n".join(lines[i:end]), "haskell",
             ))
             i = end
             continue
-        m = _HS_SIG_RE.match(line)
-        if m and m.group(1) not in seen:
-            name = m.group(1)
-            seen.add(name)
-            # unit = the signature plus all its equations (contiguous
-            # non-top-level-decl lines and same-name equations)
-            end = lineno
-            j = i + 1
-            while j < len(lines):
+        if re.match(r"^(?:data|type|class)\b", line):
+            end = cont_end(i)
+            if raw_name is None:
+                m2 = re.match(
+                    r"^(?:data|type|class)\s+"
+                    r"(?:[A-Z][\w']*(?:\s+[a-z][\w']*)*\s*=>\s*)?"
+                    r"([A-Z][A-Za-z0-9_']*)", line)
+                raw_name = m2.group(1) if m2 else first_word
+            for j in range(i, end):
+                raw.append((j + 1, lines[j]))
+            i = end
+            continue
+        if first_word == "instance":
+            flush_raw()
+            end = cont_end(i)
+            header = [lines[i]]
+            for j in range(i + 1, end):
                 s = lines[j]
-                if s and not s[0].isspace():
-                    eq = _HS_EQ_RE.match(s)
-                    if not (eq and (eq.group(1) or eq.group(2)) == name):
-                        break
-                if s.strip():
-                    end = j + 1
-                j += 1
-            body = "\n".join(lines[lineno - 1:end])
-            # params from the first equation: tokens between name and =
-            params: list[str] = []
-            for ln in lines[i:end]:
-                eq = re.match(rf"^{re.escape(name)}((?:\s+[\w']+)*)\s*=", ln)
+                eq = re.match(r"^\s+([a-z_][A-Za-z0-9_']*)\b.*=", s)
                 if eq:
-                    params = eq.group(1).split()
-                    break
+                    units.append((
+                        path, eq.group(1), eq.group(1), "Function",
+                        j + 1, j + 1, s.strip(), None, [], None, [],
+                        s, "haskell",
+                    ))
+                else:
+                    header.append(s)
+            name = re.sub(r"^instance\s+|\s+where\s*$", "",
+                          lines[i].strip()) or "instance"
             units.append((
-                path, name, name, "Function", lineno, end, line.strip(),
-                _doc_above(lines, lineno, "dash"), params, None,
-                _calls_in(body, name), body, "haskell",
+                path, name, name, "RawCode", lineno, lineno, None, None,
+                [], None, [], "\n".join(header).rstrip(), "haskell",
             ))
             i = end
             continue
+        m = re.match(r"^([a-z_][A-Za-z0-9_']*)\b", line)
+        if m:
+            # one equation clause per unit: the clause line plus indented
+            # continuations; the next column-0 line (even a same-name
+            # clause) starts a new unit
+            flush_raw()
+            end = cont_end(i)
+            units.append((
+                path, m.group(1), m.group(1), "Function", lineno, end,
+                line.strip(), None, [], None, [],
+                "\n".join(lines[i:end]), "haskell",
+            ))
+            i = end
+            continue
+        flush_raw()
         i += 1
+    flush_raw()
     return units
 
 
+_ML_LET_LINE_RE = re.compile(
+    r"^(let\s+(?:rec\s+)?|and\s+)([a-z_][A-Za-z0-9_']*)(.*)$")
+_ML_KEYWORDS = frozenset(
+    "let rec in if then else match with function fun and not when as of "
+    "begin end do done while for to downto true false open module type "
+    "struct sig val mutable raise try new assert lazy".split())
+
+
+def _ml_params(rest: str) -> list[str]:
+    """Parameters from the text between a let-binding's name and its first
+    depth-0 `=`: parenthesized typed patterns keep the inner name
+    (`(a : int)` → a), bare lowercase tokens are names, a depth-0 `:`
+    starts the return-type annotation (dropped) — test_ocaml.rs shapes."""
+    seg, depth = "", 0
+    for ch in rest:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        elif ch == "=" and depth == 0:
+            break
+        seg += ch
+    out = [m.group(1) for m in re.finditer(r"\(\s*([a-z_][\w']*)\s*:", seg)]
+    bare = re.sub(r"\([^)]*\)", " ", seg).split(":")[0]
+    out += [t for t in bare.split()
+            if re.fullmatch(r"[a-z_][\w']*", t) and t not in _ML_KEYWORDS]
+    return out
+
+
+def _calls_in_ml(body: str) -> list[str]:
+    """OCaml applications are juxtaposition — an identifier (optionally
+    module-qualified, `Printf.printf`) followed by an argument-looking
+    token is a call; the declaration head before the first `=` never is.
+    Self-calls are kept (test_ocaml.rs::test_recursive_function asserts
+    `Calls: factorial`)."""
+    out: set[str] = set()
+    for idx, ln in enumerate((body or "").splitlines()):
+        s = re.sub(r'"(?:\\.|[^"\\])*"', '""', ln)
+        s = re.sub(r"\(\*.*?\*\)", " ", s)
+        if idx == 0:
+            p = s.find("=")
+            s = s[p + 1:] if p >= 0 else ""
+        for m in re.finditer(
+                r"\b(?:[A-Z][\w']*\.)?([a-z_][\w']*)\s+(?=[\w(\"'])", s):
+            name = m.group(1)
+            if name not in _ML_KEYWORDS:
+                out.add(name)
+    return sorted(out)
+
+
 def _parse_ocaml(path: str, content: str) -> list[tuple]:
+    """Fixture-pinned OCaml shapes (test_ocaml.rs, all 12 tests):
+    top-level `let`/`and` bindings are Functions (params via _ml_params;
+    `= function` bodies are parameterless Functions), `(** … *)` docs
+    attach, calls come from juxtaposed application (_calls_in_ml, incl.
+    self- and qualified calls), mutually-recursive `and` clauses split
+    into separate units, and `module … = struct` extracts its indented
+    lets as Functions with their indentation preserved."""
     lines = (content or "").splitlines()
-    decl_res = [_ML_LET_RE, _ML_TYPE_RE, re.compile(r"^(?:open|exception)")]
+    decl_res = [_ML_LET_LINE_RE, _ML_TYPE_RE,
+                re.compile(r"^(?:open|exception|and\b)")]
     units: list[tuple] = []
+
+    def emit_let(i: int, end: int, raw_name: str, rest: str,
+                 sig_line: str) -> None:
+        lineno = i + 1
+        body = "\n".join(lines[i:end])
+        params = _ml_params(rest)
+        rhs = rest.split("=", 1)[1].lstrip() if "=" in rest else ""
+        is_fn = bool(params) or rhs.startswith(("function", "fun ", "fun("))
+        units.append((
+            path, raw_name, raw_name, "Function" if is_fn else "Constant",
+            lineno, end, sig_line.strip(),
+            _ml_doc_above(lines, lineno), params, None,
+            _calls_in_ml(body), body, "ocaml",
+        ))
+
     i = 0
     while i < len(lines):
         lineno = i + 1
@@ -1740,21 +1917,46 @@ def _parse_ocaml(path: str, content: str) -> list[tuple]:
                 line.strip(), _ml_doc_above(lines, lineno), [], None, [],
                 "\n".join(lines[lineno - 1:end]), "ocaml",
             ))
+            # module body: indented lets are units of their own, code
+            # keeping the struct indentation (test_module_definition)
+            if re.search(r"=\s*struct\s*$", line.rstrip()):
+                j = i + 1
+                while j < end:
+                    mm = re.match(
+                        r"^(\s+)let\s+(?:rec\s+)?([a-z_][\w']*)(.*)$",
+                        lines[j])
+                    if mm:
+                        k = j + 1
+                        while k < end and not re.match(
+                                r"^\s*(?:let\b|end\b)", lines[k]) \
+                                and lines[k].strip():
+                            k += 1
+                        # trim trailing blanks
+                        kk = k
+                        while kk > j + 1 and not lines[kk - 1].strip():
+                            kk -= 1
+                        # code slice keeps indentation
+                        body = "\n".join(lines[j:kk])
+                        params = _ml_params(mm.group(3))
+                        rhs = (mm.group(3).split("=", 1)[1].lstrip()
+                               if "=" in mm.group(3) else "")
+                        is_fn = bool(params) or rhs.startswith(
+                            ("function", "fun ", "fun("))
+                        units.append((
+                            path, mm.group(2), mm.group(2),
+                            "Function" if is_fn else "Constant",
+                            j + 1, kk, lines[j].strip(), None, params,
+                            None, _calls_in_ml(body), body, "ocaml",
+                        ))
+                        j = k
+                        continue
+                    j += 1
             i = end
             continue
-        m = _ML_LET_RE.match(line)
+        m = _ML_LET_LINE_RE.match(line)
         if m:
-            name = m.group(1)
-            args = (m.group(2) or "").split()
             end = _toplevel_end(lines, lineno, decl_res)
-            body = "\n".join(lines[lineno - 1:end])
-            unit_type = "Function" if args else "Constant"
-            units.append((
-                path, name, name, unit_type, lineno, end, line.strip(),
-                _ml_doc_above(lines, lineno),
-                [a for a in args if a not in ("()",)], None,
-                _calls_in(body, name), body, "ocaml",
-            ))
+            emit_let(i, end, m.group(2), m.group(3), line)
             i = end
             continue
         i += 1
@@ -1765,27 +1967,131 @@ _SCRIPT_OPEN_RE = re.compile(r"<script[^>]*>", re.IGNORECASE)
 _SCRIPT_CLOSE_RE = re.compile(r"</script>", re.IGNORECASE)
 
 
+_TEMPLATE_OPEN_RE = re.compile(r"<template[^>]*>", re.IGNORECASE)
+_TEMPLATE_CLOSE_RE = re.compile(r"</template>", re.IGNORECASE)
+_SFC_DECL_RE = re.compile(
+    r"^\s*(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)")
+
+
 def _parse_embedded_script(path: str, content: str, lang: str) -> list[tuple]:
-    """Vue/Svelte SFCs: extract the <script> block, parse it with the JS
-    scanner at the correct line offsets, and relabel the language — the
-    reference routes both through its javascript grammar
-    (test_{vue,svelte}.rs)."""
+    """Vue/Svelte SFCs (and HTML): extract the <script> block, parse it
+    with the JS/TS scanner at the correct line offsets, and relabel the
+    language — the reference routes both through its javascript grammar.
+
+    Fixture-pinned SFC shapes (test_{vue,svelte}.rs): object-literal
+    methods (``data() {`` inside the options object) are Function units;
+    every ``const``/``let``/``export let`` declaration line — top-level or
+    nested — is a Constant unit whose code is the RAW line (embed text =
+    the line verbatim); markup outside the script becomes a RawCode unit
+    (Vue: the <template> inner lines without the tags; Svelte: the bare
+    markup region including its tags)."""
     lines = (content or "").splitlines()
     out: list[tuple] = []
+    sfc = lang in ("vue", "svelte")
+    script_spans: list[tuple[int, int]] = []  # 0-based (open_tag, close_tag)
     i = 0
     while i < len(lines):
         if _SCRIPT_OPEN_RE.search(lines[i]):
             j = i + 1
             while j < len(lines) and not _SCRIPT_CLOSE_RE.search(lines[j]):
                 j += 1
-            block = "\n".join(lines[i + 1:j])
-            for t in _parse_js(path, block):
-                # shift line/end_line by the block offset; swap language
+            script_spans.append((i, j))
+            block_lines = lines[i + 1:j]
+            block = "\n".join(block_lines)
+            parsed = (_parse_ts if sfc else _parse_js)(path, block)
+            if sfc:
+                # SCREAMING_CASE constants re-emitted below with raw-line
+                # code (the SFC fixtures pin the unstripped line)
+                parsed = [t for t in parsed if t[3] != "Constant"]
+            spans = [(t[4], t[5]) for t in parsed]
+            starts = {t[4] for t in parsed}
+            for t in parsed:
                 out.append(t[:4] + (t[4] + i + 1, t[5] + i + 1) + t[6:12]
                            + (lang,))
+            if sfc:
+                for li, bl in enumerate(block_lines):
+                    local = li + 1
+                    # object-literal methods outside any extracted unit
+                    if not any(a <= local <= b for a, b in spans):
+                        mm = _JS_METHOD_RE.match(bl)
+                        if mm and mm.group(1) not in _JS_KEYWORD_NOT_METHOD:
+                            end = _brace_end(block_lines, local)
+                            body = "\n".join(block_lines[li:end])
+                            # TS generic calls (`ref<User>(…)`) still count
+                            calls_src = re.sub(
+                                r"<[A-Za-z_$][\w$,.\s<>\[\]]*>\(", "(", body)
+                            out.append((
+                                path, mm.group(1), mm.group(1), "Function",
+                                local + i + 1, end + i + 1, bl.strip(),
+                                _doc_above(block_lines, local, "js"),
+                                _params_js(bl), None,
+                                _calls_in(calls_src, mm.group(1)), body,
+                                lang,
+                            ))
+                            spans.append((local, end))
+                            continue
+                    # declaration lines → Constant units with the RAW line,
+                    # nested ones included (test_vue.rs script_with_typescript
+                    # pins the const inside setup())
+                    md = _SFC_DECL_RE.match(bl)
+                    if md and "=" in bl and local not in starts \
+                            and not _JS_ARROW_RE.match(bl) \
+                            and not _JS_FNEXPR_RE.match(bl) \
+                            and not _TS_ARROW_RE.match(bl):
+                        out.append((
+                            path, md.group(1), md.group(1), "Constant",
+                            local + i + 1, local + i + 1, None, None, [],
+                            None, [], bl, lang,
+                        ))
             i = j + 1
             continue
         i += 1
+    if sfc and lang == "vue":
+        # <template> inner lines (tags excluded), one RawCode unit
+        for i, ln in enumerate(lines):
+            if _TEMPLATE_OPEN_RE.search(ln):
+                j = i + 1
+                while j < len(lines) and not _TEMPLATE_CLOSE_RE.search(lines[j]):
+                    j += 1
+                inner = lines[i + 1:j]
+                while inner and not inner[0].strip():
+                    inner.pop(0)
+                while inner and not inner[-1].strip():
+                    inner.pop()
+                if inner:
+                    out.append((
+                        path, "template", "template", "RawCode", i + 2,
+                        i + 1 + len(inner), None, None, [], None, [],
+                        "\n".join(inner), lang,
+                    ))
+                break
+    elif sfc:
+        # svelte: bare markup regions outside the script, tags included
+        in_script = set()
+        for a, b in script_spans:
+            in_script.update(range(a, b + 1))
+        region: list[tuple[int, str]] = []
+
+        def flush_region():
+            nonlocal region
+            while region and not region[0][1].strip():
+                region.pop(0)
+            while region and not region[-1][1].strip():
+                region.pop()
+            if region:
+                out.append((
+                    path, "markup", "markup", "RawCode", region[0][0] + 1,
+                    region[-1][0] + 1, None, None, [], None, [],
+                    "\n".join(r[1] for r in region), lang,
+                ))
+            region = []
+
+        for k, ln in enumerate(lines):
+            if k in in_script:
+                flush_region()
+            else:
+                region.append((k, ln))
+        flush_region()
     return out
 
 
@@ -1887,6 +2193,8 @@ def _parse_r(path: str, content: str) -> list[tuple]:
 # signals are Methods of the enclosing object; properties are Constants)
 _QML_COMPONENT_RE = re.compile(r"^\s*component\s+([A-Z]\w*)\s*:\s*([A-Z]\w*)\s*\{")
 _QML_OBJ_RE = re.compile(r"^\s*([A-Z][\w.]*)\s*\{\s*$")
+_QML_GROUP_RE = re.compile(r"^\s*([a-z]\w*)\s*\{\s*$")
+_QML_HANDLER_RE = re.compile(r"^\s*(on[A-Z]\w*)\s*:\s*\{")
 _QML_FN_RE = re.compile(r"^\s*function\s+([A-Za-z_]\w*)\s*\(([^)]*)\)")
 _QML_SIGNAL_RE = re.compile(r"^\s*signal\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?")
 _QML_PROP_RE = re.compile(
@@ -1908,30 +2216,53 @@ def _parse_qml(path: str, content: str) -> list[tuple]:
         code = _strip_code_line(line)
         mc = _QML_COMPONENT_RE.match(line)
         mo = None if mc else _QML_OBJ_RE.match(line)
-        if mc or mo:
-            name = (mc or mo).group(1)
-            # roots and inline components are units; plain nested objects
-            # are context only (test_qml.rs: no duplicate component object)
-            is_unit = mc is not None or not ctx
-            if is_unit:
-                end = _brace_end(lines, lineno)
-                parent = next(
-                    (c[0] for c in reversed(ctx) if c[2]), None
-                )
-                units.append((
-                    path, name,
-                    f"{parent}.{name}" if parent else name, "Class",
-                    lineno, end, line.strip(),
-                    _doc_above(lines, lineno, "js")
-                    or _doc_above(lines, lineno, "line"),
-                    [], parent, [],
-                    "\n".join(lines[lineno - 1:end]), "qml",
-                ))
-            ctx.append((name, depth, is_unit))
+        mg = None
+        if not (mc or mo) and ctx:
+            # grouped-binding notation (`icon { … }` inside an object) is
+            # a nested object too (test_qml.rs::
+            # test_extract_grouped_binding_notation_as_nested_object)
+            mg = _QML_GROUP_RE.match(line)
+            if mg and mg.group(1) in ("else", "try", "do", "finally"):
+                mg = None
+        if mc or mo or mg:
+            name = (mc or mo or mg).group(1)
+            # every object node is a unit — roots, nested objects, inline
+            # components, grouped bindings (test_qml.rs asserts nested
+            # PwObjectTracker and grouped `icon` as Class units); only the
+            # component's base TYPE (`: Rectangle`) never duplicates
+            end = _brace_end(lines, lineno)
+            parent = next(
+                (c[0] for c in reversed(ctx) if c[2]), None
+            )
+            units.append((
+                path, name,
+                f"{parent}.{name}" if parent else name, "Class",
+                lineno, end, line.strip(),
+                _doc_above(lines, lineno, "js")
+                or _doc_above(lines, lineno, "line"),
+                [], parent, [],
+                "\n".join(lines[lineno - 1:end]), "qml",
+            ))
+            ctx.append((name, depth, True))
             depth += 1
             i += 1
             continue
         owner = next((c[0] for c in reversed(ctx) if c[2]), None)
+        m = _QML_HANDLER_RE.match(line)
+        if m and owner:
+            # handler bindings (`onTriggered: { … }`) are Methods of the
+            # enclosing object (test_qml.rs::
+            # test_extract_handler_binding_as_method)
+            end = _brace_end(lines, lineno) if "{" in code else lineno
+            body = "\n".join(lines[lineno - 1:end])
+            units.append((
+                path, m.group(1), f"{owner}.{m.group(1)}", "Method",
+                lineno, end, line.strip(),
+                _doc_above(lines, lineno, "line"), [], owner,
+                _calls_in(body, m.group(1)), body, "qml",
+            ))
+            i = end if end > lineno else i + 1
+            continue
         m = _QML_FN_RE.match(line)
         if m and owner:
             end = _brace_end(lines, lineno) if "{" in code else lineno
@@ -2313,6 +2644,10 @@ def _parse_one(path: str, content: str) -> list[tuple]:
             units = parser(path, content)
             if units:
                 return _finalize(units, content, lang)
+            if not (content or "").strip():
+                # empty source yields no units, not an empty RawCode blob
+                # (test_css.rs::test_empty_file_doesnt_panic)
+                return []
             lines = (content or "").count("\n") + 1
             return _finalize(
                 [(path, path.rsplit("/", 1)[-1], path, "RawCode", 1, lines,

@@ -820,3 +820,966 @@ def greet(name: String): String = {
 
 def test_scala_basic_function(spark):
     assert _embed(spark, "test.scala", SCALA_BASIC)["greet"] == SCALA_BASIC_EXPECTED
+
+
+# =============================================================================
+# r10 additions: the 7 remaining legitimate reference fixture files, ported
+# verbatim — test_{css,haskell,ocaml,qml,sql,svelte,vue}.rs. Where the
+# reference pins an exact embed string it is copied unchanged; where it
+# asserts structure (contains / counts / field values) the same assertions
+# are ported. `_rows`/`_first` mirror common.rs::get_unit_by_name (FIRST
+# unit with the name — multi-clause Haskell functions emit one unit per
+# clause).
+# =============================================================================
+
+
+def _rows(spark, path: str, source: str):
+    files = spark.createDataFrame([(path, source)],
+                                  "path string, content string")
+    return sorted(build_embedding_text(parse_code_units(files)).collect(),
+                  key=lambda r: (r.line, r.name))
+
+
+def _first(rows, name: str):
+    return next(r for r in rows if r.name == name)
+
+
+def _first_embed(spark, path: str, source: str) -> dict[str, str]:
+    have: dict[str, str] = {}
+    for r in _rows(spark, path, source):
+        have.setdefault(r.name, r.embed_text)
+    return have
+
+
+# -- Haskell (test_haskell.rs, all 10 tests) ----------------------------------
+
+def test_haskell_basic_function(spark):
+    src = 'greet :: String -> String\ngreet name = "Hello, " ++ name ++ "!"\n'
+    expected = '''Function: greet
+Signature: greet name = "Hello, " ++ name ++ "!"
+File: test test.hs
+Code:
+greet name = "Hello, " ++ name ++ "!"'''
+    assert _first_embed(spark, "test.hs", src)["greet"] == expected
+
+
+def test_haskell_function_with_haddock(spark):
+    # the haddock comment is NOT a Description in the reference's output
+    src = '-- | Calculates the sum of two numbers.\nadd :: Int -> Int -> Int\nadd a b = a + b\n'
+    expected = '''Function: add
+Signature: add a b = a + b
+File: test test.hs
+Code:
+add a b = a + b'''
+    assert _first_embed(spark, "test.hs", src)["add"] == expected
+
+
+def test_haskell_data_type(spark):
+    src = 'data Person = Person { name :: String, age :: Int }\n'
+    rows = _rows(spark, "test.hs", src)
+    assert len(rows) == 1
+    assert rows[0].embed_text == 'data Person = Person { name :: String, age :: Int }'
+
+
+def test_haskell_type_class(spark):
+    src = ('class Eq a => Ord a where\n  compare :: a -> a -> Ordering\n'
+           '  (<) :: a -> a -> Bool\n  (>) :: a -> a -> Bool\n')
+    rows = _rows(spark, "test.hs", src)
+    assert len(rows) == 1
+    assert rows[0].embed_text == ('class Eq a => Ord a where\n'
+                                  '  compare :: a -> a -> Ordering\n'
+                                  '  (<) :: a -> a -> Bool\n'
+                                  '  (>) :: a -> a -> Bool')
+
+
+def test_haskell_function_with_guards(spark):
+    src = 'abs :: Int -> Int\nabs x\n  | x >= 0    = x\n  | otherwise = -x\n'
+    expected = '''Function: abs
+Signature: abs x
+File: test test.hs
+Code:
+abs x
+  | x >= 0    = x
+  | otherwise = -x'''
+    assert _first_embed(spark, "test.hs", src)["abs"] == expected
+
+
+def test_haskell_newtype(spark):
+    src = 'newtype UserId = UserId Int\n'
+    expected = '''Class: UserId
+Signature: newtype UserId = UserId Int
+File: test test.hs
+Code:
+newtype UserId = UserId Int'''
+    assert _first_embed(spark, "test.hs", src)["UserId"] == expected
+
+
+def test_haskell_function_with_pattern_matching(spark):
+    # one unit per clause; the first carries the first equation only
+    src = 'length :: [a] -> Int\nlength [] = 0\nlength (_:xs) = 1 + length xs\n'
+    expected = '''Function: length
+Signature: length [] = 0
+File: test test.hs
+Code:
+length [] = 0'''
+    assert _first_embed(spark, "test.hs", src)["length"] == expected
+
+
+def test_haskell_where_clause(spark):
+    src = ('quadratic :: Double -> Double -> Double -> Double -> Double\n'
+           'quadratic a b c x = a*x^2 + b*x + c\n  where\n    square y = y * y\n')
+    expected = '''Function: quadratic
+Signature: quadratic a b c x = a*x^2 + b*x + c
+File: test test.hs
+Code:
+quadratic a b c x = a*x^2 + b*x + c
+  where
+    square y = y * y'''
+    assert _first_embed(spark, "test.hs", src)["quadratic"] == expected
+
+
+def test_haskell_instance_declaration(spark):
+    src = ('instance Show Person where\n'
+           '  show (Person name age) = name ++ " (" ++ show age ++ ")"\n')
+    rows = _rows(spark, "test.hs", src)
+    assert len(rows) == 2
+    texts = [r.embed_text for r in rows]
+    assert '''Function: show
+Signature: show (Person name age) = name ++ " (" ++ show age ++ ")"
+File: test test.hs
+Code:
+  show (Person name age) = name ++ " (" ++ show age ++ ")"''' in texts
+    assert 'instance Show Person where' in texts
+
+
+def test_haskell_type_alias(spark):
+    src = 'type Name = String\ntype Age = Int\ntype Person = (Name, Age)\n'
+    rows = _rows(spark, "test.hs", src)
+    assert len(rows) == 1
+    assert rows[0].embed_text == ('type Name = String\ntype Age = Int\n'
+                                  'type Person = (Name, Age)')
+
+
+def test_haskell_higher_order_function(spark):
+    src = 'map :: (a -> b) -> [a] -> [b]\nmap _ [] = []\nmap f (x:xs) = f x : map f xs\n'
+    expected = '''Function: map
+Signature: map _ [] = []
+File: test test.hs
+Code:
+map _ [] = []'''
+    assert _first_embed(spark, "test.hs", src)["map"] == expected
+
+
+# -- OCaml (test_ocaml.rs, all 12 tests) --------------------------------------
+
+def test_ocaml_basic_function(spark):
+    src = 'let greet name =\n  "Hello, " ^ name ^ "!"\n'
+    expected = '''Function: greet
+Signature: let greet name =
+Parameters: name
+File: test test.ml
+Code:
+let greet name =
+  "Hello, " ^ name ^ "!"'''
+    assert _first_embed(spark, "test.ml", src)["greet"] == expected
+
+
+def test_ocaml_function_with_ocamldoc(spark):
+    src = '(** Calculates the sum of two numbers. *)\nlet add a b = a + b\n'
+    expected = '''Function: add
+Signature: let add a b = a + b
+Description: Calculates the sum of two numbers.
+Parameters: a, b
+File: test test.ml
+Code:
+let add a b = a + b'''
+    assert _first_embed(spark, "test.ml", src)["add"] == expected
+
+
+def test_ocaml_recursive_function(spark):
+    src = 'let rec factorial n =\n  if n <= 1 then 1\n  else n * factorial (n - 1)\n'
+    expected = '''Function: factorial
+Signature: let rec factorial n =
+Parameters: n
+Calls: factorial
+File: test test.ml
+Code:
+let rec factorial n =
+  if n <= 1 then 1
+  else n * factorial (n - 1)'''
+    assert _first_embed(spark, "test.ml", src)["factorial"] == expected
+
+
+def test_ocaml_type_definition_no_panic(spark):
+    _rows(spark, "test.ml", 'type person = { name: string; age: int }\n')
+
+
+def test_ocaml_module_definition(spark):
+    src = 'module Utils = struct\n  let helper x = x * 2\n  let another y = y + 1\nend\n'
+    have = _first_embed(spark, "test.ml", src)
+    assert have["helper"] == '''Function: helper
+Signature: let helper x = x * 2
+Parameters: x
+File: test test.ml
+Code:
+  let helper x = x * 2'''
+    assert have["another"] == '''Function: another
+Signature: let another y = y + 1
+Parameters: y
+File: test test.ml
+Code:
+  let another y = y + 1'''
+
+
+def test_ocaml_function_with_type_annotation(spark):
+    src = 'let add (a : int) (b : int) : int = a + b\n'
+    expected = '''Function: add
+Signature: let add (a : int) (b : int) : int = a + b
+Parameters: a, b
+File: test test.ml
+Code:
+let add (a : int) (b : int) : int = a + b'''
+    assert _first_embed(spark, "test.ml", src)["add"] == expected
+
+
+def test_ocaml_pattern_matching(spark):
+    src = 'let rec length = function\n  | [] -> 0\n  | _ :: xs -> 1 + length xs\n'
+    expected = '''Function: length
+Signature: let rec length = function
+Calls: length
+File: test test.ml
+Code:
+let rec length = function
+  | [] -> 0
+  | _ :: xs -> 1 + length xs'''
+    assert _first_embed(spark, "test.ml", src)["length"] == expected
+
+
+def test_ocaml_variant_type_no_panic(spark):
+    _rows(spark, "test.ml",
+          'type color =\n  | Red\n  | Green\n  | Blue\n  | RGB of int * int * int\n')
+
+
+def test_ocaml_functor(spark):
+    src = ('module type COMPARABLE = sig\n  type t\n  val compare : t -> t -> int\nend\n'
+           '\nmodule MakeSet (Ord : COMPARABLE) = struct\n  type t = Ord.t list\n'
+           '  let empty = []\n  let add x s = x :: s\nend\n')
+    assert _rows(spark, "test.ml", src)
+
+
+def test_ocaml_let_binding_with_match(spark):
+    src = 'let first_or_default default = function\n  | [] -> default\n  | x :: _ -> x\n'
+    expected = '''Function: first_or_default
+Signature: let first_or_default default = function
+Parameters: default
+File: test test.ml
+Code:
+let first_or_default default = function
+  | [] -> default
+  | x :: _ -> x'''
+    assert _first_embed(spark, "test.ml", src)["first_or_default"] == expected
+
+
+def test_ocaml_mutual_recursion(spark):
+    src = ('let rec even n =\n  if n = 0 then true else odd (n - 1)\n'
+           'and odd n =\n  if n = 0 then false else even (n - 1)\n')
+    have = _first_embed(spark, "test.ml", src)
+    assert have["even"] == '''Function: even
+Signature: let rec even n =
+Parameters: n
+Calls: odd
+File: test test.ml
+Code:
+let rec even n =
+  if n = 0 then true else odd (n - 1)'''
+    assert have["odd"] == '''Function: odd
+Signature: and odd n =
+Parameters: n
+Calls: even
+File: test test.ml
+Code:
+and odd n =
+  if n = 0 then false else even (n - 1)'''
+
+
+def test_ocaml_function_with_imports(spark):
+    src = 'open Printf\n\nlet greet name =\n  Printf.printf "Hello, %s!\\n" name\n'
+    expected = '''Function: greet
+Signature: let greet name =
+Parameters: name
+Calls: printf
+Uses: Printf
+File: test test.ml
+Code:
+let greet name =
+  Printf.printf "Hello, %s!\\n" name'''
+    assert _first_embed(spark, "test.ml", src)["greet"] == expected
+
+
+# -- SQL (test_sql.rs, all 10 tests) ------------------------------------------
+
+def test_sql_create_table(spark):
+    src = ('CREATE TABLE users (\n    id INT PRIMARY KEY,\n'
+           '    name VARCHAR(255),\n    email VARCHAR(255)\n);\n')
+    rows = _rows(spark, "test.sql", src)
+    assert rows
+    assert rows[0].embed_text == ('CREATE TABLE users (\n    id INT PRIMARY KEY,\n'
+                                  '    name VARCHAR(255),\n    email VARCHAR(255)\n);')
+
+
+def test_sql_create_table_with_comment(spark):
+    src = ('-- User information table\nCREATE TABLE users (\n'
+           '    id INT PRIMARY KEY,\n    name VARCHAR(255)\n);\n')
+    rows = _rows(spark, "test.sql", src)
+    assert rows
+    assert rows[0].embed_text == ('-- User information table\nCREATE TABLE users (\n'
+                                  '    id INT PRIMARY KEY,\n    name VARCHAR(255)\n);')
+
+
+def test_sql_select_query(spark):
+    assert _rows(spark, "test.sql",
+                 'SELECT id, name, email\nFROM users\nWHERE active = 1\nORDER BY name;\n')
+
+
+def test_sql_create_view(spark):
+    assert _rows(spark, "test.sql",
+                 '\nCREATE VIEW active_users AS\nSELECT id, name, email\n'
+                 'FROM users\nWHERE active = 1;\n')
+
+
+def test_sql_stored_procedure_style(spark):
+    assert _rows(spark, "test.sql",
+                 '\nCREATE FUNCTION get_user_count()\nRETURNS INT\nAS\nBEGIN\n'
+                 '    RETURN (SELECT COUNT(*) FROM users);\nEND;\n')
+
+
+def test_sql_insert_statement(spark):
+    assert _rows(spark, "test.sql",
+                 "\nINSERT INTO users (name, email)\nVALUES ('John', 'john@example.com');\n")
+
+
+def test_sql_update_statement(spark):
+    assert _rows(spark, "test.sql", '\nUPDATE users\nSET active = 1\nWHERE id = 1;\n')
+
+
+def test_sql_create_index(spark):
+    assert _rows(spark, "test.sql",
+                 '\nCREATE INDEX idx_users_email ON users(email);\n'
+                 'CREATE UNIQUE INDEX idx_users_name ON users(name);\n')
+
+
+def test_sql_complex_query_with_joins(spark):
+    assert _rows(spark, "test.sql", """
+SELECT u.name, o.total
+FROM users u
+INNER JOIN orders o ON u.id = o.user_id
+LEFT JOIN products p ON o.product_id = p.id
+WHERE o.created_at > '2024-01-01'
+GROUP BY u.name
+HAVING COUNT(*) > 5
+ORDER BY o.total DESC;
+""")
+
+
+def test_sql_trigger(spark):
+    assert _rows(spark, "test.sql",
+                 '\nCREATE TRIGGER update_timestamp\nBEFORE UPDATE ON users\n'
+                 'FOR EACH ROW\nBEGIN\n    SET NEW.updated_at = NOW();\nEND;\n')
+
+
+def test_sql_multiple_statements(spark):
+    assert _rows(spark, "test.sql", """
+CREATE TABLE orders (
+    id INT PRIMARY KEY,
+    user_id INT,
+    total DECIMAL(10,2)
+);
+
+CREATE TABLE products (
+    id INT PRIMARY KEY,
+    name VARCHAR(255),
+    price DECIMAL(10,2)
+);
+""")
+
+
+# -- CSS (test_css.rs, all 10 tests) ------------------------------------------
+
+def test_css_simple_rule_set(spark):
+    src = '.btn {\n    color: white;\n    background: blue;\n    padding: 8px 16px;\n}\n'
+    rows = _rows(spark, "test.css", src)
+    unit = _first(rows, ".btn")
+    assert unit.language == "css"
+    assert "color: white" in unit.code
+
+
+def test_css_complex_selector_preserved(spark):
+    src = 'div.card > .header:hover[data-active="true"] {\n    border: 1px solid red;\n}\n'
+    rows = _rows(spark, "test.css", src)
+    unit = next(r for r in rows if "card" in r.name and "header" in r.name)
+    assert "hover" in unit.name
+    assert "data-active" in unit.name
+
+
+def test_css_media_statement(spark):
+    src = '@media (max-width: 768px) {\n    .nav {\n        display: none;\n    }\n}\n'
+    rows = _rows(spark, "test.css", src)
+    media = next(r for r in rows if r.name.startswith("@media"))
+    assert "max-width" in media.name and "768px" in media.name
+    assert not media.name.startswith("@media @media")
+    assert ".nav" in media.code and "display: none" in media.code
+
+
+def test_css_keyframes(spark):
+    src = ('@keyframes spin {\n    from { transform: rotate(0deg); }\n'
+           '    to   { transform: rotate(360deg); }\n}\n')
+    kf = _first(_rows(spark, "test.css", src), "@keyframes spin")
+    assert "rotate(360deg)" in kf.code
+
+
+def test_css_supports_statement(spark):
+    src = '@supports (display: grid) {\n    .grid { display: grid; }\n}\n'
+    s = next(r for r in _rows(spark, "test.css", src)
+             if r.name.startswith("@supports"))
+    assert "display" in s.name and "grid" in s.name
+
+
+def test_css_at_import_and_charset_become_constants(spark):
+    src = ('@charset "UTF-8";\n@import url("base.css");\n'
+           '@namespace svg url("http://www.w3.org/2000/svg");\n\n'
+           'body {\n    margin: 0;\n}\n')
+    names = [r.name for r in _rows(spark, "test.css", src)]
+    for expected in ("@charset", "@import", "@namespace", "body"):
+        assert expected in names, names
+
+
+def test_css_multiple_rule_sets(spark):
+    src = '\n.a { color: red; }\n.b { color: green; }\n.c { color: blue; }\n'
+    names = [r.name for r in _rows(spark, "test.css", src)]
+    for sel in (".a", ".b", ".c"):
+        assert sel in names, names
+
+
+def test_css_variables(spark):
+    src = (':root {\n    --brand-color: #1e90ff;\n    --spacing-unit: 8px;\n}\n\n'
+           'button {\n    background: var(--brand-color);\n'
+           '    padding: var(--spacing-unit);\n}\n')
+    rows = _rows(spark, "test.css", src)
+    assert "--brand-color" in _first(rows, ":root").code
+    assert "var(--brand-color)" in _first(rows, "button").code
+
+
+def test_css_empty_file_no_units(spark):
+    assert _rows(spark, "empty.css", "") == []
+
+
+def test_css_invalid_no_panic(spark):
+    _rows(spark, "broken.css", "this is not css {{{ %%%")
+
+
+# -- QML (test_qml.rs, all 5 tests) -------------------------------------------
+
+def test_qml_root_object_properties_signal_and_function(spark):
+    src = '''import Quickshell
+
+PanelWindow {
+    id: root
+    required property var shell
+    readonly property int count: 0
+    signal toggled(next: bool)
+
+    function increment(step): void {
+        return step + 1;
+    }
+}'''
+    rows = _rows(spark, "test.qml", src)
+    root = _first(rows, "PanelWindow")
+    assert root.unit_type == "Class"
+    assert root.variables == ["root", "shell", "count"]
+    assert "Class: PanelWindow" in root.embed_text
+    assert "Code:\nPanelWindow {" in root.embed_text
+
+    increment = _first(rows, "increment")
+    assert increment.unit_type == "Method"
+    assert "Method: increment" in increment.embed_text
+    assert "Class: PanelWindow" in increment.embed_text
+
+    toggled = _first(rows, "toggled")
+    assert toggled.unit_type == "Method"
+    assert toggled.parameters == ["next: bool"]
+
+    shell = _first(rows, "shell")
+    assert shell.unit_type == "Constant"
+    assert shell.return_type == "var"
+
+
+def test_qml_inline_component_without_duplicate_object(spark):
+    src = '''import QtQuick
+
+Item {
+    component FancyChip: Rectangle {
+        property string label: "Hello"
+
+        function activate(): void {
+            console.log(label);
+        }
+    }
+}'''
+    rows = _rows(spark, "test.qml", src)
+    chip = _first(rows, "FancyChip")
+    assert chip.unit_type == "Class"
+    assert chip.extends == "Rectangle"
+    assert _first(rows, "activate").parent_class == "FancyChip"
+    assert sum(1 for r in rows if r.name == "Rectangle") == 0
+
+
+def test_qml_nested_objects(spark):
+    src = '''import Quickshell
+
+Singleton {
+    function toggleMute(): void {
+        sink.audio.muted = !sink.audio.muted;
+    }
+
+    PwObjectTracker {
+        objects: [Pipewire.defaultAudioSink]
+    }
+}'''
+    rows = _rows(spark, "test.qml", src)
+    assert _first(rows, "Singleton").unit_type == "Class"
+    tracker = _first(rows, "PwObjectTracker")
+    assert tracker.unit_type == "Class"
+    assert tracker.parent_class == "Singleton"
+    tm = _first(rows, "toggleMute")
+    assert tm.unit_type == "Method"
+    assert "Method: toggleMute" in tm.embed_text
+
+
+def test_qml_handler_binding_as_method(spark):
+    src = '''import Quickshell
+
+Timer {
+    onTriggered: {
+        root.syncPopout();
+    }
+}'''
+    rows = _rows(spark, "test.qml", src)
+    handler = _first(rows, "onTriggered")
+    assert handler.unit_type == "Method"
+    assert handler.parent_class == "Timer"
+    assert "Method: onTriggered" in handler.embed_text
+    assert "root.syncPopout()" in handler.embed_text
+
+
+def test_qml_grouped_binding_as_nested_object(spark):
+    src = '''import QtQuick
+
+Button {
+    icon {
+        source: "foo.png"
+        color: "transparent"
+    }
+}'''
+    rows = _rows(spark, "test.qml", src)
+    icon = _first(rows, "icon")
+    assert icon.unit_type == "Class"
+    assert icon.parent_class == "Button"
+    assert 'source: "foo.png"' in icon.code
+
+
+# -- Vue (test_vue.rs, all 9 tests) -------------------------------------------
+
+def test_vue_options_api_component(spark):
+    src = '''<script>
+export default {
+    name: 'MyComponent',
+    data() {
+        return { count: 0 }
+    },
+    methods: {
+        increment() {
+            this.count++
+        }
+    }
+}
+</script>
+
+<template>
+    <button @click="increment">{{ count }}</button>
+</template>
+'''
+    rows = _rows(spark, "test.vue", src)
+    assert len(rows) == 3
+    assert rows[0].embed_text == ("Function: data\nSignature: data() {\n"
+                                  "File: test test.vue\nCode:\n    data() {\n"
+                                  "        return { count: 0 }\n    },")
+    assert rows[1].embed_text == ("Function: increment\nSignature: increment() {\n"
+                                  "File: test test.vue\nCode:\n        increment() {\n"
+                                  "            this.count++\n        }")
+    assert rows[2].embed_text == '    <button @click="increment">{{ count }}</button>'
+
+
+def test_vue_composition_api_setup(spark):
+    src = '''<script setup>
+import { ref } from 'vue'
+
+const count = ref(0)
+
+function increment() {
+    count.value++
+}
+</script>
+
+<template>
+    <button @click="increment">{{ count }}</button>
+</template>
+'''
+    rows = _rows(spark, "test.vue", src)
+    assert len(rows) == 3
+    assert rows[0].embed_text == "const count = ref(0)"
+    assert rows[1].embed_text == ("Function: increment\nSignature: function increment() {\n"
+                                  "File: test test.vue\nCode:\nfunction increment() {\n"
+                                  "    count.value++\n}")
+    assert rows[2].embed_text == '    <button @click="increment">{{ count }}</button>'
+
+
+def test_vue_script_with_typescript(spark):
+    src = '''<script lang="ts">
+import { defineComponent, ref } from 'vue'
+
+interface User {
+    name: string
+    age: number
+}
+
+export default defineComponent({
+    setup() {
+        const user = ref<User>({ name: 'John', age: 30 })
+        return { user }
+    }
+})
+</script>
+'''
+    rows = _rows(spark, "test.vue", src)
+    assert len(rows) == 3
+    assert rows[0].embed_text == ("Class: User\nSignature: interface User {\n"
+                                  "File: test test.vue\nCode:\ninterface User {\n"
+                                  "    name: string\n    age: number\n}")
+    assert rows[1].embed_text == ("Function: setup\nSignature: setup() {\nCalls: ref\n"
+                                  "Variables: const, user\nFile: test test.vue\nCode:\n"
+                                  "    setup() {\n        const user = ref<User>"
+                                  "({ name: 'John', age: 30 })\n        return { user }\n    }")
+    assert rows[2].embed_text == "        const user = ref<User>({ name: 'John', age: 30 })"
+
+
+def test_vue_computed_properties(spark):
+    assert _rows(spark, "test.vue", '''
+<script>
+export default {
+    data() {
+        return {
+            firstName: 'John',
+            lastName: 'Doe'
+        }
+    },
+    computed: {
+        fullName() {
+            return `${this.firstName} ${this.lastName}`
+        }
+    }
+}
+</script>
+''')
+
+
+def test_vue_lifecycle_hooks(spark):
+    assert _rows(spark, "test.vue", '''
+<script>
+export default {
+    mounted() {
+        console.log('Component mounted')
+    },
+    beforeUnmount() {
+        console.log('Component will unmount')
+    }
+}
+</script>
+''')
+
+
+def test_vue_props_definition(spark):
+    assert _rows(spark, "test.vue", '''
+<script>
+export default {
+    props: {
+        title: {
+            type: String,
+            required: true
+        },
+        count: {
+            type: Number,
+            default: 0
+        }
+    },
+    methods: {
+        handleClick() {
+            this.$emit('clicked', this.count)
+        }
+    }
+}
+</script>
+''')
+
+
+def test_vue_async_setup(spark):
+    assert _rows(spark, "test.vue", '''
+<script setup>
+import { ref } from 'vue'
+
+const data = ref(null)
+
+async function fetchData() {
+    const response = await fetch('/api/data')
+    data.value = await response.json()
+}
+
+fetchData()
+</script>
+''')
+
+
+def test_vue_composables(spark):
+    assert _rows(spark, "test.vue", '''
+<script setup>
+import { ref, onMounted } from 'vue'
+
+function useCounter() {
+    const count = ref(0)
+    const increment = () => count.value++
+    return { count, increment }
+}
+
+const { count, increment } = useCounter()
+</script>
+''')
+
+
+def test_vue_function_with_imports(spark):
+    src = '''<script setup>
+import { ref, computed } from 'vue'
+import axios from 'axios'
+
+const data = ref(null)
+
+async function fetchData(url) {
+    const response = await axios.get(url)
+    data.value = response.data
+}
+</script>
+'''
+    expected = '''Function: fetchData
+Signature: async function fetchData(url) {
+Parameters: url
+Calls: get
+Variables: const, response
+Uses: axios
+File: test test.vue
+Code:
+async function fetchData(url) {
+    const response = await axios.get(url)
+    data.value = response.data
+}'''
+    assert _first(_rows(spark, "test.vue", src), "fetchData").embed_text == expected
+
+
+# -- Svelte (test_svelte.rs, all 9 tests) --------------------------------------
+
+def test_svelte_basic_component(spark):
+    src = '''<script>
+    let count = 0;
+
+    function increment() {
+        count += 1;
+    }
+</script>
+
+<button on:click={increment}>
+    Clicked {count} times
+</button>
+'''
+    rows = _rows(spark, "test.svelte", src)
+    assert len(rows) == 3
+    assert rows[0].embed_text == "    let count = 0;"
+    assert rows[1].embed_text == ("Function: increment\nSignature: function increment() {\n"
+                                  "File: test test.svelte\nCode:\n    function increment() {\n"
+                                  "        count += 1;\n    }")
+    assert rows[2].embed_text == ("<button on:click={increment}>\n"
+                                  "    Clicked {count} times\n</button>")
+
+
+def test_svelte_reactive_declarations(spark):
+    src = '''<script>
+    let count = 0;
+    $: doubled = count * 2;
+    $: quadrupled = doubled * 2;
+
+    function increment() {
+        count += 1;
+    }
+</script>
+'''
+    rows = _rows(spark, "test.svelte", src)
+    assert len(rows) == 2
+    assert rows[0].embed_text == "    let count = 0;"
+    assert rows[1].embed_text == ("Function: increment\nSignature: function increment() {\n"
+                                  "File: test test.svelte\nCode:\n    function increment() {\n"
+                                  "        count += 1;\n    }")
+
+
+def test_svelte_props(spark):
+    src = '''<script>
+    export let name = 'World';
+    export let greeting = 'Hello';
+
+    function greet() {
+        return `${greeting}, ${name}!`;
+    }
+</script>'''
+    rows = _rows(spark, "test.svelte", src)
+    assert len(rows) == 3
+    assert _first(rows, "name").embed_text == "    export let name = 'World';"
+    assert _first(rows, "greet").embed_text == (
+        "Function: greet\nSignature: function greet() {\n"
+        "File: test test.svelte\nCode:\n    function greet() {\n"
+        "        return `${greeting}, ${name}!`;\n    }")
+
+
+def test_svelte_typescript_support(spark):
+    assert _rows(spark, "test.svelte", '''
+<script lang="ts">
+    interface User {
+        name: string;
+        age: number;
+    }
+
+    export let user: User;
+
+    function getDisplayName(user: User): string {
+        return `${user.name} (${user.age})`;
+    }
+</script>
+''')
+
+
+def test_svelte_stores(spark):
+    assert _rows(spark, "test.svelte", '''
+<script>
+    import { writable } from 'svelte/store';
+
+    const count = writable(0);
+
+    function increment() {
+        count.update(n => n + 1);
+    }
+
+    function reset() {
+        count.set(0);
+    }
+</script>
+''')
+
+
+def test_svelte_lifecycle_functions(spark):
+    assert _rows(spark, "test.svelte", '''
+<script>
+    import { onMount, onDestroy } from 'svelte';
+
+    let data = null;
+
+    onMount(async () => {
+        const response = await fetch('/api/data');
+        data = await response.json();
+    });
+
+    onDestroy(() => {
+        console.log('Component destroyed');
+    });
+</script>
+''')
+
+
+def test_svelte_event_handlers(spark):
+    assert _rows(spark, "test.svelte", '''
+<script>
+    function handleClick(event) {
+        console.log('Clicked!', event);
+    }
+
+    function handleInput(event) {
+        console.log('Input:', event.target.value);
+    }
+</script>
+''')
+
+
+def test_svelte_context_api(spark):
+    assert _rows(spark, "test.svelte", '''
+<script>
+    import { setContext, getContext } from 'svelte';
+
+    const key = Symbol();
+
+    function setTheme(theme) {
+        setContext(key, theme);
+    }
+
+    function getTheme() {
+        return getContext(key);
+    }
+</script>
+''')
+
+
+def test_svelte_slots_and_props(spark):
+    assert _rows(spark, "test.svelte", '''
+<script>
+    export let title = 'Default Title';
+    export let subtitle = '';
+
+    function formatTitle(title) {
+        return title.toUpperCase();
+    }
+</script>
+
+<div>
+    <h1>{formatTitle(title)}</h1>
+    {#if subtitle}
+        <h2>{subtitle}</h2>
+    {/if}
+    <slot />
+</div>
+''')
+
+
+def test_svelte_function_with_imports(spark):
+    src = '''<script>
+import axios from 'axios';
+
+async function fetchUsers() {
+    const response = await axios.get('/api/users');
+    return response.data;
+}
+</script>
+'''
+    expected = '''Function: fetchUsers
+Signature: async function fetchUsers() {
+Calls: get
+Variables: const, response
+Uses: axios
+File: test test.svelte
+Code:
+async function fetchUsers() {
+    const response = await axios.get('/api/users');
+    return response.data;
+}'''
+    assert _first(_rows(spark, "test.svelte", src), "fetchUsers").embed_text == expected

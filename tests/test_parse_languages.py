@@ -720,13 +720,16 @@ $$;
 
 
 def test_parse_sql_units(spark):
+    # reference-fixture shapes since r10 (test_sql.rs): SQL statements are
+    # RawCode blocks whose code starts at the leading comment — the embed
+    # text is the statement verbatim, no typed header
     units = _units(spark, "schema.sql", SQL_SRC)
     u = units["users"]
-    assert u.unit_type == "Class" and u.language == "sql"
-    assert "Users of the system" in u.docstring
+    assert u.unit_type == "RawCode" and u.language == "sql"
+    assert u.code.startswith("-- Users of the system.\nCREATE TABLE users (")
     assert u.end_line == 5
-    assert units["active_users"].unit_type == "Class"
-    assert units["user_count"].unit_type == "Function"
+    assert units["active_users"].unit_type == "RawCode"
+    assert units["user_count"].code.rstrip().endswith("$$;")
 
 
 VUE_SRC = '''<template>
@@ -791,16 +794,18 @@ totalArea xs = sum (sort xs)
 
 
 def test_parse_haskell_units(spark):
+    # reference-fixture shapes since r10 (test_haskell.rs): the signature
+    # is the equation line (type signatures are skipped), and Haskell
+    # functions carry no parameters/calls/docstring; data blocks are
+    # RawCode
     units = _units(spark, "Geometry.hs", HS_SRC)
     a = units["area"]
     assert a.unit_type == "Function" and a.language == "haskell"
-    assert "area of a rectangle" in a.docstring
-    assert a.parameters == ["w", "h"]
-    assert units["Shape"].unit_type == "Class"
+    assert a.signature == "area w h = w * h"
+    assert a.parameters == [] and a.docstring is None
+    assert units["Shape"].unit_type == "RawCode"
     t = units["totalArea"]
-    # ast-lite calls are paren-application shaped: `sum (…)` registers,
-    # bare application `sort xs` does not (accepted approximation)
-    assert "sum" in t.calls
+    assert t.signature == "totalArea xs = sum (sort xs)"
     assert "List" in _file_imports(HS_SRC, "haskell")
 
 
@@ -825,7 +830,9 @@ def test_parse_ocaml_units(spark):
     assert "Doubles an integer" in d.docstring
     assert d.parameters == ["x"]
     f = units["fact"]
-    assert f.unit_type == "Function" and "fact" not in f.calls  # self-call excluded
+    # reference-fixture shape since r10 (test_ocaml.rs): the self-call IS
+    # extracted (`Calls: factorial` in test_recursive_function)
+    assert f.unit_type == "Function" and "fact" in f.calls
     assert units["point"].unit_type == "Class"
     assert units["max_depth"].unit_type == "Constant"
     assert "Printf" in _file_imports(ML_SRC, "ocaml")
