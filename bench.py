@@ -242,6 +242,13 @@ def main() -> None:
             stats["code_index_units_per_sec"] = round(
                 ci.plaid.meta.num_documents
                 / max(extras["code_index_build"], 1e-9), 1)
+            # the true serving operating point: default SearchParams
+            # (n_probe=8, t_cs=0.4 — probe-bounded, sublinear), vs the
+            # exact configuration the hash-gated entries pin
+            timed(extras, "code_search_approx_default",
+                  lambda: force(ci.search(
+                      q._code_query_text(spark, sf_dir),
+                      top_k=q.CODE_TOPK, alpha=q.CODE_ALPHA)))
 
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",

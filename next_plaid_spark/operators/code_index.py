@@ -162,7 +162,7 @@ class CodeIndex:
 
         meta = {"dim": dim, "doc_max_tokens": DOC_MAX_TOKENS,
                 "query_max_tokens": CODE_QUERY_MAX_TOKENS,
-                "nbits": nbits, "seed": seed}
+                "nbits": nbits, "seed": seed, "bucket_tokens": bucket_tokens}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         return cls(spark, path, meta)
@@ -328,10 +328,14 @@ class CodeIndex:
 
         n_merged = merged_raw.select("file", "line", "name").distinct().count()
         if n_merged <= rebuild_threshold:
+            # full rebuild keeps the stored layout too (bucket_tokens rides
+            # the meta; the incremental path below inherits it sticky via
+            # update_index)
             return CodeIndex._build_from_units(
                 spark, merged_raw, new_state, out_path,
                 nbits=self.meta["nbits"], seed=self.meta["seed"],
-                dim=self.meta["dim"])
+                dim=self.meta["dim"],
+                bucket_tokens=self.meta.get("bucket_tokens"))
 
         # -- incremental path ------------------------------------------------
         from next_plaid_spark.encoding import encode_tokens
