@@ -249,6 +249,21 @@ def main() -> None:
                   lambda: force(ci.search(
                       q._code_query_text(spark, sf_dir),
                       top_k=q.CODE_TOPK, alpha=q.CODE_ALPHA)))
+            # quality of that operating point: top-k overlap vs the exact
+            # configuration (ANN loss through the WHOLE pipeline — fusion
+            # and R1-R5 included, not just the semantic list)
+            try:
+                qtext = q._code_query_text(spark, sf_dir)
+                approx = {r.unit_id for r in ci.search(
+                    qtext, top_k=q.CODE_TOPK, alpha=q.CODE_ALPHA).collect()}
+                exact = {r.unit_id for r in ci.search(
+                    qtext, top_k=q.CODE_TOPK, alpha=q.CODE_ALPHA,
+                    params=ci.exact_search_params(q.CODE_TOPK)).collect()}
+                stats["code_search_approx_overlap_at_k"] = round(
+                    len(approx & exact) / max(len(exact), 1), 3)
+            except Exception:
+                errors["code_search_overlap"] = \
+                    traceback.format_exc(limit=3).splitlines()[-1]
 
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",
