@@ -1,14 +1,18 @@
 """Reference-authored parser fixtures, ported verbatim.
 
 Each test is one of the reference's own per-language extraction tests
-(colgrep/src/parser/tests/test_python.rs / test_rust.rs /
-test_javascript.rs / test_go.rs / test_typescript.rs / test_java.rs /
-test_ruby.rs / test_csharp.rs / test_php.rs / test_kotlin.rs /
-test_c.rs / test_swift.rs / test_cpp.rs / test_lua.rs / test_scala.rs), with the EXPECTED STRING copied unchanged: the
+(colgrep/src/parser/tests/test_*.rs — python, rust, javascript, go,
+typescript, java, ruby, csharp, php, kotlin, c, swift, cpp, lua, scala
+since r9; css, haskell, ocaml, qml, sql, svelte, vue since r10 — every
+test in all 25 non-justified reference fixture files). Where the
+reference pins an exact embed string it is copied UNCHANGED: the
 scanner output run through build_embedding_text must equal what the
 reference's tree-sitter extractor + embed.rs::build_embedding_text
-produce on the same source. This pins the ast-lite scanners against
-reference-expected CodeUnits, not just shape assertions.
+produce on the same source; where it asserts structure (contains /
+counts / field values) the same assertions are ported. This pins the
+ast-lite scanners against reference-expected CodeUnits, not just shape
+assertions. (The 3 remaining fixture files — zig, julia, elixir — are
+justified-skipped in COVERAGE.md §P1.)
 """
 
 from __future__ import annotations
