@@ -279,7 +279,8 @@ def main() -> None:
                      "bm25_phrase_topk",
                      # r9: composed colgrep code search; r10: served from
                      # the prebuilt CodeIndex (build timed separately above)
-                     "code_search_topk", "code_search_filtered_topk",
+                     "code_search_topk", "code_search_approx_topk",
+                     "code_search_filtered_topk",
                      # r8: BEIR-style quality of the funnel itself (exact
                      # configuration vs stratum qrels; the clustered sweep
                      # below adds the approximate operating points)

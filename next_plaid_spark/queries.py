@@ -273,41 +273,43 @@ def _index_fingerprint(idx) -> str:
 APPROX_ORACLE_SIDECAR = _ORACLE_SIDECAR_ROOT + "/approx_funnel"
 
 
-def _write_approx_oracle_sidecar(idx) -> None:
+def _write_approx_oracle_sidecar(idx, *, path: str | None = None,
+                                 state_key: str = "approx") -> None:
     import numpy as np
 
+    path = path or APPROX_ORACLE_SIDECAR
     key = (idx.path, _index_fingerprint(idx))
-    if _SIDECAR_STATE.get("approx") == key:
+    if _SIDECAR_STATE.get(state_key) == key:
         return
     c = idx.centroids_np().astype(np.float64)  # f32 → f64 exact
     cent = idx.spark.createDataFrame(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
         schema="code long, cvec array<double>",
     )
-    cent.coalesce(1).write.mode("overwrite").parquet(
-        APPROX_ORACLE_SIDECAR + "/centroids")
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     dc = idx.doc_codes
     codes = (
         dc.select("doc_id", F.explode("codes").alias("code"))
         if dc is not None
         else idx.tokens.select("doc_id", "code").distinct()
     )
-    codes.write.mode("overwrite").parquet(APPROX_ORACLE_SIDECAR + "/doc_codes")
+    codes.write.mode("overwrite").parquet(path + "/doc_codes")
     # num_documents from the index META, not count(distinct doc_id) over
     # doc_codes: on an index with zero-token docs the two diverge, and the
     # searcher's Q4 probe scaling uses meta (searcher.py) — the oracle must
     # scale off the same N
     idx.spark.createDataFrame(
         [(int(idx.meta.num_documents),)], schema="num_documents long"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        APPROX_ORACLE_SIDECAR + "/meta")
-    _SIDECAR_STATE["approx"] = key
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    _SIDECAR_STATE[state_key] = key
 
 
 def _sql_plaid_funnel_ctes(top_k: int, n_full: int = 256, n_probe: int = 8,
                            t_cs: float = 0.4, dim: int = 16,
                            max_probe_scale: int = 16,
-                           pred: str | None = None) -> str:
+                           pred: str | None = None,
+                           approx_sidecar: str | None = None,
+                           exact_sidecar: str | None = None) -> str:
     """CTE chain (no WITH, no tokens CTE — callers prepend
     ``_sql_tokens_cte``) recomputing the approximate PLAID funnel Q1-Q10 in
     DuckDB over the sidecar artifacts; terminal CTE ``f_ranked`` has
@@ -322,6 +324,8 @@ def _sql_plaid_funnel_ctes(top_k: int, n_full: int = 256, n_probe: int = 8,
     over ALL the query's tokens; approx and exact scores fold sorted
     ascending; every rank cut ties on ascending doc_id."""
     cut = min(n_full, max(n_full // 4, top_k))
+    approx_sidecar = approx_sidecar or APPROX_ORACLE_SIDECAR
+    exact_sidecar = exact_sidecar or EXACT_ORACLE_SIDECAR
     filt = pred is not None
     subset_ctes = f"""
 f_subset AS (SELECT doc_id FROM documents WHERE {pred}),
@@ -349,9 +353,9 @@ f_elig AS (SELECT DISTINCT code FROM f_dcodes JOIN f_subset USING (doc_id)),
         probe_src = "SELECT * FROM f_cs"
         cand_subset = ""
     return f"""
-f_cent AS (SELECT code, cvec FROM '{APPROX_ORACLE_SIDECAR}/centroids/*.parquet'),
-f_dcodes AS (SELECT doc_id, code FROM '{APPROX_ORACLE_SIDECAR}/doc_codes/*.parquet'),
-f_meta AS (SELECT num_documents FROM '{APPROX_ORACLE_SIDECAR}/meta/*.parquet'),
+f_cent AS (SELECT code, cvec FROM '{approx_sidecar}/centroids/*.parquet'),
+f_dcodes AS (SELECT doc_id, code FROM '{approx_sidecar}/doc_codes/*.parquet'),
+f_meta AS (SELECT num_documents FROM '{approx_sidecar}/meta/*.parquet'),
 {subset_ctes}f_cs AS (
   SELECT qt.query_id, qt.token_idx, c.code,
          list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * c.cvec[i]), (a, b) -> a + b) AS score
@@ -404,7 +408,7 @@ f_dots AS (
          list_reduce(list_transform(range(1, {dim + 1}), i -> qt.vec[i] * q.vec[i]), (a, b) -> a + b) AS dp
   FROM qt
   JOIN f_surv sv ON sv.query_id = qt.query_id
-  JOIN (SELECT doc_id, vec FROM '{EXACT_ORACLE_SIDECAR}/*.parquet') q ON q.doc_id = sv.doc_id
+  JOIN (SELECT doc_id, vec FROM '{exact_sidecar}/*.parquet') q ON q.doc_id = sv.doc_id
 ),
 f_pqt AS (
   SELECT query_id, doc_id, q_token_idx, max(dp) AS max_dp
@@ -3257,6 +3261,7 @@ def _code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CODE_INDEX_PATH = _ORACLE_SIDECAR_ROOT + "/code_index"
 CODE_EXACT_SIDECAR = _ORACLE_SIDECAR_ROOT + "/code_quantized_tokens"
+CODE_APPROX_SIDECAR = _ORACLE_SIDECAR_ROOT + "/code_approx_funnel"
 _CODE_INDEX_CACHE: dict = {}
 
 
@@ -3288,6 +3293,11 @@ def _code_index(spark: SparkSession, sf_dir: str):
             idx.plaid.centroids_np(), idx.plaid.meta.codec,
         ).select("doc_id", "vec").write.mode("overwrite").parquet(
             CODE_EXACT_SIDECAR)
+        # trained-artifact sidecar for the APPROXIMATE funnel oracle
+        # (centroids + per-doc codes + meta — same recipe as
+        # plaid_search_topk's, pointed at the code index)
+        _write_approx_oracle_sidecar(
+            idx.plaid, path=CODE_APPROX_SIDECAR, state_key="code_approx")
         _CODE_INDEX_CACHE[key] = idx
     return _CODE_INDEX_CACHE[key]
 
@@ -3304,6 +3314,31 @@ def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = idx.search(_code_query_text(spark, sf_dir),
                      top_k=CODE_TOPK, alpha=CODE_ALPHA,
                      params=idx.exact_search_params(CODE_TOPK))
+    return res.select(
+        "unit_id", "file", "name", "line", "end_line",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
+def q_code_search_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code search at its SERVING operating point: the semantic leg
+    runs the APPROXIMATE funnel (n_probe=8, t_cs=0.4, n_full_scores=256,
+    keep_best_cell — the same configuration plaid_search_topk gates) over
+    the prebuilt CodeIndex, then fusion + R1-R5 + collapse exactly as the
+    exact-config twin. Hash-exact oracle via the plaid_search_topk recipe
+    pointed at the code index's trained-artifact sidecars: the oracle
+    recomputes probe, t_cs prune, candidacy, codes-only approx MaxSim,
+    survivor cut, decompressed-vector rerank — then the identical
+    BM25 + fusion + ranking tail."""
+    from next_plaid_spark.plans.searcher import SearchParams
+
+    idx = _code_index(spark, sf_dir)
+    res = idx.search(_code_query_text(spark, sf_dir),
+                     top_k=CODE_TOPK, alpha=CODE_ALPHA,
+                     params=SearchParams(n_ivf_probe=8,
+                                         centroid_score_threshold=0.4,
+                                         n_full_scores=256,
+                                         keep_best_cell=True))
     return res.select(
         "unit_id", "file", "name", "line", "end_line",
         F.round("score", 6).alias("score"), "rank",
@@ -3356,7 +3391,8 @@ def _sql_ident_toks(expr: str) -> str:
 
 def sql_code_search_topk(top_k: int = CODE_TOPK,
                          alpha: float = CODE_ALPHA,
-                         subset_where: str = "") -> str:
+                         subset_where: str = "",
+                         sem_funnel: bool = False) -> str:
     from next_plaid_spark.operators.bm25 import B, K1, SCORE_DECIMALS
     from next_plaid_spark.operators.colgrep import (
         _BARREL_PATH_RE,
@@ -3414,6 +3450,57 @@ CASE WHEN unit_type IN ('RawCode', 'Constant') THEN code ELSE concat_ws(chr(10),
     qt_toks = _sql_ident_toks("qt")
     embed_toks = _sql_ident_toks("embed_text")
     stem_toks = _sql_ident_toks(stem_expr)
+    if sem_funnel:
+        # the APPROXIMATE-funnel semantic leg: the plaid_search_topk
+        # recipe (trained-artifact sidecars + full funnel recompute)
+        # pointed at the code index's centroids/doc_codes/decompressed
+        # sidecars. The survivor-cut arithmetic needs a Python int for
+        # top_k; 20·top_k equals the searcher's replace(p, top_k=fetch_k)
+        # whenever the corpus has > n_full (256) units — true at the gate
+        # (sf0.01 ≈ 750 units) and bench (sf0.1 = 6250) scales, where the
+        # cut is min(256, max(64, fetch_k)) = 256 on both sides either way
+        assert not subset_where, "funnel-oracle code search is unfiltered"
+        sem_sql = f"""qt AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, token_idx,
+         {token_vector_sql('token', 16)} AS vec
+  FROM q_sem
+),
+{_sql_plaid_funnel_ctes(top_k=max(20 * top_k, 200), n_full=256, n_probe=8,
+                        t_cs=0.4, dim=dim,
+                        approx_sidecar=CODE_APPROX_SIDECAR,
+                        exact_sidecar=CODE_EXACT_SIDECAR)},
+sem_list AS (
+  SELECT doc_id AS unit_id, score FROM f_ranked WHERE rank <= {fetch_k}
+),"""
+    else:
+        # the EXACT-configuration semantic leg: brute MaxSim over the
+        # decompressed index vectors (B7 output), straight off the sidecar
+        sem_sql = f"""dt AS (
+  SELECT doc_id AS unit_id, vec
+  FROM '{CODE_EXACT_SIDECAR}/*.parquet'
+  WHERE doc_id IN (SELECT unit_id FROM subq)
+),
+qv AS (SELECT token_idx, {token_vector_sql('token', 16)} AS vec FROM q_sem),
+dots AS (
+  SELECT dt.unit_id, qv.token_idx AS q_token_idx,
+         list_reduce(list_transform(range(1, {dim + 1}), i -> qv.vec[i] * dt.vec[i]), (a, b) -> a + b) AS dp
+  FROM qv CROSS JOIN dt
+),
+per_qtok AS (
+  SELECT unit_id, q_token_idx, max(dp) AS max_dp FROM dots GROUP BY 1, 2
+),
+sem_scores AS (
+  SELECT unit_id,
+         list_reduce(list_prepend(0.0, list_sort(list(max_dp))), (a, b) -> a + b) AS score
+  FROM per_qtok GROUP BY 1
+),
+sem_list AS (
+  SELECT unit_id, score FROM (
+    SELECT unit_id, score,
+           row_number() OVER (ORDER BY score DESC, unit_id ASC) AS r
+    FROM sem_scores
+  ) WHERE r <= {fetch_k}
+),"""
     return f"""
 WITH raw_units AS (SELECT * FROM '{CODE_UNITS_SIDECAR}/*.parquet'),
 edges AS (
@@ -3443,39 +3530,11 @@ qtext AS (
   SELECT array_to_string(list_slice({u61.format(src='text')}, 1, 2), ' ') AS qt
   FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
 ),
--- semantic side: the funnel's exact configuration equals brute MaxSim
--- over the DECOMPRESSED index vectors (B7 output) — score the same
--- doubles from the sidecar the Spark entry just wrote
 q_sem AS (
   SELECT unnest(range(0, len(toks))) AS token_idx, unnest(toks) AS token
   FROM (SELECT list_slice({u61.format(src='qt')}, 1, 16) AS toks FROM qtext)
 ),
-dt AS (
-  SELECT doc_id AS unit_id, vec
-  FROM '{CODE_EXACT_SIDECAR}/*.parquet'
-  WHERE doc_id IN (SELECT unit_id FROM subq)
-),
-qv AS (SELECT token_idx, {token_vector_sql('token', 16)} AS vec FROM q_sem),
-dots AS (
-  SELECT dt.unit_id, qv.token_idx AS q_token_idx,
-         list_reduce(list_transform(range(1, {dim + 1}), i -> qv.vec[i] * dt.vec[i]), (a, b) -> a + b) AS dp
-  FROM qv CROSS JOIN dt
-),
-per_qtok AS (
-  SELECT unit_id, q_token_idx, max(dp) AS max_dp FROM dots GROUP BY 1, 2
-),
-sem_scores AS (
-  SELECT unit_id,
-         list_reduce(list_prepend(0.0, list_sort(list(max_dp))), (a, b) -> a + b) AS score
-  FROM per_qtok GROUP BY 1
-),
-sem_list AS (
-  SELECT unit_id, score FROM (
-    SELECT unit_id, score,
-           row_number() OVER (ORDER BY score DESC, unit_id ASC) AS r
-    FROM sem_scores
-  ) WHERE r <= {fetch_k}
-),
+{sem_sql}
 -- keyword side: identifier-aware BM25 over the embed text
 unit_kw AS (
   SELECT unit_id, unnest({embed_toks}) AS term FROM emb
@@ -3704,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_eval_bm25": q_ir_eval_bm25,
         "ir_eval_plaid": q_ir_eval_plaid,
         "code_search_topk": q_code_search_topk,
+        "code_search_approx_topk": q_code_search_approx_topk,
         "code_search_filtered_topk": q_code_search_filtered_topk,
     }
 
@@ -3723,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "monthly_shipments": SQL_MONTHLY_SHIPMENTS,
         "code_search_topk": sql_code_search_topk(),
+        "code_search_approx_topk": sql_code_search_topk(sem_funnel=True),
         "code_search_filtered_topk": sql_code_search_topk(
             subset_where=("file LIKE 'src/%' AND "
                           f"regexp_matches(code, '{CODE_FILTER_REGEX}')")),

@@ -61,6 +61,7 @@ AUDITED = [
     "maxsim_brute_topk",
     "bm25_phrase_topk",
     "code_search_topk",
+    "code_search_approx_topk",
     "code_search_filtered_topk",
 ]
 
@@ -212,7 +213,8 @@ def main() -> int:
         # column-pruned to the join/filter columns (embed_text/docstring
         # in a scan would mean the embed text is re-derived per query),
         # and there is no cartesian join or row-at-a-time Python UDF
-        if name in ("code_search_topk", "code_search_filtered_topk"):
+        if name in ("code_search_topk", "code_search_approx_topk",
+                    "code_search_filtered_topk"):
             if s["cartesian"]:
                 failures.append(f"A16 {name}: cartesian/nested-loop join")
             if not any(sc["path"].startswith("tokens") for sc in s["scans"]):
