@@ -227,9 +227,14 @@ class CodeIndex:
         ``exact_search_params(fetch_k)`` for brute-force-equal results.
         ``semantic="brute"`` bypasses the PLAID index entirely and scores
         raw embed-text vectors (the documented small-N fallback; exact, but
-        O(N) per query)."""
+        O(N) per query).
+
+        Cache discipline: each call first releases the DataFrames the
+        PREVIOUS funnel search cached (query tokens; subset + restricted
+        IVF when filtered), so a long-lived serve-many-queries process
+        holds at most one query's caches — consume (collect/write) each
+        result before issuing the next search."""
         from next_plaid_spark.encoding import encode_queries
-        from next_plaid_spark.operators.bm25 import BM25Index  # noqa: F401
         from next_plaid_spark.operators.fusion import hybrid_search
         from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
 
@@ -247,6 +252,9 @@ class CodeIndex:
             p = dataclasses.replace(p, top_k=fetch_k)
             if self._searcher is None:
                 self._searcher = BatchSearcher(self.plaid)
+            else:
+                # bound the live-cache set to ONE query's worth
+                self._searcher.release()
             sem = self._searcher.search(qt, subset=subset, params=p).select(
                 "query_id", "doc_id", "score")
         elif semantic == "brute":
@@ -378,8 +386,8 @@ class CodeIndex:
         # PLAID: delete everything not kept verbatim, append the re-encoded
         gone_doc = self.plaid.doclens.select("doc_id").join(
             unchanged_ids, "doc_id", "left_anti")
-        shrunk = delete_from_index(
-            spark, self.plaid, gone_doc, os.path.join(out_path, "_plaid_del"))
+        del_path = os.path.join(out_path, "_plaid_del")
+        shrunk = delete_from_index(spark, self.plaid, gone_doc, del_path)
         new_tokens = encode_tokens(
             reindex, "unit_id", "embed_text", dim=self.meta["dim"],
             max_tokens=self.meta["doc_max_tokens"], out_id="doc_id",
@@ -387,6 +395,12 @@ class CodeIndex:
         update_index(spark, shrunk, new_tokens,
                      os.path.join(out_path, "plaid"),
                      seed=self.meta["seed"])
+        # the shrunken snapshot was only update_index's input — the new
+        # index at plaid/ is fully materialized, so drop the intermediate
+        # (it is corpus-sized; leaving it doubles every update's footprint)
+        import shutil
+
+        shutil.rmtree(del_path, ignore_errors=True)
 
         # BM25: unchanged units' postings ride along; changed/new re-tokenize
         toks_new = reindex.select(
@@ -409,6 +423,7 @@ class CodeIndex:
         with open(os.path.join(out_path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
         units_out.unpersist()
+        unchanged_ids.unpersist()
         new_state.unpersist()
         changes.unpersist()
         return CodeIndex(spark, out_path, dict(self.meta))

@@ -1802,8 +1802,11 @@ def _parse_haskell(path: str, content: str) -> list[tuple]:
                     header.append(s)
             name = re.sub(r"^instance\s+|\s+where\s*$", "",
                           lines[i].strip()) or "instance"
+            # range spans the lines the header RawCode actually kept
+            # (the whole block when non-equation body lines rode along)
+            hdr_end = lineno if len(header) == 1 else end
             units.append((
-                path, name, name, "RawCode", lineno, lineno, None, None,
+                path, name, name, "RawCode", lineno, hdr_end, None, None,
                 [], None, [], "\n".join(header).rstrip(), "haskell",
             ))
             i = end
@@ -2054,14 +2057,17 @@ def _parse_embedded_script(path: str, content: str, lang: str) -> list[tuple]:
                 while j < len(lines) and not _TEMPLATE_CLOSE_RE.search(lines[j]):
                     j += 1
                 inner = lines[i + 1:j]
+                lead = 0
                 while inner and not inner[0].strip():
                     inner.pop(0)
+                    lead += 1
                 while inner and not inner[-1].strip():
                     inner.pop()
                 if inner:
+                    start = i + 2 + lead
                     out.append((
-                        path, "template", "template", "RawCode", i + 2,
-                        i + 1 + len(inner), None, None, [], None, [],
+                        path, "template", "template", "RawCode", start,
+                        start + len(inner) - 1, None, None, [], None, [],
                         "\n".join(inner), lang,
                     ))
                 break

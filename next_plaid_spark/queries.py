@@ -3247,7 +3247,10 @@ def _code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     key = os.path.abspath(sf_dir)
-    if key not in _CODE_UNITS_CACHE:
+    # single-slot cache: the sidecar path is FIXED, so a second sf_dir must
+    # rebuild (overwriting) rather than serve a handle whose underlying
+    # parquet another corpus just replaced
+    if _CODE_UNITS_CACHE.get("key") != key:
         # spread the grouped-files output across cores before the parse
         # mapInPandas (same serialization trap as _doc_tokens: a small
         # shuffle output otherwise lands on few partitions)
@@ -3255,8 +3258,9 @@ def _code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism)
         units = with_unit_ids(build_call_graph(parse_code_units(files)))
         units.coalesce(1).write.mode("overwrite").parquet(CODE_UNITS_SIDECAR)
-        _CODE_UNITS_CACHE[key] = spark.read.parquet(CODE_UNITS_SIDECAR)
-    return _CODE_UNITS_CACHE[key]
+        _CODE_UNITS_CACHE.update(
+            key=key, df=spark.read.parquet(CODE_UNITS_SIDECAR))
+    return _CODE_UNITS_CACHE["df"]
 
 
 CODE_INDEX_PATH = _ORACLE_SIDECAR_ROOT + "/code_index"
@@ -3278,28 +3282,41 @@ def _code_index(spark: SparkSession, sf_dir: str):
         CodeIndex,
         file_state,
     )
-    from next_plaid_spark.operators.codec import decompress
 
     key = os.path.abspath(sf_dir)
-    if key not in _CODE_INDEX_CACHE:
+    # single-slot cache, like _code_units: CODE_INDEX_PATH and the oracle
+    # sidecars are fixed paths — a second sf_dir rebuilds in place instead
+    # of serving a handle over overwritten parquet
+    if _CODE_INDEX_CACHE.get("key") != key:
         units = _code_units(spark, sf_dir)  # writes CODE_UNITS_SIDECAR
         buckets = int(os.environ.get("SPARK_GRAFT_BUCKET_TOKENS", "32")) or None
         idx = CodeIndex._build_from_units(
             spark, units.select(*_RAW_COLS),
             file_state(_code_corpus(spark, sf_dir)),
             CODE_INDEX_PATH, nbits=4, seed=42, bucket_tokens=buckets)
+        _CODE_INDEX_CACHE.update(key=key, idx=idx)
+    return _CODE_INDEX_CACHE["idx"]
+
+
+def _write_code_oracle_sidecars(idx) -> None:
+    """DuckDB-oracle artifacts for the code_search gates — decompressed
+    vectors (exact leg / funnel rerank) + the trained-artifact funnel
+    sidecar (centroids, per-doc codes, meta). Gate-support I/O, called by
+    the gate entries so the index BUILD timing (bench code_index_build)
+    measures only what a real `colgrep index` pays."""
+    from next_plaid_spark.operators.codec import decompress
+
+    plaid = idx.plaid
+    key = (plaid.path, _index_fingerprint(plaid))
+    if _SIDECAR_STATE.get("code_exact") != key:
         decompress(
-            idx.plaid.tokens.select("doc_id", "code", "residual"),
-            idx.plaid.centroids_np(), idx.plaid.meta.codec,
+            plaid.tokens.select("doc_id", "code", "residual"),
+            plaid.centroids_np(), plaid.meta.codec,
         ).select("doc_id", "vec").write.mode("overwrite").parquet(
             CODE_EXACT_SIDECAR)
-        # trained-artifact sidecar for the APPROXIMATE funnel oracle
-        # (centroids + per-doc codes + meta — same recipe as
-        # plaid_search_topk's, pointed at the code index)
-        _write_approx_oracle_sidecar(
-            idx.plaid, path=CODE_APPROX_SIDECAR, state_key="code_approx")
-        _CODE_INDEX_CACHE[key] = idx
-    return _CODE_INDEX_CACHE[key]
+        _SIDECAR_STATE["code_exact"] = key
+    _write_approx_oracle_sidecar(
+        plaid, path=CODE_APPROX_SIDECAR, state_key="code_approx")
 
 
 def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3311,6 +3328,7 @@ def q_code_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decompressed index), so the oracle scores the same decompressed
     vectors from the sidecar; the keyword leg joins the stored postings."""
     idx = _code_index(spark, sf_dir)
+    _write_code_oracle_sidecars(idx)
     res = idx.search(_code_query_text(spark, sf_dir),
                      top_k=CODE_TOPK, alpha=CODE_ALPHA,
                      params=idx.exact_search_params(CODE_TOPK))
@@ -3333,6 +3351,7 @@ def q_code_search_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.plans.searcher import SearchParams
 
     idx = _code_index(spark, sf_dir)
+    _write_code_oracle_sidecars(idx)
     res = idx.search(_code_query_text(spark, sf_dir),
                      top_k=CODE_TOPK, alpha=CODE_ALPHA,
                      params=SearchParams(n_ivf_probe=8,
@@ -3354,6 +3373,7 @@ def q_code_search_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index's document count). The oracle applies the same subset to
     the sidecar vectors and the contribution join only."""
     idx = _code_index(spark, sf_dir)
+    _write_code_oracle_sidecars(idx)
     res = idx.search(_code_query_text(spark, sf_dir),
                      regex=CODE_FILTER_REGEX, include_glob=CODE_FILTER_GLOB,
                      top_k=CODE_TOPK, alpha=CODE_ALPHA,
@@ -3525,7 +3545,11 @@ emb AS (
 -- prebuilt-index filter semantics (index/mod.rs:4104-4150): the subset
 -- restricts candidacy and scoring; stats and fetch_k stay full-index
 subq AS (SELECT unit_id FROM u2 {where_sql}),
-nu AS (SELECT count(*) AS n FROM emb),
+-- fetch_k scales off the INDEX's document count (meta sidecar), exactly
+-- as CodeIndex.search does — count(*) over emb would diverge if any unit
+-- encoded to zero tokens (the same num_documents-from-meta rule as
+-- _write_approx_oracle_sidecar)
+nu AS (SELECT num_documents AS n FROM '{CODE_APPROX_SIDECAR}/meta/*.parquet'),
 qtext AS (
   SELECT array_to_string(list_slice({u61.format(src='text')}, 1, 2), ' ') AS qt
   FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
