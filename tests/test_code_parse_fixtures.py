@@ -1787,3 +1787,87 @@ async function fetchUsers() {
     return response.data;
 }'''
     assert _first(_rows(spark, "test.svelte", src), "fetchUsers").embed_text == expected
+
+
+# =============================================================================
+# Justified divergences (COVERAGE.md §P1): the reference's zig/julia tests
+# assert whole-file RawCode fallback (those grammars aren't wired in
+# colgrep), and its elixir test asserts extraction artifacts (a self-call
+# from the def line, `Uses: add(a`, code truncated to the first line).
+# These tests port the reference SOURCES and pin our strictly-richer
+# output — typed units, real parameters, full bodies, none of the
+# artifact strings — so the divergence is documented behavior, not an
+# untested gap.
+# =============================================================================
+
+
+def test_zig_function_richer_than_rawcode(spark):
+    # test_zig.rs::test_basic_function expects ONE RawCode unit whose
+    # embed text is the source verbatim; we extract a typed Function
+    src = "fn add(a: i32, b: i32) i32 {\n    return a + b;\n}\n"
+    rows = _rows(spark, "test.zig", src)
+    add = _first(rows, "add")
+    assert add.unit_type == "Function"
+    assert add.parameters == ["a", "b"]
+    # the reference's expected text (the raw source) is still fully
+    # carried inside our unit's Code section
+    assert "fn add(a: i32, b: i32) i32 {\n    return a + b;\n}" in add.embed_text
+
+
+def test_zig_struct_richer_than_rawcode(spark):
+    # test_zig.rs::test_struct_definition only asserts non-empty; we
+    # extract the struct as a Class and its pub fns as Methods of it
+    src = ("\nconst Point = struct {\n    x: f32,\n    y: f32,\n\n"
+           "    pub fn init(x: f32, y: f32) Point {\n"
+           "        return Point{ .x = x, .y = y };\n    }\n};\n")
+    rows = _rows(spark, "test.zig", src)
+    assert _first(rows, "Point").unit_type == "Class"
+    init = _first(rows, "init")
+    assert init.unit_type == "Method" and init.parent_class == "Point"
+
+
+def test_julia_function_richer_than_rawcode(spark):
+    # test_julia.rs::test_basic_function expects ONE RawCode unit; we
+    # extract a typed Function with its parameter
+    src = 'function greet(name)\n    return "Hello, $name!"\nend\n'
+    rows = _rows(spark, "test.jl", src)
+    greet = _first(rows, "greet")
+    assert greet.unit_type == "Function"
+    assert greet.parameters == ["name"]
+    assert greet.embed_text.endswith(
+        'Code:\nfunction greet(name)\n    return "Hello, $name!"\nend')
+
+
+def test_julia_short_form_matches_reference_fallback(spark):
+    # short-form definitions aren't block-shaped; both engines fall back
+    # to RawCode here — the embed text is the source verbatim, exactly
+    # test_julia.rs::test_short_function's expected string
+    src = "add(a, b) = a + b\nmultiply(a, b) = a * b\n"
+    rows = _rows(spark, "test.jl", src)
+    assert len(rows) == 1
+    assert rows[0].embed_text.strip() == "add(a, b) = a + b\nmultiply(a, b) = a * b"
+
+
+def test_elixir_function_without_reference_artifacts(spark):
+    # test_elixir.rs::test_basic_function pins `Calls: greet` (a self-call
+    # artifact from the def line), `Uses: greet(name` (a malformed import)
+    # and Code truncated to the first line. We extract the full body and
+    # none of the artifacts — replicating them would mean porting bugs.
+    src = 'def greet(name) do\n  "Hello, #{name}!"\nend\n'
+    greet = _first(_rows(spark, "test.ex", src), "greet")
+    assert greet.unit_type == "Function"
+    assert greet.parameters == ["name"]
+    assert greet.embed_text.endswith(
+        'Code:\ndef greet(name) do\n  "Hello, #{name}!"\nend')
+    assert "Calls: greet" not in greet.embed_text
+    assert "Uses: greet(name" not in greet.embed_text
+
+
+def test_elixir_module_methods(spark):
+    # test_elixir.rs::test_module_definition asserts the module parses;
+    # we additionally type the module as Class and its defs as Methods
+    src = 'defmodule MyModule do\n  def hello do\n    "Hello!"\n  end\nend\n'
+    rows = _rows(spark, "test.ex", src)
+    assert _first(rows, "MyModule").unit_type == "Class"
+    hello = _first(rows, "hello")
+    assert hello.unit_type == "Method" and hello.parent_class == "MyModule"
