@@ -291,6 +291,9 @@ def main() -> None:
                      # the prebuilt CodeIndex (build timed separately above)
                      "code_search_topk", "code_search_approx_topk",
                      "code_search_filtered_topk",
+                     # r11: the filtered funnel at the SERVING config (Q4
+                     # probe scaling + eligible cells under regex/glob)
+                     "code_search_filtered_approx_topk",
                      # r8: BEIR-style quality of the funnel itself (exact
                      # configuration vs stratum qrels; the clustered sweep
                      # below adds the approximate operating points)

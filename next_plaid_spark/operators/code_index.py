@@ -242,6 +242,12 @@ class CodeIndex:
         fetch_k = min(max(20 * top_k, 200), max(n_docs, top_k))
         subset = self._subset(regex, include_glob, exclude_glob)
 
+        # bound the live-cache set to ONE query's worth in EVERY mode — a
+        # brute/bm25-only call after a funnel call must still release the
+        # prior funnel query's cached DataFrames
+        if self._searcher is not None:
+            self._searcher.release()
+
         qdf = self.spark.createDataFrame(
             [(0, query_text)], "query_id long, text string")
         qt = encode_queries(qdf, dim=self.meta["dim"],
@@ -252,9 +258,6 @@ class CodeIndex:
             p = dataclasses.replace(p, top_k=fetch_k)
             if self._searcher is None:
                 self._searcher = BatchSearcher(self.plaid)
-            else:
-                # bound the live-cache set to ONE query's worth
-                self._searcher.release()
             sem = self._searcher.search(qt, subset=subset, params=p).select(
                 "query_id", "doc_id", "score")
         elif semantic == "brute":
@@ -334,7 +337,9 @@ class CodeIndex:
         merged_raw = survivors.select(*_RAW_COLS).unionByName(
             new_raw.select(*_RAW_COLS))
 
-        n_merged = merged_raw.select("file", "line", "name").distinct().count()
+        # parse emits one row per unit, so the row count IS the unit count
+        # ((file, line, name) is not guaranteed unique — one-line overloads)
+        n_merged = merged_raw.count()
         if n_merged <= rebuild_threshold:
             # full rebuild keeps the stored layout too (bucket_tokens rides
             # the meta; the incremental path below inherits it sticky via
@@ -350,17 +355,25 @@ class CodeIndex:
 
         merged = build_embedding_text(build_call_graph(merged_raw))
         # survivors keep their unit_id (stable-id discipline, update.py);
-        # new units take max_id + dense rank over (file, line, name)
-        old_ids = old_units.select(
+        # new units take max_id + dense rank. (file, line, name) alone is
+        # NOT a unique key (a parser may emit two same-name units on one
+        # line — C++ overloads, minified one-liners), so the recovery join
+        # adds a within-key ordinal (ordered by end_line, code) on both
+        # sides: the join is 1:1 by construction and tie-deterministic
+        _w_key = Window.partitionBy("file", "line", "name").orderBy(
+            "end_line", "code")
+        old_ids = old_units.withColumn("_o", F.row_number().over(_w_key)).select(
             "unit_id", F.col("file").alias("_f"), F.col("line").alias("_l"),
-            F.col("name").alias("_n"), F.col("embed_text").alias("_old_embed"))
-        joined = merged.join(
+            F.col("name").alias("_n"), F.col("_o"),
+            F.col("embed_text").alias("_old_embed"))
+        merged_o = merged.withColumn("_m", F.row_number().over(_w_key))
+        joined = merged_o.join(
             old_ids,
-            (merged["file"] == old_ids["_f"]) & (merged["line"] == old_ids["_l"])
-            & (merged["name"] == old_ids["_n"]),
-            "left").drop("_f", "_l", "_n")
+            (merged_o["file"] == old_ids["_f"]) & (merged_o["line"] == old_ids["_l"])
+            & (merged_o["name"] == old_ids["_n"]) & (merged_o["_m"] == old_ids["_o"]),
+            "left").drop("_f", "_l", "_n", "_o", "_m")
         max_id = (old_units.agg(F.max("unit_id")).collect()[0][0] or 0)
-        w_new = Window.orderBy("file", "line", "name")
+        w_new = Window.orderBy("file", "line", "name", "end_line", "code")
         fresh = joined.filter(F.col("unit_id").isNull()).drop("unit_id")
         fresh = fresh.withColumn(
             "unit_id", F.lit(max_id).cast("long") + F.row_number().over(w_new))
@@ -416,9 +429,18 @@ class CodeIndex:
             unchanged_ids, "doc_id", "left_semi").unionByName(dl_new)
         stats = doclens.agg(F.count("*").alias("n"),
                             F.sum("dl").alias("total")).collect()[0]
+        # positional postings (if the index was built with them) merge the
+        # same way: unchanged units ride along, reindexed units re-derive —
+        # an update must not silently drop phrase-search capability
+        positions = None
+        if self.bm25.positions is not None:
+            positions = self.bm25.positions.join(
+                unchanged_ids, "doc_id", "left_semi").unionByName(
+                toks_new.select("term", "doc_id", "pos"))
         BM25Index(postings, doclens, stats.n or 0,
                   (stats.total / stats.n) if stats.n else 0.0,
-                  "identifier_aware").save(os.path.join(out_path, "bm25"))
+                  "identifier_aware", positions).save(
+                      os.path.join(out_path, "bm25"))
 
         with open(os.path.join(out_path, "meta.json"), "w") as f:
             json.dump(self.meta, f)

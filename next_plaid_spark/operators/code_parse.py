@@ -2762,11 +2762,14 @@ def parse_code_units(files: DataFrame, *, path_col: str = "path",
 
 
 def with_unit_ids(units: DataFrame) -> DataFrame:
-    """Deterministic unit_id: dense rank over (file, line, name)."""
+    """Deterministic unit_id: dense rank over (file, line, name) with
+    (end_line, code) tiebreakers — (file, line, name) alone is not unique
+    (same-name one-line overloads), and an untied row_number would assign
+    those ids nondeterministically across runs."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("file", "line", "name")
+    w = Window.orderBy("file", "line", "name", "end_line", "code")
     return units.withColumn("unit_id", F.row_number().over(w).cast("long") - 1)
 
 

@@ -308,6 +308,7 @@ def _sql_plaid_funnel_ctes(top_k: int, n_full: int = 256, n_probe: int = 8,
                            t_cs: float = 0.4, dim: int = 16,
                            max_probe_scale: int = 16,
                            pred: str | None = None,
+                           subset_from: str | None = None,
                            approx_sidecar: str | None = None,
                            exact_sidecar: str | None = None) -> str:
     """CTE chain (no WITH, no tokens CTE — callers prepend
@@ -326,9 +327,13 @@ def _sql_plaid_funnel_ctes(top_k: int, n_full: int = 256, n_probe: int = 8,
     cut = min(n_full, max(n_full // 4, top_k))
     approx_sidecar = approx_sidecar or APPROX_ORACLE_SIDECAR
     exact_sidecar = exact_sidecar or EXACT_ORACLE_SIDECAR
-    filt = pred is not None
+    # subset source: either a predicate over the documents view (pred) or
+    # an arbitrary doc_id-producing SELECT (subset_from — e.g. the code
+    # index's F10/F11 unit subset) — same funnel arithmetic either way
+    filt = pred is not None or subset_from is not None
+    subset_src = subset_from or f"SELECT doc_id FROM documents WHERE {pred}"
     subset_ctes = f"""
-f_subset AS (SELECT doc_id FROM documents WHERE {pred}),
+f_subset AS ({subset_src}),
 f_elig AS (SELECT DISTINCT code FROM f_dcodes JOIN f_subset USING (doc_id)),
 """.strip() + "\n" if filt else ""
     if filt:
@@ -3352,6 +3357,7 @@ def q_code_search_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _code_index(spark, sf_dir)
     _write_code_oracle_sidecars(idx)
+    _assert_funnel_oracle_scale(idx)
     res = idx.search(_code_query_text(spark, sf_dir),
                      top_k=CODE_TOPK, alpha=CODE_ALPHA,
                      params=SearchParams(n_ivf_probe=8,
@@ -3378,6 +3384,49 @@ def q_code_search_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      regex=CODE_FILTER_REGEX, include_glob=CODE_FILTER_GLOB,
                      top_k=CODE_TOPK, alpha=CODE_ALPHA,
                      params=idx.exact_search_params(CODE_TOPK))
+    return res.select(
+        "unit_id", "file", "name", "line", "end_line",
+        F.round("score", 6).alias("score"), "rank",
+    )
+
+
+def _assert_funnel_oracle_scale(idx) -> None:
+    """The funnel-oracle code_search SQL fixes the survivor cut at
+    min(256, max(64, 20·top_k)) with a PYTHON-int top_k, while the searcher
+    computes it from the runtime fetch_k = min(max(20·k, 200), N). The two
+    agree iff N > 256 (then both cuts are 256). Guard the assumption
+    instead of leaving it to a comment — a sub-256-unit gate corpus must
+    fail loudly, not hash-mismatch."""
+    n = idx.plaid.meta.num_documents
+    assert n > 256, (
+        f"funnel-oracle code_search needs > 256 indexed units (have {n}): "
+        "the DuckDB survivor-cut arithmetic assumes fetch_k >= 256")
+
+
+def q_code_search_filtered_approx_topk(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The FILTERED code search at its SERVING operating point — the last
+    funnel path × configuration cell: F10/F11 regex+glob subset over the
+    prebuilt CodeIndex with the approximate funnel (n_probe=8, t_cs=0.4,
+    n_full_scores=256, keep_best_cell). Exercises Q4 probe scaling
+    (n_probe · ⌊N/|subset|⌋ capped — search.rs:370-382) and the
+    eligible-centroid probe restriction (search.rs:350-364) on the CODE
+    index (colgrep/src/index/mod.rs:4104-4150 with restrictive -e/globs) —
+    the exact twin deliberately short-circuits both. Oracle: the filtered
+    funnel CTEs (subset semi-join + scaled-probe arithmetic) over the code
+    sidecars, then the identical BM25 + fusion + R1-R5 tail."""
+    from next_plaid_spark.plans.searcher import SearchParams
+
+    idx = _code_index(spark, sf_dir)
+    _write_code_oracle_sidecars(idx)
+    _assert_funnel_oracle_scale(idx)
+    res = idx.search(_code_query_text(spark, sf_dir),
+                     regex=CODE_FILTER_REGEX, include_glob=CODE_FILTER_GLOB,
+                     top_k=CODE_TOPK, alpha=CODE_ALPHA,
+                     params=SearchParams(n_ivf_probe=8,
+                                         centroid_score_threshold=0.4,
+                                         n_full_scores=256,
+                                         keep_best_cell=True))
     return res.select(
         "unit_id", "file", "name", "line", "end_line",
         F.round("score", 6).alias("score"), "rank",
@@ -3461,7 +3510,11 @@ CASE WHEN unit_type IN ('RawCode', 'Constant') THEN code ELSE concat_ws(chr(10),
 ) END""".strip()
     u61 = (f"list_filter(string_split_regex(lower({{src}}), "
            f"'{TOKEN_SPLIT_RE}'), x -> x <> '')")
-    fetch_k = f"least(greatest({20 * top_k}, 200), (SELECT n FROM nu))"
+    # mirrors CodeIndex.search exactly: min(max(20·k, 200), max(n, k)) —
+    # the top_k floor matters only when the corpus is smaller than top_k,
+    # but the oracle must not silently diverge there
+    fetch_k = (f"least(greatest({20 * top_k}, 200), "
+               f"greatest((SELECT n FROM nu), {top_k}))")
     where_sql = f"WHERE {subset_where}" if subset_where else ""
     # precomputed fragments (f-string expressions cannot carry backslashes)
     stem_expr = ("regexp_replace(string_split(file, '/')[-1], "
@@ -3479,7 +3532,12 @@ CASE WHEN unit_type IN ('RawCode', 'Constant') THEN code ELSE concat_ws(chr(10),
         # whenever the corpus has > n_full (256) units — true at the gate
         # (sf0.01 ≈ 750 units) and bench (sf0.1 = 6250) scales, where the
         # cut is min(256, max(64, fetch_k)) = 256 on both sides either way
-        assert not subset_where, "funnel-oracle code search is unfiltered"
+        # (the Spark entries assert num_documents > 256 for exactly this).
+        # With subset_where set this is the FILTERED funnel at the serving
+        # point: Q4 probe scaling off the full-index N, eligible-cell probe
+        # restriction, and subset-intersected candidacy — the subset feeds
+        # in as a doc_id SELECT over subq (prebuilt-index semantics: stats
+        # and fetch_k stay full-index)
         sem_sql = f"""qt AS (
   SELECT CAST(0 AS BIGINT) AS query_id, token_idx,
          {token_vector_sql('token', 16)} AS vec
@@ -3487,6 +3545,8 @@ CASE WHEN unit_type IN ('RawCode', 'Constant') THEN code ELSE concat_ws(chr(10),
 ),
 {_sql_plaid_funnel_ctes(top_k=max(20 * top_k, 200), n_full=256, n_probe=8,
                         t_cs=0.4, dim=dim,
+                        subset_from=("SELECT unit_id AS doc_id FROM subq"
+                                     if subset_where else None),
                         approx_sidecar=CODE_APPROX_SIDECAR,
                         exact_sidecar=CODE_EXACT_SIDECAR)},
 sem_list AS (
@@ -3789,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_search_topk": q_code_search_topk,
         "code_search_approx_topk": q_code_search_approx_topk,
         "code_search_filtered_topk": q_code_search_filtered_topk,
+        "code_search_filtered_approx_topk": q_code_search_filtered_approx_topk,
     }
 
 
@@ -3809,6 +3870,10 @@ def oracle_sql() -> dict[str, str]:
         "code_search_topk": sql_code_search_topk(),
         "code_search_approx_topk": sql_code_search_topk(sem_funnel=True),
         "code_search_filtered_topk": sql_code_search_topk(
+            subset_where=("file LIKE 'src/%' AND "
+                          f"regexp_matches(code, '{CODE_FILTER_REGEX}')")),
+        "code_search_filtered_approx_topk": sql_code_search_topk(
+            sem_funnel=True,
             subset_where=("file LIKE 'src/%' AND "
                           f"regexp_matches(code, '{CODE_FILTER_REGEX}')")),
         "update_append_doclens": sql_update_append_doclens(),

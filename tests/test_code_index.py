@@ -201,6 +201,32 @@ def test_funnel_search_relevant_and_filtered(spark, idx):
     assert [r.name for r in out] == ["backoff_delay"]
 
 
+def test_funnel_exact_all_excluding_subset_empty(spark, idx):
+    """Subset that excludes every indexed doc under the exact
+    configuration (probe_all skips the eligible-cell early return): the
+    empty restricted IVF must drain to an empty result with the stable
+    funnel schema — both at the searcher and through CodeIndex.search."""
+    from next_plaid_spark.encoding import encode_queries
+    from next_plaid_spark.plans.searcher import BatchSearcher
+
+    qdf = spark.createDataFrame(
+        [(0, "retry request")], "query_id long, text string")
+    qt = encode_queries(qdf, dim=idx.meta["dim"],
+                        max_tokens=idx.meta["query_max_tokens"])
+    for subset in (
+        spark.createDataFrame([], "doc_id long"),          # empty subset
+        spark.createDataFrame([(-7,)], "doc_id long"),     # no indexed doc
+    ):
+        res = BatchSearcher(idx.plaid).search(
+            qt, subset=subset, params=idx.exact_search_params(5))
+        assert res.columns == ["query_id", "doc_id", "score", "rank"]
+        assert res.count() == 0
+    # end-to-end: an all-excluding F10 glob yields an empty ranked result
+    out = idx.search("retry request", include_glob="no_such_dir/*",
+                     top_k=5, params=idx.exact_search_params(200))
+    assert out.count() == 0
+
+
 def test_update_rebuild_equals_fresh_build(spark, idx, files_v2,
                                            tmp_path_factory):
     """Small corpus (≤ rebuild_threshold) update == fresh build on the new
