@@ -274,6 +274,29 @@ def main() -> None:
             except Exception:
                 errors["code_search_overlap"] = \
                     traceback.format_exc(limit=3).splitlines()[-1]
+            # batch-query serving throughput over the prebuilt index (Q11,
+            # r11): N queries share ONE funnel + BM25 + ranking pass at the
+            # serving configuration — the code-search analog of
+            # batch_search_qps (the reference CLI serves queries one at a
+            # time; the engine underneath is batch-native)
+            try:
+                from next_plaid_spark.plans.searcher import SearchParams
+
+                n_cq = 50
+                code_queries = docs.filter(F.col("doc_id") < n_cq).select(
+                    F.col("doc_id").alias("query_id"),
+                    F.substring("text", 1, 64).alias("text"))
+                serving = SearchParams(n_ivf_probe=8,
+                                       centroid_score_threshold=0.4,
+                                       n_full_scores=256, keep_best_cell=True)
+                if timed(extras, f"code_search_batch{n_cq}",
+                         lambda: force(ci.search_batch(
+                             code_queries, top_k=10, params=serving))):
+                    stats["code_search_qps"] = round(
+                        n_cq / extras[f"code_search_batch{n_cq}"], 1)
+            except Exception:
+                errors["code_search_qps"] = \
+                    traceback.format_exc(limit=3).splitlines()[-1]
 
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",

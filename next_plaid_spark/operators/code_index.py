@@ -288,6 +288,54 @@ class CodeIndex:
         return apply_ranking(fused, self.units, query_text,
                              top_k=top_k, collapse=collapse)
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        *,
+        regex: str | None = None,
+        include_glob: str | None = None,
+        exclude_glob: str | None = None,
+        top_k: int = 10,
+        alpha: float = 0.75,
+        collapse: bool = True,
+        params=None,
+    ) -> DataFrame:
+        """Batch form of ``search``: queries(query_id, text) → per-query
+        ranked results with a ``query_id`` column (SURVEY §Q11 — the
+        engine's native mode; the reference CLI is single-query, but
+        ``BatchSearcher``, BM25, and fusion are batch-native underneath,
+        so N queries share one funnel pass instead of N sequential jobs).
+
+        Per-query semantics are identical to ``search`` (pytest-pinned:
+        the batch rows for query i equal the single-query result), with
+        the same prebuilt-index filter semantics — the F10/F11 subset
+        applies to every query in the batch. ``params`` defaults to the
+        approximate serving configuration like ``search``."""
+        from next_plaid_spark.encoding import encode_queries
+        from next_plaid_spark.operators.colgrep import apply_ranking_batch
+        from next_plaid_spark.operators.fusion import hybrid_search
+        from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+        n_docs = self.plaid.meta.num_documents
+        fetch_k = min(max(20 * top_k, 200), max(n_docs, top_k))
+        subset = self._subset(regex, include_glob, exclude_glob)
+        if self._searcher is not None:
+            self._searcher.release()
+        qt = encode_queries(queries, dim=self.meta["dim"],
+                            max_tokens=self.meta["query_max_tokens"])
+        p = dataclasses.replace(params or SearchParams(), top_k=fetch_k)
+        if self._searcher is None:
+            self._searcher = BatchSearcher(self.plaid)
+        sem = self._searcher.search(qt, subset=subset, params=p).select(
+            "query_id", "doc_id", "score")
+        kw = self.bm25.search(queries, k=fetch_k, subset=subset).select(
+            "query_id", "doc_id", "score")
+        fused = hybrid_search(
+            sem, kw, mode="relative_score", alpha=alpha, k=fetch_k
+        ).select("query_id", F.col("doc_id").alias("unit_id"), "score")
+        return apply_ranking_batch(fused, self.units, queries,
+                                   top_k=top_k, collapse=collapse)
+
     # -- incremental update (P3 + U1-U8 composed) ----------------------------
     def update(self, new_files: DataFrame, out_path: str, *,
                rebuild_threshold: int | None = None) -> "CodeIndex":

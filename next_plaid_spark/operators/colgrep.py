@@ -358,6 +358,134 @@ def apply_ranking(
     )
 
 
+def apply_ranking_batch(
+    results: DataFrame,
+    units: DataFrame,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    collapse: bool = True,
+) -> DataFrame:
+    """R1→R4 re-scoring + R5 collapse for a BATCH of query result lists
+    (Q11 over the ranking tail).
+
+    ``results``: (query_id, unit_id, score); ``queries``: (query_id, text);
+    ``units``: code_units metadata. Per-query semantics are identical to
+    ``apply_ranking`` (pytest-pinned: batch row for query i ≡ the
+    single-query result) — every window partitions by query_id, the
+    query-derived terms (identifier tokens, wants-test flag) ride a
+    broadcast of the tiny queries frame, and the whole batch stays one
+    Spark job. Returns (query_id, unit_id, file, name, line, end_line,
+    score, rank)."""
+    q = queries.select(
+        "query_id",
+        identifier_tokens(F.col("text")).alias("_qtoks"),
+        F.coalesce(F.lower("text").rlike(_QUERY_WANTS_TEST_RE),
+                   F.lit(False)).alias("_wants_test"),
+    )
+    r = results.join(
+        units.select("unit_id", "file", "name", "unit_type", "line", "end_line"),
+        "unit_id",
+    ).join(F.broadcast(q), "query_id")
+    wq = Window.partitionBy("query_id")
+    r = r.withColumn(
+        "_max_score", F.coalesce(F.max("score").over(wq), F.lit(0.0)))
+
+    # R1 path-noise penalty (classes compound; waived when the query asks
+    # for tests) — same expression as path_penalty with the query-side
+    # branch as a column instead of a Python conditional
+    pen = (
+        F.when(F.col("file").rlike(_TEST_PATH_RE), F.lit(PENALTY_TEST)).otherwise(F.lit(1.0))
+        * F.when(F.col("file").rlike(_COMPAT_PATH_RE), F.lit(PENALTY_COMPAT)).otherwise(F.lit(1.0))
+        * F.when(F.col("file").rlike(_BARREL_PATH_RE), F.lit(PENALTY_BARREL)).otherwise(F.lit(1.0))
+    )
+    r = r.withColumn(
+        "score",
+        F.col("score") * F.when(F.col("_wants_test"), F.lit(1.0)).otherwise(pen),
+    )
+
+    # R2 definition boost
+    name_tokens = identifier_tokens(F.col("name"))
+    r = r.withColumn(
+        "score",
+        F.col("score")
+        + F.when(
+            F.col("unit_type").isin(*DEF_TYPES)
+            & (F.size(F.array_intersect(name_tokens, F.col("_qtoks"))) > 0),
+            F.lit(DEF_BOOST) * F.col("_max_score"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    # R3 path-stem boost
+    stem_tokens = F.filter(
+        identifier_tokens(_stem(F.col("file"))),
+        lambda t: ~t.isin(*_STEM_STOPWORDS),
+    )
+    exact_hit = F.size(F.array_intersect(stem_tokens, F.col("_qtoks"))) > 0
+    prefix_hit = F.exists(
+        stem_tokens,
+        lambda s: F.exists(
+            F.col("_qtoks"), lambda qq: (F.length(qq) >= 3) & s.startswith(qq)
+        ),
+    )
+    r = r.withColumn(
+        "score",
+        F.col("score")
+        + F.when(exact_hit, F.lit(STEM_EXACT_BOOST) * F.col("_max_score"))
+        .when(prefix_hit, F.lit(STEM_PREFIX_BOOST) * F.col("_max_score"))
+        .otherwise(F.lit(0.0)),
+    )
+
+    # R4 file-coherence (sorted-fold file sums — same float discipline as
+    # the single-query form)
+    wqf = Window.partitionBy("query_id", "file")
+    wfile = wqf.orderBy(F.col("score").desc(), F.col("unit_id").asc())
+    fsum_sorted = F.aggregate(
+        F.array_sort(F.collect_list("score").over(wqf)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    r = (
+        r.withColumn("_fsum", fsum_sorted)
+        .withColumn("_best_fsum", F.coalesce(F.max("_fsum").over(wq), F.lit(1.0)))
+        .withColumn("_file_rank", F.row_number().over(wfile))
+        .withColumn(
+            "score",
+            F.col("score")
+            + F.when(
+                (F.col("_file_rank") == 1) & (F.col("_best_fsum") != 0.0),
+                F.lit(COHERENCE_BOOST) * F.col("_max_score")
+                * F.col("_fsum") / F.col("_best_fsum"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_fsum", "_best_fsum", "_file_rank", "_max_score",
+              "_qtoks", "_wants_test")
+    )
+
+    # R5 collapse-by-file per query
+    if collapse:
+        wf = wqf.orderBy(F.col("score").desc(), F.col("unit_id").asc())
+        agg_lines = r.groupBy("query_id", "file").agg(
+            F.min("line").alias("line"), F.max("end_line").alias("end_line")
+        )
+        r = (
+            r.withColumn("_rk", F.row_number().over(wf))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "line", "end_line")
+            .join(agg_lines, ["query_id", "file"])
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("unit_id").asc()
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "unit_id", "file", "name", "line", "end_line",
+                "score", "rank")
+    )
+
+
 # -- the end-to-end code search (colgrep's CLI pipeline, SURVEY §3.2) ----------
 
 def _glob_to_like(glob: str) -> str:

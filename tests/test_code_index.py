@@ -227,6 +227,42 @@ def test_funnel_exact_all_excluding_subset_empty(spark, idx):
     assert out.count() == 0
 
 
+def test_search_batch_equals_single(spark, idx):
+    """Q11 over the code index: search_batch(queries) row-for-row equals
+    the single-query search() for every query in the batch — including a
+    wants-test query (R1 waiver branch) and a novel-identifier query
+    (one-sided fusion degradation) — at the serving configuration, and
+    under an F10 glob subset."""
+    from next_plaid_spark.plans.searcher import SearchParams
+
+    serving = SearchParams(n_ivf_probe=8, centroid_score_threshold=0.4,
+                           n_full_scores=256, keep_best_cell=True)
+    qtexts = ["parse configuration file",
+              "http retry backoff",
+              "test config parsing",          # R1 wants-test waiver
+              "zqxgl frobnicate quux"]        # novel identifiers
+    qdf = spark.createDataFrame(
+        list(enumerate(qtexts)), "query_id long, text string")
+
+    def rows(df, qid=None):
+        return sorted(
+            (r.unit_id, r.file, r.name, r.line, r.end_line, r.score, r.rank)
+            for r in df if qid is None or r.query_id == qid)
+
+    batch = idx.search_batch(qdf, top_k=5, params=serving).collect()
+    for i, qt in enumerate(qtexts):
+        single = idx.search(qt, top_k=5, params=serving).collect()
+        assert rows(batch, i) == rows(single), f"query {i}: {qt!r}"
+
+    # filtered batch ≡ filtered single
+    fb = idx.search_batch(qdf.filter("query_id < 2"), top_k=5,
+                          include_glob="src/http/*", params=serving).collect()
+    for i in (0, 1):
+        fs = idx.search(qtexts[i], top_k=5, include_glob="src/http/*",
+                        params=serving).collect()
+        assert rows(fb, i) == rows(fs)
+
+
 def test_update_rebuild_equals_fresh_build(spark, idx, files_v2,
                                            tmp_path_factory):
     """Small corpus (≤ rebuild_threshold) update == fresh build on the new
