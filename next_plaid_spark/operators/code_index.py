@@ -52,6 +52,16 @@ from next_plaid_spark.operators.colgrep import (
 # reference query_length for code search (the gate oracles slice the same 16)
 CODE_QUERY_MAX_TOKENS = 16
 
+# units/ is hash-partitioned by file into this many buckets so update()
+# rewrites only the buckets whose files changed (the PLAID/BM25 stores are
+# already delta-only; this closes the last O(corpus)-write in the update
+# path — the reference updates its SQLite units table in place)
+UNITS_BUCKETS = 32
+
+
+def _units_bucket(col):
+    return F.pmod(F.xxhash64(col), F.lit(UNITS_BUCKETS))
+
 # raw parser output columns (pre call-graph, pre unit_id) — the schema
 # parse_code_units emits and update() merges on
 _RAW_COLS = [
@@ -91,7 +101,9 @@ class CodeIndex:
     # -- tables --------------------------------------------------------------
     @property
     def units(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "units"))
+        df = self.spark.read.parquet(os.path.join(self.path, "units"))
+        # the file-hash partition column is storage layout, not unit data
+        return df.drop("ub") if "ub" in df.columns else df
 
     @property
     def files(self) -> DataFrame:
@@ -139,9 +151,16 @@ class CodeIndex:
         units = build_embedding_text(
             with_unit_ids(build_call_graph(raw_units))
         )
-        units.write.mode("overwrite").parquet(os.path.join(path, "units"))
+        # file-hash-bucketed layout: one shuffle of the (metadata-sized)
+        # unit table buys (a) parallel parquet encode out of the global-id
+        # window's single partition and (b) delta-only rewrites in update()
+        # — only buckets owning changed files are ever rewritten
+        (units.withColumn("ub", _units_bucket(F.col("file")))
+         .repartition(UNITS_BUCKETS, F.col("ub"))
+         .write.partitionBy("ub").mode("overwrite")
+         .parquet(os.path.join(path, "units")))
         state.write.mode("overwrite").parquet(os.path.join(path, "files"))
-        units = spark.read.parquet(os.path.join(path, "units"))
+        units = spark.read.parquet(os.path.join(path, "units")).drop("ub")
 
         # the units artifact is often one file (unit ids come from a global
         # window) — spread rows across cores before the Arrow encode pass
@@ -413,7 +432,8 @@ class CodeIndex:
         old_ids = old_units.withColumn("_o", F.row_number().over(_w_key)).select(
             "unit_id", F.col("file").alias("_f"), F.col("line").alias("_l"),
             F.col("name").alias("_n"), F.col("_o"),
-            F.col("embed_text").alias("_old_embed"))
+            F.col("embed_text").alias("_old_embed"),
+            F.col("called_by").alias("_old_cb"))
         merged_o = merged.withColumn("_m", F.row_number().over(_w_key))
         joined = merged_o.join(
             old_ids,
@@ -429,15 +449,65 @@ class CodeIndex:
         unchanged = kept.filter(F.col("embed_text") == F.col("_old_embed"))
         changed = kept.filter(F.col("embed_text") != F.col("_old_embed"))
         units_out = (
-            unchanged.drop("_old_embed")
-            .unionByName(changed.drop("_old_embed"))
-            .unionByName(fresh.drop("_old_embed"))
+            unchanged.drop("_old_embed", "_old_cb")
+            .unionByName(changed.drop("_old_embed", "_old_cb"))
+            .unionByName(fresh.drop("_old_embed", "_old_cb"))
         ).cache()
-        units_out.write.mode("overwrite").parquet(
-            os.path.join(out_path, "units"))
+
+        # delta-only units rewrite: Spark writes ONLY the file-hash buckets
+        # that own a delta; every clean bucket's parquet files are
+        # hardlinked from the previous snapshot (copy fallback across
+        # filesystems) — O(changed-buckets) write instead of the O(corpus)
+        # full-table rewrite the immutable-snapshot discipline used to pay.
+        # A bucket is dirty when it owns (a) an added/modified/removed
+        # file, (b) a re-encoded or fresh unit (call-graph ripple changes
+        # embed text in unchanged files), or (c) a RawCode/Constant unit
+        # whose called_by list changed without touching its embed text —
+        # (c) is invisible to the PLAID/BM25 delta (they index embed_text)
+        # but the stored metadata row still differs.
+        cb_ripple = unchanged.filter(
+            ~F.col("called_by").eqNullSafe(F.col("_old_cb")))
+        dirty_rows = (changed.select("file")
+                      .unionByName(fresh.select("file"))
+                      .unionByName(cb_ripple.select("file"))
+                      .select(_units_bucket(F.col("file")).alias("ub")))
+        dirty = {r.ub for r in dirty_rows.distinct().collect()}
+        dirty |= {r.ub for r in changes.select(
+            _units_bucket(F.col("path")).alias("ub")).distinct().collect()}
+
+        old_units_dir = os.path.join(self.path, "units")
+        new_units_dir = os.path.join(out_path, "units")
+        old_buckets = [d for d in os.listdir(old_units_dir)
+                       if d.startswith("ub=")]
+        if not old_buckets:
+            # pre-bucketing flat snapshot: no clean buckets to reuse —
+            # write the full table once, upgrading the layout
+            dirty = set(range(UNITS_BUCKETS))
+        out_b = units_out.withColumn("ub", _units_bucket(F.col("file")))
+        if dirty:
+            out_b = out_b.filter(F.col("ub").isin(*[int(b) for b in dirty]))
+        else:
+            out_b = out_b.filter(F.lit(False))
+        (out_b.repartition(max(len(dirty), 1), F.col("ub"))
+         .write.partitionBy("ub").mode("overwrite").parquet(new_units_dir))
+        for d in old_buckets:
+            if int(d.split("=", 1)[1]) in dirty:
+                continue
+            src, dst = os.path.join(old_units_dir, d), os.path.join(new_units_dir, d)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.startswith("_"):
+                    continue
+                try:
+                    os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                except OSError:
+                    import shutil as _sh
+
+                    _sh.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+
         new_state.write.mode("overwrite").parquet(
             os.path.join(out_path, "files"))
-        units_out = spark.read.parquet(os.path.join(out_path, "units"))
+        units_out = spark.read.parquet(new_units_dir).drop("ub")
         unchanged_ids = unchanged.select(
             F.col("unit_id").alias("doc_id")).cache()
         reindex = units_out.join(
