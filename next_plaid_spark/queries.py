@@ -3188,9 +3188,16 @@ def _code_query_text(spark: SparkSession, sf_dir: str) -> str:
 
 def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → files(path, content): the synthetic Python package."""
+    return _code_corpus_from_docs(_t(spark, sf_dir, "documents"))
+
+
+def _code_corpus_from_docs(docs: DataFrame) -> DataFrame:
+    """The same package generator over an arbitrary documents frame —
+    function/anchor names carry doc_id/grp, so a replicated-with-offsets
+    corpus keeps names unique (tools/scale_code.py uses this to measure
+    the code index beyond sf0.1 without degenerate call-graph fan-in)."""
     from pyspark.sql.window import Window
 
-    docs = _t(spark, sf_dir, "documents")
     toks = tokenize_unicode61(F.col("text"))
     d = docs.select(
         "doc_id",
