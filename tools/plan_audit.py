@@ -63,6 +63,7 @@ AUDITED = [
     "code_search_topk",
     "code_search_approx_topk",
     "code_search_filtered_topk",
+    "code_search_filtered_approx_topk",
 ]
 
 
@@ -74,11 +75,20 @@ def scans(plan: str) -> list[str]:
     return [ln.strip() for ln in plan.splitlines() if "FileScan" in ln]
 
 
+def _scan_table(s: str) -> str:
+    """Last path component of a FileScan's location, normalized to the
+    TABLE dir when the listed path is a partition dir (…/units/ub=3)."""
+    m = re.search(r"Location: \w+\(\d+ paths?\)\[([^\]]+)", s)
+    parts = (m.group(1) if m else "?").rstrip("/").split("/")
+    return parts[-2] if re.match(r"^\w+=", parts[-1]) and len(parts) > 1 \
+        else parts[-1]
+
+
 def summarize(plan: str) -> dict:
     return {
         "scans": [
             {
-                "path": (re.search(r"Location: \w+\(\d+ paths?\)\[([^\]]+)", s) or [None, "?"])[1].split("/")[-1],
+                "path": _scan_table(s),
                 # bucketed catalog tables print as "FileScan parquet db.table[cols]"
                 "columns": (re.search(r"FileScan \w+(?: [\w.$]+)?\s*\[([^\]]*)\]", s) or [None, "?"])[1],
                 "pushed": "DataFilters: [" in s and "DataFilters: []" not in s,
@@ -214,7 +224,8 @@ def main() -> int:
         # in a scan would mean the embed text is re-derived per query),
         # and there is no cartesian join or row-at-a-time Python UDF
         if name in ("code_search_topk", "code_search_approx_topk",
-                    "code_search_filtered_topk"):
+                    "code_search_filtered_topk",
+                    "code_search_filtered_approx_topk"):
             if s["cartesian"]:
                 failures.append(f"A16 {name}: cartesian/nested-loop join")
             if not any(sc["path"].startswith("tokens") for sc in s["scans"]):
@@ -229,12 +240,13 @@ def main() -> int:
                         f"A16 {name}: units scan not pruned ({sc['columns']})")
             if "BatchEvalPython" in plan:
                 failures.append(f"A16 {name}: row-at-a-time Python UDF")
-        if name == "code_search_filtered_topk":
+        if name in ("code_search_filtered_topk",
+                    "code_search_filtered_approx_topk"):
             sub_scans = [sc for sc in s["scans"]
                          if sc["path"] == "units" and "code" in sc["columns"]]
             if not (sub_scans and all(sc["pushed"] for sc in sub_scans)):
                 failures.append(
-                    "A16 code_search_filtered_topk: F10/F11 subset predicate "
+                    f"A16 {name}: F10/F11 subset predicate "
                     "not pushed into the units scan")
         # A5: aggregation entries stay in codegen
         if name in ("pricing_summary", "events_sessions", "simhash_fingerprints") and not s["codegen"]:
