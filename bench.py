@@ -297,6 +297,38 @@ def main() -> None:
             except Exception:
                 errors["code_search_qps"] = \
                     traceback.format_exc(limit=3).splitlines()[-1]
+            # incremental update cost (U1-U8 over the code index, r11):
+            # edit 2 files of the corpus and re-index. With the
+            # file-hash-bucketed units/ layout only dirty buckets rewrite
+            # and only changed units re-encode, so this should sit far
+            # under code_index_build — the `colgrep index` refresh a
+            # watcher pays per edit (colgrep/src/lib.rs:47-62 policy)
+            try:
+                import tempfile as _tf
+
+                files = q._code_corpus(spark, sf_dir)
+                touched = [r.path for r in files.select("path")
+                           .orderBy("path").limit(2).collect()]
+                new_files = files.withColumn(
+                    "content",
+                    F.when(
+                        F.col("path").isin(touched),
+                        F.concat(F.col("content"),
+                                 F.lit("\ndef bench_touch():\n"
+                                       "    return benchtouched\n")),
+                    ).otherwise(F.col("content")))
+                upd_path = os.path.join(
+                    _tf.mkdtemp(prefix="bench_ci_upd_"), "index")
+                if timed(extras, "code_index_update_2file",
+                         lambda: ci.update(new_files, upd_path)):
+                    if extras.get("code_index_build"):
+                        stats["code_index_update_speedup"] = round(
+                            extras["code_index_build"]
+                            / max(extras["code_index_update_2file"], 1e-9),
+                            1)
+            except Exception:
+                errors["code_index_update"] = \
+                    traceback.format_exc(limit=3).splitlines()[-1]
 
         for name in ("decontaminate", "repetition_stats", "stratified_sample",
                      "dedup_clusters", "perplexity_proxy", "curate_corpus",

@@ -384,6 +384,7 @@ class CodeIndex:
             REBUILD_THRESHOLD,
             delete_from_index,
             update_index,
+            update_index_delta,
         )
 
         if rebuild_threshold is None:
@@ -517,21 +518,31 @@ class CodeIndex:
         # PLAID: delete everything not kept verbatim, append the re-encoded
         gone_doc = self.plaid.doclens.select("doc_id").join(
             unchanged_ids, "doc_id", "left_anti")
-        del_path = os.path.join(out_path, "_plaid_del")
-        shrunk = delete_from_index(spark, self.plaid, gone_doc, del_path)
         new_tokens = encode_tokens(
             reindex, "unit_id", "embed_text", dim=self.meta["dim"],
             max_tokens=self.meta["doc_max_tokens"], out_id="doc_id",
         ).select("doc_id", "token_idx", "vec")
-        update_index(spark, shrunk, new_tokens,
-                     os.path.join(out_path, "plaid"),
-                     seed=self.meta["seed"])
-        # the shrunken snapshot was only update_index's input — the new
-        # index at plaid/ is fully materialized, so drop the intermediate
-        # (it is corpus-sized; leaving it doubles every update's footprint)
-        import shutil
+        if self.plaid.meta.n_buckets:
+            # bucketed layout (the default): fused delete+append rewrites
+            # only the buckets owning a gone/re-encoded unit and hardlinks
+            # the clean ones — O(delta) token IO instead of the two-step
+            # form's two corpus-sized snapshot writes
+            update_index_delta(spark, self.plaid, gone_doc, new_tokens,
+                               os.path.join(out_path, "plaid"),
+                               seed=self.meta["seed"])
+        else:
+            del_path = os.path.join(out_path, "_plaid_del")
+            shrunk = delete_from_index(spark, self.plaid, gone_doc, del_path)
+            update_index(spark, shrunk, new_tokens,
+                         os.path.join(out_path, "plaid"),
+                         seed=self.meta["seed"])
+            # the shrunken snapshot was only update_index's input — the
+            # new index at plaid/ is fully materialized, so drop the
+            # intermediate (it is corpus-sized; leaving it would double
+            # every update's footprint)
+            import shutil
 
-        shutil.rmtree(del_path, ignore_errors=True)
+            shutil.rmtree(del_path, ignore_errors=True)
 
         # BM25: unchanged units' postings ride along; changed/new re-tokenize
         toks_new = reindex.select(

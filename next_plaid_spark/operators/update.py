@@ -26,6 +26,8 @@ parity via ``dense_id_mapping``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -187,3 +189,147 @@ def dense_id_mapping(index: PlaidIndex) -> DataFrame:
         "doc_id",
         (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("dense_id"),
     )
+
+
+def update_index_delta(
+    spark: SparkSession,
+    index: PlaidIndex,
+    gone_docs: DataFrame,
+    new_doc_tokens: DataFrame,
+    out_path: str,
+    *,
+    seed: int = 42,
+    buffer_threshold: int = BUFFER_THRESHOLD,
+) -> PlaidIndex:
+    """Fused U5-delete + U1/U4-append for a doc_id-BUCKETED index → new
+    snapshot at ``out_path`` that touches only the delta's buckets.
+
+    ``delete_from_index`` + ``update_index`` each rewrite the corpus-sized
+    token table (scan + bucket shuffle + write, twice per update). But the
+    tokens live in a ``bucketBy(n, doc_id)`` table, and a delete/append
+    only changes the buckets that OWN a deleted or appended doc_id — so
+    this path reads just those buckets' parquet files (file-level pruning
+    by the bucket id Spark encodes in the file name), rewrites them minus
+    gone plus re-encoded rows, and hardlinks every clean bucket's files
+    from the previous snapshot (same discipline as CodeIndex's units/
+    layout). doc_stats merges old-minus-gone with the delta's groupBy
+    (delta-sized shuffle only); IVF re-derives from the merged doc_stats
+    (per-doc code sets, ~avg_doclen× smaller than tokens); meta counts are
+    arithmetic. Centroid-expansion policy matches ``update_index`` path
+    (c) (update.rs:95-108): expansion appends codebook rows, so carried
+    buckets' codes stay valid.
+
+    Preconditions (same contract as the two-step form): ``gone_docs`` ⊆
+    indexed docs; ``new_doc_tokens`` doc_ids must not collide with kept
+    docs (re-encoded docs appear in both gone and new).
+    """
+    import hashlib
+    import re
+    import shutil
+
+    from next_plaid_spark.sources.index_store import (
+        write_centroids,
+        write_ivf_from_doc_stats,
+    )
+
+    n = index.meta.n_buckets
+    if not n or not index.meta.bucket_table:
+        raise ValueError("update_index_delta requires a doc_id-bucketed index; "
+                         "use delete_from_index + update_index for plain layouts")
+
+    gone = gone_docs.select(F.col("doc_id").cast("long")).distinct().cache()
+    new_doc_tokens = new_doc_tokens.select(
+        F.col("doc_id").cast("long"), F.col("token_idx").cast("int"), "vec"
+    ).cache()
+    new_ids = new_doc_tokens.select("doc_id").distinct()
+    n_new_docs = new_ids.count()
+    n_new_tokens = new_doc_tokens.count()
+
+    centroids = index.centroids_np()
+    if n_new_docs >= buffer_threshold:
+        outliers = find_outliers(
+            new_doc_tokens, centroids, index.meta.codec.cluster_threshold
+        )
+        centroids = expand_centroids(outliers, centroids, seed=seed)
+    coded = assign_codes(new_doc_tokens, centroids)
+    quantized = quantize_residuals(coded, centroids, index.meta.codec)
+
+    # bucket id exactly as Spark's bucketed write assigns it:
+    # pmod(Murmur3(doc_id), n) — F.hash IS Murmur3 with the bucketing seed
+    # (pinned by test_update_delta's per-file placement check)
+    bucket = F.pmod(F.hash(F.col("doc_id")), F.lit(n))
+    dirty = {int(r.b) for r in gone.select(bucket.alias("b")).distinct().collect()}
+    dirty |= {int(r.b) for r in new_ids.select(bucket.alias("b")).distinct().collect()}
+
+    old_dir = os.path.join(index.path, "tokens_bucketed")
+    by_bucket: dict[int, list[str]] = {}
+    for fn in os.listdir(old_dir):
+        if fn.startswith((".", "_")):  # _SUCCESS + hidden .crc sidecars
+            continue
+        m = re.search(r"_(\d+)\.c\d+", fn)
+        if m:
+            by_bucket.setdefault(int(m.group(1)), []).append(
+                os.path.join(old_dir, fn))
+    dirty_files = [p for b in dirty for p in by_bucket.get(b, [])]
+
+    cols = index.tokens.columns
+    if dirty_files:
+        kept_rows = (spark.read.parquet(*dirty_files)
+                     .join(gone, "doc_id", "left_anti").select(*cols))
+    else:
+        kept_rows = index.tokens.filter(F.lit(False)).select(*cols)
+    rows = kept_rows.unionByName(quantized.select(*cols))
+
+    bt_new = ("nps_tokens_"
+              + hashlib.md5(os.path.abspath(out_path).encode()).hexdigest()[:12])
+    spark.sql(f"DROP TABLE IF EXISTS {bt_new}")
+    new_dir = os.path.join(out_path, "tokens_bucketed")
+    (
+        # one partition per dirty bucket → one file per bucket, the
+        # condition write_index documents for shuffle-free downstream reads
+        rows.repartition(max(len(dirty), 1), bucket)
+        .write.mode("overwrite")
+        .option("path", new_dir)
+        .bucketBy(n, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(bt_new)
+    )
+    for b, paths in by_bucket.items():
+        if b in dirty:
+            continue
+        for src in paths:
+            dst = os.path.join(new_dir, os.path.basename(src))
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+    spark.sql(f"REFRESH TABLE {bt_new}")
+
+    old_stats = spark.read.parquet(os.path.join(index.path, "doc_stats"))
+    gone_agg = old_stats.join(gone, "doc_id", "left_semi").agg(
+        F.count("*").alias("nd"), F.coalesce(F.sum("num_tokens"), F.lit(0)).alias("nt")
+    ).collect()[0]
+    new_stats = quantized.groupBy("doc_id").agg(
+        F.count("*").alias("num_tokens"),
+        F.array_sort(F.collect_set("code")).alias("codes"),
+    )
+    (
+        old_stats.join(gone, "doc_id", "left_anti")
+        .unionByName(new_stats)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "doc_stats"))
+    )
+    write_ivf_from_doc_stats(spark, out_path, centroids.shape[0])
+    write_centroids(spark, out_path, centroids)
+
+    n_docs = index.meta.num_documents - int(gone_agg.nd) + n_new_docs
+    n_tok = index.meta.num_embeddings - int(gone_agg.nt) + n_new_tokens
+    meta = IndexMeta(
+        k=centroids.shape[0], dim=index.meta.dim, nbits=index.meta.nbits,
+        num_documents=n_docs, num_embeddings=n_tok,
+        avg_doclen=n_tok / max(n_docs, 1), codec=index.meta.codec,
+        bucket_table=bt_new, n_buckets=n,
+    )
+    with open(os.path.join(out_path, "meta.json"), "w") as f:
+        f.write(meta.to_json())
+    return PlaidIndex(spark, out_path, meta)

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from next_plaid_spark.operators.codec import CodecArtifacts
 
@@ -215,11 +216,7 @@ def write_index(
             shutil.rmtree(stale_pb, ignore_errors=True)
         meta.bucket_table = None
         meta.n_buckets = None
-    cdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
-        "code long, vec array<float>",
-    )
-    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    write_centroids(spark, path, centroids)
 
     tokens = (tokens_src if tokens_src is not None
               else spark.read.parquet(os.path.join(path, "tokens")))
@@ -238,19 +235,31 @@ def write_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "doc_stats"))
     )
+    write_ivf_from_doc_stats(spark, path, meta.k)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        f.write(meta.to_json())
+    return PlaidIndex(spark, path, meta)
+
+
+def write_centroids(spark: SparkSession, path: str, centroids: np.ndarray) -> None:
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "code long, vec array<float>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def write_ivf_from_doc_stats(spark: SparkSession, path: str, k: int) -> None:
+    """B8 IVF: sorted, deduped doc list per centroid (index.rs:479-508),
+    derived from ``path``/doc_stats — input is each doc's distinct codes
+    (≤ doclen rows after explode), not the full token table, and
+    (code, doc_id) pairs arrive pre-deduped so collect_list suffices."""
     doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
-    # B8 IVF: sorted, deduped doc list per centroid (index.rs:479-508),
-    # derived from doc_stats — input is each doc's distinct codes (≤ doclen
-    # rows after explode), not the full token table, and (code, doc_id)
-    # pairs arrive pre-deduped so collect_list suffices
     (
         doc_stats.select("doc_id", F.explode("codes").alias("code"))
         .groupBy("code")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-        .repartition(1 if meta.k < 65536 else 32, "code")
+        .repartition(1 if k < 65536 else 32, "code")
         .write.mode("overwrite")
         .parquet(os.path.join(path, "ivf"))
     )
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        f.write(meta.to_json())
-    return PlaidIndex(spark, path, meta)

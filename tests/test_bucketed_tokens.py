@@ -125,3 +125,90 @@ def test_update_and_delete_preserve_bucketed_layout(spark, tmp_path):
     a = sorted(tuple(r) for r in BatchSearcher(b2, prm).search(qt).collect())
     b = sorted(tuple(r) for r in BatchSearcher(p2, prm).search(qt).collect())
     assert a == b
+
+
+def test_update_index_delta_matches_two_step(spark, tmp_path):
+    """The fused bucket-aware delete+append must be value-identical to
+    delete_from_index + update_index (tokens, doc_stats, ivf, meta,
+    search results), reuse clean buckets by hardlink (inode identity),
+    and place every row in the bucket its file name claims — which pins
+    the F.hash == bucketBy-placement assumption the dirty-set relies on."""
+    import os
+    import re
+
+    from next_plaid_spark.operators.update import (
+        delete_from_index,
+        update_index,
+        update_index_delta,
+    )
+
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=150, tokens_per_doc=4, dim=8, n_clusters=8, seed=11
+    )
+    old = toks.filter(F.col("doc_id") < 130)
+    new = toks.filter(F.col("doc_id") >= 130)
+    gone_ids = [0, 1, 2, 7, 55]
+    bidx = IndexBuilder(spark, k=8, bucket_tokens=8).build(
+        old, str(tmp_path / "b0")
+    )
+    gone = spark.createDataFrame([(i,) for i in gone_ids], "doc_id long")
+
+    shr = delete_from_index(spark, bidx, gone_ids, str(tmp_path / "del"))
+    # buffer_threshold=5 < 20 new docs → BOTH paths exercise centroid
+    # expansion (path c), not just plain append
+    two = update_index(spark, shr, new, str(tmp_path / "two"),
+                       buffer_threshold=5)
+    delta = update_index_delta(spark, bidx, gone, new,
+                               str(tmp_path / "delta"), buffer_threshold=5)
+
+    assert delta.meta.bucket_table and delta.meta.n_buckets == 8
+    assert delta.meta.num_documents == two.meta.num_documents
+    assert delta.meta.num_embeddings == two.meta.num_embeddings
+    assert delta.meta.k == two.meta.k
+
+    cols = sorted(two.tokens.columns)
+    rows = lambda idx: sorted(  # noqa: E731
+        tuple(r) for r in idx.tokens.select(*cols).collect())
+    assert rows(delta) == rows(two)
+    stats = lambda p: sorted(  # noqa: E731
+        (r.doc_id, r.num_tokens, tuple(r.codes))
+        for r in spark.read.parquet(str(p) + "/doc_stats").collect())
+    assert stats(tmp_path / "delta") == stats(tmp_path / "two")
+    ivf = lambda p: sorted(  # noqa: E731
+        (r.code, tuple(r.doc_ids))
+        for r in spark.read.parquet(str(p) + "/ivf").collect())
+    assert ivf(tmp_path / "delta") == ivf(tmp_path / "two")
+
+    # clean buckets are hardlinked from the previous snapshot, dirty ones
+    # are fresh files; every file's rows hash into its file-name bucket
+    bucket_of = lambda fn: int(re.search(r"_(\d+)\.c\d+", fn).group(1))  # noqa: E731
+    old_dir = str(tmp_path / "b0" / "tokens_bucketed")
+    new_dir = str(tmp_path / "delta" / "tokens_bucketed")
+    old_inodes = {bucket_of(f): os.stat(os.path.join(old_dir, f)).st_ino
+                  for f in os.listdir(old_dir)
+                  if not f.startswith(("_", "."))}
+    dirty = {r.b for r in gone.unionByName(new.select("doc_id")).select(
+        F.pmod(F.hash("doc_id"), F.lit(8)).alias("b")).distinct().collect()}
+    assert dirty and len(dirty) < 8  # the test corpus must leave clean buckets
+    seen_clean = 0
+    for f in os.listdir(new_dir):
+        if f.startswith(("_", ".")):
+            continue
+        b = bucket_of(f)
+        got = {r.b for r in spark.read.parquet(os.path.join(new_dir, f))
+               .select(F.pmod(F.hash("doc_id"), F.lit(8)).alias("b"))
+               .distinct().collect()}
+        assert got <= {b}
+        if b not in dirty:
+            assert os.stat(os.path.join(new_dir, f)).st_ino == old_inodes[b]
+            seen_clean += 1
+    assert seen_clean == 8 - len(dirty)
+
+    # end to end: identical search results through the funnel
+    qt = toks.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("query_id"), "token_idx", "vec"
+    )
+    prm = SearchParams(top_k=5)
+    a = sorted(tuple(r) for r in BatchSearcher(delta, prm).search(qt).collect())
+    b = sorted(tuple(r) for r in BatchSearcher(two, prm).search(qt).collect())
+    assert a == b
