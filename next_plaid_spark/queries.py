@@ -747,6 +747,44 @@ def q_delete_survivor_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx2.doclens.select("doc_id", "num_tokens")
 
 
+def q_delta_update_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused bucket-aware delete+append (``update_index_delta``): one
+    snapshot hop drops DELETE_IDS and appends [UPDATE_SPLIT, UPDATE_END)
+    on a doc_id-BUCKETED index, rewriting only the buckets that own a
+    deleted/appended doc and hardlinking the clean ones. Value contract
+    identical to delete_from_index + update_index (pytest pins the full
+    tokens/doc_stats/ivf equivalence; this gate hash-checks the surviving
+    doclens against the raw corpus)."""
+    import tempfile
+
+    from next_plaid_spark.operators.update import update_index_delta
+    from next_plaid_spark.plans.builder import IndexBuilder
+
+    docs = _t(spark, sf_dir, "documents")
+    base_tokens = encode_documents(docs.filter(F.col("doc_id") < UPDATE_SPLIT))
+    new_tokens = encode_documents(
+        docs.filter((F.col("doc_id") >= UPDATE_SPLIT) & (F.col("doc_id") < UPDATE_END))
+    )
+    root = tempfile.mkdtemp(prefix="plaid_delta_")
+    idx = IndexBuilder(spark, nbits=4, seed=42, bucket_tokens=32).build(
+        base_tokens, f"{root}/v0")
+    gone = spark.createDataFrame([(int(i),) for i in DELETE_IDS], "doc_id long")
+    idx2 = update_index_delta(spark, idx, gone, new_tokens, f"{root}/v1")
+    return idx2.doclens.select("doc_id", "num_tokens")
+
+
+def sql_delta_update_doclens() -> str:
+    ids = ", ".join(str(i) for i in DELETE_IDS)
+    return f"""
+SELECT doc_id,
+       least(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')), 48) AS num_tokens
+FROM documents
+WHERE ((doc_id < {UPDATE_SPLIT} AND doc_id NOT IN ({ids}))
+       OR (doc_id >= {UPDATE_SPLIT} AND doc_id < {UPDATE_END}))
+  AND len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) > 0
+""".strip()
+
+
 def sql_delete_survivor_doclens() -> str:
     ids = ", ".join(str(i) for i in DELETE_IDS)
     return f"""
@@ -3778,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_plaid_exact_topk": q_hybrid_plaid_exact_topk,
         "monthly_shipments": q_monthly_shipments,
         "update_append_doclens": q_update_append_doclens,
+        "delta_update_doclens": q_delta_update_doclens,
         "delete_survivor_doclens": q_delete_survivor_doclens,
         "source_overlap": q_source_overlap,
         "cosine_topk": q_cosine_topk,
@@ -3884,6 +3923,7 @@ def oracle_sql() -> dict[str, str]:
             subset_where=("file LIKE 'src/%' AND "
                           f"regexp_matches(code, '{CODE_FILTER_REGEX}')")),
         "update_append_doclens": sql_update_append_doclens(),
+        "delta_update_doclens": sql_delta_update_doclens(),
         "delete_survivor_doclens": sql_delete_survivor_doclens(),
         "source_overlap": SQL_SOURCE_OVERLAP,
         "cosine_topk": sql_cosine_topk(),
