@@ -19,7 +19,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from next_plaid_spark.encoding import encode_documents
-from next_plaid_spark.operators.update import update_index
+from next_plaid_spark.operators.update import update_index, update_index_delta
 from next_plaid_spark.sources.index_store import PlaidIndex
 
 
@@ -45,12 +45,14 @@ class StreamingIndexWriter:
     """foreachBatch sink: documents stream → versioned index snapshots."""
 
     def __init__(self, spark: SparkSession, root: str, *, dim: int = 16,
-                 nbits: int = 4, seed: int = 42):
+                 nbits: int = 4, seed: int = 42,
+                 bucket_tokens: int | None = None):
         self.spark = spark
         self.root = root
         self.dim = dim
         self.nbits = nbits
         self.seed = seed
+        self.bucket_tokens = bucket_tokens
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -62,9 +64,17 @@ class StreamingIndexWriter:
         if current is None:
             from next_plaid_spark.plans.builder import IndexBuilder
 
-            IndexBuilder(self.spark, nbits=self.nbits, seed=self.seed).build(
-                tokens, out
-            )
+            IndexBuilder(self.spark, nbits=self.nbits, seed=self.seed,
+                         bucket_tokens=self.bucket_tokens).build(tokens, out)
+        elif current.meta.n_buckets:
+            # bucketed snapshots: an append-only micro-batch dirties just
+            # the buckets owning the new doc_ids — the fused delta writes
+            # those and hardlinks the rest, so per-batch IO is O(batch),
+            # not O(corpus); exactly the property a long-lived ingest
+            # stream needs (S8 at cluster scale)
+            gone = self.spark.createDataFrame([], "doc_id long")
+            update_index_delta(self.spark, current, gone, tokens, out,
+                               seed=self.seed)
         else:
             update_index(self.spark, current, tokens, out, seed=self.seed)
 

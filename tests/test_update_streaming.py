@@ -169,3 +169,61 @@ def test_expand_centroids_bounded_collect(spark):
     # determinism: same seed → same centroids
     again = expand_centroids(outliers, base, seed=42, sample_cap=cap)
     assert np.array_equal(expanded, again)
+
+
+def test_streaming_ingest_bucketed_delta(spark, documents, tmp_path_factory):
+    """With bucket_tokens set, every append micro-batch goes through the
+    fused delta: snapshots stay bucketed, final state matches the batch
+    build, and the second snapshot reuses (hardlinks) every token bucket
+    the new batch didn't touch — per-batch IO is O(batch), not O(corpus)."""
+    import os
+    import re
+
+    from next_plaid_spark.streaming.ingest import StreamingIndexWriter, latest_index
+
+    tmp = tmp_path_factory.mktemp("stream_bkt")
+    src_dir, idx_root, ckpt = str(tmp / "in"), str(tmp / "idx"), str(tmp / "ck")
+    os.makedirs(src_dir)
+
+    docs = documents.filter(F.col("doc_id") < 240).cache()
+    # batch 2 is tiny (4 docs) so it cannot dirty every bucket — the
+    # hardlink-reuse assertion below is then non-vacuous
+    docs.filter(F.col("doc_id") < 236).coalesce(1).write.parquet(f"{src_dir}/part1")
+    docs.filter(F.col("doc_id") >= 236).coalesce(1).write.parquet(f"{src_dir}/part2")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/part*")
+    )
+    writer = StreamingIndexWriter(spark, idx_root, bucket_tokens=8)
+    writer.attach(stream, ckpt).awaitTermination(300)
+
+    final = latest_index(spark, idx_root)
+    assert final is not None
+    assert final.meta.n_buckets == 8
+    batch_tokens = encode_documents(docs)
+    assert final.meta.num_documents == 240
+    assert final.meta.num_embeddings == batch_tokens.count()
+    streamed = {r.doc_id: r.num_tokens for r in final.doclens.collect()}
+    expected = {
+        r.doc_id: r.cnt
+        for r in batch_tokens.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert streamed == expected
+
+    # clean buckets of v1 are hardlinks of v0's files
+    bucket_of = lambda fn: int(re.search(r"_(\d+)\.c\d+", fn).group(1))  # noqa: E731
+    tok = lambda v: os.path.join(idx_root, v, "tokens_bucketed")  # noqa: E731
+    inodes0 = {bucket_of(f): os.stat(os.path.join(tok("v0"), f)).st_ino
+               for f in os.listdir(tok("v0"))
+               if not f.startswith(("_", "."))}
+    dirty = {r.b for r in encode_documents(
+        docs.filter(F.col("doc_id") >= 236)).select(
+        F.pmod(F.hash("doc_id"), F.lit(8)).alias("b")).distinct().collect()}
+    assert len(dirty) < 8  # clean buckets must exist for reuse to mean anything
+    reused = [b for f in os.listdir(tok("v1"))
+              if not f.startswith(("_", "."))
+              and (b := bucket_of(f)) not in dirty
+              and os.stat(os.path.join(tok("v1"), f)).st_ino == inodes0.get(b)]
+    assert len(reused) == 8 - len(dirty)
