@@ -114,13 +114,24 @@ def update_index(
     total_docs = index.meta.num_documents + n_new_docs
 
     # path (a): small corpus → rebuild everything with fresh k-means
+    # (sticky layout: a bucketed index rebuilds bucketed)
     if total_docs <= rebuild_threshold and full_rebuild_tokens is not None:
         from next_plaid_spark.plans.builder import IndexBuilder
 
         allt = full_rebuild_tokens.unionByName(new_doc_tokens)
-        return IndexBuilder(spark, nbits=index.meta.nbits, seed=seed).build(
+        return IndexBuilder(spark, nbits=index.meta.nbits, seed=seed,
+                            bucket_tokens=index.meta.n_buckets).build(
             allt, out_path
         )
+
+    # bucketed layout: paths (b)/(c) are exactly the fused delta with an
+    # empty delete set — route there so the append rewrites only the
+    # buckets owning a new doc_id instead of snapshotting the corpus
+    if index.meta.n_buckets:
+        gone = spark.createDataFrame([], "doc_id long")
+        return update_index_delta(spark, index, gone, new_doc_tokens,
+                                  out_path, seed=seed,
+                                  buffer_threshold=buffer_threshold)
 
     centroids = index.centroids_np()
     # path (c): enough new docs → centroid expansion on outliers
@@ -158,6 +169,17 @@ def delete_from_index(
 ) -> PlaidIndex:
     """U5: drop documents → new snapshot. Stable ids; IVF/doclens/meta are
     recomputed by write_index from the filtered tokens table."""
+    if index.meta.n_buckets:
+        # bucketed layout: delete is the fused delta with an empty append
+        # set — only the buckets owning a deleted doc are rewritten
+        gone = (doc_ids.select(F.col("doc_id").cast("long"))
+                if isinstance(doc_ids, DataFrame)
+                else spark.createDataFrame(
+                    [(int(i),) for i in doc_ids], "doc_id long"))
+        empty = spark.createDataFrame(
+            [], "doc_id long, token_idx int, vec array<float>")
+        return update_index_delta(spark, index, gone, empty, out_path)
+
     if isinstance(doc_ids, DataFrame):
         gone = doc_ids.select(F.col("doc_id").cast("long"))
         survivors = index.tokens.join(gone, "doc_id", "left_anti")
@@ -246,13 +268,16 @@ def update_index_delta(
     n_new_tokens = new_doc_tokens.count()
 
     centroids = index.centroids_np()
-    if n_new_docs >= buffer_threshold:
-        outliers = find_outliers(
-            new_doc_tokens, centroids, index.meta.codec.cluster_threshold
-        )
-        centroids = expand_centroids(outliers, centroids, seed=seed)
-    coded = assign_codes(new_doc_tokens, centroids)
-    quantized = quantize_residuals(coded, centroids, index.meta.codec)
+    if n_new_tokens:
+        if n_new_docs >= buffer_threshold:
+            outliers = find_outliers(
+                new_doc_tokens, centroids, index.meta.codec.cluster_threshold
+            )
+            centroids = expand_centroids(outliers, centroids, seed=seed)
+        coded = assign_codes(new_doc_tokens, centroids)
+        quantized = quantize_residuals(coded, centroids, index.meta.codec)
+    else:  # delete-only: no rows to encode
+        quantized = index.tokens.filter(F.lit(False))
 
     # bucket id exactly as Spark's bucketed write assigns it:
     # pmod(Murmur3(doc_id), n) — F.hash IS Murmur3 with the bucketing seed

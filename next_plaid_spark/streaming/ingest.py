@@ -19,7 +19,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from next_plaid_spark.encoding import encode_documents
-from next_plaid_spark.operators.update import update_index, update_index_delta
+from next_plaid_spark.operators.update import update_index
 from next_plaid_spark.sources.index_store import PlaidIndex
 
 
@@ -66,16 +66,11 @@ class StreamingIndexWriter:
 
             IndexBuilder(self.spark, nbits=self.nbits, seed=self.seed,
                          bucket_tokens=self.bucket_tokens).build(tokens, out)
-        elif current.meta.n_buckets:
-            # bucketed snapshots: an append-only micro-batch dirties just
-            # the buckets owning the new doc_ids — the fused delta writes
-            # those and hardlinks the rest, so per-batch IO is O(batch),
-            # not O(corpus); exactly the property a long-lived ingest
-            # stream needs (S8 at cluster scale)
-            gone = self.spark.createDataFrame([], "doc_id long")
-            update_index_delta(self.spark, current, gone, tokens, out,
-                               seed=self.seed)
         else:
+            # on bucketed snapshots update_index routes the append through
+            # the fused delta internally: per-batch IO is O(batch) — only
+            # the buckets owning new doc_ids rewrite, clean ones hardlink
+            # forward (S8 at cluster scale)
             update_index(self.spark, current, tokens, out, seed=self.seed)
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
