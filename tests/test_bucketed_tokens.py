@@ -212,3 +212,26 @@ def test_update_index_delta_matches_two_step(spark, tmp_path):
     a = sorted(tuple(r) for r in BatchSearcher(delta, prm).search(qt).collect())
     b = sorted(tuple(r) for r in BatchSearcher(two, prm).search(qt).collect())
     assert a == b
+
+
+def test_full_rebuild_path_keeps_bucketed_layout(spark, tmp_path):
+    """update_index path (a) (corpus <= rebuild_threshold with raw tokens
+    provided) must rebuild a bucketed index BUCKETED — the layout is the
+    search contract, not a per-snapshot accident."""
+    from next_plaid_spark.operators.update import update_index
+
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=60, tokens_per_doc=4, dim=8, n_clusters=8, seed=21
+    )
+    old = toks.filter(F.col("doc_id") < 50)
+    new = toks.filter(F.col("doc_id") >= 50)
+    bidx = IndexBuilder(spark, k=8, bucket_tokens=4).build(
+        old, str(tmp_path / "b0")
+    )
+    rebuilt = update_index(spark, bidx, new, str(tmp_path / "b1"),
+                           full_rebuild_tokens=old)
+    assert rebuilt.meta.num_documents == 60
+    assert rebuilt.meta.bucket_table and rebuilt.meta.n_buckets == 4
+    assert "Exchange" not in _plan(
+        rebuilt.tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
+    )
