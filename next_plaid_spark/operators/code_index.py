@@ -372,8 +372,10 @@ class CodeIndex:
         - else → incremental: survivors whose embed text is unchanged keep
           their unit_id, PLAID tokens, and BM25 postings untouched; gone +
           changed units are deleted (U5) and changed + new units appended
-          (U1-U4) with the existing codec; BM25 stats are re-aggregated
-          from the merged doclens."""
+          (U1-U4) with the existing codec — one fused bucket-aware snapshot
+          hop (``update_index_delta``) that rewrites only the token buckets
+          owning a delta doc and hardlinks the clean ones; BM25 stats are
+          re-aggregated from the merged doclens."""
         from next_plaid_spark.operators.bm25 import BM25Index
         from next_plaid_spark.operators.code_parse import (
             build_call_graph,
