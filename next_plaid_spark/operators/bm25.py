@@ -64,6 +64,13 @@ class BM25Index:
     # index is built with_positions (the FTS5 positional-postings analog
     # phrase queries need; ~1 row per token occurrence, so opt-in)
     positions: DataFrame | None = None
+    # (term, df) — per-term document frequency, precomputed at build/save
+    # time the way FTS5 keeps per-term stats in its b-tree
+    # (text_search.rs:1246-1272 reads them, never re-aggregates the
+    # postings): search() then prunes this vocabulary-sized table to the
+    # query's terms instead of re-aggregating the corpus-sized postings
+    # table per query. None on hand-constructed indexes — derived lazily.
+    term_stats: DataFrame | None = None
 
     @classmethod
     def build(cls, docs: DataFrame, *, id_col: str = "doc_id",
@@ -85,8 +92,12 @@ class BM25Index:
             toks.select("term", "doc_id", "pos").cache()
             if with_positions else None
         )
-        return cls(postings.cache(), doclens.cache(), n_docs, avgdl,
-                   tokenizer, positions)
+        postings = postings.cache()
+        # postings are unique (term, doc_id), so count(*) == df
+        term_stats = postings.groupBy("term").agg(
+            F.count("*").alias("df")).cache()
+        return cls(postings, doclens.cache(), n_docs, avgdl,
+                   tokenizer, positions, term_stats)
 
     # -- persistence (S6: the FTS index is an on-disk artifact in the
     # reference — text_search.rs builds a SQLite file once and serves many
@@ -107,6 +118,14 @@ class BM25Index:
         if self.positions is not None:
             self.positions.write.mode("overwrite").parquet(
                 os.path.join(path, "positions"))
+        # persist per-term df so a loaded index never re-aggregates the
+        # postings per query; hand-constructed indexes (e.g. the
+        # incremental-update merge) derive it here, once per save
+        df_src = self.term_stats if self.term_stats is not None else (
+            self.postings.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")))
+        df_src.write.mode("overwrite").parquet(
+            os.path.join(path, "term_stats"))
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
                        "tokenizer": self.tokenizer,
@@ -123,11 +142,16 @@ class BM25Index:
             spark.read.parquet(os.path.join(path, "positions"))
             if meta.get("with_positions") else None
         )
+        stats_path = os.path.join(path, "term_stats")
+        term_stats = (
+            spark.read.parquet(stats_path)
+            if os.path.isdir(stats_path) else None  # pre-term_stats layout
+        )
         return cls(
             spark.read.parquet(os.path.join(path, "postings")),
             spark.read.parquet(os.path.join(path, "doclens")),
             int(meta["n_docs"]), float(meta["avgdl"]),
-            meta.get("tokenizer", "unicode61"), positions,
+            meta.get("tokenizer", "unicode61"), positions, term_stats,
         )
 
     def search(self, queries: DataFrame, k: int = 10, *,
@@ -166,9 +190,17 @@ class BM25Index:
             .groupBy("query_id", "term")
             .agg(F.count("*").alias("qtf"))
         )
-        df_counts = self.postings.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df")
-        )
+        if self.term_stats is not None:
+            # stored per-term df pruned to the query's terms: a
+            # vocabulary-sized scan with a broadcast semi-join instead of
+            # a corpus-sized postings aggregation per query
+            df_counts = self.term_stats.join(
+                F.broadcast(qterms.select("term").distinct()),
+                "term", "left_semi")
+        else:
+            df_counts = self.postings.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            )
         n, avgdl = float(self.n_docs), float(self.avgdl)
         matched = (
             F.broadcast(qterms)
