@@ -128,15 +128,21 @@ def hybrid_search(semantic: DataFrame, keyword: DataFrame, *,
 
 def _minmax_norm(df: DataFrame, *, keep_raw: bool = False) -> DataFrame:
     """Per-query min-max to [0,1]; constant lists → 1.0
-    (text_search.rs:1042-1057)."""
-    rng = df.groupBy("query_id").agg(
-        F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
-    )
+    (text_search.rs:1042-1057).
+
+    Window aggregates, NOT groupBy+join-back: the join-back diamond puts
+    the input subtree in BOTH branches, so an unmaterialized search plan
+    feeding a fusion (the funnel semantic leg, the BM25 join tree) would
+    be evaluated twice per fused list. The windows keep the plan linear —
+    one pass — and ride the query_id exchange ``_ranked`` already
+    introduced, so they add no shuffle."""
+    wq = Window.partitionBy("query_id")
+    lo, hi = F.min("_s").over(wq), F.max("_s").over(wq)
     cols = ["query_id", "doc_id"] + (["_s"] if keep_raw else [])
-    return df.join(rng, "query_id").select(
+    return df.select(
         *cols,
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0))
-        .otherwise((F.col("_s") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+        F.when(hi == lo, F.lit(1.0))
+        .otherwise((F.col("_s") - lo) / (hi - lo))
         .alias("_norm"),
     )
 
