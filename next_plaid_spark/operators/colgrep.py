@@ -335,19 +335,24 @@ def apply_ranking(
         .drop("_fsum", "_best_fsum", "_file_rank", "_max_score")
     )
 
-    # R5 collapse-by-file: keep each file's best unit, merge line ranges
+    # R5 collapse-by-file: keep each file's best unit, merge line ranges.
+    # Window aggregates over the SAME file partitioning as the keep-best
+    # row_number — one exchange, and no groupBy+join-back diamond (which
+    # would put the whole fused search plan in both join branches and
+    # evaluate it twice; see fusion._minmax_norm)
     if collapse:
+        wfile_all = Window.partitionBy("file")
         wf = Window.partitionBy("file").orderBy(
             F.col("score").desc(), F.col("unit_id").asc()
         )
-        agg_lines = r.groupBy("file").agg(
-            F.min("line").alias("line"), F.max("end_line").alias("end_line")
-        )
         r = (
-            r.withColumn("_rk", F.row_number().over(wf))
+            r.withColumn("_line", F.min("line").over(wfile_all))
+            .withColumn("_end_line", F.max("end_line").over(wfile_all))
+            .withColumn("_rk", F.row_number().over(wf))
             .filter(F.col("_rk") == 1)
             .drop("_rk", "line", "end_line")
-            .join(agg_lines, "file")
+            .withColumnRenamed("_line", "line")
+            .withColumnRenamed("_end_line", "end_line")
         )
 
     w = Window.orderBy(F.col("score").desc(), F.col("unit_id").asc())
@@ -462,17 +467,19 @@ def apply_ranking_batch(
               "_qtoks", "_wants_test")
     )
 
-    # R5 collapse-by-file per query
+    # R5 collapse-by-file per query — window aggregates, not a
+    # groupBy+join-back diamond (same reasoning as the single-query form)
     if collapse:
+        wqf_all = Window.partitionBy("query_id", "file")
         wf = wqf.orderBy(F.col("score").desc(), F.col("unit_id").asc())
-        agg_lines = r.groupBy("query_id", "file").agg(
-            F.min("line").alias("line"), F.max("end_line").alias("end_line")
-        )
         r = (
-            r.withColumn("_rk", F.row_number().over(wf))
+            r.withColumn("_line", F.min("line").over(wqf_all))
+            .withColumn("_end_line", F.max("end_line").over(wqf_all))
+            .withColumn("_rk", F.row_number().over(wf))
             .filter(F.col("_rk") == 1)
             .drop("_rk", "line", "end_line")
-            .join(agg_lines, ["query_id", "file"])
+            .withColumnRenamed("_line", "line")
+            .withColumnRenamed("_end_line", "end_line")
         )
 
     w = Window.partitionBy("query_id").orderBy(
