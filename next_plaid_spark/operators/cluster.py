@@ -23,7 +23,7 @@ the whole history every round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,32 +57,35 @@ def connected_components(pairs: DataFrame, *, id_a: str = "doc_a",
     )
     sig = _edge_signature(e)
     for _ in range(max_iter):
+        # Per-neighborhood minima ride a u-window on the edge stream (the
+        # running first() over v-ascending order IS the min) instead of a
+        # groupBy+join-back diamond: one exchange+sort per star step
+        # rather than an aggregate exchange plus a join exchange, and the
+        # edge set is never produced twice.
         # -- large-star: every neighbor strictly larger than u connects to
         # min(N(u) ∪ {u}) (paper Alg. 2; symmetrized neighborhoods)
+        w_u = Window.partitionBy("u").orderBy("v")
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
         large = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.first("v").over(w_u), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
         # -- small-star: key every edge by its LARGER endpoint; all smaller
-        # neighbors (and u itself) connect to the minimum (paper Alg. 3)
+        # neighbors (and u itself) connect to the minimum (paper Alg. 3).
+        # The row_number()==1 row doubles as the (u, m) self-edge the
+        # groupBy formulation emitted via the mins-table union.
         d = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).withColumn("m", F.first("v").over(w_u)).withColumn(
+            "_rn", F.row_number().over(w_u)
         )
-        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            d.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
+            d.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select("u", F.col("m").alias("v")))
+            .union(d.filter(F.col("_rn") == 1).select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()

@@ -172,16 +172,22 @@ def contamination(train_docs: DataFrame, eval_docs: DataFrame | None = None,
             raise ValueError("need eval_docs or eval_shingles")
         eval_shingles = eval_shingle_set(
             eval_docs, n=n, id_col=id_col, text_col=text_col)
+    # ONE pass over the train shingles: a broadcast LEFT join marks hits
+    # (the eval universe is globally distinct, so multiplicity is exactly
+    # 1) and a single per-doc aggregate counts both totals and hits.
+    # The previous tot/hit groupBy+join diamond evaluated the train
+    # shingle subtree (posexplode + lead windows + distinct over the
+    # whole corpus) twice.
     tr = shingles(train_docs, n=n, id_col=id_col, text_col=text_col)
-    ev = F.broadcast(eval_shingles.select("shingle"))
-    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hit = tr.join(ev, "shingle").groupBy("doc_id").agg(
-        F.count("*").alias("n_shared"))
+    ev = F.broadcast(
+        eval_shingles.select("shingle").withColumn("_hit", F.lit(1)))
     out = (
-        tot.join(hit, "doc_id", "left")
-        .select(
-            "doc_id", "n_shingles",
-            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        tr.join(ev, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("n_shared"),
         )
         .withColumn("contamination", F.col("n_shared") / F.col("n_shingles"))
     )
@@ -217,15 +223,21 @@ def contamination_multi(train_docs: DataFrame, eval_sets: DataFrame,
         .select(eval_name_col, "shingle")
         .distinct()
     )
+    # per-doc totals ride a doc_id window on the shingle stream (here a
+    # LEFT-join single-agg won't do: one shingle can leak from several
+    # benchmarks, so the join multiplies rows per matching eval_name and
+    # count(*) would overcount totals) — still ONE evaluation of the
+    # train shingle subtree instead of the tot/hit diamond's two
+    from pyspark.sql.window import Window
+
     tr = shingles(train_docs, n=n, id_col=id_col, text_col=text_col)
-    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hit = (
+    tr = tr.withColumn(
+        "_n_shingles", F.count("*").over(Window.partitionBy("doc_id")))
+    out = (
         tr.join(ev, "shingle")
         .groupBy("doc_id", eval_name_col)
-        .agg(F.count("*").alias("n_shared"))
-    )
-    out = (
-        hit.join(tot, "doc_id")
+        .agg(F.count("*").alias("n_shared"),
+             F.first("_n_shingles").alias("n_shingles"))
         .select(
             "doc_id", eval_name_col, "n_shingles",
             F.col("n_shared").cast("long").alias("n_shared"),

@@ -84,10 +84,19 @@ def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
     total fan-out O(|shingles|·max_df). Near-dup pairs lose only their
     least-discriminative shingles (both sizes AND intersection shrink
     consistently — Jaccard over the capped shingle universe), so scores
-    barely move for real duplicates. Off (None) in oracle mode."""
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    keep = df_counts.filter(F.col("_df") <= max_df).select("shingle")
-    return sh.join(keep, "shingle", "left_semi")
+    barely move for real duplicates. Off (None) in oracle mode.
+
+    df is a count over a shingle window (sh is distinct per (doc_id,
+    shingle), so row count per shingle IS document frequency) — one
+    exchange, not a groupBy+semi-join-back diamond that would evaluate
+    the shingle subtree twice."""
+    from pyspark.sql.window import Window
+
+    return (
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
@@ -105,20 +114,26 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
 
 
 def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
+    from pyspark.sql.window import Window
+
+    # per-doc shingle counts attached in-stream (count over a doc_id
+    # window) instead of a groupBy+join-back diamond: the shingle subtree
+    # (posexplode + lead windows + distinct over the whole corpus) would
+    # otherwise be evaluated a third time for the sizes aggregate, and the
+    # pair table would shuffle twice more through the joins. n_sh is
+    # constant per doc, so the pair aggregate carries it with first().
+    sh = sh.withColumn(
+        "_n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle",
+                  F.col("_n_sh").alias("na"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle",
+                  F.col("_n_sh").alias("nb"))
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .agg(F.count("*").alias("shared"),
+             F.first("na").alias("na"), F.first("nb").alias("nb"))
         .select(
             "doc_a", "doc_b",
             (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
@@ -362,21 +377,24 @@ def dedup_against(new_docs: DataFrame, old_docs: DataFrame, *, n: int = 3,
         .distinct()
     )
     sizes_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("na"))
-    # verification touches old shingles only for candidate old docs
+    # verification touches old shingles only for candidate old docs; the
+    # per-old-doc shingle count rides the same stream as a dup_of window
+    # (sh_old_c is NOT cached — a groupBy+join-back sizes diamond would
+    # build the full old-corpus shingle set a second time; sh_new's sizes
+    # aggregate is fine as a join because sh_new IS cached)
     sh_old_c = (
         sh_old.select(F.col("doc_id").alias("dup_of"), "shingle")
         .join(cand.select("dup_of").distinct(), "dup_of", "left_semi")
+        .withColumn("nb", F.count("*").over(Window.partitionBy("dup_of")))
     )
-    sizes_old = sh_old_c.groupBy("dup_of").agg(F.count("*").alias("nb"))
     shared = (
         cand.join(sh_new, "doc_id")
         .join(sh_old_c, ["dup_of", "shingle"])
         .groupBy("doc_id", "dup_of")
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count("*").alias("shared"), F.first("nb").alias("nb"))
     )
     jac = (
         shared.join(sizes_new, "doc_id")
-        .join(sizes_old, "dup_of")
         .select(
             "doc_id", "dup_of",
             (F.col("shared")
@@ -1014,13 +1032,20 @@ def duplicate_spans(docs: DataFrame, *, k: int = 8, min_len: int = 12,
     from pyspark.sql.window import Window
 
     grams = _positional_kgrams(docs, k, id_col, text_col)
-    rare = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("_df"))
+    # stop-gram df cap computed in-stream on one exchange by gh (new-doc
+    # boundary flags summed over the gh frame) instead of a
+    # groupBy(gh)+join-back diamond that would evaluate the positional
+    # k-gram subtree a second time
+    w_ord = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    new_doc = (
+        F.lag("doc_id", 1).over(w_ord).isNull()
+        | (F.lag("doc_id", 1).over(w_ord) != F.col("doc_id"))
+    ).cast("long")
+    grams = (
+        grams.withColumn("_df", F.sum(new_doc).over(Window.partitionBy("gh")))
         .filter(F.col("_df") <= max_gram_df)
-        .select("gh")
+        .select("doc_id", "pos", "gh")
     )
-    grams = grams.join(rare, "gh")
     a = grams.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gh")
     b = grams.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gh")
     hits = (
@@ -1058,35 +1083,36 @@ def scrub_duplicate_spans(docs: DataFrame, *, k: int = 8,
     dedup decision is made on, as in the reference pipeline's
     token-sequence formulation.
 
-    Scale shape: one groupBy(gh) finds first occurrences (map-side
-    combinable min), one join back marks duplicate occurrences (cost ∝
-    corpus grams), the k-fold explode is bounded by the DUPLICATE rate,
-    and the rebuild is a docs ⋈ per-doc-drop-array join on doc_id with the
-    token filtering done row-locally as an array expression — the corpus
-    text itself never explodes through a shuffle. ``max_gram_df`` (the
-    stop-gram cap, see ``duplicate_spans``) optionally exempts
-    boilerplate grams whose df exceeds the cap; None (oracle mode) scrubs
-    everything."""
+    Scale shape: ONE exchange of the gram stream by gh finds duplicate
+    occurrences — an occurrence is a duplicate iff its row_number over
+    (gh, ordered by doc_id, pos) exceeds 1, so no groupBy(gh)+join-back
+    diamond (which would evaluate the positional-k-gram subtree — the
+    posexplode + lead() window over the whole corpus — twice). The
+    k-fold explode is bounded by the DUPLICATE rate, and the rebuild is a
+    docs ⋈ per-doc-drop-array join on doc_id with the token filtering
+    done row-locally as an array expression — the corpus text itself
+    never explodes through a shuffle. ``max_gram_df`` (the stop-gram cap,
+    see ``duplicate_spans``) optionally exempts boilerplate grams whose
+    df exceeds the cap; None (oracle mode) scrubs everything. The df is
+    computed on the same sorted (gh, doc_id, pos) run as the row_number
+    (new-doc flag summed over the gh frame), not by a second pass."""
+    from pyspark.sql.window import Window
+
     grams = _positional_kgrams(docs, k, id_col, text_col)
+    w_ord = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    grams = grams.withColumn("_rn", F.row_number().over(w_ord))
     if max_gram_df is not None:
-        rare = (
-            grams.groupBy("gh")
-            .agg(F.countDistinct("doc_id").alias("_df"))
-            .filter(F.col("_df") <= max_gram_df)
-            .select("gh")
-        )
-        grams = grams.join(rare, "gh")
-    first = grams.groupBy("gh").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f")
-    )
-    dup_occ = (
-        grams.join(first, "gh")
-        .filter(
-            (F.col("doc_id") != F.col("f.doc_id"))
-            | (F.col("pos") != F.col("f.pos"))
-        )
-        .select("doc_id", "pos")
-    )
+        # exact per-gh document frequency from the same sort: count
+        # doc-change boundaries and total them over the whole gh frame
+        w_gh = Window.partitionBy("gh")
+        new_doc = (
+            F.lag("doc_id", 1).over(w_ord).isNull()
+            | (F.lag("doc_id", 1).over(w_ord) != F.col("doc_id"))
+        ).cast("long")
+        grams = grams.withColumn(
+            "_df", F.sum(new_doc).over(w_gh)
+        ).filter(F.col("_df") <= max_gram_df)
+    dup_occ = grams.filter(F.col("_rn") > 1).select("doc_id", "pos")
     drop_sets = (
         dup_occ.select(
             "doc_id",

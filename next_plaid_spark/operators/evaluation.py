@@ -120,11 +120,13 @@ def ir_metrics(results: DataFrame, qrels: DataFrame, *, k: int = 10) -> DataFram
     def _r(c):
         return F.round(c, ROUND_DECIMALS)
 
+    # per_q already carries one row for EVERY query present in results
+    # (ranks are 1-based, so any query with >=1 result survives the
+    # rank<=k cut, and groupBy drops no groups) — joining back onto a
+    # results.distinct() branch would evaluate the results subtree (often
+    # a full retrieval funnel) a second time for nothing
     return (
-        results.select(F.col("query_id").cast("long").alias("query_id"))
-        .distinct()
-        .join(per_q, "query_id", "left")
-        .join(ideal, "query_id", "left")
+        per_q.join(ideal, "query_id", "left")
         .select(
             "query_id",
             _r(

@@ -2904,15 +2904,18 @@ _US_PER_DAY = 86_400_000_000
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day, counted
     on each later day they return → (cohort_day, day_offset, n_users).
-    Two aggregations and a broadcast-size join on user — the classic
-    retention triangle with no self-join over the event log."""
+    The cohort day rides a user window over the distinct activity rows
+    (running min over day-ascending order) — no groupBy+join-back
+    diamond, so the event-log distinct is evaluated once."""
+    from pyspark.sql.window import Window
+
     ev = normalize_event_ts(_t(spark, sf_dir, "events")).select(
         "user_id", F.expr(f"ts DIV {_US_PER_DAY}").alias("day")
     )
-    active = ev.distinct()
-    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    w_user = Window.partitionBy("user_id").orderBy("day")
     return (
-        active.join(first, "user_id")
+        ev.distinct()
+        .withColumn("cohort_day", F.first("day").over(w_user))
         .groupBy(
             "cohort_day",
             (F.col("day") - F.col("cohort_day")).alias("day_offset"),
