@@ -53,6 +53,26 @@ def _tokenizer(name: str):
     return TOKENIZERS[name]
 
 
+# one driver-side collect of the query's distinct terms per search call is
+# worth it up to this many terms: the literal In(term, …) filter reaches
+# the parquet scan of a LOADED index (postings/positions are saved
+# range-partitioned + term-sorted, so row-group min/max stats skip
+# everything outside the query vocabulary). Beyond the cap — a degenerate
+# mega-batch — fall back to the plain broadcast join, which still never
+# shuffles the corpus.
+_TERM_PUSHDOWN_CAP = 10_000
+
+
+def _term_pruned(table: DataFrame, qterms: DataFrame) -> DataFrame:
+    """``table`` filtered to the distinct terms of ``qterms`` with a
+    pushdown-able literal In filter (see _TERM_PUSHDOWN_CAP)."""
+    rows = (qterms.select("term").distinct()
+            .limit(_TERM_PUSHDOWN_CAP + 1).collect())
+    if len(rows) > _TERM_PUSHDOWN_CAP:
+        return table
+    return table.filter(F.col("term").isin([r["term"] for r in rows]))
+
+
 @dataclass
 class BM25Index:
     postings: DataFrame   # (term, doc_id, tf)
@@ -107,25 +127,36 @@ class BM25Index:
 
         A saved index serves queries across processes without re-tokenizing
         the corpus — the prebuilt-index half of every search entry point
-        (e.g. ``CodeIndex``). Overwrites any index already at ``path``."""
+        (e.g. ``CodeIndex``). Overwrites any index already at ``path``.
+
+        Postings and positions are laid out range-partitioned + sorted by
+        term, so every parquet row group covers a narrow term range and a
+        loaded index's term-filtered scans (keyword join, phrase search)
+        skip the row groups that can't match via min/max stats — the
+        posting-list locality a native FTS engine gets from its inverted
+        layout. Build-time cost only; queries never pay the sort."""
         import json
         import os
 
-        self.postings.write.mode("overwrite").parquet(
-            os.path.join(path, "postings"))
+        (self.postings.repartitionByRange(F.col("term"))
+         .sortWithinPartitions("term", "doc_id")
+         .write.mode("overwrite").parquet(os.path.join(path, "postings")))
         self.doclens.write.mode("overwrite").parquet(
             os.path.join(path, "doclens"))
         if self.positions is not None:
-            self.positions.write.mode("overwrite").parquet(
-                os.path.join(path, "positions"))
+            (self.positions.repartitionByRange(F.col("term"))
+             .sortWithinPartitions("term", "doc_id", "pos")
+             .write.mode("overwrite").parquet(
+                 os.path.join(path, "positions")))
         # persist per-term df so a loaded index never re-aggregates the
         # postings per query; hand-constructed indexes (e.g. the
         # incremental-update merge) derive it here, once per save
         df_src = self.term_stats if self.term_stats is not None else (
             self.postings.groupBy("term").agg(
                 F.countDistinct("doc_id").alias("df")))
-        df_src.write.mode("overwrite").parquet(
-            os.path.join(path, "term_stats"))
+        (df_src.repartitionByRange(F.col("term"))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(os.path.join(path, "term_stats")))
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
                        "tokenizer": self.tokenizer,
@@ -190,6 +221,7 @@ class BM25Index:
             .groupBy("query_id", "term")
             .agg(F.count("*").alias("qtf"))
         )
+        postings_src = _term_pruned(self.postings, qterms)
         if self.term_stats is not None:
             # stored per-term df pruned to the query's terms: a
             # vocabulary-sized scan with a broadcast semi-join instead of
@@ -204,7 +236,7 @@ class BM25Index:
         n, avgdl = float(self.n_docs), float(self.avgdl)
         matched = (
             F.broadcast(qterms)
-            .join(self.postings, "term")
+            .join(postings_src, "term")
             .join(F.broadcast(df_counts), "term")
             .join(self.doclens, "doc_id")
         )
@@ -214,18 +246,24 @@ class BM25Index:
             )
         if conjunctive:
             # doc must match EVERY distinct query term (vocabulary-missing
-            # terms included: they make n_terms unmatchable, as in FTS5)
+            # terms included: they make n_terms unmatchable, as in FTS5).
+            # matched is unique per (query, term, doc) — qterms is grouped
+            # on (query, term), postings on (term, doc) — so the matched-
+            # term count is a row count over a (query, doc) window; the
+            # groupBy+semi-join-back form re-ran the postings join twice.
             n_terms = qterms.groupBy("query_id").agg(
                 F.countDistinct("term").alias("_nt")
             )
-            full = (
-                matched.groupBy("query_id", "doc_id")
-                .agg(F.countDistinct("term").alias("_mt"))
+            matched = (
+                matched.withColumn(
+                    "_mt",
+                    F.count("*").over(
+                        Window.partitionBy("query_id", "doc_id")),
+                )
                 .join(F.broadcast(n_terms), "query_id")
                 .filter(F.col("_mt") == F.col("_nt"))
-                .select("query_id", "doc_id")
+                .drop("_mt", "_nt")
             )
-            matched = matched.join(full, ["query_id", "doc_id"], "left_semi")
         if score_mode == "fts5":
             raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
             idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
@@ -366,19 +404,26 @@ class BM25Index:
             "query_id", "pid",
             F.posexplode(tok_fn(F.col("_ptext"))).alias("j", "term"),
         ).cache()
+        # j is a posexplode ordinal — unique per (query_id, pid) — so
+        # count(*) IS countDistinct(j); plain counts keep the aggregates
+        # map-side combinable (no Expand two-phase distinct rewrite on
+        # what is the largest shuffle of the whole query)
         plens = pterms.groupBy("query_id", "pid").agg(
-            F.countDistinct("j").alias("_plen")
+            F.count("*").alias("_plen")
         )
-        # one equi-join on term; a full diagonal = one phrase occurrence
+        # one equi-join on term; a full diagonal = one phrase occurrence.
+        # Within a (query, pid, doc, _start) group each j appears at most
+        # once (the posting row (term, doc, pos=_start+j) is unique), so
+        # count(*) == countDistinct(j) here too.
         occ = (
             F.broadcast(pterms)
-            .join(self.positions, "term")
+            .join(_term_pruned(self.positions, pterms), "term")
             .select(
                 "query_id", "pid", "doc_id",
                 (F.col("pos") - F.col("j")).alias("_start"), "j",
             )
             .groupBy("query_id", "pid", "doc_id", "_start")
-            .agg(F.countDistinct("j").alias("_nm"))
+            .agg(F.count("*").alias("_nm"))
             .join(F.broadcast(plens), ["query_id", "pid"])
             .filter(F.col("_nm") == F.col("_plen"))
         )
@@ -386,30 +431,38 @@ class BM25Index:
             F.count("*").alias("tf")
         )
         # df over the WHOLE corpus (FTS5 bm25() stats are table-wide even
-        # under filtered search) — computed before any subset restriction
-        pdf = ptf.groupBy("query_id", "pid").agg(
-            F.countDistinct("doc_id").alias("df")
-        )
-        matched = ptf.join(F.broadcast(pdf), ["query_id", "pid"]).join(
-            self.doclens, "doc_id"
-        )
+        # under filtered search) — computed before any subset restriction.
+        # ptf is unique per (query, pid, doc), so df is a row count over a
+        # (query, pid) window: no groupBy+join-back diamond re-running the
+        # occurrence pipeline a second time just to count docs.
+        matched = ptf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("query_id", "pid"))
+        ).join(self.doclens, "doc_id")
         if subset is not None:
             matched = matched.join(
                 subset.select(F.col("doc_id").cast("long")), "doc_id",
                 "left_semi",
             )
         if conjunctive:
+            # AND gate as a (query, doc) window on the matched stream
+            # itself — matched is unique per (query, pid, doc), so the
+            # window row count is the number of matched phrases. The
+            # previous groupBy+semi-join-back re-ran the whole occurrence
+            # pipeline a second time just to decide which docs keep all
+            # phrases.
             n_ph = ph.groupBy("query_id").agg(
                 F.countDistinct("pid").alias("_np")
             )
-            full = (
-                matched.groupBy("query_id", "doc_id")
-                .agg(F.countDistinct("pid").alias("_mp"))
+            matched = (
+                matched.withColumn(
+                    "_mp",
+                    F.count("*").over(
+                        Window.partitionBy("query_id", "doc_id")),
+                )
                 .join(F.broadcast(n_ph), "query_id")
                 .filter(F.col("_mp") == F.col("_np"))
-                .select("query_id", "doc_id")
+                .drop("_mp", "_np")
             )
-            matched = matched.join(full, ["query_id", "doc_id"], "left_semi")
         # NEAR gate, fully relational (no driver collect, no group-shape
         # limits): a group matches a doc iff some ANCHOR occurrence has,
         # for every member phrase, an occurrence with end ≥ anchor end and
@@ -454,10 +507,23 @@ class BM25Index:
             .filter(F.col("_og") == F.col("_ng"))
             .select("query_id", "doc_id")
         )
-        nearq_b = F.broadcast(nearq.select("query_id"))
-        matched = matched.join(nearq_b, "query_id", "left_anti").unionByName(
-            matched.join(nearq_b, "query_id", "left_semi")
-            .join(near_ok, ["query_id", "doc_id"], "left_semi")
+        # single pass over matched: queries with no NEAR group pass
+        # unconditionally, queries with groups keep only near_ok docs
+        # (near_ok is unique per (query, doc), so the left join never
+        # multiplies). The anti/semi union form scanned matched — and
+        # everything upstream of it — twice. When no query has a NEAR
+        # group both broadcasts are empty and AQE's empty-relation
+        # propagation prunes the whole NEAR subtree at runtime.
+        near_gate = F.broadcast(
+            nearq.select("query_id").withColumn("_hasg", F.lit(1)))
+        matched = (
+            matched.join(near_gate, "query_id", "left")
+            .join(
+                near_ok.withColumn("_okn", F.lit(1)),
+                ["query_id", "doc_id"], "left",
+            )
+            .filter(F.col("_hasg").isNull() | F.col("_okn").isNotNull())
+            .drop("_hasg", "_okn")
         )
         n, avgdl = float(self.n_docs), float(self.avgdl)
         if score_mode == "fts5":
