@@ -200,6 +200,26 @@ def test_filtered_search_empty_subset(spark, built_index):
     assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "score", "rank"]
 
 
+def test_filtered_search_empty_subset_exact_config(spark, built_index):
+    """Same all-excluding filter under the EXACT configuration (probe all
+    cells, t_cs off): this path skips the eligible-cell early return — the
+    empty restricted IVF must drain through the funnel's joins to an
+    empty result with the same schema, not error or leak rows."""
+    idx, docs, dt = built_index
+    queries = docs.limit(3).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    subset = spark.createDataFrame([(10**9,)], "doc_id long")
+    p = SearchParams(
+        top_k=5,
+        n_ivf_probe=idx.meta.k,
+        n_full_scores=4 * max(idx.meta.num_documents, 1),
+        centroid_score_threshold=float("-inf"),
+    )
+    out = BatchSearcher(idx, p).search(qt, subset=subset)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "doc_id", "score", "rank"]
+
+
 def test_approx_strategies_agree(spark, built_index):
     """broadcast / kernel / relational Q6 strategies produce identical
     ranked results (the broadcast kernel replicates the cogrouped kernel's
