@@ -345,7 +345,12 @@ def bigram_logprob(docs: DataFrame, *, lam: float = 0.7,
     stream = toks.withColumn("prev", F.lag("term", 1).over(w))
 
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
+    # T = total token count, from doc-level array sizes — summing the
+    # vocab counts would re-run the token explode + groupBy a second time
+    # just to produce one number
+    total = docs.select(
+        F.size(tokenize_unicode61(F.col(text_col))).alias("_n")
+    ).agg(F.sum("_n").alias("total"))
     uni = vocab.crossJoin(F.broadcast(total)).select(
         "term", (F.col("cnt") / F.col("total")).alias("p_uni")
     )
@@ -354,8 +359,12 @@ def bigram_logprob(docs: DataFrame, *, lam: float = 0.7,
         .groupBy("prev", "term")
         .agg(F.count("*").alias("c_bi"))
     )
-    ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
-    bi_p = bi.join(ctx, "prev").select(
+    # context totals as a prev-window over the aggregated bigram TABLE
+    # (≪ corpus; partition size = distinct successors of one word) — a
+    # groupBy+join-back would evaluate the stream subtree again
+    bi_p = bi.withColumn(
+        "c_ctx", F.sum("c_bi").over(Window.partitionBy("prev"))
+    ).select(
         "prev", "term", (F.col("c_bi") / F.col("c_ctx")).alias("p_bi")
     )
 
