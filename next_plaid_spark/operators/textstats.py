@@ -197,7 +197,11 @@ def unigram_logprob(docs: DataFrame, *, id_col: str = "doc_id",
         F.explode(tokenize_unicode61(F.col(text_col))).alias("term"),
     )
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
+    # T from doc-level array sizes — summing vocab would re-run the
+    # explode + groupBy a second time to produce one number
+    total = docs.select(
+        F.size(tokenize_unicode61(F.col(text_col))).alias("_n")
+    ).agg(F.sum("_n").alias("total"))
     nll = (
         vocab.crossJoin(F.broadcast(total))  # 1-row total, stays a DF job
         .select("term", (-F.log2(F.col("cnt") / F.col("total"))).alias("nll"))
