@@ -221,7 +221,17 @@ class BM25Index:
             .groupBy("query_id", "term")
             .agg(F.count("*").alias("qtf"))
         )
-        postings_src = _term_pruned(self.postings, qterms)
+        # one driver collect localizes the (tiny) query-term table: the
+        # three consumers below (df semi-join, postings join, conjunctive
+        # n_terms) stop re-evaluating the queries subtree per branch, and
+        # the postings-scan pushdown term list falls out of the same job
+        rows = qterms.limit(_TERM_PUSHDOWN_CAP + 1).collect()
+        if len(rows) <= _TERM_PUSHDOWN_CAP:
+            qterms = queries.sparkSession.createDataFrame(rows, qterms.schema)
+            postings_src = self.postings.filter(
+                F.col("term").isin(sorted({r["term"] for r in rows})))
+        else:
+            postings_src = _term_pruned(self.postings, qterms)
         if self.term_stats is not None:
             # stored per-term df pruned to the query's terms: a
             # vocabulary-sized scan with a broadcast semi-join instead of
@@ -403,7 +413,22 @@ class BM25Index:
         pterms = ph.select(
             "query_id", "pid",
             F.posexplode(tok_fn(F.col("_ptext"))).alias("j", "term"),
-        ).cache()
+        )
+        # phrase-term table is inherently tiny (queries × phrase length):
+        # ONE driver collect turns it into a local relation — no per-call
+        # cache to leak in a long-lived serve process (the multi-consumer
+        # plan below would otherwise re-parse the queries per branch), and
+        # the positions-scan pushdown term list falls out of the same job
+        # instead of a second collect. A degenerate mega-batch falls back
+        # to cache + broadcast-join pruning.
+        rows = pterms.limit(_TERM_PUSHDOWN_CAP + 1).collect()
+        if len(rows) <= _TERM_PUSHDOWN_CAP:
+            pterms = queries.sparkSession.createDataFrame(rows, pterms.schema)
+            positions_src = self.positions.filter(
+                F.col("term").isin(sorted({r["term"] for r in rows})))
+        else:
+            pterms = pterms.cache()
+            positions_src = _term_pruned(self.positions, pterms)
         # j is a posexplode ordinal — unique per (query_id, pid) — so
         # count(*) IS countDistinct(j); plain counts keep the aggregates
         # map-side combinable (no Expand two-phase distinct rewrite on
@@ -417,7 +442,7 @@ class BM25Index:
         # count(*) == countDistinct(j) here too.
         occ = (
             F.broadcast(pterms)
-            .join(_term_pruned(self.positions, pterms), "term")
+            .join(positions_src, "term")
             .select(
                 "query_id", "pid", "doc_id",
                 (F.col("pos") - F.col("j")).alias("_start"), "j",
