@@ -525,3 +525,35 @@ def test_term_stats_roundtrip_and_search_parity(spark, tmp_path):
                    for r in with_stats)) == \
            sorted(((r.query_id, r.doc_id, r.score, r.rank)
                    for r in without))
+
+
+def test_loaded_index_term_pushdown(spark, tmp_path):
+    """A LOADED index's scans are pruned to the query vocabulary: the
+    collected query terms become a literal In(term, ...) filter that
+    reaches the parquet scans of postings (keyword) and positions
+    (phrase), where the term-sorted save layout lets row-group min/max
+    stats skip everything else. Results must be identical to the
+    in-session (unpruned) index."""
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple pie"), (1, "banana cherry apple"),
+         (2, "durian banana split"), (3, "cherry pie crust")],
+        "doc_id long, text string",
+    )
+    built = BM25Index.build(docs, with_positions=True)
+    path = str(tmp_path / "bm25pd")
+    built.save(path)
+    loaded = BM25Index.load(spark, path)
+
+    q = spark.createDataFrame([(0, "apple pie")], "query_id long, text string")
+    kw = loaded.search(q, k=4)
+    plan = kw._jdf.queryExecution().executedPlan().toString()
+    assert "In(term, [apple,pie])" in plan, plan
+    ph = loaded.search_phrases(q, k=4)
+    pplan = ph._jdf.queryExecution().executedPlan().toString()
+    assert "In(term, [apple,pie])" in pplan, pplan
+
+    key = lambda r: (r.query_id, r.doc_id, r.score, r.rank)
+    assert sorted(map(key, kw.collect())) == \
+        sorted(map(key, built.search(q, k=4).collect()))
+    assert sorted(map(key, ph.collect())) == \
+        sorted(map(key, built.search_phrases(q, k=4).collect()))
