@@ -1030,11 +1030,19 @@ class BatchSearcher:
         w = Window.partitionBy("query_id").orderBy(
             F.col("approx_score").desc(), F.col("doc_id").asc()
         )
+        # cached: survivors is the cut of the ENTIRE approximate-scoring
+        # subtree and every rerank path consumes it more than once (the
+        # broadcast kernel packs doc lists and query lists from it, the
+        # relational chain semi-joins tokens and joins pairs) — uncached,
+        # Q1-Q7 would re-run per consumer. Bounded at n_queries · budget
+        # (query_id, doc_id) rows; released with the other per-query
+        # caches via release().
         survivors = (
             approx.withColumn("arank", F.row_number().over(w))
             .filter(F.col("arank") <= min(p.n_full_scores, budget))
             .select("query_id", "doc_id")
-        )
+        ).cache()
+        self._live_caches.append(survivors)
 
         if qt_pdf is not None and len(qt_pdf):
             # broadcast path: Q9 as one doc-parallel kernel (bit-identical
