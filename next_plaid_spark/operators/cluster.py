@@ -75,17 +75,24 @@ def connected_components(pairs: DataFrame, *, id_a: str = "doc_a",
         )
         # -- small-star: key every edge by its LARGER endpoint; all smaller
         # neighbors (and u itself) connect to the minimum (paper Alg. 3).
-        # The row_number()==1 row doubles as the (u, m) self-edge the
-        # groupBy formulation emitted via the mins-table union.
+        # Every row emits exactly ONE edge — the row_number()==1 row (where
+        # v IS the minimum) becomes the (u, m) self-edge the groupBy
+        # formulation emitted via a mins-table union, and every later row
+        # (v > m, strict: edges are distinct so the min is unique) becomes
+        # (v, m) — so the whole step is a single conditional projection,
+        # not a two-branch union that would evaluate the windowed edge set
+        # twice.
         d = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).withColumn("m", F.first("v").over(w_u)).withColumn(
             "_rn", F.row_number().over(w_u)
         )
         small = (
-            d.filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(d.filter(F.col("_rn") == 1).select("u", F.col("m").alias("v")))
+            d.select(
+                F.when(F.col("_rn") == 1, F.col("u"))
+                .otherwise(F.col("v")).alias("u"),
+                F.col("m").alias("v"),
+            )
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
