@@ -482,6 +482,30 @@ def test_scrub_spans_empty_and_no_dups(spark):
     assert all(out[i].n_dropped == 0 for i in (0, 1))
 
 
+def test_scrub_spans_stop_gram_cap(spark):
+    """max_gram_df exempts boilerplate grams (df above the cap) from
+    scrubbing entirely — every copy keeps them — while rare duplicated
+    grams still scrub to their (doc_id, pos)-first occurrence. Pins the
+    in-stream window df (doc-boundary flags summed over the gh frame)
+    against hand-computed expectations."""
+    from next_plaid_spark.operators.dedup import scrub_duplicate_spans
+
+    rows = [(i, f"a b c u{i}x u{i}y") for i in range(6)]  # "a b c" df=6
+    rows += [(10, "x y z w"), (11, "x y z w")]            # rare dup, df=2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in scrub_duplicate_spans(docs, k=3, max_gram_df=3).collect()}
+    # boilerplate "a b c" survives in EVERY doc (exempt, not deduped)
+    for i in range(6):
+        assert out[i].clean_text == f"a b c u{i}x u{i}y"
+        assert out[i].n_dropped == 0
+    # the rare duplicate still scrubs: doc 10 is first, doc 11 loses all
+    # tokens covered by its (non-first) k-gram occurrences
+    assert out[10].n_dropped == 0
+    assert out[11].clean_text == ""
+    assert out[11].n_dropped == 4
+
+
 def test_dedup_against_empty_old_corpus(spark):
     from next_plaid_spark.operators.dedup import dedup_against
 
