@@ -349,6 +349,8 @@ def main() -> None:
                      # r11: the filtered funnel at the SERVING config (Q4
                      # probe scaling + eligible cells under regex/glob)
                      "code_search_filtered_approx_topk",
+                     # r11: constant-memory Bloom membership pre-screen
+                     "dedup_bloom",
                      # r8: BEIR-style quality of the funnel itself (exact
                      # configuration vs stratum qrels; the clustered sweep
                      # below adds the approximate operating points)

@@ -471,6 +471,131 @@ SELECT doc_id, dup_of, jaccard FROM (
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership dedup: constant-memory cross-corpus state
+# ---------------------------------------------------------------------------
+
+# 2^20 bits ≈ 8 MB as distinct-long rows — always broadcastable. k = 4
+# disjoint 8-hex-digit windows of one md5 digest (32 bits each, exact in
+# BIGINT in both engines), so the filter costs one digest per shingle.
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 4
+
+
+def _bloom_pos(col, i: int, m: int) -> F.Column:
+    """Bit position i of a shingle: hex window i of md5, mod m."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10).cast("long") % m
+    )
+
+
+def _sql_bloom_pos(expr: str, m: int) -> str:
+    """DuckDB mirror of ``_bloom_pos`` for hash index column ``i``."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1 + 8 * i, 8)) AS BIGINT) % {m}"
+
+
+def bloom_bits(docs: DataFrame, *, n: int = 3, m: int = BLOOM_BITS,
+               k: int = BLOOM_HASHES) -> DataFrame:
+    """The Bloom filter of a corpus's word n-gram shingles, as its set-bit
+    positions: one ``pos`` long column, ≤ m distinct rows NO MATTER HOW BIG
+    the corpus — the constant-memory dedup/decontamination state (the
+    Dolma/CCNet pattern), vs. the O(corpus) minhash band ledger.
+
+    Persist this once per corpus snapshot; new batches test against it with
+    a broadcast join (``bloom_dedup_against``)."""
+    sh = shingles(docs, n=n).select("shingle").distinct()
+    return (
+        sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_dedup_against(new_docs: DataFrame, old_docs: DataFrame, *,
+                        n: int = 3, m: int = BLOOM_BITS,
+                        k: int = BLOOM_HASHES,
+                        threshold: float = 0.5) -> DataFrame:
+    """(doc_id, n_shingles, bloom_hits, hit_ratio, maybe_dup): each NEW
+    doc's shingles tested for membership in the OLD corpus's Bloom filter.
+    A shingle "hits" iff ALL k of its bit positions are set; ``maybe_dup``
+    iff the hit ratio reaches ``threshold``. One-sided error: a planted
+    copy always hits 100% of its shared shingles; false positives are
+    bounded by (set_bits/m)^k per shingle and are DETERMINISTIC (md5), so
+    the DuckDB oracle reproduces them bit-for-bit.
+
+    Scale shape: the old corpus contributes only its ≤ m-row bit set
+    (broadcast — new batches never shuffle against old data), the new
+    batch's probe is explode(k)+broadcast-join+two map-side-combinable
+    groupBys. Old state is CONSTANT-SIZE in |old| — the property that makes
+    this the 100 TB cross-dump screen before the exact band-ledger pass."""
+    bits = bloom_bits(old_docs, n=n, m=m, k=k).withColumn("set", F.lit(1))
+    probe = shingles(new_docs, n=n).select(
+        "doc_id", "shingle",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
+        ).alias("pos"),
+    )
+    # all-k-bits-set per shingle, then per-doc hit ratio; min() handles the
+    # (legal) case of a shingle's k positions colliding
+    per_shingle = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(F.min(F.coalesce(F.col("set"), F.lit(0))).alias("all_set"))
+    )
+    ratio = F.col("bloom_hits") / F.col("n_shingles")
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("all_set").alias("bloom_hits"),
+        )
+        .select(
+            "doc_id", "n_shingles", "bloom_hits",
+            ratio.alias("hit_ratio"),
+            (ratio >= threshold).alias("maybe_dup"),
+        )
+    )
+
+
+def sql_bloom_dedup_against(*, n: int = 3, m: int = BLOOM_BITS,
+                            k: int = BLOOM_HASHES, threshold: float = 0.5,
+                            new_where: str, old_where: str) -> str:
+    """DuckDB mirror of ``bloom_dedup_against`` with new/old corpora
+    defined by WHERE clauses over ``documents``."""
+    return f"""
+WITH sh_old AS (
+{_sql_shingles(n, old_where)}
+),
+bits AS (
+  SELECT DISTINCT {_sql_bloom_pos("shingle", m)} AS pos
+  FROM (SELECT DISTINCT shingle FROM sh_old), unnest(range(0, {k})) AS r(i)
+),
+sh_new AS (
+{_sql_shingles(n, new_where)}
+),
+probe AS (
+  SELECT doc_id, shingle, {_sql_bloom_pos("shingle", m)} AS pos
+  FROM sh_new, unnest(range(0, {k})) AS r(i)
+),
+per_shingle AS (
+  SELECT doc_id, shingle,
+         min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY doc_id, shingle
+)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(all_set) AS BIGINT) AS bloom_hits,
+       sum(all_set) * 1.0 / count(*) AS hit_ratio,
+       sum(all_set) * 1.0 / count(*) >= {threshold} AS maybe_dup
+FROM per_shingle
+GROUP BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1522,6 +1522,36 @@ def _sql_dedup_incremental() -> str:
     )
 
 
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen (same dump-N+1 split as
+    ``dedup_incremental``): each new doc's shingle hit-ratio against the
+    old corpus's CONSTANT-SIZE (≤ 2^20 set-bit rows, broadcast) Bloom
+    filter — the Dolma/CCNet-style approximate pre-screen whose state does
+    not grow with |old|, run before the exact band-ledger pass. n=5 word
+    shingles: on this corpus the planted near-dups sit at hit_ratio ≥ 0.96
+    while everything else is ≤ 0.02 — crisp one-sided separation."""
+    from next_plaid_spark.operators.dedup import bloom_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_dedup_against(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        n=5,
+        threshold=0.5,
+    )
+
+
+def _sql_dedup_bloom() -> str:
+    from next_plaid_spark.operators.dedup import sql_bloom_dedup_against
+
+    return sql_bloom_dedup_against(
+        n=5,
+        threshold=0.5,
+        new_where="WHERE doc_id % 5 = 0",
+        old_where="WHERE doc_id % 5 <> 0",
+    )
+
+
 def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup materialized (Lee et al. '21 keep-first):
     corpus rewritten with every non-first occurrence of a duplicated
@@ -3841,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_bloom": q_dedup_bloom,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -3961,6 +3992,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _dedup_sqls()[0],
         "dedup_minhash_lsh": _dedup_sqls()[1],
         "dedup_incremental": _sql_dedup_incremental(),
+        "dedup_bloom": _sql_dedup_bloom(),
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],

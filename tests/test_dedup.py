@@ -514,3 +514,73 @@ def test_dedup_against_empty_old_corpus(spark):
     )
     old = spark.createDataFrame([], "doc_id long, text string")
     assert dedup_against(new, old, threshold=0.5).count() == 0
+
+
+def test_bloom_dedup_exact_copy_hits_everything(spark):
+    from next_plaid_spark.operators.dedup import bloom_dedup_against
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame(
+        [(1, base), (2, "totally different words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base),
+         (101, "unique fresh content with no old counterpart whatsoever ok")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bloom_dedup_against(new, old, n=3).collect()}
+    # the exact copy: every shingle is a true member — no false negatives,
+    # ever (Bloom's one-sided guarantee)
+    assert got[100].hit_ratio == 1.0 and got[100].maybe_dup
+    assert got[100].bloom_hits == got[100].n_shingles == 8  # 10 tokens, n=3
+    # the fresh doc: at 2^20 bits / a handful of set bits, FP ≈ 0
+    assert got[101].bloom_hits == 0 and not got[101].maybe_dup
+
+
+def test_bloom_dedup_partial_overlap_ratio(spark):
+    from next_plaid_spark.operators.dedup import bloom_dedup_against
+
+    # new doc = 5 old tokens ++ 5 fresh tokens: of its 8 trigram shingles
+    # the first 3 are old members, the 3 boundary-spanning ones and the 2
+    # fresh-only ones are not → hit_ratio = 3/8
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon nu xi omicron pi rho")],
+        "doc_id long, text string",
+    )
+    (row,) = bloom_dedup_against(new, old, n=3, threshold=0.5).collect()
+    assert (row.n_shingles, row.bloom_hits) == (8, 3)
+    assert row.hit_ratio == 3 / 8 and not row.maybe_dup
+
+
+def test_bloom_bits_bounded_and_deterministic(spark):
+    from next_plaid_spark.operators.dedup import BLOOM_HASHES, bloom_bits
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common tail words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    bits = bloom_bits(docs, n=3).collect()
+    positions = sorted(r.pos for r in bits)
+    # distinct positions, every one inside [0, m); ≤ k per distinct shingle
+    assert len(positions) == len(set(positions))
+    assert all(0 <= p < (1 << 20) for p in positions)
+    n_shingles = shingles(docs, n=3).select("shingle").distinct().count()
+    assert len(positions) <= BLOOM_HASHES * n_shingles
+    # same corpus → bit-identical filter (md5, no RNG)
+    again = sorted(r.pos for r in bloom_bits(docs, n=3).collect())
+    assert again == positions
+
+
+def test_bloom_dedup_empty_old_corpus_all_miss(spark):
+    from next_plaid_spark.operators.dedup import bloom_dedup_against
+
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    old = spark.createDataFrame([], "doc_id long, text string")
+    (row,) = bloom_dedup_against(new, old, n=3).collect()
+    assert row.bloom_hits == 0 and not row.maybe_dup

@@ -58,6 +58,7 @@ AUDITED = [
     "scrub_spans",
     "span_corrupt",
     "events_rolling",
+    "dedup_bloom",
     "maxsim_brute_topk",
     "bm25_phrase_topk",
     "code_search_topk",
