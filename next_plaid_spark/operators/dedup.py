@@ -530,7 +530,21 @@ def bloom_dedup_against(new_docs: DataFrame, old_docs: DataFrame, *,
     batch's probe is explode(k)+broadcast-join+two map-side-combinable
     groupBys. Old state is CONSTANT-SIZE in |old| — the property that makes
     this the 100 TB cross-dump screen before the exact band-ledger pass."""
-    bits = bloom_bits(old_docs, n=n, m=m, k=k).withColumn("set", F.lit(1))
+    return bloom_probe(
+        new_docs, bloom_bits(old_docs, n=n, m=m, k=k),
+        n=n, m=m, k=k, threshold=threshold,
+    )
+
+
+def bloom_probe(new_docs: DataFrame, bits: DataFrame, *, n: int = 3,
+                m: int = BLOOM_BITS, k: int = BLOOM_HASHES,
+                threshold: float = 0.5) -> DataFrame:
+    """``bloom_dedup_against`` with the filter already materialized —
+    ``bits`` is a (pos BIGINT) DataFrame of set positions (e.g. a persisted
+    ledger built incrementally by ``StreamingBloomDedup``). Duplicate pos
+    rows are tolerated — the per-(doc, shingle) groupBy collapses them —
+    so no defensive distinct (and its shuffle) is paid here."""
+    bits = bits.select("pos").withColumn("set", F.lit(1))
     probe = shingles(new_docs, n=n).select(
         "doc_id", "shingle",
         F.explode(

@@ -424,3 +424,93 @@ class StreamingTextDedup:
 
     def kept(self) -> DataFrame:
         return self.spark.read.parquet(self._kept_path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom screen: the constant-memory fourth ledger
+# (exact fp / semantic LSH / text minhash ledgers grow with the kept corpus;
+# the Bloom bit set is capped at m rows FOREVER)
+# ---------------------------------------------------------------------------
+
+def bloom_screen_batch(new_docs: DataFrame, old_docs: DataFrame, *,
+                       n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Batch reference for StreamingBloomDedup: the new batch minus docs
+    whose Bloom hit-ratio against the old corpus reaches ``threshold``.
+    A SCREEN, not a full dedup — within-batch duplicates intentionally
+    pass (the exact ledger passes catch them); the screen's job is the
+    cheap cross-dump rejection with state that never grows."""
+    from next_plaid_spark.operators.dedup import bloom_dedup_against
+
+    flagged = bloom_dedup_against(
+        new_docs, old_docs, n=n, threshold=threshold
+    ).filter(F.col("maybe_dup")).select("doc_id")
+    return new_docs.join(flagged, "doc_id", "left_anti")
+
+
+class StreamingBloomDedup:
+    """foreachBatch sink: document stream → Bloom-screened corpus.
+
+    Cross-batch state is the Bloom filter of every kept doc's shingles as
+    a (pos) parquet ledger — at most ``m`` = 2^20 rows no matter how many
+    batches have flowed through (appends are anti-joined against the
+    ledger, so each position is written once ever). An arriving doc is
+    dropped iff ≥ ``threshold`` of its shingles are (probabilistic)
+    members of the kept corpus; false positives are deterministic (md5)
+    and one-sided — a true duplicate is NEVER missed. Batch B_i sees
+    exactly the bits of kept(B_1..B_{i-1}), so the stream reproduces the
+    fold of ``bloom_screen_batch`` over the batches in order."""
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 threshold: float = 0.5, n: int = 3):
+        self.spark = spark
+        self.root = root
+        self.threshold = threshold
+        self.n = n
+
+    @property
+    def _kept_path(self) -> str:
+        return os.path.join(self.root, "kept")
+
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.root, "bloom_ledger")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from next_plaid_spark.operators.dedup import bloom_bits, bloom_probe
+
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.cache()
+
+        have_ledger = os.path.isdir(self._ledger_path)
+        if have_ledger:
+            bits = self.spark.read.parquet(self._ledger_path)
+            flagged = bloom_probe(
+                batch_df, bits, n=self.n, threshold=self.threshold
+            ).filter(F.col("maybe_dup")).select("doc_id")
+            kept = batch_df.join(flagged, "doc_id", "left_anti")
+        else:
+            kept = batch_df
+        kept = kept.cache()
+
+        kept.write.mode("append").parquet(self._kept_path)
+        new_bits = bloom_bits(kept, n=self.n)
+        if have_ledger:
+            # each position is written once ever -> ledger <= m rows, forever
+            new_bits = new_bits.join(
+                self.spark.read.parquet(self._ledger_path), "pos", "left_anti"
+            )
+        new_bits.write.mode("append").parquet(self._ledger_path)
+        kept.unpersist()
+        batch_df.unpersist()
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(self._kept_path)

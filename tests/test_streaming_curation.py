@@ -251,3 +251,62 @@ def test_trained_quality_model_gate_stream_matches_batch(spark,
     # the gate actually separates: clean docs in, spammy docs out
     assert set(kept_stream) >= {1, 6}
     assert not {2, 7} & set(kept_stream)
+
+
+def test_bloom_screen_stream_matches_batch_fold(spark, tmp_path_factory):
+    from next_plaid_spark.streaming.curation import (
+        StreamingBloomDedup, bloom_screen_batch)
+
+    tmp = tmp_path_factory.mktemp("bloomstream")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    fresh = "totally new words appear here nothing repeats at all today"
+    b1 = [(1, base), (2, other)]
+    b2 = [(3, base),                 # cross-batch copy of kept 1 -> screened
+          (4, fresh)]
+    b3 = [(5, other + " tail"),      # mostly old shingles of kept 2 -> screened
+          (6, fresh),                # copy of a doc kept in BATCH 2 -> screened
+          (7, "entirely distinct closing sentence with unique vocabulary")]
+    src = str(tmp / "in")
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/part{i}")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, DOC_SCHEMA).schema)
+        .option("maxFilesPerTrigger", "1").parquet(f"{src}/part*")
+    )
+    q = dd.attach(stream, str(tmp / "ck"))
+    q.awaitTermination(300)
+    kept_stream = sorted(r.doc_id for r in dd.kept().collect())
+
+    # fold of the batch reference over the same batch sequence
+    kept = spark.createDataFrame(b1, DOC_SCHEMA)
+    for rows in (b2, b3):
+        batch = spark.createDataFrame(rows, DOC_SCHEMA)
+        kept = kept.unionByName(
+            bloom_screen_batch(batch, kept, threshold=0.5))
+    kept_fold = sorted(r.doc_id for r in kept.collect())
+    assert kept_stream == kept_fold == [1, 2, 4, 7]
+
+
+def test_bloom_ledger_bounded_and_write_once(spark, tmp_path_factory):
+    from next_plaid_spark.operators.dedup import BLOOM_BITS, bloom_bits
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomledger")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    dd.process_batch(spark.createDataFrame([(1, base)], DOC_SCHEMA), 0)
+    ledger1 = spark.read.parquet(str(tmp / "root" / "bloom_ledger"))
+    n1 = ledger1.count()
+    assert n1 == ledger1.distinct().count()  # write-once: no dup positions
+    expected = bloom_bits(
+        spark.createDataFrame([(1, base)], DOC_SCHEMA), n=3).count()
+    assert 0 < n1 == expected <= BLOOM_BITS
+    # a replayed duplicate batch: doc screened out, ledger unchanged
+    dd.process_batch(spark.createDataFrame([(2, base)], DOC_SCHEMA), 1)
+    ledger2 = spark.read.parquet(str(tmp / "root" / "bloom_ledger"))
+    assert ledger2.count() == n1
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1]
