@@ -536,6 +536,68 @@ def bloom_dedup_against(new_docs: DataFrame, old_docs: DataFrame, *,
     )
 
 
+def bloom_counts(docs: DataFrame, *, n: int = 3, m: int = BLOOM_BITS,
+                 k: int = BLOOM_HASHES) -> DataFrame:
+    """Counting-Bloom state of a corpus: (pos, cnt) where cnt is the
+    number of (distinct-shingle, hash-index) insertions landing on the
+    bit — the standard deletable extension. Still ≤ m rows, but supports
+    retraction: removing a sub-corpus decrements its counts, and a bit is
+    "set" iff cnt > 0, so a retracted source stops blocking new ingests
+    without rebuilding from the full kept corpus. ``bloom_counts_delta``
+    maintains it; ``.filter(cnt > 0).select("pos")`` is the bit set
+    ``bloom_probe`` consumes.
+
+    Counts are per-DOC-distinct shingle insertions (no global shingle
+    distinct, unlike ``bloom_bits``): that makes counts a plain sum over
+    docs, so add/remove deltas are exactly additive and a shingle shared
+    by two docs keeps its bit until BOTH are retracted."""
+    sh = shingles(docs, n=n).select("shingle")
+    return (
+        sh.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bloom_counts_delta(counts: DataFrame, add_docs: DataFrame | None,
+                       remove_docs: DataFrame | None, *, n: int = 3,
+                       m: int = BLOOM_BITS,
+                       k: int = BLOOM_HASHES) -> DataFrame:
+    """Counting-Bloom maintenance: ``counts`` plus the additions' counts
+    minus the removals'. Exactly ≡ rebuilding from (corpus ∪ add ∖ remove)
+    PROVIDED add/remove track the true corpus delta (removing docs never
+    inserted underflows, like any counting Bloom). One bounded-size merge:
+    every side is ≤ m rows after its own aggregation, so the combine is an
+    outer join on pos — never a corpus-sized shuffle."""
+    merged = counts
+    if add_docs is not None:
+        add = bloom_counts(add_docs, n=n, m=m, k=k)
+        merged = (
+            merged.withColumnRenamed("cnt", "a")
+            .join(add.withColumnRenamed("cnt", "b"), "pos", "full_outer")
+            .select(
+                "pos",
+                (F.coalesce("a", F.lit(0)) + F.coalesce("b", F.lit(0)))
+                .alias("cnt"),
+            )
+        )
+    if remove_docs is not None:
+        rem = bloom_counts(remove_docs, n=n, m=m, k=k)
+        merged = (
+            merged.withColumnRenamed("cnt", "a")
+            .join(rem.withColumnRenamed("cnt", "b"), "pos", "left")
+            .select(
+                "pos",
+                (F.col("a") - F.coalesce("b", F.lit(0))).alias("cnt"),
+            )
+        )
+    return merged.filter(F.col("cnt") > 0)
+
+
 def bloom_probe(new_docs: DataFrame, bits: DataFrame, *, n: int = 3,
                 m: int = BLOOM_BITS, k: int = BLOOM_HASHES,
                 threshold: float = 0.5) -> DataFrame:

@@ -584,3 +584,57 @@ def test_bloom_dedup_empty_old_corpus_all_miss(spark):
     old = spark.createDataFrame([], "doc_id long, text string")
     (row,) = bloom_dedup_against(new, old, n=3).collect()
     assert row.bloom_hits == 0 and not row.maybe_dup
+
+
+def _rows_by_pos(df):
+    return {r.pos: r.cnt for r in df.collect()}
+
+
+def test_bloom_counts_delta_equals_rebuild(spark):
+    from next_plaid_spark.operators.dedup import bloom_counts, bloom_counts_delta
+
+    corpus = [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta")
+              for i in range(8)]
+    add = [(100, "brand new words arriving with this batch today ok"),
+           (101, "alpha3 beta3 gamma3 delta3 epsilon3 zeta")]  # re-insert twin
+    remove = [corpus[2], corpus[5]]
+    base = spark.createDataFrame(corpus, "doc_id long, text string")
+    counts = bloom_counts(base, n=3)
+    merged = bloom_counts_delta(
+        counts,
+        spark.createDataFrame(add, "doc_id long, text string"),
+        spark.createDataFrame(remove, "doc_id long, text string"),
+        n=3,
+    )
+    target = [d for d in corpus if d not in remove] + add
+    rebuilt = bloom_counts(
+        spark.createDataFrame(target, "doc_id long, text string"), n=3)
+    assert _rows_by_pos(merged) == _rows_by_pos(rebuilt)
+
+
+def test_bloom_counts_retraction_unblocks_probe(spark):
+    from next_plaid_spark.operators.dedup import (
+        bloom_counts, bloom_counts_delta, bloom_probe)
+
+    doomed = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    keeper = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(1, doomed), (2, keeper)], "doc_id long, text string")
+    probe = spark.createDataFrame([(100, doomed)], "doc_id long, text string")
+    counts = bloom_counts(corpus, n=3)
+
+    (before,) = bloom_probe(probe, counts.filter("cnt > 0").select("pos"),
+                            n=3).collect()
+    assert before.hit_ratio == 1.0  # blocked while doc 1 is in the corpus
+
+    after_counts = bloom_counts_delta(
+        counts, None,
+        spark.createDataFrame([(1, doomed)], "doc_id long, text string"), n=3)
+    (after,) = bloom_probe(probe, after_counts.select("pos"), n=3).collect()
+    # retraction fully unblocks: every doomed shingle's bits decremented to 0
+    assert after.bloom_hits == 0
+    # the keeper's bits survive the retraction
+    (keep,) = bloom_probe(
+        spark.createDataFrame([(200, keeper)], "doc_id long, text string"),
+        after_counts.select("pos"), n=3).collect()
+    assert keep.hit_ratio == 1.0
