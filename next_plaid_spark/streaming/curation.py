@@ -458,7 +458,15 @@ class StreamingBloomDedup:
     members of the kept corpus; false positives are deterministic (md5)
     and one-sided — a true duplicate is NEVER missed. Batch B_i sees
     exactly the bits of kept(B_1..B_{i-1}), so the stream reproduces the
-    fold of ``bloom_screen_batch`` over the batches in order."""
+    fold of ``bloom_screen_batch`` over the batches in order.
+
+    Replay: like the other curation sinks, the two writes per batch would
+    live under a batch_id-derived path in production (idempotent
+    overwrite); the gate itself is replay-safe — a fully-replayed doc hits
+    its own bits at ratio 1.0 and screens out, so kept/ never double-
+    appends a screenable doc (pinned by the replay test). Docs too short
+    to shingle are always kept, replay included — the screen cannot judge
+    them either way."""
 
     def __init__(self, spark: SparkSession, root: str, *,
                  threshold: float = 0.5, n: int = 3):

@@ -310,3 +310,24 @@ def test_bloom_ledger_bounded_and_write_once(spark, tmp_path_factory):
     ledger2 = spark.read.parquet(str(tmp / "root" / "bloom_ledger"))
     assert ledger2.count() == n1
     assert sorted(r.doc_id for r in dd.kept().collect()) == [1]
+
+
+def test_bloom_screen_replayed_batch_is_noop(spark, tmp_path_factory):
+    """foreachBatch may redeliver a batch after failure: every replayed doc
+    hits its own bits at ratio 1.0 and screens out, so kept/ and the
+    ledger are unchanged by the replay."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomreplay")
+    b = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")]
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    dd.process_batch(spark.createDataFrame(b, DOC_SCHEMA), 0)
+    kept1 = sorted(r.doc_id for r in dd.kept().collect())
+    n_bits1 = spark.read.parquet(str(tmp / "root" / "bloom_ledger")).count()
+
+    dd.process_batch(spark.createDataFrame(b, DOC_SCHEMA), 0)  # replay
+    kept2 = sorted(r.doc_id for r in dd.kept().collect())
+    n_bits2 = spark.read.parquet(str(tmp / "root" / "bloom_ledger")).count()
+    assert kept1 == kept2 == [1, 2]
+    assert n_bits1 == n_bits2
