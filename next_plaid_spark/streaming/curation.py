@@ -466,14 +466,25 @@ class StreamingBloomDedup:
     its own bits at ratio 1.0 and screens out, so kept/ never double-
     appends a screenable doc (pinned by the replay test). Docs too short
     to shingle are always kept, replay included — the screen cannot judge
-    them either way."""
+    them either way.
+
+    ``counting=True`` swaps the append-only bit ledger for versioned
+    counting-Bloom snapshots (``bloom_counts_delta``): still ≤ m rows, but
+    per-batch the whole (bounded) table is re-snapshotted instead of
+    appended — the price of supporting ``retract()``, which removes a
+    retracted sub-corpus (takedown, license change) by decrementing its
+    counts so matching NEW ingests stop being blocked, without rebuilding
+    from the kept corpus. Screen decisions are identical in both modes
+    (cnt > 0 positions ≡ the bit set)."""
 
     def __init__(self, spark: SparkSession, root: str, *,
-                 threshold: float = 0.5, n: int = 3):
+                 threshold: float = 0.5, n: int = 3,
+                 counting: bool = False):
         self.spark = spark
         self.root = root
         self.threshold = threshold
         self.n = n
+        self.counting = counting
 
     @property
     def _kept_path(self) -> str:
@@ -483,16 +494,47 @@ class StreamingBloomDedup:
     def _ledger_path(self) -> str:
         return os.path.join(self.root, "bloom_ledger")
 
+    @property
+    def _counts_root(self) -> str:
+        return os.path.join(self.root, "bloom_counts")
+
+    def _latest_counts(self) -> tuple[str | None, int]:
+        """(latest snapshot path or None, next version number)."""
+        if not os.path.isdir(self._counts_root):
+            return None, 0
+        vs = sorted(
+            int(d[1:]) for d in os.listdir(self._counts_root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        if not vs:
+            return None, 0
+        return os.path.join(self._counts_root, f"v{vs[-1]}"), vs[-1] + 1
+
+    def _bits(self):
+        """Current set-bit positions DataFrame, or None before any batch."""
+        if self.counting:
+            cur, _ = self._latest_counts()
+            if cur is None:
+                return None
+            return (self.spark.read.parquet(cur)
+                    .filter(F.col("cnt") > 0).select("pos"))
+        if not os.path.isdir(self._ledger_path):
+            return None
+        return self.spark.read.parquet(self._ledger_path)
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from next_plaid_spark.operators.dedup import bloom_bits, bloom_probe
+        from next_plaid_spark.operators.dedup import (
+            bloom_bits,
+            bloom_counts_delta,
+            bloom_probe,
+        )
 
         if batch_df.isEmpty():
             return
         batch_df = batch_df.cache()
 
-        have_ledger = os.path.isdir(self._ledger_path)
-        if have_ledger:
-            bits = self.spark.read.parquet(self._ledger_path)
+        bits = self._bits()
+        if bits is not None:
             flagged = bloom_probe(
                 batch_df, bits, n=self.n, threshold=self.threshold
             ).filter(F.col("maybe_dup")).select("doc_id")
@@ -500,17 +542,59 @@ class StreamingBloomDedup:
         else:
             kept = batch_df
         kept = kept.cache()
-
         kept.write.mode("append").parquet(self._kept_path)
-        new_bits = bloom_bits(kept, n=self.n)
-        if have_ledger:
-            # each position is written once ever -> ledger <= m rows, forever
-            new_bits = new_bits.join(
-                self.spark.read.parquet(self._ledger_path), "pos", "left_anti"
-            )
-        new_bits.write.mode("append").parquet(self._ledger_path)
+
+        if self.counting:
+            cur, nxt = self._latest_counts()
+            counts = (self.spark.read.parquet(cur) if cur is not None
+                      else self.spark.createDataFrame([], "pos long, cnt long"))
+            # new snapshot dir: the merge reads the PREVIOUS snapshot, so
+            # there is no read-what-you-overwrite hazard
+            bloom_counts_delta(counts, kept, None, n=self.n).write.parquet(
+                os.path.join(self._counts_root, f"v{nxt}"))
+        else:
+            new_bits = bloom_bits(kept, n=self.n)
+            if os.path.isdir(self._ledger_path):
+                # each position is written once ever -> ledger <= m rows
+                new_bits = new_bits.join(
+                    self.spark.read.parquet(self._ledger_path),
+                    "pos", "left_anti",
+                )
+            new_bits.write.mode("append").parquet(self._ledger_path)
         kept.unpersist()
         batch_df.unpersist()
+
+    def retract(self, remove: DataFrame) -> None:
+        """Remove docs from kept/ AND decrement their counts so future
+        matching ingests pass the screen again. Counting mode only. The
+        decrement covers exactly the kept rows matching ``remove``'s
+        doc_ids (never docs the screen had dropped), so counts stay ≡
+        ``bloom_counts`` of the surviving kept corpus."""
+        import shutil
+
+        from next_plaid_spark.operators.dedup import bloom_counts_delta
+
+        if not self.counting:
+            raise ValueError("retract() requires counting=True — the bit "
+                             "ledger cannot forget; rebuild instead")
+        cur, nxt = self._latest_counts()
+        if cur is None:
+            return
+        kept = self.kept()
+        gone = kept.join(remove.select("doc_id"), "doc_id", "left_semi").cache()
+        if gone.isEmpty():
+            gone.unpersist()
+            return
+        bloom_counts_delta(
+            self.spark.read.parquet(cur), None, gone, n=self.n
+        ).write.parquet(os.path.join(self._counts_root, f"v{nxt}"))
+
+        survivors = kept.join(remove.select("doc_id"), "doc_id", "left_anti")
+        tmp = self._kept_path + ".retract_tmp"
+        survivors.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._kept_path)
+        os.replace(tmp, self._kept_path)
+        gone.unpersist()
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

@@ -331,3 +331,65 @@ def test_bloom_screen_replayed_batch_is_noop(spark, tmp_path_factory):
     n_bits2 = spark.read.parquet(str(tmp / "root" / "bloom_ledger")).count()
     assert kept1 == kept2 == [1, 2]
     assert n_bits1 == n_bits2
+
+
+def test_bloom_counting_mode_matches_bits_mode(spark, tmp_path_factory):
+    """Screen decisions are identical in both ledger modes (cnt > 0
+    positions ≡ the bit set)."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloommodes")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    batches = ([(1, base), (2, other)],
+               [(3, base), (4, "fresh unrelated words land in this batch")])
+    kept = {}
+    for mode in (False, True):
+        dd = StreamingBloomDedup(
+            spark, str(tmp / f"root{mode}"), threshold=0.5, counting=mode)
+        for i, rows in enumerate(batches):
+            dd.process_batch(spark.createDataFrame(rows, DOC_SCHEMA), i)
+        kept[mode] = sorted(r.doc_id for r in dd.kept().collect())
+    assert kept[False] == kept[True] == [1, 2, 4]
+
+
+def test_bloom_retract_unblocks_future_ingests(spark, tmp_path_factory):
+    from next_plaid_spark.operators.dedup import bloom_counts
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomretract")
+    doomed = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    keeper = "one two three four five six seven eight nine ten eleven"
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             counting=True)
+    dd.process_batch(
+        spark.createDataFrame([(1, doomed), (2, keeper)], DOC_SCHEMA), 0)
+    # a re-ingest of the doomed text is blocked while doc 1 is kept
+    dd.process_batch(spark.createDataFrame([(3, doomed)], DOC_SCHEMA), 1)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 2]
+
+    dd.retract(spark.createDataFrame([(1, "")], DOC_SCHEMA))
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [2]
+    # counts after retraction == rebuild from the surviving kept corpus
+    cur, _ = dd._latest_counts()
+    got = {(r.pos, r.cnt) for r in spark.read.parquet(cur).collect()}
+    want = {(r.pos, r.cnt) for r in bloom_counts(
+        spark.createDataFrame([(2, keeper)], DOC_SCHEMA), n=3).collect()}
+    assert got == want
+    # the retracted text now passes the screen again
+    dd.process_batch(spark.createDataFrame([(4, doomed)], DOC_SCHEMA), 2)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [2, 4]
+    # the keeper is still blocked (its counts survived the retraction)
+    dd.process_batch(spark.createDataFrame([(5, keeper)], DOC_SCHEMA), 3)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [2, 4]
+
+
+def test_bloom_retract_requires_counting_mode(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomretracterr")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"))
+    with _pytest.raises(ValueError, match="counting=True"):
+        dd.retract(spark.createDataFrame([(1, "x")], DOC_SCHEMA))
