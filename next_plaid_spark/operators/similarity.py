@@ -271,6 +271,9 @@ def train_ivf_cells(
         .limit(train_cap)
         .collect()
     )
+    if not rows:
+        raise ValueError("train_ivf_cells: cannot train a coarse quantizer "
+                         "on an empty corpus")
     pts = np.asarray([r._v for r in rows], dtype=np.float32)
     norms = np.linalg.norm(pts, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

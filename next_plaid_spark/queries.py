@@ -2186,9 +2186,11 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example.com/doc/"), (F.col("doc_id") % 100).cast("string"),
         ).alias("url"),
     )
-    blocked_src = min(r[0] for r in docs.select("source").distinct().collect())
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    if not sources:  # empty corpus: typed empty result, no blocklist to pick
+        return docs.select("doc_id", "url")
     kept = dedup_by_url(
-        filter_by_domain_blocklist(docs, [f"{blocked_src}.example.com"])
+        filter_by_domain_blocklist(docs, [f"{min(sources)}.example.com"])
     )
     return kept.select("doc_id", "url")
 
@@ -2486,7 +2488,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    if first is None:  # empty corpus: typed empty result, nothing to hash
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int")
+    dim = len(first[0])
     _write_lsh_oracle_sidecar(spark, dim=dim)
     queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2508,6 +2514,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from next_plaid_spark.operators.similarity import ivf_topk, train_ivf_cells
 
     emb = _t(spark, sf_dir, "embeddings")
+    if emb.isEmpty():  # empty corpus: typed empty result, no cells to train
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int")
     queries = emb.filter(F.col("vec_id") < COSINE_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -2898,10 +2907,13 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     out = rows[0].unionByName(rows[1]).unionByName(rows[2])
-    # 1-row total joined lazily — no driver action during plan construction
+    # 1-row total joined lazily — no driver action during plan construction.
+    # n == 0 (empty events table) → NULL conversion instead of an ANSI
+    # divide-by-zero; identical values whenever any event exists.
     return out.crossJoin(F.broadcast(total)).select(
         "stage", "n_users",
-        F.round(F.col("n_users") / F.col("n"), 6).alias("conversion"),
+        F.when(F.col("n") > 0,
+               F.round(F.col("n_users") / F.col("n"), 6)).alias("conversion"),
     )
 
 
