@@ -72,6 +72,35 @@ def test_entries_survive_empty_corpus(spark, empty_sf_dir):
     assert not nonempty, f"non-empty result from empty corpus: {nonempty}"
 
 
+@pytest.fixture(scope="module")
+def singleton_sf_dir(tmp_path_factory):
+    """1-row copies of every table: singleton quantiles, stddev-of-one,
+    self-only windows — the other classic boundary."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_one")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') LIMIT 1)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+def test_entries_survive_singleton_corpus(spark, singleton_sf_dir):
+    from next_plaid_spark import queries as q
+
+    reg = q.queries()
+    failures = []
+    for name in EMPTY_IN_EMPTY_OUT:
+        try:
+            reg[name](spark, singleton_sf_dir).collect()
+        except Exception as e:
+            failures.append((name, type(e).__name__, str(e).split("\n")[0]))
+    assert not failures, f"crashed on singleton corpus: {failures}"
+
+
 def test_events_funnel_empty_keeps_step_scaffold(spark, empty_sf_dir):
     """The funnel's step list is static config, so the scaffold survives
     an empty events table — with every count at zero."""
