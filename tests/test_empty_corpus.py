@@ -101,6 +101,44 @@ def test_entries_survive_singleton_corpus(spark, singleton_sf_dir):
     assert not failures, f"crashed on singleton corpus: {failures}"
 
 
+@pytest.fixture(scope="module")
+def nulltext_sf_dir(tmp_path_factory):
+    """Two real documents plus a NULL-text row and an empty-string row —
+    ingested corpora carry both, and no entry may crash on them."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_null")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') LIMIT 2)"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""COPY (
+  SELECT * FROM (SELECT * FROM read_parquet('{SRC}/documents.parquet') LIMIT 2)
+  UNION ALL SELECT 9001, NULL, 'xx', 'null_source', NULL
+  UNION ALL SELECT 9002, '', 'xx', 'empty_source', 0
+) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    return str(d)
+
+
+def test_entries_survive_null_and_empty_text(spark, nulltext_sf_dir):
+    from next_plaid_spark import queries as q
+
+    reg = q.queries()
+    failures = []
+    for name in EMPTY_IN_EMPTY_OUT:
+        try:
+            reg[name](spark, nulltext_sf_dir).collect()
+        except Exception as e:
+            failures.append((name, type(e).__name__, str(e).split("\n")[0]))
+    assert not failures, f"crashed on NULL/empty text: {failures}"
+
+
 def test_events_funnel_empty_keeps_step_scaffold(spark, empty_sf_dir):
     """The funnel's step list is static config, so the scaffold survives
     an empty events table — with every count at zero."""
