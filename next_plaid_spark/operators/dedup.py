@@ -20,6 +20,8 @@ Scale discipline:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -526,13 +528,39 @@ def bloom_dedup_against(new_docs: DataFrame, old_docs: DataFrame, *,
     the DuckDB oracle reproduces them bit-for-bit.
 
     Scale shape: the old corpus contributes only its ≤ m-row bit set
-    (broadcast — new batches never shuffle against old data), the new
-    batch's probe is explode(k)+broadcast-join+two map-side-combinable
-    groupBys. Old state is CONSTANT-SIZE in |old| — the property that makes
-    this the 100 TB cross-dump screen before the exact band-ledger pass."""
-    return bloom_probe(
-        new_docs, bloom_bits(old_docs, n=n, m=m, k=k),
-        n=n, m=m, k=k, threshold=threshold,
+    (broadcast — new batches never shuffle against old data). Because the
+    bit set is DERIVED here (one pass over the old corpus), the probe uses
+    the explode(k)+single-join form so that derivation is evaluated
+    exactly once; ``bloom_probe`` instead uses k re-reads of an already-
+    PERSISTED bits table (cheap) to avoid the k× row inflation. Old state
+    is CONSTANT-SIZE in |old| — the property that makes this the 100 TB
+    cross-dump screen before the exact band-ledger pass."""
+    bits = bloom_bits(old_docs, n=n, m=m, k=k).withColumn("set", F.lit(1))
+    probe = shingles(new_docs, n=n).select(
+        "doc_id", "shingle",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
+        ).alias("pos"),
+    )
+    # all-k-bits-set per shingle, then per-doc hit ratio; min() handles the
+    # (legal) case of a shingle's k positions colliding
+    per_shingle = (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "shingle")
+        .agg(F.min(F.coalesce(F.col("set"), F.lit(0))).alias("all_set"))
+    )
+    ratio = F.col("bloom_hits") / F.col("n_shingles")
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("all_set").alias("bloom_hits"),
+        )
+        .select(
+            "doc_id", "n_shingles", "bloom_hits",
+            ratio.alias("hit_ratio"),
+            (ratio >= threshold).alias("maybe_dup"),
+        )
     )
 
 
@@ -604,28 +632,35 @@ def bloom_probe(new_docs: DataFrame, bits: DataFrame, *, n: int = 3,
     """``bloom_dedup_against`` with the filter already materialized —
     ``bits`` is a (pos BIGINT) DataFrame of set positions (e.g. a persisted
     ledger built incrementally by ``StreamingBloomDedup``). Duplicate pos
-    rows are tolerated — the per-(doc, shingle) groupBy collapses them —
-    so no defensive distinct (and its shuffle) is paid here."""
-    bits = bits.select("pos").withColumn("set", F.lit(1))
-    probe = shingles(new_docs, n=n).select(
-        "doc_id", "shingle",
-        F.explode(
-            F.array(*[_bloom_pos(F.col("shingle"), i, m) for i in range(k)])
-        ).alias("pos"),
-    )
-    # all-k-bits-set per shingle, then per-doc hit ratio; min() handles the
-    # (legal) case of a shingle's k positions colliding
-    per_shingle = (
-        probe.join(F.broadcast(bits), "pos", "left")
-        .groupBy("doc_id", "shingle")
-        .agg(F.min(F.coalesce(F.col("set"), F.lit(0))).alias("all_set"))
-    )
+    rows are tolerated (deduped once on the BOUNDED side, ≤ m rows).
+
+    Plan shape: "all k bits set" is k BROADCAST LEFT JOINS of the shingle
+    table against the ≤ m-row bit set, one null-flag per hash — a single
+    pass over the shingles with no k× row explosion and ONE corpus-side
+    shuffle (the per-doc aggregation). The bits subtree is read k times,
+    which is the right trade ONLY for already-persisted bits (a ≤ 8 MB
+    parquet ledger or cached table); for bits derived from a corpus use
+    ``bloom_dedup_against``, whose explode form evaluates them once."""
+    bits = bits.select("pos").distinct()  # bounded: ≤ m rows
+    cur = shingles(new_docs, n=n)
+    for i in range(k):
+        cur = cur.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"_p{i}"))),
+            _bloom_pos(F.col("shingle"), i, m) == F.col(f"_p{i}"),
+            "left",
+        )
+    all_set = F.when(
+        reduce(lambda a, b: a & b,
+               [F.col(f"_p{i}").isNotNull() for i in range(k)]),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     ratio = F.col("bloom_hits") / F.col("n_shingles")
     return (
-        per_shingle.groupBy("doc_id")
+        cur.select("doc_id", all_set.alias("_hit"))
+        .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
-            F.sum("all_set").alias("bloom_hits"),
+            F.sum("_hit").alias("bloom_hits"),
         )
         .select(
             "doc_id", "n_shingles", "bloom_hits",
