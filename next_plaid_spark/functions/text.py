@@ -32,7 +32,15 @@ def tokenize_unicode61(text: Column) -> Column:
     the token, while DuckDB maps it to plain "i" — the one code point
     whose lowercasing changes the [a-z0-9] run structure differently per
     engine. Pre-folding İ→i keeps the DuckDB oracle bit-exact on any
-    corpus (no-op for text without İ); pinned by the unicode parity test."""
+    corpus (no-op for text without İ); pinned by the unicode parity test.
+
+    MIGRATION (r11 fold): the fold changes tokenization — and with it
+    shingles, minhash signatures, simhash, and Bloom bit positions — for
+    any İ-containing doc. Persisted state computed BEFORE the fold
+    (cross-batch minhash/Bloom dedup ledgers, fingerprint tables) can
+    silently disagree with newly computed hashes and miss true
+    duplicates of such docs; if a corpus can contain U+0130, rebuild
+    those artifacts from the kept corpus once after upgrading."""
     return F.filter(
         F.split(F.lower(F.translate(text, "İ", "i")), TOKEN_SPLIT_RE),
         lambda t: t != "",
