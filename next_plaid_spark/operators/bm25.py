@@ -25,6 +25,7 @@ search joins the (small, broadcast) query-term set against postings on
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -61,6 +62,30 @@ def _tokenizer(name: str):
 # mega-batch — fall back to the plain broadcast join, which still never
 # shuffles the corpus.
 _TERM_PUSHDOWN_CAP = 10_000
+# MaxScore prune: above this many candidate (query_id, doc_id) pairs the
+# broadcast semi-join stops paying for itself — fall back to exhaustive
+_PRUNE_CAND_CAP = 2_000_000
+# how many top-bound terms per query seed the θ estimation pass
+_PRUNE_THETA_TERMS = 2
+
+
+def _sat_expr(avgdl: float) -> F.Column:
+    """The tf-saturation factor sat(tf, dl) — ONE fixed expression shared
+    by scoring and the build-time ``max_sat`` bound, so the stored bound
+    is computed by the same arithmetic it later bounds."""
+    return (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+
+
+def _py_idf(n: float, df: int, score_mode: str) -> float:
+    """Driver-side mirror of the idf expressions (same doubles, same ln)."""
+    import math
+
+    if score_mode == "fts5":
+        raw = math.log((n - df + 0.5) / (df + 0.5))
+        return 1e-6 if raw <= 0.0 else raw
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
 
 def _term_pruned(table: DataFrame, qterms: DataFrame) -> DataFrame:
@@ -84,12 +109,17 @@ class BM25Index:
     # index is built with_positions (the FTS5 positional-postings analog
     # phrase queries need; ~1 row per token occurrence, so opt-in)
     positions: DataFrame | None = None
-    # (term, df) — per-term document frequency, precomputed at build/save
-    # time the way FTS5 keeps per-term stats in its b-tree
+    # (term, df[, max_sat]) — per-term document frequency, precomputed at
+    # build/save time the way FTS5 keeps per-term stats in its b-tree
     # (text_search.rs:1246-1272 reads them, never re-aggregates the
     # postings): search() then prunes this vocabulary-sized table to the
     # query's terms instead of re-aggregating the corpus-sized postings
     # table per query. None on hand-constructed indexes — derived lazily.
+    # ``max_sat`` (r12) = max over the term's postings of the tf-saturation
+    # factor sat(tf, dl) — the per-term score upper bound the MaxScore
+    # prune multiplies by qtf·idf (the block-max/max-score analog of a
+    # per-posting-block max impact). Absent on pre-r12 saved indexes;
+    # the prune silently disables itself without it.
     term_stats: DataFrame | None = None
 
     @classmethod
@@ -113,10 +143,21 @@ class BM25Index:
             if with_positions else None
         )
         postings = postings.cache()
-        # postings are unique (term, doc_id), so count(*) == df
-        term_stats = postings.groupBy("term").agg(
-            F.count("*").alias("df")).cache()
-        return cls(postings, doclens.cache(), n_docs, avgdl,
+        doclens = doclens.cache()
+        # postings are unique (term, doc_id), so count(*) == df; max_sat
+        # is the exact per-term saturation bound over its postings (one
+        # doc_id-keyed join at BUILD time — indexing cost, never a query
+        # cost, same ledger as FTS5's b-tree term stats)
+        term_stats = (
+            postings.join(doclens, "doc_id")
+            .groupBy("term")
+            .agg(
+                F.count("*").alias("df"),
+                F.max(_sat_expr(avgdl)).alias("max_sat"),
+            )
+            .cache()
+        )
+        return cls(postings, doclens, n_docs, avgdl,
                    tokenizer, positions, term_stats)
 
     # -- persistence (S6: the FTS index is an on-disk artifact in the
@@ -148,12 +189,25 @@ class BM25Index:
              .sortWithinPartitions("term", "doc_id", "pos")
              .write.mode("overwrite").parquet(
                  os.path.join(path, "positions")))
-        # persist per-term df so a loaded index never re-aggregates the
-        # postings per query; hand-constructed indexes (e.g. the
-        # incremental-update merge) derive it here, once per save
-        df_src = self.term_stats if self.term_stats is not None else (
-            self.postings.groupBy("term").agg(
-                F.countDistinct("doc_id").alias("df")))
+        # persist per-term stats (df + the max_sat prune bound) so a
+        # loaded index never re-aggregates the postings per query;
+        # hand-constructed indexes (e.g. the incremental-update merge)
+        # derive BOTH here, once per save — max_sat must use the MERGED
+        # corpus's avgdl, so a carried-over pre-merge bound would be
+        # stale and is recomputed whenever the column is absent
+        if (self.term_stats is not None
+                and "max_sat" in self.term_stats.columns):
+            df_src = self.term_stats
+        else:
+            base = (self.term_stats if self.term_stats is not None else
+                    self.postings.groupBy("term").agg(
+                        F.countDistinct("doc_id").alias("df")))
+            df_src = base.join(
+                self.postings.join(self.doclens, "doc_id")
+                .groupBy("term")
+                .agg(F.max(_sat_expr(self.avgdl)).alias("max_sat")),
+                "term",
+            )
         (df_src.repartitionByRange(F.col("term"))
          .sortWithinPartitions("term")
          .write.mode("overwrite").parquet(os.path.join(path, "term_stats")))
@@ -185,11 +239,138 @@ class BM25Index:
             meta.get("tokenizer", "unicode61"), positions, term_stats,
         )
 
+    def _maxscore_candidates(self, rows, qterms: DataFrame, k: int,
+                             n: float, score_mode: str, contrib,
+                             subset: DataFrame | None):
+        """MaxScore candidate set, or None when pruning can't help.
+
+        Returns a (query_id, doc_id) DataFrame certified to contain every
+        doc that can appear in the final top k:
+
+        1. per-term upper bounds ub(t) = qtf·idf(t)·max_sat(t), computed
+           driver-side from the stored term stats (inflated by 1e-9 to
+           absorb JVM-vs-libm log ulps — a bound must never under-read);
+        2. θ = the k-th best PARTIAL score per query from a pass over
+           only the ``_PRUNE_THETA_TERMS`` highest-bound terms' postings
+           (partials never exceed true scores — every contribution is
+           ≥ 0 — so θ lower-bounds the true k-th score);
+        3. the longest ascending-ub prefix with cumulative bound
+           < θ − 10^-SCORE_DECIMALS is non-essential: a doc matching
+           only prefix terms scores strictly under the k-th doc even
+           after both round to the score grid, so the doc_id tie-break
+           can never promote it. Candidates = docs matching ≥ 1
+           essential term.
+        """
+        spark = qterms.sparkSession
+        term_list = sorted({r["term"] for r in rows})
+        ts = {
+            r["term"]: (r["df"], r["max_sat"])
+            for r in self.term_stats.filter(F.col("term").isin(term_list))
+            .select("term", "df", "max_sat").collect()
+        }
+        if not ts:
+            return None  # no query term is in the vocabulary
+        by_q: dict = {}
+        for r in rows:
+            if r["term"] in ts:
+                by_q.setdefault(r["query_id"], []).append(
+                    (r["term"], r["qtf"]))
+        ubs = {
+            q: sorted(
+                ((qtf * _py_idf(n, ts[t][0], score_mode) * ts[t][1]
+                  * (1.0 + 1e-9)), t)
+                for t, qtf in tl
+            )
+            for q, tl in by_q.items()
+        }
+
+        theta_pairs = [(q, t) for q, lst in ubs.items()
+                       for _, t in lst[-_PRUNE_THETA_TERMS:]]
+        theta_terms = sorted({t for _, t in theta_pairs})
+        tp_df = spark.createDataFrame(
+            theta_pairs, "query_id long, term string")
+        df_local = spark.createDataFrame(
+            [(t, d) for t, (d, _) in ts.items()], "term string, df long")
+        p1 = (
+            qterms.join(F.broadcast(tp_df), ["query_id", "term"])
+            .join(self.postings.filter(F.col("term").isin(theta_terms)),
+                  "term")
+            .join(F.broadcast(df_local), "term")
+            .join(self.doclens, "doc_id")
+        )
+        if subset is not None:
+            p1 = p1.join(subset.select(F.col("doc_id").cast("long")),
+                         "doc_id", "left_semi")
+        partial = (
+            p1.select("query_id", "doc_id", contrib)
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list("contrib")),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ).alias("ps")
+            )
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("ps").desc(), F.col("doc_id").asc())
+        theta = {
+            r["query_id"]: r["ps"]
+            for r in partial.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == k).select("query_id", "ps").collect()
+        }
+
+        grid = 10.0 ** (-SCORE_DECIMALS)
+        essential: dict = {}
+        pruned_any = False
+        for q, lst in ubs.items():
+            th = theta.get(q)
+            cut = 0
+            if th is not None:
+                cum = 0.0
+                for u, _t in lst:
+                    if cum + u < th - grid:
+                        cum += u
+                        cut += 1
+                    else:
+                        break
+            essential[q] = [t for _, t in lst[cut:]]
+            pruned_any = pruned_any or cut > 0
+        self._last_prune = {"engaged": False, "theta": theta}
+        if not pruned_any:
+            return None  # every term essential everywhere: nothing to cut
+
+        ess_pairs = [(q, t) for q, terms in essential.items() for t in terms]
+        ess_terms = sorted({t for _, t in ess_pairs})
+        cand = (
+            F.broadcast(
+                spark.createDataFrame(
+                    ess_pairs, "query_id long, term string"))
+            .join(self.postings.filter(F.col("term").isin(ess_terms))
+                  .select("term", "doc_id"), "term")
+            .select("query_id", "doc_id")
+        )
+        if subset is not None:
+            cand = cand.join(subset.select(F.col("doc_id").cast("long")),
+                             "doc_id", "left_semi")
+        cand = cand.distinct().cache()
+        n_cand = cand.count()
+        if n_cand > _PRUNE_CAND_CAP:
+            cand.unpersist()
+            return None
+        self._last_prune = {
+            "engaged": True, "theta": theta, "candidates": n_cand,
+            "essential_terms": {q: len(t) for q, t in essential.items()},
+            "total_terms": {q: len(l) for q, l in ubs.items()},
+        }
+        return cand
+
     def search(self, queries: DataFrame, k: int = 10, *,
                query_id_col: str = "query_id", text_col: str = "text",
                subset: DataFrame | None = None,
                score_mode: str = "okapi",
-               conjunctive: bool = False) -> DataFrame:
+               conjunctive: bool = False,
+               prune: bool | None = None) -> DataFrame:
         """Batch BM25: queries(query_id, text) → (query_id, doc_id, score, rank).
 
         ``subset`` (doc_id) implements filtered keyword search (K4,
@@ -212,6 +393,28 @@ class BM25Index:
         terms absent from the corpus vocabulary, which kill the whole
         query, exactly as an FTS5 AND over a missing term matches nothing.
         False = the OR-joined form (``build_fts5_query_or``) colgrep uses.
+
+        ``prune`` (r12, opt-in; default from ``SPARK_GRAFT_BM25_PRUNE=1``)
+        enables a MaxScore-style top-k-PRESERVING cut: per-term score
+        upper bounds ``qtf·idf·max_sat`` (the stored ``term_stats.max_sat``
+        is the exact per-term saturation maximum) are split per query into
+        the longest ascending prefix whose bound-sum stays strictly under
+        a safe threshold θ minus one rounding-grid ulp — θ is the k-th
+        best PARTIAL score from a first pass over only the top-bound
+        terms' postings, a certified lower bound on the true k-th score.
+        Docs matching only prefix ("non-essential") terms can then never
+        enter the top k, so the long common-term postings lists are
+        scanned only for candidate docs (a broadcast semi-join) instead
+        of flowing through the per-doc aggregation — the keyword leg's
+        cost becomes ~|rare-term postings| + |candidates|, sublinear in
+        corpus for a fixed query load. Results are IDENTICAL to the
+        exhaustive path (same contributions, same rounding, same
+        tie-break; the margins absorb ulp noise): pinned by the
+        prune≡exhaustive pytest and the hash-gated entries run with the
+        env flag on. Automatically falls back to exhaustive for
+        conjunctive queries, indexes without ``max_sat`` (pre-r12 saves),
+        term sets over the pushdown cap, or candidate sets over
+        ``_PRUNE_CAND_CAP``.
         """
         qterms = (
             queries.select(
@@ -244,12 +447,39 @@ class BM25Index:
                 F.countDistinct("doc_id").alias("df")
             )
         n, avgdl = float(self.n_docs), float(self.avgdl)
+        if score_mode == "fts5":
+            raw_idf = F.log(
+                (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
+        elif score_mode == "okapi":
+            idf = F.log(
+                F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        else:
+            raise ValueError(f"unknown score_mode: {score_mode!r}")
+        contrib = (F.col("qtf") * idf * _sat_expr(avgdl)).alias("contrib")
+
+        if prune is None:
+            prune = os.environ.get("SPARK_GRAFT_BM25_PRUNE", "0") == "1"
+        cand = None
+        if (prune and not conjunctive and k >= 1 and self.n_docs
+                and self.term_stats is not None
+                and "max_sat" in self.term_stats.columns
+                and len(rows) <= _TERM_PUSHDOWN_CAP):
+            cand = self._maxscore_candidates(
+                rows, qterms, k, n, score_mode, contrib, subset)
+
         matched = (
             F.broadcast(qterms)
             .join(postings_src, "term")
             .join(F.broadcast(df_counts), "term")
-            .join(self.doclens, "doc_id")
         )
+        if cand is not None:
+            # docs matching only non-essential terms are certified out of
+            # the top k — drop their postings rows BEFORE the doclens join
+            # and the per-doc aggregation shuffle
+            matched = matched.join(
+                F.broadcast(cand), ["query_id", "doc_id"], "left_semi")
+        matched = matched.join(self.doclens, "doc_id")
         if subset is not None:
             matched = matched.join(
                 subset.select(F.col("doc_id").cast("long")), "doc_id", "left_semi"
@@ -274,17 +504,6 @@ class BM25Index:
                 .filter(F.col("_mt") == F.col("_nt"))
                 .drop("_mt", "_nt")
             )
-        if score_mode == "fts5":
-            raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
-        elif score_mode == "okapi":
-            idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        else:
-            raise ValueError(f"unknown score_mode: {score_mode!r}")
-        sat = (F.col("tf") * (K1 + 1.0)) / (
-            F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
-        )
-        contrib = (F.col("qtf") * idf * sat).alias("contrib")
         scored = (
             matched.select("query_id", "doc_id", contrib)
             .groupBy("query_id", "doc_id")

@@ -594,13 +594,24 @@ def bloom_counts(docs: DataFrame, *, n: int = 3, m: int = BLOOM_BITS,
 def bloom_counts_delta(counts: DataFrame, add_docs: DataFrame | None,
                        remove_docs: DataFrame | None, *, n: int = 3,
                        m: int = BLOOM_BITS,
-                       k: int = BLOOM_HASHES) -> DataFrame:
+                       k: int = BLOOM_HASHES,
+                       strict: bool = False) -> DataFrame:
     """Counting-Bloom maintenance: ``counts`` plus the additions' counts
     minus the removals'. Exactly ≡ rebuilding from (corpus ∪ add ∖ remove)
     PROVIDED add/remove track the true corpus delta (removing docs never
     inserted underflows, like any counting Bloom). One bounded-size merge:
     every side is ≤ m rows after its own aggregation, so the combine is an
-    outer join on pos — never a corpus-sized shuffle."""
+    outer join on pos — never a corpus-sized shuffle.
+
+    ``strict=True`` eagerly validates the removal against the ledger and
+    raises ``ValueError`` on underflow — a remove position absent from
+    ``counts`` or driven below zero. Either ALWAYS indicates a tracking
+    bug (retracting docs never inserted, or text that differs from what
+    was inserted) that would otherwise silently break the
+    counts ≡ bloom_counts(kept) invariant; the check is one aggregation
+    over the ≤ m-row merge, so it is bounded, but it does force an eager
+    action — leave it off on pure maintenance paths that revalidate
+    downstream."""
     merged = counts
     if add_docs is not None:
         add = bloom_counts(add_docs, n=n, m=m, k=k)
@@ -617,12 +628,20 @@ def bloom_counts_delta(counts: DataFrame, add_docs: DataFrame | None,
         rem = bloom_counts(remove_docs, n=n, m=m, k=k)
         merged = (
             merged.withColumnRenamed("cnt", "a")
-            .join(rem.withColumnRenamed("cnt", "b"), "pos", "left")
+            .join(rem.withColumnRenamed("cnt", "b"), "pos", "full_outer")
             .select(
                 "pos",
-                (F.col("a") - F.coalesce("b", F.lit(0))).alias("cnt"),
+                (F.coalesce("a", F.lit(0)) - F.coalesce("b", F.lit(0)))
+                .alias("cnt"),
             )
         )
+        if strict:
+            bad = merged.filter(F.col("cnt") < 0).count()
+            if bad:
+                raise ValueError(
+                    f"counting-Bloom underflow at {bad} position(s): the "
+                    "removal does not match what was inserted (docs never "
+                    "ingested, or text changed since insertion)")
     return merged.filter(F.col("cnt") > 0)
 
 

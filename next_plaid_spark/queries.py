@@ -952,6 +952,23 @@ def sql_bm25_topk() -> str:
     )
 
 
+def q_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 with the r12 MaxScore prune ON (operators/bm25.py::search
+    ``prune=True``): per-term upper bounds (stored term_stats.max_sat ×
+    qtf·idf) certify docs matching only low-bound terms out of the top k
+    before the per-doc aggregation. The prune is top-k-PRESERVING by
+    construction, so the oracle is the IDENTICAL exhaustive BM25 SQL as
+    ``bm25_topk`` — a hash-exact row here proves the cut changes nothing
+    (scores, ranks, tie-breaks) while the common-term postings stay out
+    of the shuffle. The FTS5/SQLite engine gets the same effect from its
+    segment b-tree cursors skipping low-impact doclists; this is the
+    block-max/max-score analog over parquet postings."""
+    idx = _bm25_index(spark, sf_dir)
+    return idx.search(
+        _doc_queries(spark, sf_dir), k=BM25_TOPK, prune=True
+    ).select("query_id", "doc_id", "score", "rank")
+
+
 def q_bm25_fts5_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 in FTS5-parity mode: the exact bm25() SQLite computes (per-phrase
     idf with the 1e-6 floor, fts5_aux.c), positively oriented as the
@@ -3868,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_topk": q_filtered_search_topk,
         "distinct_langs": q_distinct_langs,
         "bm25_topk": q_bm25_topk,
+        "bm25_pruned_topk": q_bm25_pruned_topk,
         "bm25_fts5_topk": q_bm25_fts5_topk,
         "bm25_phrase_topk": q_bm25_phrase_topk,
         "bm25_and_topk": q_bm25_and_topk,
@@ -3981,6 +3999,8 @@ def oracle_sql() -> dict[str, str]:
         "filtered_search_topk": sql_filtered_search_topk(),
         "distinct_langs": SQL_DISTINCT_LANGS,
         "bm25_topk": sql_bm25_topk(),
+        # the prune is top-k-preserving: its oracle IS the exhaustive SQL
+        "bm25_pruned_topk": sql_bm25_topk(),
         "bm25_fts5_topk": sql_bm25_fts5_topk(),
         "bm25_phrase_topk": _sql_bm25_phrase_topk(),
         "bm25_and_topk": sql_bm25_and_topk(),

@@ -33,6 +33,7 @@ first-arrival-wins dedup semantics (the streaming-native contract; batch
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -447,80 +448,204 @@ def bloom_screen_batch(new_docs: DataFrame, old_docs: DataFrame, *,
     return new_docs.join(flagged, "doc_id", "left_anti")
 
 
+_VER_RE = re.compile(r"^v(\d+)_b(-?\d+)_m(\d+)$")
+
+
 class StreamingBloomDedup:
     """foreachBatch sink: document stream → Bloom-screened corpus.
 
     Cross-batch state is the Bloom filter of every kept doc's shingles as
-    a (pos) parquet ledger — at most ``m`` = 2^20 rows no matter how many
-    batches have flowed through (appends are anti-joined against the
-    ledger, so each position is written once ever). An arriving doc is
-    dropped iff ≥ ``threshold`` of its shingles are (probabilistic)
-    members of the kept corpus; false positives are deterministic (md5)
-    and one-sided — a true duplicate is NEVER missed. Batch B_i sees
-    exactly the bits of kept(B_1..B_{i-1}), so the stream reproduces the
-    fold of ``bloom_screen_batch`` over the batches in order.
+    a (pos) parquet ledger — at most ``m`` rows no matter how many batches
+    have flowed through (per-batch deltas are anti-joined against the
+    prior bits, so each position is written once per ledger version). An
+    arriving doc is dropped iff ≥ ``threshold`` of its shingles are
+    (probabilistic) members of the kept corpus; false positives are
+    deterministic (md5) and one-sided — a true duplicate is NEVER missed.
+    Batch B_i sees exactly the bits of kept(B_1..B_{i-1}), so the stream
+    reproduces the fold of ``bloom_screen_batch`` over the batches in
+    order.
 
-    Replay: like the other curation sinks, the two writes per batch would
-    live under a batch_id-derived path in production (idempotent
-    overwrite); the gate itself is replay-safe — a fully-replayed doc hits
-    its own bits at ratio 1.0 and screens out, so kept/ never double-
-    appends a screenable doc (pinned by the replay test). Docs too short
-    to shingle are always kept, replay included — the screen cannot judge
-    them either way.
+    Replay (r12, closes the crash-window ADVICE): EVERY per-batch write is
+    an idempotent overwrite under a batch-derived path — kept docs to
+    ``kept/b{batch_id}``, bit deltas to ``<version>/b{batch_id}`` — and
+    every read that feeds a batch's decisions EXCLUDES the in-flight
+    batch's own paths. A crash at ANY point inside ``process_batch``
+    therefore replays to the identical end state: the screen re-derives
+    the same kept set from the same prior-committed bits (never from its
+    own partial writes — so a completed prior attempt can't screen its
+    own docs into oblivion, and a half-written one can't double-append;
+    short un-shingleable docs included). Writes without a ``_SUCCESS``
+    marker are ignored by readers.
+
+    m-RESIZE (r12): the filter capacity ``m`` is a once-per-target-corpus
+    choice; under true content growth the fill (and with it FP ≈ fill^k)
+    rises. When the fill crosses ``fill_bound`` (default 0.5 ≈ 3% FP at
+    k=4, checked BEFORE each batch from prior-committed state only, so
+    the decision replays deterministically), the sink rebuilds the ledger
+    at doubled m from the persisted kept corpus — one bounded job — as a
+    NEW ledger version dir ``v{ver}_b{builder}_m{m}``; old versions are
+    never touched, so replay stays safe (a version built by a prior
+    attempt of the CURRENT batch is ignored and deterministically
+    rebuilt). Screen decisions for true members are m-independent: every
+    shingle of a kept doc is in the kept corpus, so it hits all k bits at
+    any m — only the FP rate (and the false-positive set) changes.
 
     ``counting=True`` swaps the append-only bit ledger for versioned
-    counting-Bloom snapshots (``bloom_counts_delta``): still ≤ m rows, but
-    per-batch the whole (bounded) table is re-snapshotted instead of
+    counting-Bloom snapshots (``bloom_counts_delta``): still ≤ m rows,
+    but per-batch the whole (bounded) table is re-snapshotted instead of
     appended — the price of supporting ``retract()``, which removes a
     retracted sub-corpus (takedown, license change) by decrementing its
     counts so matching NEW ingests stop being blocked, without rebuilding
     from the kept corpus. Screen decisions are identical in both modes
-    (cnt > 0 positions ≡ the bit set)."""
+    (cnt > 0 positions ≡ the bit set); resize in counting mode rebuilds
+    the counts from kept at the doubled m, preserving retractability.
+
+    Layout::
+
+        kept/b{batch_id}/                      overwrite per batch
+        bloom_ledger/v{v}_b{bid}_m{m}/base/    resize rebuild (v>0)
+        bloom_ledger/v{v}_b{bid}_m{m}/b{id}/   per-batch bit deltas
+        bloom_counts/v{v}_b{bid}_m{m}/         counting snapshots
+                                               (bid -1 = retract/rebuild)
+    """
 
     def __init__(self, spark: SparkSession, root: str, *,
                  threshold: float = 0.5, n: int = 3,
-                 counting: bool = False):
+                 counting: bool = False, m: int | None = None,
+                 fill_bound: float | None = 0.5):
+        from next_plaid_spark.operators.dedup import BLOOM_BITS
+
         self.spark = spark
         self.root = root
         self.threshold = threshold
         self.n = n
         self.counting = counting
+        self.m0 = int(m) if m else BLOOM_BITS
+        self.fill_bound = fill_bound
+
+    # -- layout helpers ----------------------------------------------------
 
     @property
-    def _kept_path(self) -> str:
+    def _kept_root(self) -> str:
         return os.path.join(self.root, "kept")
 
     @property
-    def _ledger_path(self) -> str:
-        return os.path.join(self.root, "bloom_ledger")
+    def _state_root(self) -> str:
+        return os.path.join(
+            self.root, "bloom_counts" if self.counting else "bloom_ledger")
 
-    @property
-    def _counts_root(self) -> str:
-        return os.path.join(self.root, "bloom_counts")
+    @staticmethod
+    def _complete(path: str) -> bool:
+        return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
-    def _latest_counts(self) -> tuple[str | None, int]:
-        """(latest snapshot path or None, next version number)."""
-        if not os.path.isdir(self._counts_root):
-            return None, 0
-        vs = sorted(
-            int(d[1:]) for d in os.listdir(self._counts_root)
-            if d.startswith("v") and d[1:].isdigit()
-        )
-        if not vs:
-            return None, 0
-        return os.path.join(self._counts_root, f"v{vs[-1]}"), vs[-1] + 1
+    def _versions(self) -> list[tuple[int, int, int, str]]:
+        """Sorted (ver, builder_bid, m, path) of state versions on disk."""
+        root = self._state_root
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in os.listdir(root):
+            mt = _VER_RE.match(d)
+            if not mt:
+                continue
+            p = os.path.join(root, d)
+            # counting snapshots are single parquet dirs — a crash mid-write
+            # leaves no _SUCCESS and the version must be invisible. Bit-mode
+            # version dirs hold per-write subdirs checked individually.
+            if self.counting and not self._complete(p):
+                continue
+            out.append((int(mt.group(1)), int(mt.group(2)),
+                        int(mt.group(3)), p))
+        return sorted(out)
 
-    def _bits(self):
-        """Current set-bit positions DataFrame, or None before any batch."""
+    def _active_versions(self, batch_id: int | None) -> list:
+        """Versions usable by this batch: drop trailing versions built by a
+        prior (crashed, uncommitted) attempt of the SAME batch — they will
+        be rebuilt deterministically. Only the latest uncommitted batch can
+        replay, so one same-bid suffix is the only possible taint."""
+        vs = self._versions()
+        while vs and batch_id is not None and vs[-1][1] == batch_id:
+            vs.pop()
+        return vs
+
+    def _kept_dirs(self, exclude_batch: int | None = None) -> list[str]:
+        if not os.path.isdir(self._kept_root):
+            return []
+        out = []
+        for d in sorted(os.listdir(self._kept_root)):
+            if not d.startswith("b"):
+                continue
+            if exclude_batch is not None and d == f"b{exclude_batch}":
+                continue
+            p = os.path.join(self._kept_root, d)
+            if self._complete(p):
+                out.append(p)
+        return out
+
+    def _kept_df(self, exclude_batch: int | None = None) -> DataFrame | None:
+        dirs = self._kept_dirs(exclude_batch)
+        return self.spark.read.parquet(*dirs) if dirs else None
+
+    def _bits_of(self, ver: tuple, exclude_batch: int | None):
+        """Set-bit positions of one ledger version, excluding the in-flight
+        batch's own delta. None if the version holds no complete bits."""
+        _v, _b, _m, path = ver
         if self.counting:
-            cur, _ = self._latest_counts()
-            if cur is None:
-                return None
-            return (self.spark.read.parquet(cur)
+            return (self.spark.read.parquet(path)
                     .filter(F.col("cnt") > 0).select("pos"))
-        if not os.path.isdir(self._ledger_path):
-            return None
-        return self.spark.read.parquet(self._ledger_path)
+        parts = []
+        for d in sorted(os.listdir(path)):
+            if exclude_batch is not None and d == f"b{exclude_batch}":
+                continue
+            p = os.path.join(path, d)
+            if self._complete(p):
+                parts.append(p)
+        return self.spark.read.parquet(*parts) if parts else None
+
+    # -- public state accessors --------------------------------------------
+
+    def current_m(self) -> int:
+        vs = self._versions()
+        return vs[-1][2] if vs else self.m0
+
+    def ledger_bits(self) -> DataFrame | None:
+        """Current set-bit positions (both modes), or None before any
+        batch. Bounded: ≤ current_m() rows."""
+        vs = self._versions()
+        return self._bits_of(vs[-1], None) if vs else None
+
+    def kept(self) -> DataFrame:
+        return self.spark.read.parquet(*self._kept_dirs())
+
+    # -- the sink ------------------------------------------------------------
+
+    def _maybe_resize(self, ver, bits, batch_id: int):
+        """Double m while the PRIOR state's fill crosses the bound.
+        Decisions and rebuilds read only prior-committed state (kept and
+        bits excluding this batch), so a replay re-derives them exactly."""
+        from next_plaid_spark.operators.dedup import bloom_bits, bloom_counts
+
+        if bits is None or self.fill_bound is None:
+            return ver, bits
+        ver_no, _bid, m, _path = ver
+        fill = bits.count() / m
+        while fill >= self.fill_bound:
+            m *= 2
+            ver_no += 1
+            kept = self._kept_df(exclude_batch=batch_id)
+            name = f"v{ver_no}_b{batch_id}_m{m}"
+            if self.counting:
+                rebuilt = bloom_counts(kept, n=self.n, m=m)
+                path = os.path.join(self._state_root, name)
+            else:
+                rebuilt = bloom_bits(kept, n=self.n, m=m)
+                path = os.path.join(self._state_root, name, "base")
+            rebuilt.write.mode("overwrite").parquet(path)
+            ver = (ver_no, batch_id, m,
+                   os.path.join(self._state_root, name))
+            bits = self._bits_of(ver, exclude_batch=batch_id)
+            fill = (bits.count() / m) if bits is not None else 0.0
+        return ver, bits
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from next_plaid_spark.operators.dedup import (
@@ -533,34 +658,45 @@ class StreamingBloomDedup:
             return
         batch_df = batch_df.cache()
 
-        bits = self._bits()
+        vs = self._active_versions(batch_id)
+        ver = vs[-1] if vs else None
+        bits = self._bits_of(ver, exclude_batch=batch_id) if ver else None
+        if ver is not None:
+            ver, bits = self._maybe_resize(ver, bits, batch_id)
+        m = ver[2] if ver else self.m0
+
         if bits is not None:
             flagged = bloom_probe(
-                batch_df, bits, n=self.n, threshold=self.threshold
+                batch_df, bits, n=self.n, m=m, threshold=self.threshold
             ).filter(F.col("maybe_dup")).select("doc_id")
             kept = batch_df.join(flagged, "doc_id", "left_anti")
         else:
             kept = batch_df
         kept = kept.cache()
-        kept.write.mode("append").parquet(self._kept_path)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(self._kept_root, f"b{batch_id}"))
 
         if self.counting:
-            cur, nxt = self._latest_counts()
-            counts = (self.spark.read.parquet(cur) if cur is not None
+            counts = (self.spark.read.parquet(ver[3]) if ver is not None
                       else self.spark.createDataFrame([], "pos long, cnt long"))
+            nxt = ver[0] + 1 if ver is not None else 0
             # new snapshot dir: the merge reads the PREVIOUS snapshot, so
-            # there is no read-what-you-overwrite hazard
-            bloom_counts_delta(counts, kept, None, n=self.n).write.parquet(
-                os.path.join(self._counts_root, f"v{nxt}"))
+            # there is no read-what-you-overwrite hazard; overwrite mode
+            # so a replayed batch rewrites ITS snapshot idempotently
+            bloom_counts_delta(
+                counts, kept, None, n=self.n, m=m,
+            ).write.mode("overwrite").parquet(os.path.join(
+                self._state_root, f"v{nxt}_b{batch_id}_m{m}"))
         else:
-            new_bits = bloom_bits(kept, n=self.n)
-            if os.path.isdir(self._ledger_path):
-                # each position is written once ever -> ledger <= m rows
-                new_bits = new_bits.join(
-                    self.spark.read.parquet(self._ledger_path),
-                    "pos", "left_anti",
-                )
-            new_bits.write.mode("append").parquet(self._ledger_path)
+            new_bits = bloom_bits(kept, n=self.n, m=m)
+            if bits is not None:
+                # each position written once per version -> ledger <= m rows
+                new_bits = new_bits.join(bits, "pos", "left_anti")
+            if ver is None:
+                ver = (0, batch_id, m, os.path.join(
+                    self._state_root, f"v0_b{batch_id}_m{m}"))
+            new_bits.write.mode("overwrite").parquet(
+                os.path.join(ver[3], f"b{batch_id}"))
         kept.unpersist()
         batch_df.unpersist()
 
@@ -569,7 +705,9 @@ class StreamingBloomDedup:
         matching ingests pass the screen again. Counting mode only. The
         decrement covers exactly the kept rows matching ``remove``'s
         doc_ids (never docs the screen had dropped), so counts stay ≡
-        ``bloom_counts`` of the surviving kept corpus."""
+        ``bloom_counts`` of the surviving kept corpus — validated eagerly
+        (``strict=True``): an underflow always means the tracked state
+        diverged and raises instead of corrupting the invariant."""
         import shutil
 
         from next_plaid_spark.operators.dedup import bloom_counts_delta
@@ -577,23 +715,27 @@ class StreamingBloomDedup:
         if not self.counting:
             raise ValueError("retract() requires counting=True — the bit "
                              "ledger cannot forget; rebuild instead")
-        cur, nxt = self._latest_counts()
-        if cur is None:
+        vs = self._versions()
+        if not vs:
             return
+        ver_no, _bid, m, path = vs[-1]
         kept = self.kept()
         gone = kept.join(remove.select("doc_id"), "doc_id", "left_semi").cache()
         if gone.isEmpty():
             gone.unpersist()
             return
         bloom_counts_delta(
-            self.spark.read.parquet(cur), None, gone, n=self.n
-        ).write.parquet(os.path.join(self._counts_root, f"v{nxt}"))
+            self.spark.read.parquet(path), None, gone, n=self.n, m=m,
+            strict=True,
+        ).write.parquet(os.path.join(
+            self._state_root, f"v{ver_no + 1}_b-1_m{m}"))
 
         survivors = kept.join(remove.select("doc_id"), "doc_id", "left_anti")
-        tmp = self._kept_path + ".retract_tmp"
+        tmp = self._kept_root + ".retract_tmp"
         survivors.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self._kept_path)
-        os.replace(tmp, self._kept_path)
+        shutil.rmtree(self._kept_root)
+        os.makedirs(self._kept_root)
+        os.replace(tmp, os.path.join(self._kept_root, "b-1"))
         gone.unpersist()
 
     def attach(self, stream: DataFrame, checkpoint: str):
@@ -603,6 +745,3 @@ class StreamingBloomDedup:
             .trigger(availableNow=True)
             .start()
         )
-
-    def kept(self) -> DataFrame:
-        return self.spark.read.parquet(self._kept_path)

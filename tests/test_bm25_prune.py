@@ -1,0 +1,155 @@
+"""MaxScore prune (r12): pruned search must be IDENTICAL to exhaustive —
+same docs, same rounded scores, same ranks — while actually cutting the
+common-term postings out of the aggregation for selective queries.
+
+The prune is opt-in (``prune=True`` or SPARK_GRAFT_BM25_PRUNE=1) and
+top-k-preserving by construction: candidates are certified by per-term
+upper bounds against a θ that lower-bounds the true k-th score (see
+``BM25Index._maxscore_candidates``). These tests pin the parity on a
+corpus engineered so the prune ENGAGES (skewed df: a few rare terms, many
+flooded ones), on a seeded random corpus, and across the fallback edges
+(conjunctive, subset, hand-built index without max_sat, tiny k/corpus).
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from next_plaid_spark.operators.bm25 import BM25Index
+
+DOC_SCHEMA = "doc_id long, text string"
+Q_SCHEMA = "query_id long, text string"
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.doc_id, r.score, r.rank) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """200 docs flooded with common terms; 3 docs carry a rare term."""
+    docs = []
+    for i in range(200):
+        text = "common1 common2 common3 filler pad"
+        if i in (7, 45, 133):
+            text += " rareterm special"
+        if i % 3 == 0:
+            text += " common1 common2"   # tf variety
+        docs.append((i, text))
+    return BM25Index.build(
+        spark.createDataFrame(docs, DOC_SCHEMA))
+
+
+def test_prune_engages_and_matches_exhaustive(spark, skewed):
+    queries = spark.createDataFrame(
+        [(0, "rareterm common1 common2 common3"),
+         (1, "special filler common2")], Q_SCHEMA)
+    base = _rows(skewed.search(queries, k=2, prune=False))
+    got = _rows(skewed.search(queries, k=2, prune=True))
+    assert got == base
+    lp = skewed._last_prune
+    assert lp["engaged"] is True
+    # the flooded terms were cut for at least one query
+    assert any(lp["essential_terms"][q] < lp["total_terms"][q]
+               for q in lp["essential_terms"])
+
+
+def test_prune_matches_on_fts5_mode(spark, skewed):
+    queries = spark.createDataFrame(
+        [(0, "rareterm common1 common3")], Q_SCHEMA)
+    base = _rows(skewed.search(queries, k=3, score_mode="fts5", prune=False))
+    got = _rows(skewed.search(queries, k=3, score_mode="fts5", prune=True))
+    assert got == base
+
+
+def test_prune_respects_subset(spark, skewed):
+    queries = spark.createDataFrame(
+        [(0, "rareterm common1 common2")], Q_SCHEMA)
+    subset = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    base = _rows(skewed.search(queries, k=5, subset=subset, prune=False))
+    got = _rows(skewed.search(queries, k=5, subset=subset, prune=True))
+    assert got == base
+    # docs 7 and 45 are inside the subset, 133 outside
+    assert {d for _, d, _, _ in got} <= set(range(100))
+
+
+def test_prune_random_corpus_parity(spark):
+    """Seeded zipf-ish corpus, many queries: bit-identical output."""
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    weights = [1.0 / (i + 1) for i in range(60)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, weights=weights,
+                                 k=rng.randint(5, 30))))
+        for i in range(300)
+    ]
+    idx = BM25Index.build(spark.createDataFrame(docs, DOC_SCHEMA))
+    queries = [
+        (q, " ".join(rng.choices(vocab, weights=weights,
+                                 k=rng.randint(2, 6))))
+        for q in range(15)
+    ]
+    qdf = spark.createDataFrame(queries, Q_SCHEMA)
+    for mode in ("okapi", "fts5"):
+        base = _rows(idx.search(qdf, k=10, score_mode=mode, prune=False))
+        got = _rows(idx.search(qdf, k=10, score_mode=mode, prune=True))
+        assert got == base, mode
+
+
+def test_conjunctive_falls_back(spark, skewed):
+    queries = spark.createDataFrame(
+        [(0, "rareterm common1")], Q_SCHEMA)
+    base = _rows(skewed.search(queries, k=3, conjunctive=True, prune=False))
+    got = _rows(skewed.search(queries, k=3, conjunctive=True, prune=True))
+    assert got == base
+
+
+def test_handbuilt_index_without_max_sat_falls_back(spark, skewed):
+    legacy = BM25Index(skewed.postings, skewed.doclens, skewed.n_docs,
+                       skewed.avgdl, skewed.tokenizer)
+    queries = spark.createDataFrame(
+        [(0, "rareterm common1 common2")], Q_SCHEMA)
+    base = _rows(legacy.search(queries, k=2, prune=False))
+    got = _rows(legacy.search(queries, k=2, prune=True))   # silent fallback
+    assert got == base
+
+
+def test_save_load_carries_max_sat(spark, skewed, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bm25prune")
+    skewed.save(str(tmp / "idx"))
+    loaded = BM25Index.load(spark, str(tmp / "idx"))
+    assert "max_sat" in loaded.term_stats.columns
+    queries = spark.createDataFrame(
+        [(0, "rareterm common2 common3")], Q_SCHEMA)
+    base = _rows(loaded.search(queries, k=2, prune=False))
+    got = _rows(loaded.search(queries, k=2, prune=True))
+    assert got == base
+    assert loaded._last_prune["engaged"] is True
+
+
+def test_handbuilt_save_derives_max_sat(spark, skewed, tmp_path_factory):
+    """The incremental-merge path constructs BM25Index(term_stats=None);
+    save() must derive max_sat with the MERGED avgdl so a loaded updated
+    index prunes too."""
+    tmp = tmp_path_factory.mktemp("bm25prunederive")
+    legacy = BM25Index(skewed.postings, skewed.doclens, skewed.n_docs,
+                       skewed.avgdl, skewed.tokenizer)
+    legacy.save(str(tmp / "idx"))
+    loaded = BM25Index.load(spark, str(tmp / "idx"))
+    assert "max_sat" in loaded.term_stats.columns
+    # derived bound equals the build-time bound (same corpus, same avgdl)
+    a = {(r.term, round(r.max_sat, 12))
+         for r in loaded.term_stats.collect()}
+    b = {(r.term, round(r.max_sat, 12))
+         for r in skewed.term_stats.collect()}
+    assert a == b
+
+
+def test_k_exceeds_matches(spark, skewed):
+    queries = spark.createDataFrame([(0, "rareterm")], Q_SCHEMA)
+    base = _rows(skewed.search(queries, k=50, prune=False))
+    got = _rows(skewed.search(queries, k=50, prune=True))
+    assert got == base and len(got) == 3

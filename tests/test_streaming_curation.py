@@ -299,23 +299,23 @@ def test_bloom_ledger_bounded_and_write_once(spark, tmp_path_factory):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
     dd.process_batch(spark.createDataFrame([(1, base)], DOC_SCHEMA), 0)
-    ledger1 = spark.read.parquet(str(tmp / "root" / "bloom_ledger"))
+    ledger1 = dd.ledger_bits()
     n1 = ledger1.count()
     assert n1 == ledger1.distinct().count()  # write-once: no dup positions
     expected = bloom_bits(
         spark.createDataFrame([(1, base)], DOC_SCHEMA), n=3).count()
     assert 0 < n1 == expected <= BLOOM_BITS
-    # a replayed duplicate batch: doc screened out, ledger unchanged
+    # a duplicate doc in a later batch: screened out, ledger unchanged
     dd.process_batch(spark.createDataFrame([(2, base)], DOC_SCHEMA), 1)
-    ledger2 = spark.read.parquet(str(tmp / "root" / "bloom_ledger"))
-    assert ledger2.count() == n1
+    assert dd.ledger_bits().count() == n1
     assert sorted(r.doc_id for r in dd.kept().collect()) == [1]
 
 
 def test_bloom_screen_replayed_batch_is_noop(spark, tmp_path_factory):
-    """foreachBatch may redeliver a batch after failure: every replayed doc
-    hits its own bits at ratio 1.0 and screens out, so kept/ and the
-    ledger are unchanged by the replay."""
+    """foreachBatch may redeliver a batch after failure: the replay
+    re-screens against prior-committed bits only (the batch's own paths
+    are excluded) and overwrites its own kept/ledger paths, so a full
+    replay leaves kept/ and the ledger byte-identical."""
     from next_plaid_spark.streaming.curation import StreamingBloomDedup
 
     tmp = tmp_path_factory.mktemp("bloomreplay")
@@ -324,11 +324,11 @@ def test_bloom_screen_replayed_batch_is_noop(spark, tmp_path_factory):
     dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
     dd.process_batch(spark.createDataFrame(b, DOC_SCHEMA), 0)
     kept1 = sorted(r.doc_id for r in dd.kept().collect())
-    n_bits1 = spark.read.parquet(str(tmp / "root" / "bloom_ledger")).count()
+    n_bits1 = dd.ledger_bits().count()
 
     dd.process_batch(spark.createDataFrame(b, DOC_SCHEMA), 0)  # replay
     kept2 = sorted(r.doc_id for r in dd.kept().collect())
-    n_bits2 = spark.read.parquet(str(tmp / "root" / "bloom_ledger")).count()
+    n_bits2 = dd.ledger_bits().count()
     assert kept1 == kept2 == [1, 2]
     assert n_bits1 == n_bits2
 
@@ -371,7 +371,7 @@ def test_bloom_retract_unblocks_future_ingests(spark, tmp_path_factory):
     dd.retract(spark.createDataFrame([(1, "")], DOC_SCHEMA))
     assert sorted(r.doc_id for r in dd.kept().collect()) == [2]
     # counts after retraction == rebuild from the surviving kept corpus
-    cur, _ = dd._latest_counts()
+    cur = dd._versions()[-1][3]
     got = {(r.pos, r.cnt) for r in spark.read.parquet(cur).collect()}
     want = {(r.pos, r.cnt) for r in bloom_counts(
         spark.createDataFrame([(2, keeper)], DOC_SCHEMA), n=3).collect()}
@@ -393,3 +393,167 @@ def test_bloom_retract_requires_counting_mode(spark, tmp_path_factory):
     dd = StreamingBloomDedup(spark, str(tmp / "root"))
     with _pytest.raises(ValueError, match="counting=True"):
         dd.retract(spark.createDataFrame([(1, "x")], DOC_SCHEMA))
+
+
+def test_bloom_crash_window_replay_is_idempotent(spark, tmp_path_factory):
+    """ADVICE r11: a crash BETWEEN the kept append and the ledger write
+    used to double-append on redelivery (and short un-shingleable docs
+    always did). With batch-derived idempotent paths, a replay after a
+    crash at any point converges to the same end state."""
+    import shutil
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomcrash")
+    b0 = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    b1 = [(2, "one two three four five six seven eight nine"),
+          (3, "hi")]  # doc 3 is too short to shingle -> always kept
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    dd.process_batch(spark.createDataFrame(b0, DOC_SCHEMA), 0)
+
+    # simulate the crash window for batch 1: kept written, ledger NOT
+    root = tmp / "root"
+    ver_dir = dd._versions()[-1][3]
+    dd.process_batch(spark.createDataFrame(b1, DOC_SCHEMA), 1)
+    shutil.rmtree(os.path.join(ver_dir, "b1"))  # rip out batch 1's delta
+
+    # redelivery: same batch id, same data
+    dd.process_batch(spark.createDataFrame(b1, DOC_SCHEMA), 1)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 2, 3]
+    # the short doc did NOT double-append, the delta is back, and the
+    # ledger equals the no-crash run bit-for-bit
+    bits = dd.ledger_bits()
+    assert bits.count() == bits.distinct().count()
+    clean = StreamingBloomDedup(spark, str(tmp / "clean"), threshold=0.5)
+    clean.process_batch(spark.createDataFrame(b0, DOC_SCHEMA), 0)
+    clean.process_batch(spark.createDataFrame(b1, DOC_SCHEMA), 1)
+    assert ({r.pos for r in bits.collect()}
+            == {r.pos for r in clean.ledger_bits().collect()})
+
+
+def test_bloom_completed_batch_replay_keeps_docs(spark, tmp_path_factory):
+    """The inverse crash: BOTH writes landed but the checkpoint commit
+    didn't. The replayed batch must not screen out its own docs (the
+    screen excludes the batch's own delta), or a committed batch's
+    content would vanish on restart."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomcommit")
+    b0 = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    b1 = [(2, "one two three four five six seven eight nine")]
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    dd.process_batch(spark.createDataFrame(b0, DOC_SCHEMA), 0)
+    dd.process_batch(spark.createDataFrame(b1, DOC_SCHEMA), 1)
+    dd.process_batch(spark.createDataFrame(b1, DOC_SCHEMA), 1)  # full replay
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 2]
+
+
+def _resize_docs(n_docs: int, start: int = 0) -> list[tuple[int, str]]:
+    # disjoint vocabularies -> every doc contributes fresh shingles
+    return [(i, " ".join(f"w{i}x{j}" for j in range(12)))
+            for i in range(start, start + n_docs)]
+
+
+def test_bloom_m_resize_bits_mode(spark, tmp_path_factory):
+    """SCALING transparency note (b) closed: when fill crosses the bound
+    the ledger is rebuilt at doubled m from the kept corpus; the next
+    batch screens against the RESIZED ledger and true members screen
+    identically (their shingles hit all k bits at any m)."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomresize")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             m=64, fill_bound=0.5)
+    dd.process_batch(
+        spark.createDataFrame(_resize_docs(8), DOC_SCHEMA), 0)
+    assert dd.current_m() == 64
+    fill0 = dd.ledger_bits().count() / 64
+    assert fill0 >= 0.5  # 8 docs x 10 shingles x k=4 saturates m=64
+
+    # next batch triggers the resize BEFORE screening (from the
+    # prior-committed state; the batch's own delta may overshoot the
+    # bound again until the NEXT batch's check — bounded by one batch)
+    dd.process_batch(
+        spark.createDataFrame(_resize_docs(2, start=100), DOC_SCHEMA), 1)
+    m1 = dd.current_m()
+    assert m1 > 64
+    # the resized version is a REBUILD from kept: versioned dir, base set
+    vs = dd._versions()
+    assert vs[-1][2] == m1 and vs[-1][0] > vs[0][0]
+
+    # true members still screen out after the resize; batch 2's own
+    # pre-check re-doubles if batch 1's delta overshot the bound
+    dd.process_batch(
+        spark.createDataFrame([(200, _resize_docs(1)[0][1]),
+                               (201, _resize_docs(1, start=100)[0][1])],
+                              DOC_SCHEMA), 2)
+    kept = sorted(r.doc_id for r in dd.kept().collect())
+    assert 200 not in kept and 201 not in kept
+    m2 = dd.current_m()
+    assert m2 >= m1
+    # batch 2 added no docs, so its post-state fill is the checked one
+    assert dd.ledger_bits().count() / m2 < 0.5
+
+
+def test_bloom_m_resize_counting_mode_preserves_retract(spark,
+                                                        tmp_path_factory):
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomresizecnt")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             m=64, fill_bound=0.5, counting=True)
+    dd.process_batch(
+        spark.createDataFrame(_resize_docs(8), DOC_SCHEMA), 0)
+    dd.process_batch(
+        spark.createDataFrame(_resize_docs(2, start=100), DOC_SCHEMA), 1)
+    m1 = dd.current_m()
+    assert m1 > 64
+    # the doubled-m counts still support retraction
+    doomed_text = _resize_docs(1)[0][1]
+    dd.retract(spark.createDataFrame([(0, "")], DOC_SCHEMA))
+    dd.process_batch(
+        spark.createDataFrame([(300, doomed_text)], DOC_SCHEMA), 2)
+    assert 300 in {r.doc_id for r in dd.kept().collect()}
+
+
+def test_bloom_resize_replay_is_deterministic(spark, tmp_path_factory):
+    """A crash AFTER the resize rebuild but before the batch commits:
+    the replay ignores the version built by its own prior attempt and
+    rebuilds it deterministically."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomresizereplay")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             m=64, fill_bound=0.5)
+    dd.process_batch(
+        spark.createDataFrame(_resize_docs(8), DOC_SCHEMA), 0)
+    batch1 = spark.createDataFrame(_resize_docs(2, start=100), DOC_SCHEMA)
+    dd.process_batch(batch1, 1)   # triggers resize, built by batch 1
+    m_after = dd.current_m()
+    bits_after = {r.pos for r in dd.ledger_bits().collect()}
+    dd.process_batch(batch1, 1)   # full replay of the resizing batch
+    assert dd.current_m() == m_after
+    assert {r.pos for r in dd.ledger_bits().collect()} == bits_after
+    assert sorted(r.doc_id for r in dd.kept().collect()) == sorted(
+        [d for d, _ in _resize_docs(8)] + [100, 101])
+
+
+def test_bloom_counts_delta_strict_underflow(spark):
+    """ADVICE r11: retracting docs never inserted (or text that changed
+    since insertion) used to clip silently; strict mode raises."""
+    import pytest as _pytest
+
+    from next_plaid_spark.operators.dedup import (bloom_counts,
+                                                  bloom_counts_delta)
+
+    ins = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], DOC_SCHEMA)
+    never = spark.createDataFrame(
+        [(9, "totally different words that were never inserted")],
+        DOC_SCHEMA)
+    counts = bloom_counts(ins, n=3)
+    with _pytest.raises(ValueError, match="underflow"):
+        bloom_counts_delta(counts, None, never, n=3, strict=True)
+    # a true retraction passes strict validation and empties the ledger
+    assert bloom_counts_delta(counts, None, ins, n=3,
+                              strict=True).count() == 0

@@ -33,6 +33,7 @@ AUDITED = [
     "plaid_filtered_topk",
     "filtered_search_topk",
     "bm25_topk",
+    "bm25_pruned_topk",
     "hybrid_relative_topk",
     "dedup_minhash_lsh",
     "dedup_embedding",
@@ -168,6 +169,19 @@ def main() -> int:
         # A3: keyword search keeps the corpus un-shuffled-by-doc via broadcasts
         if name == "bm25_topk" and s["broadcast_joins"] < 2:
             failures.append("A3 bm25_topk: query-term/df sides not broadcast")
+        # A3b (r12): the MaxScore prune's candidate cut must be a broadcast
+        # LEFT-SEMI on (query_id, doc_id) — a shuffled semi would re-move
+        # the very postings volume the prune exists to keep out of the
+        # exchange; and the postings scans stay term-pushdown-pruned
+        if name == "bm25_pruned_topk":
+            if s["broadcast_joins"] < 2:
+                failures.append(
+                    "A3b bm25_pruned_topk: prune sides not broadcast")
+            if "LeftSemi" in plan and "BroadcastHashJoin" not in plan:
+                failures.append(
+                    "A3b bm25_pruned_topk: candidate semi-join not broadcast")
+            if s["cartesian"]:
+                failures.append("A3b bm25_pruned_topk: cartesian in prune plan")
         # A4: no unintended cartesian products
         if name in ("bm25_topk", "dedup_minhash_lsh", "dedup_embedding",
                     "simhash_fingerprints", "pricing_summary",
