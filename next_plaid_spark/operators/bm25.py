@@ -118,8 +118,10 @@ class BM25Index:
     # ``max_sat`` (r12) = max over the term's postings of the tf-saturation
     # factor sat(tf, dl) — the per-term score upper bound the MaxScore
     # prune multiplies by qtf·idf (the block-max/max-score analog of a
-    # per-posting-block max impact). Absent on pre-r12 saved indexes;
-    # the prune silently disables itself without it.
+    # per-posting-block max impact). Persisted by save(); derived lazily
+    # (_ensure_max_sat) on the first pruned search of an index that lacks
+    # it, so unpruned searches never pay the postings⋈doclens pass. With
+    # term_stats=None entirely, the prune silently disables itself.
     term_stats: DataFrame | None = None
 
     @classmethod
@@ -143,21 +145,15 @@ class BM25Index:
             if with_positions else None
         )
         postings = postings.cache()
-        doclens = doclens.cache()
-        # postings are unique (term, doc_id), so count(*) == df; max_sat
-        # is the exact per-term saturation bound over its postings (one
-        # doc_id-keyed join at BUILD time — indexing cost, never a query
-        # cost, same ledger as FTS5's b-tree term stats)
-        term_stats = (
-            postings.join(doclens, "doc_id")
-            .groupBy("term")
-            .agg(
-                F.count("*").alias("df"),
-                F.max(_sat_expr(avgdl)).alias("max_sat"),
-            )
-            .cache()
-        )
-        return cls(postings, doclens, n_docs, avgdl,
+        # postings are unique (term, doc_id), so count(*) == df. The
+        # max_sat prune bound is NOT computed here: it needs a
+        # postings⋈doclens pass that most in-memory indexes (hybrid legs,
+        # IR-eval corpora) would pay for nothing — it is derived lazily on
+        # the first pruned search (_ensure_max_sat) or at save() time, so
+        # persisted indexes always carry it.
+        term_stats = postings.groupBy("term").agg(
+            F.count("*").alias("df")).cache()
+        return cls(postings, doclens.cache(), n_docs, avgdl,
                    tokenizer, positions, term_stats)
 
     # -- persistence (S6: the FTS index is an on-disk artifact in the
@@ -238,6 +234,21 @@ class BM25Index:
             int(meta["n_docs"]), float(meta["avgdl"]),
             meta.get("tokenizer", "unicode61"), positions, term_stats,
         )
+
+    def _ensure_max_sat(self) -> bool:
+        """Make term_stats carry the max_sat prune bound, deriving it once
+        (postings⋈doclens, per-term max) for in-memory indexes that were
+        built without it. False iff there is no term_stats to extend."""
+        if self.term_stats is None:
+            return False
+        if "max_sat" not in self.term_stats.columns:
+            self.term_stats = self.term_stats.join(
+                self.postings.join(self.doclens, "doc_id")
+                .groupBy("term")
+                .agg(F.max(_sat_expr(self.avgdl)).alias("max_sat")),
+                "term",
+            ).cache()
+        return True
 
     def _maxscore_candidates(self, rows, qterms: DataFrame, k: int,
                              n: float, score_mode: str, contrib,
@@ -462,9 +473,8 @@ class BM25Index:
             prune = os.environ.get("SPARK_GRAFT_BM25_PRUNE", "0") == "1"
         cand = None
         if (prune and not conjunctive and k >= 1 and self.n_docs
-                and self.term_stats is not None
-                and "max_sat" in self.term_stats.columns
-                and len(rows) <= _TERM_PUSHDOWN_CAP):
+                and len(rows) <= _TERM_PUSHDOWN_CAP
+                and self._ensure_max_sat()):
             cand = self._maxscore_candidates(
                 rows, qterms, k, n, score_mode, contrib, subset)
 
