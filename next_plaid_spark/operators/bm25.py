@@ -171,9 +171,21 @@ class BM25Index:
         loaded index's term-filtered scans (keyword join, phrase search)
         skip the row groups that can't match via min/max stats — the
         posting-list locality a native FTS engine gets from its inverted
-        layout. Build-time cost only; queries never pay the sort."""
+        layout. Build-time cost only; queries never pay the sort.
+
+        Safe to save ONTO the index's own load path (in-place upgrade,
+        e.g. adding the max_sat bound to a pre-r12 store): everything is
+        written to a sibling temp dir first and swapped in at the end —
+        a direct overwrite would delete the parquet files this index's
+        own lazy plans still read (observed: doclens self-destruct when
+        re-saving a loaded index in place)."""
         import json
         import os
+        import shutil
+
+        final = path.rstrip("/")
+        path = final + ".tmp-save"
+        shutil.rmtree(path, ignore_errors=True)
 
         (self.postings.repartitionByRange(F.col("term"))
          .sortWithinPartitions("term", "doc_id")
@@ -211,6 +223,10 @@ class BM25Index:
             json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
                        "tokenizer": self.tokenizer,
                        "with_positions": self.positions is not None}, f)
+        # swap the staged store in (all the writes above are complete)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(path, final)
 
     @classmethod
     def load(cls, spark, path: str) -> "BM25Index":

@@ -140,7 +140,9 @@ def test_handbuilt_save_derives_max_sat(spark, skewed, tmp_path_factory):
     legacy.save(str(tmp / "idx"))
     loaded = BM25Index.load(spark, str(tmp / "idx"))
     assert "max_sat" in loaded.term_stats.columns
-    # derived bound equals the build-time bound (same corpus, same avgdl)
+    # derived bound equals the lazily-derived in-memory bound (same
+    # corpus, same avgdl); order-independent: force the derivation here
+    assert skewed._ensure_max_sat()
     a = {(r.term, round(r.max_sat, 12))
          for r in loaded.term_stats.collect()}
     b = {(r.term, round(r.max_sat, 12))
@@ -153,3 +155,29 @@ def test_k_exceeds_matches(spark, skewed):
     base = _rows(skewed.search(queries, k=50, prune=False))
     got = _rows(skewed.search(queries, k=50, prune=True))
     assert got == base and len(got) == 3
+
+
+def test_save_in_place_is_safe(spark, tmp_path_factory):
+    """Re-saving a LOADED index onto its own path (the in-place max_sat
+    upgrade) must not self-destruct: save() stages to a temp dir and
+    swaps, because a direct overwrite deletes the parquet files the
+    index's own lazy plans still read."""
+    tmp = tmp_path_factory.mktemp("bm25inplace")
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry apple"),
+         (2, "durian banana"), (3, "cherry cherry")], DOC_SCHEMA)
+    idx = BM25Index.build(docs)
+    path = str(tmp / "idx")
+    idx.save(path)
+
+    loaded = BM25Index.load(spark, path)
+    legacy = BM25Index(loaded.postings, loaded.doclens, loaded.n_docs,
+                       loaded.avgdl, loaded.tokenizer)  # no stats at all
+    legacy.save(path)  # in-place upgrade derives term_stats + max_sat
+
+    upgraded = BM25Index.load(spark, path)
+    assert "max_sat" in upgraded.term_stats.columns
+    q = spark.createDataFrame([(0, "apple cherry")], Q_SCHEMA)
+    base = _rows(idx.search(q, k=4, prune=False))
+    assert _rows(upgraded.search(q, k=4, prune=False)) == base
+    assert _rows(upgraded.search(q, k=4, prune=True)) == base
