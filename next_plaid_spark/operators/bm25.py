@@ -385,6 +385,14 @@ class BM25Index:
         if n_cand > _PRUNE_CAND_CAP:
             cand.unpersist()
             return None
+        # single-slot cache: release the previous search's candidate set
+        # (a long batch session would otherwise accumulate one cached
+        # table per pruned search; a prior result still lazily referencing
+        # it just recomputes — bounded, and results are unaffected)
+        prev = getattr(self, "_prune_cache", None)
+        if prev is not None:
+            prev.unpersist()
+        self._prune_cache = cand
         self._last_prune = {
             "engaged": True, "theta": theta, "candidates": n_cand,
             "essential_terms": {q: len(t) for q, t in essential.items()},

@@ -47,23 +47,32 @@ def main() -> None:
     spark = get_spark("probe-bloom-resize")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
-    n_docs = docs.count()
-
-    # content-growing batches: replica markers make every batch's shingles
-    # fresh; the probe batch uses a disjoint marker never ingested
+    # content-growing batches: fully synthetic per-batch vocabulary so
+    # every batch contributes FRESH shingles (appending markers to the
+    # tie-heavy sf corpus stalls the fill — later docs' shingles are
+    # already members; true content growth is what the resize exists for)
     def batch(i: int, size: int = 800):
-        return (docs.filter(F.col("doc_id") % 17 == i % 17)
-                .limit(size)
-                .select("doc_id",
-                        F.concat(F.col("text"),
-                                 F.lit(f" grow{i} grow{i}b")).alias("text")))
+        return spark.range(size).select(
+            (F.col("id") + i * size).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda j: F.concat(F.lit(f"g{i}d"),
+                                   F.col("id").cast("string"),
+                                   F.lit("w"), j.cast("string")))
+            ).alias("text"),
+        )
 
-    fp_probe = (docs.filter(F.col("doc_id") % 17 == 16).limit(500)
-                .select("doc_id",
-                        F.concat(F.col("text"),
-                                 F.lit(" nevermember xyz")).alias("text"))
-                .cache())
+    # FP probe must be VOCABULARY-disjoint: the sf corpora are tie-heavy
+    # (docs share vocab), so real doc text — even with a marker appended —
+    # shares true member shingles with ingested docs and reads membership,
+    # not FP. Fully synthetic never-ingested tokens instead.
+    fp_probe = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda j: F.concat(F.lit("zz"), F.col("id").cast("string"),
+                               F.lit("q"), j.cast("string")))).alias("text"),
+    ).cache()
     fp_probe.count()
 
     root = tempfile.mkdtemp(prefix="bloom_resize_")
