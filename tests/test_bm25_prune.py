@@ -157,6 +157,55 @@ def test_k_exceeds_matches(spark, skewed):
     assert got == base and len(got) == 3
 
 
+def test_query_cap_falls_back(spark, skewed, monkeypatch):
+    """r13: above _PRUNE_QUERY_CAP distinct queries the prune's
+    driver-side per-query bookkeeping is skipped (exhaustive fallback),
+    mirroring _PRUNE_CAND_CAP on the candidate side. Env override is the
+    test seam: cap=2, three queries -> fallback; cap high -> engages."""
+    queries = spark.createDataFrame(
+        [(0, "rareterm common1 common2"),
+         (1, "special common3"),
+         (2, "rareterm filler common1")], Q_SCHEMA)
+    base = _rows(skewed.search(queries, k=2, prune=False))
+
+    monkeypatch.setenv("SPARK_GRAFT_BM25_PRUNE_QUERY_CAP", "2")
+    skewed._last_prune = {"engaged": None}
+    got = _rows(skewed.search(queries, k=2, prune=True))
+    assert got == base
+    assert skewed._last_prune == {"engaged": None}  # prune never ran
+
+    monkeypatch.setenv("SPARK_GRAFT_BM25_PRUNE_QUERY_CAP", "100")
+    got = _rows(skewed.search(queries, k=2, prune=True))
+    assert got == base
+    assert skewed._last_prune["engaged"] is True
+
+
+def test_in_place_resave_instance_stays_usable(spark, tmp_path_factory):
+    """r13 (ADVICE): after a LOADED index re-saves onto its own load
+    path, the SAME instance keeps working — save() re-points its frames
+    at the swapped-in store (the pre-swap part files are gone). Also pins
+    the swap hygiene: no staging or .old debris left next to the store."""
+    import os
+
+    tmp = tmp_path_factory.mktemp("bm25repoint")
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry apple"),
+         (2, "durian banana"), (3, "cherry cherry")], DOC_SCHEMA)
+    BM25Index.build(docs).save(str(tmp / "idx"))
+
+    loaded = BM25Index.load(spark, str(tmp / "idx"))
+    q = spark.createDataFrame([(0, "apple cherry")], Q_SCHEMA)
+    base = _rows(loaded.search(q, k=4, prune=False))
+
+    loaded.save(str(tmp / "idx"))          # in-place re-save
+    assert _rows(loaded.search(q, k=4, prune=False)) == base  # still live
+    assert _rows(loaded.search(q, k=4, prune=True)) == base
+
+    debris = [d for d in os.listdir(tmp)
+              if ".tmp-save" in d or ".old-" in d]
+    assert debris == []
+
+
 def test_save_in_place_is_safe(spark, tmp_path_factory):
     """Re-saving a LOADED index onto its own path (the in-place max_sat
     upgrade) must not self-destruct: save() stages to a temp dir and

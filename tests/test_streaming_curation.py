@@ -557,3 +557,134 @@ def test_bloom_counts_delta_strict_underflow(spark):
     # a true retraction passes strict validation and empties the ledger
     assert bloom_counts_delta(counts, None, ins, n=3,
                               strict=True).count() == 0
+
+
+def test_bloom_vacuum_bits_mode(spark, tmp_path_factory):
+    """r13 VERDICT item: vacuum compacts the per-batch small dirs — all
+    kept/b{id} into kept/b-1, the bit ledger's per-batch deltas into a
+    single new version — without changing the kept corpus, the set-bit
+    positions, or subsequent screen decisions."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomvacbits")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    fresh = "totally new words appear here nothing repeats at all today"
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    for i, rows in enumerate(([(1, base)], [(2, other)], [(3, fresh)])):
+        dd.process_batch(spark.createDataFrame(rows, DOC_SCHEMA), i)
+    kept_before = sorted(r.doc_id for r in dd.kept().collect())
+    bits_before = {r.pos for r in dd.ledger_bits().collect()}
+    assert len(dd._kept_dirs()) == 3
+
+    stats = dd.vacuum()
+    assert stats["kept_dirs_merged"] == 3 and stats["deltas_folded"] == 3
+    assert [os.path.basename(d) for d in dd._kept_dirs()] == ["b-1"]
+    assert len(dd._versions()) == 1
+    assert sorted(r.doc_id for r in dd.kept().collect()) == kept_before
+    assert {r.pos for r in dd.ledger_bits().collect()} == bits_before
+
+    # screening continues identically on the compacted state
+    dd.process_batch(spark.createDataFrame(
+        [(4, base), (5, "yet another entirely distinct closing line")],
+        DOC_SCHEMA), 3)
+    kept = sorted(r.doc_id for r in dd.kept().collect())
+    assert kept == kept_before + [5]
+
+    # idempotent / nothing-to-do second pass (one kept dir was just
+    # written by batch 3, so only the kept merge has work)
+    stats2 = dd.vacuum()
+    assert stats2["deltas_folded"] in (0, 2)
+
+
+def test_bloom_vacuum_counting_mode_preserves_retract(spark,
+                                                      tmp_path_factory):
+    """Counting-mode vacuum drops all but the newest keep_versions
+    snapshots (each IS the full state); retractability survives."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomvaccnt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    fresh = "totally new words appear here nothing repeats at all today"
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             counting=True)
+    for i, rows in enumerate(([(1, base)], [(2, other)], [(3, fresh)])):
+        dd.process_batch(spark.createDataFrame(rows, DOC_SCHEMA), i)
+    assert len(dd._versions()) == 3
+    kept_before = sorted(r.doc_id for r in dd.kept().collect())
+
+    stats = dd.vacuum(keep_versions=1)
+    assert stats["versions_dropped"] == 2 and stats["kept_dirs_merged"] == 3
+    assert len(dd._versions()) == 1
+    assert sorted(r.doc_id for r in dd.kept().collect()) == kept_before
+
+    # duplicates still screened, retraction still unblocks
+    dd.process_batch(spark.createDataFrame([(4, base)], DOC_SCHEMA), 3)
+    assert 4 not in {r.doc_id for r in dd.kept().collect()}
+    dd.retract(spark.createDataFrame([(1, "")], DOC_SCHEMA))
+    dd.process_batch(spark.createDataFrame([(5, base)], DOC_SCHEMA), 4)
+    assert 5 in {r.doc_id for r in dd.kept().collect()}
+
+
+def test_bloom_legacy_flat_layout_migrated(spark, tmp_path_factory):
+    """r12 ADVICE (medium): a pre-r12 sink root wrote flat parquet at
+    kept/ and bloom_ledger|bloom_counts/. Constructing a sink on such a
+    root must adopt the old state — kept() sees the legacy docs and a
+    re-ingest of a legacy doc is still screened — instead of silently
+    re-admitting everything previously kept."""
+    from next_plaid_spark.operators.dedup import bloom_bits, bloom_counts
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    legacy_docs = [(1, base)]
+    for counting, state_name, builder in (
+            (False, "bloom_ledger", bloom_bits),
+            (True, "bloom_counts", bloom_counts)):
+        tmp = tmp_path_factory.mktemp(f"bloomlegacy{counting}")
+        root = tmp / "root"
+        ldf = spark.createDataFrame(legacy_docs, DOC_SCHEMA)
+        ldf.write.parquet(str(root / "kept"))             # FLAT pre-r12 layout
+        builder(ldf, n=3).write.parquet(str(root / state_name))
+
+        dd = StreamingBloomDedup(spark, str(root), threshold=0.5,
+                                 counting=counting)
+        assert sorted(r.doc_id for r in dd.kept().collect()) == [1]
+        assert [os.path.basename(d) for d in dd._kept_dirs()] == ["b-1"]
+        assert dd._versions()[0][1] == -1  # migrated as builder id -1
+
+        dd.process_batch(spark.createDataFrame(
+            [(2, base),                                     # legacy dup
+             (3, "fresh unrelated words land in this batch")],
+            DOC_SCHEMA), 0)
+        assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 3]
+
+
+def test_bloom_replay_taint_truncates_below_stacked_b1(spark,
+                                                       tmp_path_factory):
+    """r12 ADVICE (low): _active_versions only popped a trailing same-bid
+    suffix, so a b-1 version stacked above the replaying batch's own
+    snapshot hid the taint and the batch saw its own committed bits.
+    r13: truncate at the FIRST same-bid version instead."""
+    import shutil
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomtaint")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             counting=True)
+    dd.process_batch(spark.createDataFrame([(1, base)], DOC_SCHEMA), 0)
+    dd.process_batch(spark.createDataFrame([(2, other)], DOC_SCHEMA), 1)
+    vs = dd._versions()
+    assert [v[1] for v in vs] == [0, 1]
+    # stack a b-1 version above batch 1's snapshot (what a contract-
+    # violating retract/vacuum between write and commit would leave)
+    v1_path = vs[-1][3]
+    fake = os.path.join(os.path.dirname(v1_path),
+                        f"v{vs[-1][0] + 1}_b-1_m{vs[-1][2]}")
+    shutil.copytree(v1_path, fake)
+
+    active = dd._active_versions(1)
+    assert [v[1] for v in active] == [0]  # truncated below batch 1's taint
