@@ -503,16 +503,26 @@ class StreamingBloomDedup:
     Layout::
 
         kept/b{batch_id}/                      overwrite per batch
-        bloom_ledger/v{v}_b{bid}_m{m}/base/    resize rebuild (v>0)
+        kept/b-1/                              fold target (vacuum /
+                                               retract / legacy migration)
+        bloom_ledger/v{v}_b{bid}_m{m}/base/    resize rebuild (v>0) or fold
         bloom_ledger/v{v}_b{bid}_m{m}/b{id}/   per-batch bit deltas
         bloom_counts/v{v}_b{bid}_m{m}/         counting snapshots
-                                               (bid -1 = retract/rebuild)
+                                               (bid -1 = retract/rebuild/
+                                               fold from committed state)
+
+    Per-batch dirs would otherwise accrete forever (bounded rows, but a
+    filesystem-metadata problem on a long-lived stream): compact them
+    with ``vacuum()`` while the stream is stopped, or pass
+    ``vacuum_every=N`` to fold prior-committed state every N batches
+    without stopping (r13).
     """
 
     def __init__(self, spark: SparkSession, root: str, *,
                  threshold: float = 0.5, n: int = 3,
                  counting: bool = False, m: int | None = None,
-                 fill_bound: float | None = 0.5):
+                 fill_bound: float | None = 0.5,
+                 vacuum_every: int | None = None):
         from next_plaid_spark.operators.dedup import BLOOM_BITS
 
         self.spark = spark
@@ -522,7 +532,9 @@ class StreamingBloomDedup:
         self.counting = counting
         self.m0 = int(m) if m else BLOOM_BITS
         self.fill_bound = fill_bound
+        self.vacuum_every = vacuum_every
         self._migrate_legacy_layout()
+        self._recover_kept_fold()
 
     # -- layout helpers ----------------------------------------------------
 
@@ -594,8 +606,15 @@ class StreamingBloomDedup:
             p = os.path.join(root, d)
             # counting snapshots are single parquet dirs — a crash mid-write
             # leaves no _SUCCESS and the version must be invisible. Bit-mode
-            # version dirs hold per-write subdirs checked individually.
+            # version dirs hold per-write subdirs checked individually —
+            # and a dir with NO complete subdir (a crashed fold/resize
+            # rebuild) must be invisible too (r13), or it would shadow the
+            # still-intact previous version with an empty ledger.
             if self.counting and not self._complete(p):
+                continue
+            if not self.counting and not any(
+                    self._complete(os.path.join(p, s))
+                    for s in os.listdir(p)):
                 continue
             out.append((int(mt.group(1)), int(mt.group(2)),
                         int(mt.group(3)), p))
@@ -636,6 +655,72 @@ class StreamingBloomDedup:
     def _kept_df(self, exclude_batch: int | None = None) -> DataFrame | None:
         dirs = self._kept_dirs(exclude_batch)
         return self.spark.read.parquet(*dirs) if dirs else None
+
+    # -- kept/ fold (shared by vacuum and the in-flight compaction) ----------
+
+    @property
+    def _fold_tmp(self) -> str:
+        return self._kept_root + ".vacuum_tmp"
+
+    def _fold_kept(self, exclude_batch: int | None = None) -> int:
+        """Merge the (committed, non-excluded) kept/b{id} dirs into
+        ``kept/b-1`` crash-recoverably: the union is staged next to kept/
+        together with a ``_FOLDED`` manifest naming exactly the dirs it
+        covers, and only then are the sources dropped and the staging
+        renamed in. A crash at any point is repaired by
+        ``_recover_kept_fold`` (replaying the drop list from the manifest)
+        — without the manifest, re-running the fold after a partial drop
+        would rebuild the union from the SURVIVING dirs only and lose the
+        already-dropped ones."""
+        import shutil
+
+        self._recover_kept_fold()
+        dirs = self._kept_dirs(exclude_batch)
+        if len(dirs) < 2:
+            return 0
+        tmp = self._fold_tmp
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_FOLDED"), "w") as f:
+            f.write("\n".join(os.path.basename(d) for d in dirs))
+        for d in dirs:
+            shutil.rmtree(d)
+        # the manifest rides along through the rename (Spark ignores
+        # underscore-prefixed files) and is removed only at the very end:
+        # dropping it any earlier would make a crash before the rename
+        # look like an incomplete fold and discard the only copy
+        dest = os.path.join(self._kept_root, "b-1")
+        os.replace(tmp, dest)
+        os.remove(os.path.join(dest, "_FOLDED"))
+        return len(dirs)
+
+    def _recover_kept_fold(self) -> None:
+        """Finish (or discard) a fold interrupted by a crash. A staging
+        dir WITH its manifest is authoritative — it holds the full union
+        of the listed dirs, so the repair drops whichever of them survive
+        and renames the staging in. A staging dir without a complete
+        write or without the manifest is discarded (every source dir is
+        still intact)."""
+        import shutil
+
+        stale = os.path.join(self._kept_root, "b-1", "_FOLDED")
+        if os.path.isfile(stale):  # crash between the rename and cleanup
+            os.remove(stale)
+        tmp = self._fold_tmp
+        if not os.path.isdir(tmp):
+            return
+        manifest = os.path.join(tmp, "_FOLDED")
+        if self._complete(tmp) and os.path.isfile(manifest):
+            with open(manifest) as f:
+                names = f.read().split()
+            for nm in names:
+                shutil.rmtree(os.path.join(self._kept_root, nm),
+                              ignore_errors=True)
+            dest = os.path.join(self._kept_root, "b-1")
+            os.replace(tmp, dest)
+            os.remove(os.path.join(dest, "_FOLDED"))
+        else:
+            shutil.rmtree(tmp)
 
     def _bits_of(self, ver: tuple, exclude_batch: int | None):
         """Set-bit positions of one ledger version, excluding the in-flight
@@ -698,6 +783,52 @@ class StreamingBloomDedup:
             fill = (bits.count() / m) if bits is not None else 0.0
         return ver, bits
 
+    def _compact_inflight(self, vs: list, batch_id: int) -> list:
+        """Periodic compaction that NEVER touches the in-flight batch
+        (``vacuum_every``, the mid-stream counterpart of ``vacuum``):
+        folds the prior-committed kept/b{id} dirs into kept/b-1 and, in
+        bit mode, the latest version's committed deltas into a fresh
+        ``v{n+1}_b-1`` version. Every input is prior-committed state —
+        the in-flight batch's kept dir and delta are excluded — so a
+        replay of this batch re-derives identical decisions, and the
+        fold version is itself replay-safe to keep active: builder id -1
+        marks state derived purely from committed batches (a half-built
+        fold is invisible via the no-complete-subdir rule in
+        ``_versions``, and old versions are dropped only after the fold
+        write completes, so a crash at any point leaves a readable
+        newest version). Counting mode needs no fold — the newest
+        snapshot IS the full state; older snapshots are simply dropped.
+        Re-running after a crash converges: an already-folded layout has
+        one version with one delta and ≤1 foldable kept dir, so every
+        step is a no-op. Returns the updated active-version list."""
+        import shutil
+
+        if vs and not self.counting:
+            ver_no, _bid, m, path = vs[-1]
+            deltas = [d for d in os.listdir(path)
+                      if d != f"b{batch_id}"
+                      and self._complete(os.path.join(path, d))]
+            if len(vs) > 1 or len(deltas) > 1:
+                bits = self._bits_of(vs[-1], exclude_batch=batch_id)
+                if bits is not None:
+                    name = f"v{ver_no + 1}_b-1_m{m}"
+                    new = os.path.join(self._state_root, name)
+                    bits.write.mode("overwrite").parquet(
+                        os.path.join(new, "base"))
+                    for d in os.listdir(self._state_root):
+                        if _VER_RE.match(d) and d != name:
+                            shutil.rmtree(os.path.join(self._state_root, d))
+                    vs = [(ver_no + 1, -1, m, new)]
+        elif vs and self.counting:
+            keep = vs[-1][3]
+            for d in os.listdir(self._state_root):
+                p = os.path.join(self._state_root, d)
+                if _VER_RE.match(d) and p != keep:
+                    shutil.rmtree(p)
+            vs = [vs[-1]]
+        self._fold_kept(exclude_batch=batch_id)
+        return vs
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from next_plaid_spark.operators.dedup import (
             bloom_bits,
@@ -710,6 +841,9 @@ class StreamingBloomDedup:
         batch_df = batch_df.cache()
 
         vs = self._active_versions(batch_id)
+        if (self.vacuum_every and batch_id > 0
+                and batch_id % self.vacuum_every == 0):
+            vs = self._compact_inflight(vs, batch_id)
         ver = vs[-1] if vs else None
         bits = self._bits_of(ver, exclude_batch=batch_id) if ver else None
         if ver is not None:
@@ -819,9 +953,15 @@ class StreamingBloomDedup:
         dir is dropped (readers always pick the newest complete
         version); counting mode just drops all but the newest
         ``keep_versions`` snapshots (each snapshot IS the full state);
-        kept/ is merged retract-style (staging write → drop → rename),
-        and a crash mid-merge leaves the union recoverable in the
-        ``.vacuum_tmp`` staging dir.
+        kept/ is merged via the manifest-protected fold (``_fold_kept``)
+        — a crash at any point is repaired automatically at the next
+        sink construction or fold.
+
+        For bounded state WITHOUT stopping the stream, construct the
+        sink with ``vacuum_every=N`` instead: every N batches
+        ``process_batch`` runs the in-flight-safe compaction
+        (``_compact_inflight``), which folds only prior-committed
+        state.
 
         Returns counts: ``{"kept_dirs_merged", "versions_dropped",
         "deltas_folded"}``."""
@@ -853,16 +993,8 @@ class StreamingBloomDedup:
                             stats["versions_dropped"] += 1
                         stats["deltas_folded"] = len(deltas)
 
-        # -- kept/ ----------------------------------------------------------
-        dirs = self._kept_dirs()
-        if len(dirs) > 1:
-            merged = self.spark.read.parquet(*dirs)
-            tmp = self._kept_root + ".vacuum_tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            for d in dirs:
-                shutil.rmtree(d)
-            os.replace(tmp, os.path.join(self._kept_root, "b-1"))
-            stats["kept_dirs_merged"] = len(dirs)
+        # -- kept/ (manifest-protected fold; see _fold_kept) ----------------
+        stats["kept_dirs_merged"] = self._fold_kept()
         return stats
 
     def attach(self, stream: DataFrame, checkpoint: str):

@@ -688,3 +688,129 @@ def test_bloom_replay_taint_truncates_below_stacked_b1(spark,
 
     active = dd._active_versions(1)
     assert [v[1] for v in active] == [0]  # truncated below batch 1's taint
+
+
+def _five_batches():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    fresh = "totally new words appear here nothing repeats at all today"
+    return [
+        [(1, base)],
+        [(2, other), (3, base)],            # 3 = dup of kept 1
+        [(4, fresh)],
+        [(5, base), (6, "entirely distinct closing sentence with vocab")],
+        [(7, fresh), (8, "final unique line of completely novel words")],
+    ]
+
+
+def test_bloom_auto_vacuum_matches_unvacuumed(spark, tmp_path_factory):
+    """r13: vacuum_every=N compacts prior-committed state mid-stream
+    (never the in-flight batch). The kept corpus and the set-bit
+    positions are identical to an unvacuumed run, while the dir counts
+    stay bounded instead of one-per-batch."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomautovac")
+    plain = StreamingBloomDedup(spark, str(tmp / "plain"), threshold=0.5)
+    auto = StreamingBloomDedup(spark, str(tmp / "auto"), threshold=0.5,
+                               vacuum_every=2)
+    for i, rows in enumerate(_five_batches()):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        plain.process_batch(df, i)
+        auto.process_batch(df, i)
+    kp = sorted(r.doc_id for r in plain.kept().collect())
+    ka = sorted(r.doc_id for r in auto.kept().collect())
+    assert kp == ka
+    assert ({r.pos for r in plain.ledger_bits().collect()}
+            == {r.pos for r in auto.ledger_bits().collect()})
+    # bounded: the fold target plus at most the batches since the last fold
+    assert len(plain._kept_dirs()) == 5
+    assert len(auto._kept_dirs()) <= 3
+    assert len(auto._versions()) == 1  # folds replace, never stack
+
+
+def test_bloom_auto_vacuum_replay_safe(spark, tmp_path_factory):
+    """A replay of the batch that triggered the in-flight compaction
+    must converge to the identical end state: the fold reads only
+    prior-committed state (builder id -1), so the replaying batch still
+    excludes its own contribution."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomautovacreplay")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             vacuum_every=2)
+    batches = _five_batches()[:3]
+    for i, rows in enumerate(batches):
+        dd.process_batch(spark.createDataFrame(rows, DOC_SCHEMA), i)
+    kept_before = sorted(r.doc_id for r in dd.kept().collect())
+    bits_before = {r.pos for r in dd.ledger_bits().collect()}
+
+    # batch 2 ran the compaction; replay it wholesale
+    dd.process_batch(spark.createDataFrame(batches[2], DOC_SCHEMA), 2)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == kept_before
+    assert {r.pos for r in dd.ledger_bits().collect()} == bits_before
+
+
+def test_bloom_auto_vacuum_counting_mode(spark, tmp_path_factory):
+    """Counting mode: older snapshots are dropped mid-stream (the newest
+    IS the full state); decisions and retractability unchanged."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomautovaccnt")
+    plain = StreamingBloomDedup(spark, str(tmp / "plain"), threshold=0.5,
+                                counting=True)
+    auto = StreamingBloomDedup(spark, str(tmp / "auto"), threshold=0.5,
+                               counting=True, vacuum_every=2)
+    for i, rows in enumerate(_five_batches()):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        plain.process_batch(df, i)
+        auto.process_batch(df, i)
+    assert (sorted(r.doc_id for r in plain.kept().collect())
+            == sorted(r.doc_id for r in auto.kept().collect()))
+    assert len(plain._versions()) == 5
+    assert len(auto._versions()) <= 2
+    auto.retract(spark.createDataFrame([(1, "")], DOC_SCHEMA))
+    base = _five_batches()[0][0][1]
+    auto.process_batch(spark.createDataFrame([(9, base)], DOC_SCHEMA), 5)
+    assert 9 in {r.doc_id for r in auto.kept().collect()}
+
+
+def test_bloom_kept_fold_crash_recovery(spark, tmp_path_factory):
+    """The kept fold stages its union with a _FOLDED manifest naming the
+    source dirs; a crash after a partial source drop is repaired at the
+    next construction from the manifest (re-deriving the union from the
+    surviving dirs alone would lose the already-dropped ones). A staging
+    dir without the manifest is discarded — every source is intact."""
+    import shutil
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("bloomfoldcrash")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    for i, rows in enumerate(_five_batches()[:3]):
+        dd.process_batch(spark.createDataFrame(rows, DOC_SCHEMA), i)
+    kept_before = sorted(r.doc_id for r in dd.kept().collect())
+    dirs = dd._kept_dirs()
+    assert len(dirs) == 3
+
+    # simulate the crash: union staged + manifest written + ONE source
+    # dropped, then the process dies before the rename
+    tmp_dir = dd._fold_tmp
+    dd.kept().write.mode("overwrite").parquet(tmp_dir)
+    with open(os.path.join(tmp_dir, "_FOLDED"), "w") as f:
+        f.write("\n".join(os.path.basename(d) for d in dirs))
+    shutil.rmtree(dirs[0])
+
+    dd2 = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    assert sorted(r.doc_id for r in dd2.kept().collect()) == kept_before
+    assert [os.path.basename(d) for d in dd2._kept_dirs()] == ["b-1"]
+    assert not os.path.isdir(tmp_dir)
+
+    # a manifest-less staging dir (crash before the manifest write) is
+    # discarded: all sources are still intact
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, "junk"), "w") as f:
+        f.write("partial")
+    dd3 = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    assert sorted(r.doc_id for r in dd3.kept().collect()) == kept_before
+    assert not os.path.isdir(tmp_dir)
