@@ -62,15 +62,21 @@ def shingles(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id",
     )
 
 
-def _sql_shingles(n: int = 3, where: str = "") -> str:
-    """DuckDB CTE body mirroring shingles() (1-based list indexing)."""
+def _sql_shingles_of(rel: str, n: int = 3) -> str:
+    """DuckDB CTE body mirroring shingles() (1-based list indexing) over
+    an arbitrary relation exposing (doc_id, text)."""
     return f"""
   SELECT DISTINCT doc_id, concat_ws(' ', {", ".join(f"toks[i + {j}]" for j in range(n))}) AS shingle
   FROM (
     SELECT doc_id, list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '') AS toks
-    FROM documents {where}
+    FROM {rel}
   ), unnest(range(1, greatest(len(toks) - {n}, -1) + 2)) AS r(i)
 """.strip()
+
+
+def _sql_shingles(n: int = 3, where: str = "") -> str:
+    """DuckDB CTE body mirroring shingles() over ``documents``."""
+    return _sql_shingles_of(f"documents {where}", n)
 
 
 # ---------------------------------------------------------------------------
@@ -723,6 +729,56 @@ SELECT doc_id,
 FROM per_shingle
 GROUP BY doc_id
 """.strip()
+
+
+def sql_bloom_screen_fold(*, n: int = 3, m: int = BLOOM_BITS,
+                          k: int = BLOOM_HASHES, threshold: float = 0.5,
+                          batch_wheres: list[str]) -> str:
+    """DuckDB mirror of the ``StreamingBloomDedup`` batch fold: batch i
+    (a WHERE clause over ``documents``) is screened against the Bloom
+    bits of the KEPT docs of batches < i — ``bloom_screen_batch`` folded
+    in order, which is exactly the semantics the sink's versioned ledger
+    reproduces (tests pin stream ≡ fold; the gate entry hash-checks the
+    fold end-to-end THROUGH the sink, in-flight compaction included).
+    Batch 0 is kept wholesale; a doc with no shingles is never flagged.
+    Returns the kept doc_ids."""
+    assert batch_wheres, "need at least one batch"
+    ctes = [
+        f"k0 AS (SELECT doc_id FROM documents {batch_wheres[0]})",
+        f"shk0 AS (\n{_sql_shingles_of(f'documents {batch_wheres[0]}', n)}\n)",
+        (f"bits0 AS (\n  SELECT DISTINCT {_sql_bloom_pos('shingle', m)} AS pos"
+         f"\n  FROM (SELECT DISTINCT shingle FROM shk0),"
+         f" unnest(range(0, {k})) AS r(i)\n)"),
+    ]
+    for i in range(1, len(batch_wheres)):
+        w, p = batch_wheres[i], i - 1
+        ctes += [
+            (f"probe{i} AS (\n  SELECT doc_id, shingle,"
+             f" {_sql_bloom_pos('shingle', m)} AS pos"
+             f"\n  FROM (\n{_sql_shingles_of(f'documents {w}', n)}\n  ),"
+             f" unnest(range(0, {k})) AS r(i)\n)"),
+            (f"flag{i} AS (\n  SELECT doc_id FROM ("
+             f"\n    SELECT doc_id, shingle,"
+             f" min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set"
+             f"\n    FROM probe{i} p LEFT JOIN bits{p} b ON p.pos = b.pos"
+             f"\n    GROUP BY doc_id, shingle\n  )"
+             f"\n  GROUP BY doc_id"
+             f"\n  HAVING sum(all_set) * 1.0 / count(*) >= {threshold}\n)"),
+            (f"k{i} AS (\n  SELECT doc_id FROM documents {w}"
+             f"\n  AND doc_id NOT IN (SELECT doc_id FROM flag{i})\n)"
+             if w.strip().upper().startswith("WHERE") else
+             f"k{i} AS (\n  SELECT doc_id FROM (SELECT doc_id FROM documents {w})"
+             f"\n  WHERE doc_id NOT IN (SELECT doc_id FROM flag{i})\n)"),
+            (f"bits{i} AS (\n  SELECT pos FROM bits{p}"
+             f"\n  UNION"
+             f"\n  SELECT DISTINCT {_sql_bloom_pos('shingle', m)} AS pos"
+             f"\n  FROM (SELECT DISTINCT shingle FROM (\n"
+             f"{_sql_shingles_of(f'documents JOIN k{i} USING (doc_id)', n)}"
+             f"\n  )), unnest(range(0, {k})) AS r(i)\n)"),
+        ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id FROM k{i}" for i in range(len(batch_wheres)))
+    return "WITH " + ",\n".join(ctes) + f"\n{union}\nORDER BY doc_id"
 
 
 # ---------------------------------------------------------------------------

@@ -1569,6 +1569,41 @@ def _sql_dedup_bloom() -> str:
     )
 
 
+def q_dedup_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Bloom screen END-TO-END through the sink (U8/S8 +
+    the Dolma-style cross-dump screen, documents.rs:249-282's ingestion
+    queue re-expressed): three deterministic batches of ``documents``
+    (doc_id % 3) flow through ``StreamingBloomDedup.process_batch`` with
+    the r13 in-flight compaction ON (``vacuum_every=2`` — batch 2 folds
+    the prior-committed kept dirs and ledger deltas mid-stream), and the
+    result is the kept doc_id set read back through ``kept()``. The
+    oracle folds the SAME screen in DuckDB (bits of kept-so-far, probe,
+    threshold ≥ 0.5 over n=5 shingles), so the sink's versioned ledger,
+    replay-exclusion reads, mid-stream fold, and kept-reader all sit on
+    the hash path — not just under pytest."""
+    import tempfile
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="bloom_stream_gate_")
+    dd = StreamingBloomDedup(spark, root, threshold=0.5, n=5,
+                             vacuum_every=2)
+    for i in range(3):
+        dd.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    return dd.kept().select("doc_id").orderBy("doc_id")
+
+
+def _sql_dedup_bloom_stream() -> str:
+    from next_plaid_spark.operators.dedup import sql_bloom_screen_fold
+
+    return sql_bloom_screen_fold(
+        n=5,
+        threshold=0.5,
+        batch_wheres=[f"WHERE doc_id % 3 = {i}" for i in range(3)],
+    )
+
+
 def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup materialized (Lee et al. '21 keep-first):
     corpus rewritten with every non-first occurrence of a duplicated
@@ -3902,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
+        "dedup_bloom_stream": q_dedup_bloom_stream,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -4025,6 +4061,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup_sqls()[1],
         "dedup_incremental": _sql_dedup_incremental(),
         "dedup_bloom": _sql_dedup_bloom(),
+        "dedup_bloom_stream": _sql_dedup_bloom_stream(),
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
