@@ -17,11 +17,15 @@ operators/textstats.py) into one micro-batch job:
                      recomputes; stream-static join discipline).
   3. quality gate  — textstats.quality_score threshold (stateless).
 
-Kept docs append to ``<root>/kept``; their fingerprints append to
-``<root>/fp_ledger``. Both are plain Parquet directories — at cluster scale
-the ledger would be a Delta/Iceberg table with compaction and the anti-join
-a storage-partitioned join on a bucketed ``fp``, but the plan shape (one
-broadcast join, one ledger anti-join, stateless projections) is unchanged.
+Kept docs land under ``<root>/kept/b{batch_id}``; their fingerprints under
+``<root>/fp_ledger/b{batch_id}`` — idempotent per-batch overwrites whose
+reads exclude the in-flight batch, so a replay after a crash at any point
+converges (the shared protocol at the top of this module; every sink here
+uses it, and ``vacuum()`` folds the per-batch dirs back into one). At
+cluster scale the ledger would be a Delta/Iceberg table with compaction and
+the anti-join a storage-partitioned join on a bucketed ``fp``, but the plan
+shape (one broadcast join, one ledger anti-join, stateless projections) is
+unchanged.
 
 Stream ≡ batch: for a corpus streamed in ascending doc_id order (any batch
 split), the kept set is IDENTICAL to ``curate_batch`` over the whole corpus
@@ -41,6 +45,125 @@ from pyspark.sql.window import Window
 
 from next_plaid_spark.operators.corpus import contamination, eval_shingle_set
 from next_plaid_spark.operators.textstats import fingerprint, quality_score
+
+
+# ---------------------------------------------------------------------------
+# Per-batch idempotent state dirs — the shared write/read/fold protocol
+# (r13). Every sink in this module persists cross-batch state as parquet
+# under a root; the r12 Bloom-sink audit established the contract all of
+# them need: (a) each batch WRITES as an idempotent overwrite under a
+# batch-derived subdir ``b{batch_id}`` — never ``mode("append")`` to a
+# shared dir, whose replay after a crash between the kept write and the
+# ledger write double-appends the batch; (b) every READ that feeds a
+# batch's decisions EXCLUDES the in-flight batch's own subdir, so a
+# replay re-derives decisions from prior-committed state only; (c) a
+# pre-r13 flat root is migrated into ``b-1`` at construction (the
+# versioned readers would otherwise silently ignore it); (d) ``vacuum``
+# folds the per-batch subdirs into ``b-1`` via a manifest-protected
+# staging dir so a crash mid-fold is repaired, not compounded.
+# ---------------------------------------------------------------------------
+
+
+def _complete_marker(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def _batch_dirs(root: str, exclude_batch: int | None = None) -> list[str]:
+    """Complete ``b{id}`` subdirs of a state root, minus the in-flight
+    batch's own."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("b"):
+            continue
+        if exclude_batch is not None and d == f"b{exclude_batch}":
+            continue
+        p = os.path.join(root, d)
+        if _complete_marker(p):
+            out.append(p)
+    return out
+
+
+def _read_batches(spark: SparkSession, root: str,
+                  exclude_batch: int | None = None) -> DataFrame | None:
+    dirs = _batch_dirs(root, exclude_batch)
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def _write_batch_dir(df: DataFrame, root: str, batch_id: int) -> None:
+    df.write.mode("overwrite").parquet(os.path.join(root, f"b{batch_id}"))
+
+
+def _migrate_flat_root(root: str) -> None:
+    """Adopt a pre-versioned root that holds parquet files directly:
+    move it under ``b-1`` (two renames through a resumable staging
+    name). A root that already holds only subdirs is left alone."""
+    tmp = root + ".legacy-tmp"
+    if os.path.isdir(root) and any(
+            os.path.isfile(os.path.join(root, f)) for f in os.listdir(root)):
+        os.replace(root, tmp)
+    if os.path.isdir(tmp):
+        os.makedirs(root, exist_ok=True)
+        os.replace(tmp, os.path.join(root, "b-1"))
+
+
+def _recover_fold(root: str) -> None:
+    """Finish (or discard) a ``_fold_batch_dirs`` interrupted by a
+    crash. A staging dir WITH its ``_FOLDED`` manifest is authoritative
+    (it holds the full union of the listed dirs): drop whichever of them
+    survive and rename the staging in. Without a complete write or the
+    manifest, discard it — every source dir is still intact."""
+    import shutil
+
+    stale = os.path.join(root, "b-1", "_FOLDED")
+    if os.path.isfile(stale):  # crash between the rename and cleanup
+        os.remove(stale)
+    tmp = root + ".vacuum_tmp"
+    if not os.path.isdir(tmp):
+        return
+    manifest = os.path.join(tmp, "_FOLDED")
+    if _complete_marker(tmp) and os.path.isfile(manifest):
+        with open(manifest) as f:
+            names = f.read().split()
+        for nm in names:
+            shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
+        dest = os.path.join(root, "b-1")
+        os.replace(tmp, dest)
+        os.remove(os.path.join(dest, "_FOLDED"))
+    else:
+        shutil.rmtree(tmp)
+
+
+def _fold_batch_dirs(spark: SparkSession, root: str,
+                     exclude_batch: int | None = None) -> int:
+    """Merge the (committed, non-excluded) per-batch subdirs into
+    ``b-1``: union staged next to the root together with a manifest
+    naming exactly the dirs it covers, then sources dropped and the
+    staging renamed in. Crash-repair in ``_recover_fold`` — without the
+    manifest, re-running after a partial drop would rebuild the union
+    from the SURVIVING dirs only and lose the already-dropped ones."""
+    import shutil
+
+    _recover_fold(root)
+    dirs = _batch_dirs(root, exclude_batch)
+    if len(dirs) < 2:
+        return 0
+    tmp = root + ".vacuum_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_FOLDED"), "w") as f:
+        f.write("\n".join(os.path.basename(d) for d in dirs))
+    for d in dirs:
+        shutil.rmtree(d)
+    # the manifest rides along through the rename (Spark ignores
+    # underscore-prefixed files) and is removed only at the very end —
+    # dropping it earlier would make a crash before the rename look like
+    # an incomplete fold and discard the only copy
+    dest = os.path.join(root, "b-1")
+    os.replace(tmp, dest)
+    os.remove(os.path.join(dest, "_FOLDED"))
+    return len(dirs)
 
 
 def _dedup_first(docs_with_fp: DataFrame) -> DataFrame:
@@ -113,6 +236,9 @@ class StreamingCurator:
             # benchmark shingle universe: computed ONCE, persisted, then
             # read + broadcast per micro-batch (it is the small static side)
             eval_shingle_set(eval_docs, n=n).write.parquet(self._ev_path)
+        for r in (self._kept_path, self._ledger_path):
+            _migrate_flat_root(r)
+            _recover_fold(r)
 
     @property
     def _kept_path(self) -> str:
@@ -132,16 +258,19 @@ class StreamingCurator:
             min_quality=self.min_quality,
             quality_model=self.quality_model,
         )
-        if os.path.isdir(self._ledger_path):
-            seen = self.spark.read.parquet(self._ledger_path)
+        # replay-exact (r13, the shared per-batch protocol): the ledger
+        # read EXCLUDES this batch's own entries and both writes are
+        # idempotent overwrites under b{batch_id} — the r12 append form
+        # double-appended the batch when a crash landed between the kept
+        # write and the ledger write
+        seen = _read_batches(self.spark, self._ledger_path,
+                             exclude_batch=batch_id)
+        if seen is not None:
             d = d.join(seen, "fp", "left_anti")
-        # two writes per micro-batch; foreachBatch may replay a batch after
-        # failure, so production would write both under a batch_id-derived
-        # path (idempotent overwrite) — the gates themselves are replay-safe
-        # (a replayed doc anti-joins its own ledger entry away)
         d = d.cache()
-        d.drop("fp").write.mode("append").parquet(self._kept_path)
-        d.select("fp").distinct().write.mode("append").parquet(self._ledger_path)
+        _write_batch_dir(d.drop("fp"), self._kept_path, batch_id)
+        _write_batch_dir(d.select("fp").distinct(), self._ledger_path,
+                         batch_id)
         d.unpersist()
 
     def attach(self, docs_stream: DataFrame, checkpoint: str):
@@ -154,7 +283,19 @@ class StreamingCurator:
         )
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(self._kept_path)
+        return self.spark.read.parquet(*_batch_dirs(self._kept_path))
+
+    def vacuum(self) -> dict:
+        """Fold the per-batch kept/ledger subdirs into ``b-1`` (run only
+        while the stream is stopped with every batch committed — the fold
+        includes the last batch, whose replay could then no longer
+        exclude its own entries)."""
+        return {
+            "kept_dirs_merged": _fold_batch_dirs(self.spark,
+                                                 self._kept_path),
+            "ledger_dirs_merged": _fold_batch_dirs(self.spark,
+                                                   self._ledger_path),
+        }
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +373,9 @@ class StreamingSemanticDedup:
         self.dim = dim
         self.n_tables = n_tables if n_tables is not None else auto_t
         self.n_bits = n_bits if n_bits is not None else auto_b
+        for r in (self._kept_path, self._ledger_path):
+            _migrate_flat_root(r)
+            _recover_fold(r)
         self.seed = seed
 
     @property
@@ -256,10 +400,14 @@ class StreamingSemanticDedup:
             return
         assigned = self._assign(batch_df).cache()
 
-        # cross-batch: candidates via the bucket equi-join against kept
+        # cross-batch: candidates via the bucket equi-join against kept.
+        # The ledger read excludes this batch's own entries and the
+        # writes below are idempotent per-batch overwrites (r13 shared
+        # protocol) — replay-exact at any crash point
         blocked = set()
-        if os.path.isdir(self._ledger_path):
-            ledger = self.spark.read.parquet(self._ledger_path)
+        ledger = _read_batches(self.spark, self._ledger_path,
+                               exclude_batch=batch_id)
+        if ledger is not None:
             blocked = {
                 r.vec_id for r in (
                     assigned.join(
@@ -292,11 +440,14 @@ class StreamingSemanticDedup:
         kept = batch_df if not removed else batch_df.filter(
             ~F.col("vec_id").isin(removed))
         kept = kept.cache()
-        kept.write.mode("append").parquet(self._kept_path)
-        self._assign(kept).select(
-            "_table", "_bucket",
-            F.col("_id").alias("vec_id"), F.col("_vec").alias("embedding"),
-        ).write.mode("append").parquet(self._ledger_path)
+        _write_batch_dir(kept, self._kept_path, batch_id)
+        _write_batch_dir(
+            self._assign(kept).select(
+                "_table", "_bucket",
+                F.col("_id").alias("vec_id"),
+                F.col("_vec").alias("embedding"),
+            ),
+            self._ledger_path, batch_id)
         kept.unpersist()
         assigned.unpersist()
 
@@ -309,7 +460,17 @@ class StreamingSemanticDedup:
         )
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(self._kept_path)
+        return self.spark.read.parquet(*_batch_dirs(self._kept_path))
+
+    def vacuum(self) -> dict:
+        """Fold per-batch kept/ledger subdirs into ``b-1`` (quiescent
+        streams only — see StreamingCurator.vacuum)."""
+        return {
+            "kept_dirs_merged": _fold_batch_dirs(self.spark,
+                                                 self._kept_path),
+            "ledger_dirs_merged": _fold_batch_dirs(self.spark,
+                                                   self._ledger_path),
+        }
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +518,9 @@ class StreamingTextDedup:
         self.root = root
         self.threshold = threshold
         self.n = n
+        for r in (self._kept_path, self._ledger_path):
+            _migrate_flat_root(r)
+            _recover_fold(r)
 
     @property
     def _kept_path(self) -> str:
@@ -377,9 +541,12 @@ class StreamingTextDedup:
             return
         batch_df = batch_df.cache()
 
+        # ledger + kept reads exclude this batch's own entries; writes
+        # below are idempotent per-batch overwrites (r13 shared protocol)
         blocked: set = set()
-        if os.path.isdir(self._ledger_path):
-            ledger = self.spark.read.parquet(self._ledger_path)
+        ledger = _read_batches(self.spark, self._ledger_path,
+                               exclude_batch=batch_id)
+        if ledger is not None:
             cand_old = (
                 minhash_band_ledger(batch_df, n=self.n)
                 .join(ledger.withColumnRenamed("doc_id", "_old"),
@@ -388,7 +555,9 @@ class StreamingTextDedup:
             )
             old_ids = [r._old for r in cand_old]
             if old_ids:
-                old_docs = self.spark.read.parquet(self._kept_path).filter(
+                old_docs = _read_batches(
+                    self.spark, self._kept_path, exclude_batch=batch_id
+                ).filter(
                     F.col("doc_id").isin(old_ids)
                 )
                 blocked = {
@@ -409,9 +578,9 @@ class StreamingTextDedup:
         kept = batch_df if not removed else batch_df.filter(
             ~F.col("doc_id").isin(removed))
         kept = kept.cache()
-        kept.write.mode("append").parquet(self._kept_path)
-        minhash_band_ledger(kept, n=self.n).write.mode("append").parquet(
-            self._ledger_path)
+        _write_batch_dir(kept, self._kept_path, batch_id)
+        _write_batch_dir(minhash_band_ledger(kept, n=self.n),
+                         self._ledger_path, batch_id)
         kept.unpersist()
         batch_df.unpersist()
 
@@ -424,7 +593,17 @@ class StreamingTextDedup:
         )
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(self._kept_path)
+        return self.spark.read.parquet(*_batch_dirs(self._kept_path))
+
+    def vacuum(self) -> dict:
+        """Fold per-batch kept/ledger subdirs into ``b-1`` (quiescent
+        streams only — see StreamingCurator.vacuum)."""
+        return {
+            "kept_dirs_merged": _fold_batch_dirs(self.spark,
+                                                 self._kept_path),
+            "ledger_dirs_merged": _fold_batch_dirs(self.spark,
+                                                   self._ledger_path),
+        }
 
 
 # ---------------------------------------------------------------------------
@@ -561,12 +740,7 @@ class StreamingBloomDedup:
         m probes wrong positions, exactly like swapping the hash
         function. Each move is two renames through a ``.legacy-tmp``
         staging name and is resumed here if a crash split them."""
-        kept_tmp = self._kept_root + ".legacy-tmp"
-        if self._flat_parquet(self._kept_root):
-            os.replace(self._kept_root, kept_tmp)
-        if os.path.isdir(kept_tmp):
-            os.makedirs(self._kept_root, exist_ok=True)
-            os.replace(kept_tmp, os.path.join(self._kept_root, "b-1"))
+        _migrate_flat_root(self._kept_root)
 
         state_tmp = self._state_root + ".legacy-tmp"
         if self._flat_parquet(self._state_root):
@@ -639,22 +813,10 @@ class StreamingBloomDedup:
         return vs
 
     def _kept_dirs(self, exclude_batch: int | None = None) -> list[str]:
-        if not os.path.isdir(self._kept_root):
-            return []
-        out = []
-        for d in sorted(os.listdir(self._kept_root)):
-            if not d.startswith("b"):
-                continue
-            if exclude_batch is not None and d == f"b{exclude_batch}":
-                continue
-            p = os.path.join(self._kept_root, d)
-            if self._complete(p):
-                out.append(p)
-        return out
+        return _batch_dirs(self._kept_root, exclude_batch)
 
     def _kept_df(self, exclude_batch: int | None = None) -> DataFrame | None:
-        dirs = self._kept_dirs(exclude_batch)
-        return self.spark.read.parquet(*dirs) if dirs else None
+        return _read_batches(self.spark, self._kept_root, exclude_batch)
 
     # -- kept/ fold (shared by vacuum and the in-flight compaction) ----------
 
@@ -664,63 +826,12 @@ class StreamingBloomDedup:
 
     def _fold_kept(self, exclude_batch: int | None = None) -> int:
         """Merge the (committed, non-excluded) kept/b{id} dirs into
-        ``kept/b-1`` crash-recoverably: the union is staged next to kept/
-        together with a ``_FOLDED`` manifest naming exactly the dirs it
-        covers, and only then are the sources dropped and the staging
-        renamed in. A crash at any point is repaired by
-        ``_recover_kept_fold`` (replaying the drop list from the manifest)
-        — without the manifest, re-running the fold after a partial drop
-        would rebuild the union from the SURVIVING dirs only and lose the
-        already-dropped ones."""
-        import shutil
-
-        self._recover_kept_fold()
-        dirs = self._kept_dirs(exclude_batch)
-        if len(dirs) < 2:
-            return 0
-        tmp = self._fold_tmp
-        shutil.rmtree(tmp, ignore_errors=True)
-        self.spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_FOLDED"), "w") as f:
-            f.write("\n".join(os.path.basename(d) for d in dirs))
-        for d in dirs:
-            shutil.rmtree(d)
-        # the manifest rides along through the rename (Spark ignores
-        # underscore-prefixed files) and is removed only at the very end:
-        # dropping it any earlier would make a crash before the rename
-        # look like an incomplete fold and discard the only copy
-        dest = os.path.join(self._kept_root, "b-1")
-        os.replace(tmp, dest)
-        os.remove(os.path.join(dest, "_FOLDED"))
-        return len(dirs)
+        ``kept/b-1`` — the shared manifest-protected fold protocol
+        (``_fold_batch_dirs``)."""
+        return _fold_batch_dirs(self.spark, self._kept_root, exclude_batch)
 
     def _recover_kept_fold(self) -> None:
-        """Finish (or discard) a fold interrupted by a crash. A staging
-        dir WITH its manifest is authoritative — it holds the full union
-        of the listed dirs, so the repair drops whichever of them survive
-        and renames the staging in. A staging dir without a complete
-        write or without the manifest is discarded (every source dir is
-        still intact)."""
-        import shutil
-
-        stale = os.path.join(self._kept_root, "b-1", "_FOLDED")
-        if os.path.isfile(stale):  # crash between the rename and cleanup
-            os.remove(stale)
-        tmp = self._fold_tmp
-        if not os.path.isdir(tmp):
-            return
-        manifest = os.path.join(tmp, "_FOLDED")
-        if self._complete(tmp) and os.path.isfile(manifest):
-            with open(manifest) as f:
-                names = f.read().split()
-            for nm in names:
-                shutil.rmtree(os.path.join(self._kept_root, nm),
-                              ignore_errors=True)
-            dest = os.path.join(self._kept_root, "b-1")
-            os.replace(tmp, dest)
-            os.remove(os.path.join(dest, "_FOLDED"))
-        else:
-            shutil.rmtree(tmp)
+        _recover_fold(self._kept_root)
 
     def _bits_of(self, ver: tuple, exclude_batch: int | None):
         """Set-bit positions of one ledger version, excluding the in-flight

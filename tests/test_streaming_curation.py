@@ -68,7 +68,8 @@ def test_stream_matches_batch(spark, tmp_path_factory):
 def test_ledger_dedups_across_batches(spark, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("cur2")
     cur = _run_stream(spark, tmp, [BATCH1, BATCH2], max_contamination=0.5)
-    ledger = spark.read.parquet(os.path.join(str(tmp / "root"), "fp_ledger"))
+    from next_plaid_spark.streaming.curation import _read_batches
+    ledger = _read_batches(spark, os.path.join(str(tmp / "root"), "fp_ledger"))
     # one fp per kept doc, all distinct even though doc 4's fp was attempted
     # again in batch 2
     fps = [r.fp for r in ledger.collect()]
@@ -814,3 +815,115 @@ def test_bloom_kept_fold_crash_recovery(spark, tmp_path_factory):
     dd3 = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
     assert sorted(r.doc_id for r in dd3.kept().collect()) == kept_before
     assert not os.path.isdir(tmp_dir)
+
+
+def test_curator_crash_between_writes_replay_exact(spark, tmp_path_factory):
+    """r13: the curator previously append-wrote kept then ledger, so a
+    crash BETWEEN them re-appended the batch's docs on replay (the r11
+    Bloom-sink bug, still live in the other three sinks). With per-batch
+    idempotent dirs + own-batch-excluding reads, a replay after a crash
+    at any point converges to the crash-free state."""
+    import shutil
+
+    from next_plaid_spark.streaming.curation import StreamingCurator
+
+    tmp = tmp_path_factory.mktemp("curcrash")
+    cur = StreamingCurator(spark, str(tmp / "root"),
+                           eval_docs=spark.createDataFrame(EVAL, SCHEMA),
+                           max_contamination=0.5)
+    cur.process_batch(spark.createDataFrame(BATCH1, SCHEMA), 0)
+    cur.process_batch(spark.createDataFrame(BATCH2, SCHEMA), 1)
+    clean = sorted(r.doc_id for r in cur.kept().collect())
+    assert clean == [1, 2, 6]
+
+    # crash window A: kept written, ledger ripped out -> replay
+    shutil.rmtree(str(tmp / "root" / "fp_ledger" / "b1"))
+    cur.process_batch(spark.createDataFrame(BATCH2, SCHEMA), 1)
+    kept = [r.doc_id for r in cur.kept().collect()]
+    assert sorted(kept) == clean and len(kept) == len(set(kept))
+
+    # crash window B: ledger written, kept ripped out -> replay
+    shutil.rmtree(str(tmp / "root" / "kept" / "b1"))
+    cur.process_batch(spark.createDataFrame(BATCH2, SCHEMA), 1)
+    kept = [r.doc_id for r in cur.kept().collect()]
+    assert sorted(kept) == clean and len(kept) == len(set(kept))
+
+
+def test_text_dedup_crash_between_writes_replay_exact(spark,
+                                                      tmp_path_factory):
+    import shutil
+
+    from next_plaid_spark.streaming.curation import StreamingTextDedup
+
+    tmp = tmp_path_factory.mktemp("txtcrash")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    b1 = [(1, base), (2, base + " extra"), (3, other)]
+    b2 = [(4, base), (5, "totally fresh words appear here nothing repeats"),
+          (6, other + " more")]
+    dd = StreamingTextDedup(spark, str(tmp / "root"), threshold=0.5)
+    dd.process_batch(spark.createDataFrame(b1, DOC_SCHEMA), 0)
+    dd.process_batch(spark.createDataFrame(b2, DOC_SCHEMA), 1)
+    clean = sorted(r.doc_id for r in dd.kept().collect())
+    assert clean == [1, 3, 5]
+
+    shutil.rmtree(str(tmp / "root" / "band_ledger" / "b1"))
+    dd.process_batch(spark.createDataFrame(b2, DOC_SCHEMA), 1)
+    kept = [r.doc_id for r in dd.kept().collect()]
+    assert sorted(kept) == clean and len(kept) == len(set(kept))
+
+
+def test_semantic_dedup_crash_between_writes_replay_exact(spark,
+                                                          tmp_path_factory):
+    import shutil
+
+    from next_plaid_spark.streaming.curation import StreamingSemanticDedup
+
+    tmp = tmp_path_factory.mktemp("semcrash")
+    b1, b2 = _emb_batches()
+    sch = "vec_id long, embedding array<double>"
+    dd = StreamingSemanticDedup(spark, str(tmp / "root"), threshold=0.99,
+                                dim=4)
+    dd.process_batch(spark.createDataFrame(b1, sch), 0)
+    dd.process_batch(spark.createDataFrame(b2, sch), 1)
+    clean = sorted(r.vec_id for r in dd.kept().collect())
+
+    shutil.rmtree(str(tmp / "root" / "bucket_ledger" / "b1"))
+    dd.process_batch(spark.createDataFrame(b2, sch), 1)
+    kept = [r.vec_id for r in dd.kept().collect()]
+    assert sorted(kept) == clean and len(kept) == len(set(kept))
+
+
+def test_text_dedup_vacuum_and_legacy_migration(spark, tmp_path_factory):
+    """The shared per-batch protocol's other two legs, on the text sink:
+    a pre-r13 flat root (kept/ and band_ledger/ holding parquet
+    directly) is adopted as b-1 at construction, and vacuum() folds the
+    per-batch dirs without changing the kept set or future decisions."""
+    from next_plaid_spark.operators.dedup import minhash_band_ledger
+    from next_plaid_spark.streaming.curation import StreamingTextDedup
+
+    tmp = tmp_path_factory.mktemp("txtvaclegacy")
+    root = tmp / "root"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    legacy = spark.createDataFrame([(1, base)], DOC_SCHEMA)
+    legacy.write.parquet(str(root / "kept"))               # FLAT layout
+    minhash_band_ledger(legacy, n=3).write.parquet(str(root / "band_ledger"))
+
+    dd = StreamingTextDedup(spark, str(root), threshold=0.5)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1]
+    # cross-batch near-dup of the LEGACY doc is screened; fresh doc kept
+    dd.process_batch(spark.createDataFrame(
+        [(2, base + " tail"),
+         (3, "totally fresh words appear here nothing repeats")],
+        DOC_SCHEMA), 0)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 3]
+
+    stats = dd.vacuum()
+    assert stats["kept_dirs_merged"] == 2
+    assert stats["ledger_dirs_merged"] == 2
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 3]
+    # decisions unchanged on the folded state
+    dd.process_batch(spark.createDataFrame(
+        [(4, base), (5, "yet another entirely distinct closing line")],
+        DOC_SCHEMA), 1)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 3, 5]
