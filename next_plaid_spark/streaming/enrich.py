@@ -41,9 +41,10 @@ class StreamingAsofEnricher:
 
     ``left_filter`` / ``right_filter`` split each micro-batch into the
     rows to enrich and the rows that carry payload (e.g. purchases
-    enriched with the user's latest prior view). Enriched lefts append to
-    ``<root>/enriched``; the per-key latest right row persists as the
-    versioned ledger."""
+    enriched with the user's latest prior view). Enriched lefts land as
+    idempotent per-batch overwrites under ``<root>/enriched/b{batch_id}``
+    (r13 — replay-exact, like the curation sinks); the per-key latest
+    right row persists as the versioned ledger."""
 
     def __init__(self, spark: SparkSession, root: str, *,
                  keys, ts_col: str, payload_cols,
@@ -62,13 +63,19 @@ class StreamingAsofEnricher:
     def _enriched_path(self) -> str:
         return os.path.join(self.root, "enriched")
 
-    def _ledger_dir(self) -> str | None:
+    def _ledger_dir(self, exclude_batch: int | None = None) -> str | None:
+        """Newest ledger snapshot, optionally EXCLUDING the in-flight
+        batch's own (``ledger_v{batch_id}`` from a crashed prior attempt
+        is replay taint: it already folded this batch's rights, and its
+        per-key reduction may have dropped an older right row a left in
+        this batch should still match)."""
         if not os.path.isdir(self.root):
             return None
         vs = sorted(
             (int(m.group(1)), d)
             for d in os.listdir(self.root)
             if (m := re.fullmatch(r"ledger_v(\d+)", d))
+            and int(m.group(1)) != exclude_batch
         )
         return os.path.join(self.root, vs[-1][1]) if vs else None
 
@@ -82,7 +89,11 @@ class StreamingAsofEnricher:
         if batch_df.isEmpty():
             return
         rights = batch_df.filter(self.right_filter).select(*self._right_cols())
-        prev = self._ledger_dir()
+        # replay-exact (r13): base ledger excludes this batch's own
+        # snapshot, and the enriched output is an idempotent overwrite
+        # under b{batch_id} — the r12 append form emitted the batch's
+        # enriched rows twice on replay
+        prev = self._ledger_dir(exclude_batch=batch_id)
         if prev is not None:
             rights = rights.unionByName(self.spark.read.parquet(prev))
         rights = rights.cache()
@@ -91,7 +102,8 @@ class StreamingAsofEnricher:
         asof_join_backward(
             lefts, rights, keys=self.keys, ts_col=self.ts_col,
             payload_cols=self.payload_cols, tie_col=self.tie_col,
-        ).write.mode("append").parquet(self._enriched_path)
+        ).write.mode("overwrite").parquet(
+            os.path.join(self._enriched_path, f"b{batch_id}"))
 
         order = [F.col(self.ts_col).desc()]
         if self.tie_col is not None:
@@ -124,4 +136,6 @@ class StreamingAsofEnricher:
         )
 
     def enriched(self) -> DataFrame:
-        return self.spark.read.parquet(self._enriched_path)
+        from next_plaid_spark.streaming.curation import _batch_dirs
+
+        return self.spark.read.parquet(*_batch_dirs(self._enriched_path))

@@ -4,10 +4,12 @@ request/response over the same per-index state,
 next-plaid-api/src/handlers/search.rs).
 
 Each micro-batch of raw queries runs the SAME batch funnel job
-(plans/searcher.py) against the current index snapshot and appends
-(query_id, doc_id, score, rank, batch_id) to the sink — so the
-stream ≡ batch contract is structural: a query produces the identical
-result rows whether it arrived in a micro-batch or a batch DataFrame.
+(plans/searcher.py) against the current index snapshot and delivers
+(query_id, doc_id, score, rank, batch_id) to the sink as an idempotent
+per-batch write — so the stream ≡ batch contract is structural: a query
+produces the identical result rows whether it arrived in a micro-batch
+or a batch DataFrame, and a replayed micro-batch rewrites rather than
+re-appends.
 
 Hot-reload: by default the searcher binds one index snapshot for the
 stream's lifetime (cheapest; the common serving mode). With
@@ -19,6 +21,8 @@ new versions on the other side.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,9 +36,11 @@ from next_plaid_spark.streaming.ingest import latest_index
 class StreamingSearcher:
     """foreachBatch sink: query stream → top-k result stream.
 
-    Results are appended to an in-memory accumulator table (tests) or —
-    via ``attach(..., sink_path=...)`` — a parquet directory. Both carry
-    ``batch_id`` so consumers can window/dedup on delivery."""
+    Results land in an in-memory accumulator table (tests) or — via
+    ``attach(..., sink_path=...)`` — as idempotent per-batch parquet
+    overwrites under ``<sink_path>/b{batch_id}`` (r13: a replayed batch
+    rewrites its results instead of appending a second copy; read back
+    with ``results_df()``). Rows carry ``batch_id``."""
 
     def __init__(self, spark: SparkSession, index: PlaidIndex | None = None,
                  *, root: str | None = None,
@@ -75,7 +81,11 @@ class StreamingSearcher:
             encode_queries(batch_df, dim=self.dim), subset=self.subset
         ).withColumn("batch_id", F.lit(int(batch_id)))
         if self._sink_path:
-            out.write.mode("append").parquet(self._sink_path)
+            # idempotent per-batch overwrite (r13): a replayed batch
+            # rewrites ITS results instead of appending a second copy;
+            # read the sink back with results() (unions the b* dirs)
+            out.write.mode("overwrite").parquet(
+                os.path.join(self._sink_path, f"b{int(batch_id)}"))
         else:
             self.results.extend(out.collect())
 
@@ -89,3 +99,12 @@ class StreamingSearcher:
             .trigger(availableNow=True)
             .start()
         )
+
+    def results_df(self) -> DataFrame:
+        """All delivered results (parquet sink mode): union of the
+        per-batch dirs."""
+        from next_plaid_spark.streaming.curation import _batch_dirs
+
+        if not self._sink_path:
+            raise ValueError("no sink_path — results are in .results")
+        return self.spark.read.parquet(*_batch_dirs(self._sink_path))

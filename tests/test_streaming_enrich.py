@@ -78,3 +78,34 @@ def test_stream_matches_batch(spark, tmp_path_factory):
     assert want[5] == (3.0, 50)     # cross-batch via ledger
     assert want[7] == (4.0, 120)    # same-batch beats ledger
     assert want[4] == (None, None)  # no right row for the key
+
+
+def test_enrich_replay_is_idempotent(spark, tmp_path_factory):
+    """r13: a replay of the last batch (committed writes, uncommitted
+    checkpoint) must not double-emit its enriched rows, and must base its
+    as-of matches on the PREVIOUS ledger, not the snapshot its own prior
+    attempt wrote (whose per-key reduction may have dropped a right row a
+    left should still match)."""
+    enr = StreamingAsofEnricher(
+        spark, str(tmp_path_factory.mktemp("asofreplay") / "root"),
+        keys=["user_id"], ts_col="ts", payload_cols=["view_value"],
+        left_filter=F.col("event_type") == "purchase",
+        right_filter=F.col("event_type") == "view",
+        tie_col="event_id",
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, SCHEMA).withColumn(
+            "view_value", F.col("value"))
+
+    enr.process_batch(df(B1), 0)
+    enr.process_batch(df(B2), 1)
+    clean = sorted(
+        (r.event_id, r.asof_view_value, r.asof_ts)
+        for r in enr.enriched().collect())
+
+    enr.process_batch(df(B2), 1)   # full replay of the last batch
+    got = sorted(
+        (r.event_id, r.asof_view_value, r.asof_ts)
+        for r in enr.enriched().collect())
+    assert got == clean            # no duplicates, identical matches

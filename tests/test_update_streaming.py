@@ -227,3 +227,60 @@ def test_streaming_ingest_bucketed_delta(spark, documents, tmp_path_factory):
               and (b := bucket_of(f)) not in dirty
               and os.stat(os.path.join(tok("v1"), f)).st_ino == inodes0.get(b)]
     assert len(reused) == 8 - len(dirty)
+
+
+def test_streaming_ingest_replay_is_idempotent(spark, documents,
+                                               tmp_path_factory):
+    """r13: the snapshot is named by BATCH id and the base index excludes
+    the in-flight batch's own prior snapshot — a replayed batch used to
+    ingest itself twice (base = its own output, new version stacked on
+    top). After a full replay of the last batch the latest snapshot's
+    doc/token counts are unchanged."""
+    import os
+
+    from next_plaid_spark.streaming.ingest import (StreamingIndexWriter,
+                                                   latest_index)
+
+    tmp = tmp_path_factory.mktemp("ingestreplay")
+    idx_root = str(tmp / "idx")
+    docs = documents.filter(F.col("doc_id") < 120).cache()
+    b0 = docs.filter(F.col("doc_id") < 60)
+    b1 = docs.filter(F.col("doc_id") >= 60)
+
+    writer = StreamingIndexWriter(spark, idx_root)
+    writer.process_batch(b0, 0)
+    writer.process_batch(b1, 1)
+    before = latest_index(spark, idx_root)
+    assert os.path.basename(before.path) == "v1"
+    n_docs, n_emb = before.meta.num_documents, before.meta.num_embeddings
+    assert n_docs == 120
+
+    writer.process_batch(b1, 1)    # full replay of the last batch
+    after = latest_index(spark, idx_root)
+    assert os.path.basename(after.path) == "v1"
+    assert (after.meta.num_documents, after.meta.num_embeddings) == (
+        n_docs, n_emb)
+    docs.unpersist()
+
+
+def test_streaming_ingest_retain_prunes_old_snapshots(spark, documents,
+                                                      tmp_path_factory):
+    """retain=N keeps the newest N complete snapshots (floor 2 — replay
+    needs the predecessor) and drops the rest after each write."""
+    import os
+
+    from next_plaid_spark.streaming.ingest import (StreamingIndexWriter,
+                                                   _versions, latest_index)
+
+    tmp = tmp_path_factory.mktemp("ingestretain")
+    idx_root = str(tmp / "idx")
+    docs = documents.filter(F.col("doc_id") < 90).cache()
+
+    writer = StreamingIndexWriter(spark, idx_root, retain=2)
+    for i in range(3):
+        writer.process_batch(
+            docs.filter((F.col("doc_id") >= 30 * i)
+                        & (F.col("doc_id") < 30 * (i + 1))), i)
+    assert _versions(idx_root) == [1, 2]
+    assert latest_index(spark, idx_root).meta.num_documents == 90
+    docs.unpersist()
