@@ -1604,6 +1604,68 @@ def _sql_dedup_bloom_stream() -> str:
     )
 
 
+def q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation intake gate END-TO-END through the streaming sink:
+    the train split flows through ``StreamingCurator.process_batch`` in
+    three doc_id-ORDERED range batches (exact fp dedup against the
+    cross-batch ledger + decontamination vs the src0 benchmark shard),
+    and the result is the kept doc_id set read back through ``kept()``.
+    For id-ordered arrival the stream's first-arrival-wins dedup
+    coincides with batch min-doc_id-wins (the stream≡batch theorem,
+    tests/test_streaming_curation.py), so the oracle is simply the BATCH
+    semantics in SQL — the sink's per-batch ledger state, replay-
+    exclusion reads, and kept-reader all sit on the hash path."""
+    import tempfile
+
+    from next_plaid_spark.streaming.curation import StreamingCurator
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != EVAL_SOURCE)
+    root = tempfile.mkdtemp(prefix="curate_stream_gate_")
+    cur = StreamingCurator(
+        spark, root,
+        eval_docs=docs.filter(F.col("source") == EVAL_SOURCE),
+        n=3, max_contamination=CURATE_C_MAX,
+    )
+    mx = train.agg(F.max("doc_id")).first()[0]
+    step = mx // 3 + 1
+    for i in range(3):
+        cur.process_batch(
+            train.filter((F.col("doc_id") >= i * step)
+                         & (F.col("doc_id") < (i + 1) * step)), i)
+    return cur.kept().select("doc_id").orderBy("doc_id")
+
+
+def _sql_curate_stream() -> str:
+    from next_plaid_spark.operators.corpus import sql_contamination
+    from next_plaid_spark.operators.textstats import sql_fingerprint
+
+    return f"""
+WITH fp_all AS (
+{sql_fingerprint()}
+),
+tr AS (
+  SELECT f.doc_id, f.fp
+  FROM fp_all f JOIN documents d USING (doc_id)
+  WHERE d.source <> '{EVAL_SOURCE}'
+),
+first AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM tr
+  ) WHERE rn = 1
+),
+cont AS (
+  SELECT doc_id FROM (
+{sql_contamination(eval_source=EVAL_SOURCE, n=3)}
+  ) WHERE contamination > {CURATE_C_MAX}
+)
+SELECT doc_id FROM first
+WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+ORDER BY doc_id
+""".strip()
+
+
 def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup materialized (Lee et al. '21 keep-first):
     corpus rewritten with every non-first occurrence of a duplicated
@@ -3938,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
         "dedup_bloom_stream": q_dedup_bloom_stream,
+        "curate_stream": q_curate_stream,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -4062,6 +4125,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(),
         "dedup_bloom": _sql_dedup_bloom(),
         "dedup_bloom_stream": _sql_dedup_bloom_stream(),
+        "curate_stream": _sql_curate_stream(),
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],
         "dedup_embedding": _dedup_sqls()[4],
