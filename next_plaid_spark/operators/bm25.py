@@ -192,10 +192,13 @@ class BM25Index:
         a direct overwrite would delete the parquet files this index's
         own lazy plans still read (observed: doclens self-destruct when
         re-saving a loaded index in place). r13 hardening: the staging
-        dir name is unique per save (pid + counter), so concurrent saves
-        to the same path can't clobber each other's staging; the swap
-        renames the old store ASIDE first (never rmtree-then-rename, the
-        r12 form whose crash window left NO index at the load path) —
+        dir name is unique per save, so concurrent saves to the same
+        path can't clobber each other's STAGING (the final swap itself
+        remains last-writer-wins, and two swaps racing the same path can
+        surface as an OSError on the loser — serialize writers per path
+        for deterministic outcomes); the swap renames the old store
+        ASIDE first (never rmtree-then-rename, the r12 form whose crash
+        window left NO index at the load path) —
         the only remaining crash window is between the two renames, and
         it leaves the previous store intact under ``<path>.old-*`` for
         manual recovery. When a LOADED index re-saves onto its own load
@@ -213,6 +216,20 @@ class BM25Index:
         final = path.rstrip("/")
         parent = os.path.dirname(final) or "."
         os.makedirs(parent, exist_ok=True)
+        # reclaim debris from CRASHED saves (unique staging names mean
+        # nothing else ever would) — age-guarded so a concurrent save's
+        # live staging or mid-swap .old dir is never touched
+        import time as _time
+
+        for d in os.listdir(parent):
+            if (d.startswith(os.path.basename(final) + ".tmp-save-")
+                    or d.startswith(os.path.basename(final) + ".old-")):
+                p = os.path.join(parent, d)
+                try:
+                    if _time.time() - os.path.getmtime(p) > 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         path = tempfile.mkdtemp(
             dir=parent, prefix=os.path.basename(final) + ".tmp-save-")
 

@@ -764,10 +764,9 @@ def sql_bloom_screen_fold(*, n: int = 3, m: int = BLOOM_BITS,
              f"\n    GROUP BY doc_id, shingle\n  )"
              f"\n  GROUP BY doc_id"
              f"\n  HAVING sum(all_set) * 1.0 / count(*) >= {threshold}\n)"),
-            (f"k{i} AS (\n  SELECT doc_id FROM documents {w}"
-             f"\n  AND doc_id NOT IN (SELECT doc_id FROM flag{i})\n)"
-             if w.strip().upper().startswith("WHERE") else
-             f"k{i} AS (\n  SELECT doc_id FROM (SELECT doc_id FROM documents {w})"
+            # always the subquery form: splicing "AND doc_id NOT IN …"
+            # onto a caller-supplied WHERE would bind wrong under OR
+            (f"k{i} AS (\n  SELECT doc_id FROM (SELECT doc_id FROM documents {w})"
              f"\n  WHERE doc_id NOT IN (SELECT doc_id FROM flag{i})\n)"),
             (f"bits{i} AS (\n  SELECT pos FROM bits{p}"
              f"\n  UNION"

@@ -68,6 +68,10 @@ def _complete_marker(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
+def _fold_tmp_path(root: str) -> str:
+    return root + ".vacuum_tmp"
+
+
 def _batch_dirs(root: str, exclude_batch: int | None = None) -> list[str]:
     """Complete ``b{id}`` subdirs of a state root, minus the in-flight
     batch's own."""
@@ -98,7 +102,11 @@ def _write_batch_dir(df: DataFrame, root: str, batch_id: int) -> None:
 def _migrate_flat_root(root: str) -> None:
     """Adopt a pre-versioned root that holds parquet files directly:
     move it under ``b-1`` (two renames through a resumable staging
-    name). A root that already holds only subdirs is left alone."""
+    name). A root that already holds only subdirs is left alone. The
+    whole protocol (reader, migration, fold) keys completeness on the
+    ``_SUCCESS`` marker — Spark must be writing markers
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs``, the default,
+    not disabled), or committed state would be invisible to readers."""
     tmp = root + ".legacy-tmp"
     if os.path.isdir(root) and any(
             os.path.isfile(os.path.join(root, f)) for f in os.listdir(root)):
@@ -119,7 +127,7 @@ def _recover_fold(root: str) -> None:
     stale = os.path.join(root, "b-1", "_FOLDED")
     if os.path.isfile(stale):  # crash between the rename and cleanup
         os.remove(stale)
-    tmp = root + ".vacuum_tmp"
+    tmp = _fold_tmp_path(root)
     if not os.path.isdir(tmp):
         return
     manifest = os.path.join(tmp, "_FOLDED")
@@ -129,6 +137,11 @@ def _recover_fold(root: str) -> None:
         for nm in names:
             shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
         dest = os.path.join(root, "b-1")
+        if os.path.isdir(dest):
+            # not in the manifest (else the loop above removed it), so it
+            # is an INCOMPLETE b-1 (no _SUCCESS — invisible to readers);
+            # clear it or the rename below raises ENOTEMPTY
+            shutil.rmtree(dest)
         os.replace(tmp, dest)
         os.remove(os.path.join(dest, "_FOLDED"))
     else:
@@ -149,7 +162,7 @@ def _fold_batch_dirs(spark: SparkSession, root: str,
     dirs = _batch_dirs(root, exclude_batch)
     if len(dirs) < 2:
         return 0
-    tmp = root + ".vacuum_tmp"
+    tmp = _fold_tmp_path(root)
     shutil.rmtree(tmp, ignore_errors=True)
     spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_FOLDED"), "w") as f:
@@ -161,6 +174,11 @@ def _fold_batch_dirs(spark: SparkSession, root: str,
     # dropping it earlier would make a crash before the rename look like
     # an incomplete fold and discard the only copy
     dest = os.path.join(root, "b-1")
+    if os.path.isdir(dest):
+        # a complete b-1 is always in dirs (already dropped above), so a
+        # surviving one is INCOMPLETE (no _SUCCESS — invisible to
+        # readers); clear it or the rename raises ENOTEMPTY
+        shutil.rmtree(dest)
     os.replace(tmp, dest)
     os.remove(os.path.join(dest, "_FOLDED"))
     return len(dirs)
@@ -763,9 +781,8 @@ class StreamingBloomDedup:
         return os.path.join(
             self.root, "bloom_counts" if self.counting else "bloom_ledger")
 
-    @staticmethod
-    def _complete(path: str) -> bool:
-        return os.path.isfile(os.path.join(path, "_SUCCESS"))
+    # one definition of completeness module-wide (see _complete_marker)
+    _complete = staticmethod(_complete_marker)
 
     def _versions(self) -> list[tuple[int, int, int, str]]:
         """Sorted (ver, builder_bid, m, path) of state versions on disk."""
@@ -822,7 +839,9 @@ class StreamingBloomDedup:
 
     @property
     def _fold_tmp(self) -> str:
-        return self._kept_root + ".vacuum_tmp"
+        # the staging name _fold_batch_dirs/_recover_fold derive from the
+        # root — exposed for tests that simulate crashed folds
+        return _fold_tmp_path(self._kept_root)
 
     def _fold_kept(self, exclude_batch: int | None = None) -> int:
         """Merge the (committed, non-excluded) kept/b{id} dirs into

@@ -58,6 +58,13 @@ class StreamingAsofEnricher:
         self.left_filter = left_filter
         self.right_filter = right_filter
         self.tie_col = tie_col
+        from next_plaid_spark.streaming.curation import (_migrate_flat_root,
+                                                         _recover_fold)
+
+        # adopt a pre-r13 flat enriched/ dir (old append layout) as b-1 —
+        # the per-batch reader would otherwise silently drop it
+        _migrate_flat_root(self._enriched_path)
+        _recover_fold(self._enriched_path)
 
     @property
     def _enriched_path(self) -> str:

@@ -83,16 +83,27 @@ class StreamingSearcher:
         if self._sink_path:
             # idempotent per-batch overwrite (r13): a replayed batch
             # rewrites ITS results instead of appending a second copy;
-            # read the sink back with results() (unions the b* dirs)
+            # read the sink back with results_df() (unions the b* dirs)
             out.write.mode("overwrite").parquet(
                 os.path.join(self._sink_path, f"b{int(batch_id)}"))
         else:
+            # same idempotence for the in-memory accumulator: a replayed
+            # batch REPLACES its prior rows instead of appending again
+            self.results = [r for r in self.results
+                            if r.batch_id != int(batch_id)]
             self.results.extend(out.collect())
 
     def attach(self, stream_df: DataFrame, checkpoint: str, *,
                sink_path: str | None = None):
         """stream_df(query_id, text) → running StreamingQuery."""
         self._sink_path = sink_path
+        if sink_path:
+            from next_plaid_spark.streaming.curation import (
+                _migrate_flat_root, _recover_fold)
+
+            # adopt a pre-r13 flat results dir (old append layout) as b-1
+            _migrate_flat_root(sink_path)
+            _recover_fold(sink_path)
         return (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)
