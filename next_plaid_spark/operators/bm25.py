@@ -233,16 +233,32 @@ class BM25Index:
         path = tempfile.mkdtemp(
             dir=parent, prefix=os.path.basename(final) + ".tmp-save-")
 
+        def _heartbeat() -> None:
+            # refresh the staging ROOT's mtime between write phases (r14,
+            # closes the r13 ADVICE item): the debris sweep above keys
+            # reclamation on the root's age, but Spark's phase writes only
+            # touch nested dirs — a save whose single phase exceeds the 1h
+            # guard would look stale to a CONCURRENT save and be deleted
+            # mid-write. With a touch per phase, an in-progress save's
+            # root is never older than its longest single phase.
+            try:
+                os.utime(path, None)
+            except OSError:
+                pass
+
         (self.postings.repartitionByRange(F.col("term"))
          .sortWithinPartitions("term", "doc_id")
          .write.mode("overwrite").parquet(os.path.join(path, "postings")))
+        _heartbeat()
         self.doclens.write.mode("overwrite").parquet(
             os.path.join(path, "doclens"))
+        _heartbeat()
         if self.positions is not None:
             (self.positions.repartitionByRange(F.col("term"))
              .sortWithinPartitions("term", "doc_id", "pos")
              .write.mode("overwrite").parquet(
                  os.path.join(path, "positions")))
+            _heartbeat()
         # persist per-term stats (df + the max_sat prune bound) so a
         # loaded index never re-aggregates the postings per query;
         # hand-constructed indexes (e.g. the incremental-update merge)
@@ -265,6 +281,7 @@ class BM25Index:
         (df_src.repartitionByRange(F.col("term"))
          .sortWithinPartitions("term")
          .write.mode("overwrite").parquet(os.path.join(path, "term_stats")))
+        _heartbeat()
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
                        "tokenizer": self.tokenizer,

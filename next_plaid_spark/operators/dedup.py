@@ -731,17 +731,11 @@ GROUP BY doc_id
 """.strip()
 
 
-def sql_bloom_screen_fold(*, n: int = 3, m: int = BLOOM_BITS,
-                          k: int = BLOOM_HASHES, threshold: float = 0.5,
-                          batch_wheres: list[str]) -> str:
-    """DuckDB mirror of the ``StreamingBloomDedup`` batch fold: batch i
-    (a WHERE clause over ``documents``) is screened against the Bloom
-    bits of the KEPT docs of batches < i — ``bloom_screen_batch`` folded
-    in order, which is exactly the semantics the sink's versioned ledger
-    reproduces (tests pin stream ≡ fold; the gate entry hash-checks the
-    fold end-to-end THROUGH the sink, in-flight compaction included).
-    Batch 0 is kept wholesale; a doc with no shingles is never flagged.
-    Returns the kept doc_ids."""
+def _bloom_fold_ctes(batch_wheres: list[str], *, n: int, m: int, k: int,
+                     threshold: float) -> list[str]:
+    """The shared CTE chain of the Bloom screen fold: ``k{i}`` = kept
+    doc_ids of batch i, ``bits{i}`` = set-bit positions of kept batches
+    ≤ i. Used by both fold oracles below."""
     assert batch_wheres, "need at least one batch"
     ctes = [
         f"k0 AS (SELECT doc_id FROM documents {batch_wheres[0]})",
@@ -775,9 +769,86 @@ def sql_bloom_screen_fold(*, n: int = 3, m: int = BLOOM_BITS,
              f"{_sql_shingles_of(f'documents JOIN k{i} USING (doc_id)', n)}"
              f"\n  )), unnest(range(0, {k})) AS r(i)\n)"),
         ]
+    return ctes
+
+
+def sql_bloom_screen_fold(*, n: int = 3, m: int = BLOOM_BITS,
+                          k: int = BLOOM_HASHES, threshold: float = 0.5,
+                          batch_wheres: list[str]) -> str:
+    """DuckDB mirror of the ``StreamingBloomDedup`` batch fold: batch i
+    (a WHERE clause over ``documents``) is screened against the Bloom
+    bits of the KEPT docs of batches < i — ``bloom_screen_batch`` folded
+    in order, which is exactly the semantics the sink's versioned ledger
+    reproduces (tests pin stream ≡ fold; the gate entry hash-checks the
+    fold end-to-end THROUGH the sink, in-flight compaction included).
+    Batch 0 is kept wholesale; a doc with no shingles is never flagged.
+    Returns the kept doc_ids."""
+    ctes = _bloom_fold_ctes(batch_wheres, n=n, m=m, k=k, threshold=threshold)
     union = "\nUNION ALL\n".join(
         f"SELECT doc_id FROM k{i}" for i in range(len(batch_wheres)))
     return "WITH " + ",\n".join(ctes) + f"\n{union}\nORDER BY doc_id"
+
+
+def sql_bloom_screen_retract_fold(*, n: int = 3, m: int = BLOOM_BITS,
+                                  k: int = BLOOM_HASHES,
+                                  threshold: float = 0.5,
+                                  batch_wheres: list[str],
+                                  retract_where: str) -> str:
+    """DuckDB mirror of the counting-mode retract round-trip (r14, puts
+    ``StreamingBloomDedup.retract`` on the hash path): fold the batches
+    as in ``sql_bloom_screen_fold``, then retract the kept docs matching
+    ``retract_where``, and re-ingest the docs the stream had SCREENED
+    OUT (the flagged set) as one more batch. This shape is
+    discriminative both ways: the retracted ids must LEAVE the output
+    (a no-op retract keeps them), and a flagged doc must RE-ENTER iff
+    the content that covered its shingles was retracted (a no-op
+    retract re-blocks every one — re-ingesting the retracted docs
+    themselves would be vacuous, since without retract they are already
+    kept and the re-ingest is blocked, converging to the same set).
+    The counting ledger's post-retract ``cnt > 0`` positions are
+    EXACTLY the shingle positions of the surviving kept corpus (counts
+    are additive per doc-distinct shingle, ``bloom_counts``), so the
+    oracle rebuilds the bit set from the survivors and screens the
+    flagged docs against it. Returns the final kept doc_ids
+    (survivors ∪ re-kept; disjoint since the flagged set was never
+    kept)."""
+    ctes = _bloom_fold_ctes(batch_wheres, n=n, m=m, k=k, threshold=threshold)
+    nb = len(batch_wheres)
+    kept_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id FROM k{i}" for i in range(nb))
+    batch_union = "\n    UNION\n    ".join(
+        f"SELECT doc_id FROM documents {w}" for w in batch_wheres)
+    ctes += [
+        (f"keptall AS (\n    {kept_union}\n)"),
+        # the subquery form, never WHERE-splicing (see k{i} above)
+        (f"surv AS (\n  SELECT doc_id FROM keptall"
+         f"\n  WHERE doc_id NOT IN"
+         f" (SELECT doc_id FROM documents {retract_where})\n)"),
+        (f"flagged AS (\n  SELECT doc_id FROM (\n    {batch_union}\n  )"
+         f"\n  WHERE doc_id NOT IN (SELECT doc_id FROM keptall)\n)"),
+        (f"bitsr AS (\n  SELECT DISTINCT {_sql_bloom_pos('shingle', m)} AS pos"
+         f"\n  FROM (SELECT DISTINCT shingle FROM (\n"
+         f"{_sql_shingles_of('documents JOIN surv USING (doc_id)', n)}"
+         f"\n  )), unnest(range(0, {k})) AS r(i)\n)"),
+        (f"prober AS (\n  SELECT doc_id, shingle,"
+         f" {_sql_bloom_pos('shingle', m)} AS pos"
+         f"\n  FROM (\n"
+         f"{_sql_shingles_of('documents JOIN flagged USING (doc_id)', n)}"
+         f"\n  ), unnest(range(0, {k})) AS r(i)\n)"),
+        (f"flagr AS (\n  SELECT doc_id FROM ("
+         f"\n    SELECT doc_id, shingle,"
+         f" min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set"
+         f"\n    FROM prober p LEFT JOIN bitsr b ON p.pos = b.pos"
+         f"\n    GROUP BY doc_id, shingle\n  )"
+         f"\n  GROUP BY doc_id"
+         f"\n  HAVING sum(all_set) * 1.0 / count(*) >= {threshold}\n)"),
+        ("kr AS (\n  SELECT doc_id FROM flagged"
+         "\n  WHERE doc_id NOT IN (SELECT doc_id FROM flagr)\n)"),
+    ]
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT doc_id FROM surv"
+            + "\nUNION ALL\nSELECT doc_id FROM kr"
+            + "\nORDER BY doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1604,6 +1604,54 @@ def _sql_dedup_bloom_stream() -> str:
     )
 
 
+def q_dedup_bloom_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting-mode retract END-TO-END through the sink (r14, the 94th
+    gate entry): three batches flow through ``StreamingBloomDedup``
+    (counting=True, with the counting-mode in-flight compaction firing
+    at batch 2 via ``vacuum_every=2``), a takedown retracts the kept
+    docs of a sub-corpus (``doc_id % 6 = 1``), and a fourth batch
+    re-ingests the docs the stream had SCREENED OUT. Discriminative
+    both ways: the retracted ids must leave the kept set, and a flagged
+    doc re-enters iff the content covering its shingles was retracted —
+    at sf0.01 that's 83 ids out and 4 back in; a no-op retract would
+    return the unretracted 483. Retract must decrement the counting
+    ledger (strict underflow validation) so the screen's bit set equals
+    the SURVIVORS' — the quiescence-contract logic the r13 verdict
+    asked to pin with a DuckDB fold oracle (index.rs:1823-1843's
+    delete-vs-rebuild economy, in streaming form)."""
+    import tempfile
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="bloom_retract_gate_")
+    dd = StreamingBloomDedup(spark, root, threshold=0.5, n=5,
+                             counting=True, vacuum_every=2)
+    for i in range(3):
+        dd.process_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    # the screened-out set, materialized BEFORE retract rewrites kept/
+    # (bounded by the screen rate, never by corpus size)
+    flagged_ids = [
+        r.doc_id for r in docs.join(dd.kept().select("doc_id"),
+                                    "doc_id", "left_anti")
+        .select("doc_id").collect()
+    ]
+    dd.retract(docs.filter(F.col("doc_id") % 6 == 1))
+    dd.process_batch(docs.filter(F.col("doc_id").isin(flagged_ids)), 3)
+    return dd.kept().select("doc_id").orderBy("doc_id")
+
+
+def _sql_dedup_bloom_retract() -> str:
+    from next_plaid_spark.operators.dedup import sql_bloom_screen_retract_fold
+
+    return sql_bloom_screen_retract_fold(
+        n=5,
+        threshold=0.5,
+        batch_wheres=[f"WHERE doc_id % 3 = {i}" for i in range(3)],
+        retract_where="WHERE doc_id % 6 = 1",
+    )
+
+
 def q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation intake gate END-TO-END through the streaming sink:
     the train split flows through ``StreamingCurator.process_batch`` in
@@ -1626,7 +1674,8 @@ def q_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root,
         eval_docs=docs.filter(F.col("source") == EVAL_SOURCE),
         n=3, max_contamination=CURATE_C_MAX,
-    )
+        vacuum_every=2,  # r14: the curator's mid-stream generational fold
+    )                    # sits on the hash path, like dedup_bloom_stream's
     mx = train.agg(F.max("doc_id")).first()[0]
     step = mx // 3 + 1
     for i in range(3):
@@ -4000,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
         "dedup_bloom_stream": q_dedup_bloom_stream,
+        "dedup_bloom_retract": q_dedup_bloom_retract,
         "curate_stream": q_curate_stream,
         "simhash_fingerprints": q_simhash_fingerprints,
         "dedup_simhash": q_dedup_simhash,
@@ -4125,6 +4175,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(),
         "dedup_bloom": _sql_dedup_bloom(),
         "dedup_bloom_stream": _sql_dedup_bloom_stream(),
+        "dedup_bloom_retract": _sql_dedup_bloom_retract(),
         "curate_stream": _sql_curate_stream(),
         "simhash_fingerprints": _dedup_sqls()[2],
         "dedup_simhash": _dedup_sqls()[3],

@@ -49,19 +49,40 @@ from next_plaid_spark.operators.textstats import fingerprint, quality_score
 
 # ---------------------------------------------------------------------------
 # Per-batch idempotent state dirs — the shared write/read/fold protocol
-# (r13). Every sink in this module persists cross-batch state as parquet
-# under a root; the r12 Bloom-sink audit established the contract all of
-# them need: (a) each batch WRITES as an idempotent overwrite under a
-# batch-derived subdir ``b{batch_id}`` — never ``mode("append")`` to a
-# shared dir, whose replay after a crash between the kept write and the
-# ledger write double-appends the batch; (b) every READ that feeds a
-# batch's decisions EXCLUDES the in-flight batch's own subdir, so a
-# replay re-derives decisions from prior-committed state only; (c) a
-# pre-r13 flat root is migrated into ``b-1`` at construction (the
-# versioned readers would otherwise silently ignore it); (d) ``vacuum``
-# folds the per-batch subdirs into ``b-1`` via a manifest-protected
-# staging dir so a crash mid-fold is repaired, not compounded.
+# (r13, generational since r14). Every sink in this module persists
+# cross-batch state as parquet under a root; the r12 Bloom-sink audit
+# established the contract all of them need: (a) each batch WRITES as an
+# idempotent overwrite under a batch-derived subdir ``b{batch_id}`` —
+# never ``mode("append")`` to a shared dir, whose replay after a crash
+# between the kept write and the ledger write double-appends the batch;
+# (b) every READ that feeds a batch's decisions EXCLUDES the in-flight
+# batch's own subdir, so a replay re-derives decisions from
+# prior-committed state only; (c) a pre-r13 flat root is migrated into
+# ``b-1`` at construction (the versioned readers would otherwise
+# silently ignore it); (d) ``vacuum`` folds per-batch subdirs into
+# GENERATION dirs ``g{seq}`` via a manifest-protected staging dir so a
+# crash mid-fold is repaired, not compounded.
+#
+# Generational folding (r14, closes the r13 VERDICT O(corpus)-rewrite
+# watch item): the r13 fold unioned EVERY committed dir into one
+# ``b-1``, so ``vacuum_every=N`` on a long stream rewrote the whole
+# kept corpus every N batches — O(corpus/N) amortized write cost per
+# batch, which at 100 TB dominates ingest. A fold now merges the new
+# per-batch dirs plus only the generations that are small relative to
+# the accumulated mass (size-tiered, ``_FOLD_RATIO``): generations end
+# up geometrically sized, so each byte is rewritten O(log batches)
+# times over the stream's life instead of once per fold, and a large
+# settled generation is never touched by a fold of small newcomers.
+# Readers union ``b*`` and ``g*`` dirs alike — layout is invisible to
+# row-level semantics.
 # ---------------------------------------------------------------------------
+
+_DIR_RE = re.compile(r"^(b-?\d+|g\d+)$")
+_GEN_RE = re.compile(r"^g(\d+)$")
+
+#: a generation folds into the new one while its bytes are at most this
+#: multiple of the accumulated smaller mass (Bentley-Saxe style tiering)
+_FOLD_RATIO = 2.0
 
 
 def _complete_marker(path: str) -> bool:
@@ -72,14 +93,27 @@ def _fold_tmp_path(root: str) -> str:
     return root + ".vacuum_tmp"
 
 
+def _dir_bytes(path: str) -> int:
+    """Total file bytes under a (flat) parquet dir — the tiering key."""
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
 def _batch_dirs(root: str, exclude_batch: int | None = None) -> list[str]:
-    """Complete ``b{id}`` subdirs of a state root, minus the in-flight
-    batch's own."""
+    """Complete state subdirs of a root — per-batch ``b{id}`` dirs minus
+    the in-flight batch's own, plus the folded generations (``g{seq}``
+    and the legacy/retract target ``b-1``)."""
     if not os.path.isdir(root):
         return []
     out = []
     for d in sorted(os.listdir(root)):
-        if not d.startswith("b"):
+        if not _DIR_RE.match(d):
             continue
         if exclude_batch is not None and d == f"b{exclude_batch}":
             continue
@@ -93,6 +127,37 @@ def _read_batches(spark: SparkSession, root: str,
                   exclude_batch: int | None = None) -> DataFrame | None:
     dirs = _batch_dirs(root, exclude_batch)
     return spark.read.parquet(*dirs) if dirs else None
+
+
+def _read_batches_strict(spark: SparkSession, root: str,
+                         what: str = "state") -> DataFrame:
+    """Reader for the public accessors (``kept()`` / ``enriched()`` /
+    ``results_df()``): raises a descriptive error instead of the opaque
+    zero-path ``spark.read.parquet()`` failure when no batch has
+    committed yet (or ``_SUCCESS`` markers were disabled — see
+    ``_assert_success_markers``)."""
+    dirs = _batch_dirs(root)
+    if not dirs:
+        raise FileNotFoundError(
+            f"no committed {what} batches under {root} — the stream has "
+            "not committed a batch yet (or Spark's _SUCCESS markers are "
+            "disabled, which this protocol requires)")
+    return spark.read.parquet(*dirs)
+
+
+def _assert_success_markers(spark: SparkSession) -> None:
+    """The whole protocol keys completeness on ``_SUCCESS`` markers;
+    with ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``
+    every committed write would be invisible to the readers and the
+    sinks would silently drop kept state. Fail loudly at construction
+    instead (r14, closes the r13 ADVICE item)."""
+    v = (spark.sparkContext._jsc.hadoopConfiguration()
+         .get("mapreduce.fileoutputcommitter.marksuccessfuljobs"))
+    if v is not None and v.strip().lower() == "false":
+        raise RuntimeError(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false: the "
+            "streaming sinks key batch completeness on _SUCCESS markers "
+            "and cannot run without them")
 
 
 def _write_batch_dir(df: DataFrame, root: str, batch_id: int) -> None:
@@ -121,12 +186,17 @@ def _recover_fold(root: str) -> None:
     crash. A staging dir WITH its ``_FOLDED`` manifest is authoritative
     (it holds the full union of the listed dirs): drop whichever of them
     survive and rename the staging in. Without a complete write or the
-    manifest, discard it — every source dir is still intact."""
+    manifest, discard it — every source dir is still intact. The
+    manifest's first line names the destination (``dest=g{seq}``);
+    pre-r14 manifests have no dest line and fold to ``b-1``."""
     import shutil
 
-    stale = os.path.join(root, "b-1", "_FOLDED")
-    if os.path.isfile(stale):  # crash between the rename and cleanup
-        os.remove(stale)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            # crash between the rename and the marker cleanup
+            stale = os.path.join(root, d, "_FOLDED")
+            if _DIR_RE.match(d) and os.path.isfile(stale):
+                os.remove(stale)
     tmp = _fold_tmp_path(root)
     if not os.path.isdir(tmp):
         return
@@ -134,12 +204,16 @@ def _recover_fold(root: str) -> None:
     if _complete_marker(tmp) and os.path.isfile(manifest):
         with open(manifest) as f:
             names = f.read().split()
+        dest_name = "b-1"
+        if names and names[0].startswith("dest="):
+            dest_name = names[0][len("dest="):]
+            names = names[1:]
         for nm in names:
             shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
-        dest = os.path.join(root, "b-1")
+        dest = os.path.join(root, dest_name)
         if os.path.isdir(dest):
             # not in the manifest (else the loop above removed it), so it
-            # is an INCOMPLETE b-1 (no _SUCCESS — invisible to readers);
+            # is an INCOMPLETE dest (no _SUCCESS — invisible to readers);
             # clear it or the rename below raises ENOTEMPTY
             shutil.rmtree(dest)
         os.replace(tmp, dest)
@@ -148,24 +222,62 @@ def _recover_fold(root: str) -> None:
         shutil.rmtree(tmp)
 
 
+def _fold_sources(root: str, exclude_batch: int | None = None,
+                  ratio: float = _FOLD_RATIO) -> list[str]:
+    """Pick the dirs one generational fold merges: every committed
+    per-batch ``b{id}`` dir (minus the in-flight batch's own) plus,
+    smallest-first, each generation whose bytes are ≤ ``ratio`` × the
+    mass accumulated so far. A generation larger than that is settled —
+    it is only rewritten once the newer mass has grown comparable, so
+    each byte moves O(log batches) times over the stream's life. With
+    no new per-batch dirs the accumulated mass is 0 and nothing folds
+    (idempotent re-run)."""
+    batches, gens = [], []
+    for p in _batch_dirs(root, exclude_batch):
+        d = os.path.basename(p)
+        if _GEN_RE.match(d) or d == "b-1":
+            gens.append((_dir_bytes(p), p))
+        else:
+            batches.append(p)
+    sources = list(batches)
+    acc = sum(_dir_bytes(p) for p in batches)
+    if acc > 0:
+        for sz, p in sorted(gens):
+            if sz > ratio * acc:
+                break
+            sources.append(p)
+            acc += sz
+    return sources
+
+
+def _next_gen_name(root: str) -> str:
+    seqs = [int(m.group(1)) for d in os.listdir(root)
+            if (m := _GEN_RE.match(d))]
+    return f"g{max(seqs) + 1 if seqs else 0}"
+
+
 def _fold_batch_dirs(spark: SparkSession, root: str,
                      exclude_batch: int | None = None) -> int:
-    """Merge the (committed, non-excluded) per-batch subdirs into
-    ``b-1``: union staged next to the root together with a manifest
-    naming exactly the dirs it covers, then sources dropped and the
-    staging renamed in. Crash-repair in ``_recover_fold`` — without the
+    """Generational fold: merge the committed, non-excluded per-batch
+    subdirs — plus any generations small enough to promote
+    (``_fold_sources``) — into a NEW generation ``g{seq}``: union staged
+    next to the root together with a manifest naming the destination and
+    exactly the dirs it covers, then sources dropped and the staging
+    renamed in. Crash-repair in ``_recover_fold`` — without the
     manifest, re-running after a partial drop would rebuild the union
     from the SURVIVING dirs only and lose the already-dropped ones."""
     import shutil
 
     _recover_fold(root)
-    dirs = _batch_dirs(root, exclude_batch)
+    dirs = _fold_sources(root, exclude_batch)
     if len(dirs) < 2:
         return 0
+    dest_name = _next_gen_name(root)
     tmp = _fold_tmp_path(root)
     shutil.rmtree(tmp, ignore_errors=True)
     spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_FOLDED"), "w") as f:
+        f.write(f"dest={dest_name}\n")
         f.write("\n".join(os.path.basename(d) for d in dirs))
     for d in dirs:
         shutil.rmtree(d)
@@ -173,11 +285,11 @@ def _fold_batch_dirs(spark: SparkSession, root: str,
     # underscore-prefixed files) and is removed only at the very end —
     # dropping it earlier would make a crash before the rename look like
     # an incomplete fold and discard the only copy
-    dest = os.path.join(root, "b-1")
+    dest = os.path.join(root, dest_name)
     if os.path.isdir(dest):
-        # a complete b-1 is always in dirs (already dropped above), so a
-        # surviving one is INCOMPLETE (no _SUCCESS — invisible to
-        # readers); clear it or the rename raises ENOTEMPTY
+        # dest was fresh when chosen, so a surviving one is INCOMPLETE
+        # (no _SUCCESS — invisible to readers); clear it or the rename
+        # raises ENOTEMPTY
         shutil.rmtree(dest)
     os.replace(tmp, dest)
     os.remove(os.path.join(dest, "_FOLDED"))
@@ -240,13 +352,15 @@ class StreamingCurator:
                  eval_docs: DataFrame | None = None, *, n: int = 3,
                  max_contamination: float = 0.5,
                  min_quality: float | None = None,
-                 quality_model=None):
+                 quality_model=None, vacuum_every: int | None = None):
+        _assert_success_markers(spark)
         self.spark = spark
         self.root = root
         self.n = n
         self.max_contamination = max_contamination
         self.min_quality = min_quality
         self.quality_model = quality_model
+        self.vacuum_every = vacuum_every
         self._ev_path = os.path.join(root, "eval_shingles")
         if not os.path.exists(self._ev_path):
             if eval_docs is None:
@@ -269,6 +383,16 @@ class StreamingCurator:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if (self.vacuum_every and batch_id > 0
+                and batch_id % self.vacuum_every == 0):
+            # in-flight compaction (r14, mirrors StreamingBloomDedup's):
+            # folds ONLY prior-committed dirs — the in-flight batch's own
+            # are excluded — so a replay of this batch re-derives
+            # identical decisions from the identical row set
+            _fold_batch_dirs(self.spark, self._kept_path,
+                             exclude_batch=batch_id)
+            _fold_batch_dirs(self.spark, self._ledger_path,
+                             exclude_batch=batch_id)
         ev = self.spark.read.parquet(self._ev_path)
         d = curate_batch(
             batch_df, ev, n=self.n,
@@ -301,13 +425,14 @@ class StreamingCurator:
         )
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(*_batch_dirs(self._kept_path))
+        return _read_batches_strict(self.spark, self._kept_path, "kept")
 
     def vacuum(self) -> dict:
-        """Fold the per-batch kept/ledger subdirs into ``b-1`` (run only
-        while the stream is stopped with every batch committed — the fold
-        includes the last batch, whose replay could then no longer
-        exclude its own entries)."""
+        """Generational fold of the per-batch kept/ledger subdirs (run
+        only while the stream is stopped with every batch committed —
+        the fold includes the last batch, whose replay could then no
+        longer exclude its own entries). For compaction WITHOUT stopping
+        the stream, construct with ``vacuum_every=N``."""
         return {
             "kept_dirs_merged": _fold_batch_dirs(self.spark,
                                                  self._kept_path),
@@ -365,25 +490,33 @@ def semantic_dedup_batch(embeddings, *, threshold: float = 0.99,
 class StreamingSemanticDedup:
     """foreachBatch sink: embedding stream → semantically deduped corpus.
 
-    Cross-batch state is an LSH BUCKET LEDGER of every kept vector
-    (``(_table, _bucket, vec_id, embedding)`` rows): an arriving vector is
-    dropped iff its cosine to a previously KEPT vector ≥ threshold
-    (first-arrival-wins), where candidates surface only through the
-    (table, bucket) equi-join against the ledger — the arriving batch
-    never scans the kept corpus. Intra-batch ties resolve by the same
-    greedy ascending-id rule (``_greedy_keep``), so a corpus streamed in
-    id order yields EXACTLY ``semantic_dedup_batch``'s kept set
-    (tests/test_streaming_curation.py). Driver-side state per batch is
-    the verified pair/match graph only — bounded by the near-dup rate,
-    never by batch or corpus size.
+    Cross-batch state is an LSH BUCKET LEDGER of every kept vector —
+    ``(_table, _bucket, vec_id)`` rows, ids only (r14, closes the r13
+    VERDICT ledger-amplification watch item: the r13 ledger stored the
+    FULL embedding once per (table, bucket) — ``n_tables`` copies of
+    every kept vector forever; candidate embeddings are now re-read from
+    the kept parquet restricted to the candidate ids, with Parquet
+    vec_id pushdown, exactly as StreamingTextDedup recomputes shingles).
+    An arriving vector is dropped iff its cosine to a previously KEPT
+    vector ≥ threshold (first-arrival-wins), where candidates surface
+    only through the (table, bucket) equi-join against the ledger — the
+    arriving batch never scans the kept corpus. Intra-batch ties resolve
+    by the same greedy ascending-id rule (``_greedy_keep``), so a corpus
+    streamed in id order yields EXACTLY ``semantic_dedup_batch``'s kept
+    set (tests/test_streaming_curation.py). Driver-side state per batch
+    is the verified pair/match graph only — bounded by the near-dup
+    rate, never by batch or corpus size. A pre-r14 ledger (embedding
+    column present) is read by its id columns only — no migration
+    needed.
     """
 
     def __init__(self, spark: SparkSession, root: str, *,
                  threshold: float = 0.99, dim: int = 64,
                  n_tables: int | None = None, n_bits: int | None = None,
-                 seed: int = 42):
+                 seed: int = 42, vacuum_every: int | None = None):
         from next_plaid_spark.operators.dedup import _lsh_params_for_threshold
 
+        _assert_success_markers(spark)
         auto_t, auto_b = _lsh_params_for_threshold(threshold)
         self.spark = spark
         self.root = root
@@ -391,6 +524,7 @@ class StreamingSemanticDedup:
         self.dim = dim
         self.n_tables = n_tables if n_tables is not None else auto_t
         self.n_bits = n_bits if n_bits is not None else auto_b
+        self.vacuum_every = vacuum_every
         for r in (self._kept_path, self._ledger_path):
             _migrate_flat_root(r)
             _recover_fold(r)
@@ -416,27 +550,57 @@ class StreamingSemanticDedup:
 
         if batch_df.isEmpty():
             return
+        if (self.vacuum_every and batch_id > 0
+                and batch_id % self.vacuum_every == 0):
+            # in-flight compaction of prior-committed dirs only (r14)
+            _fold_batch_dirs(self.spark, self._kept_path,
+                             exclude_batch=batch_id)
+            _fold_batch_dirs(self.spark, self._ledger_path,
+                             exclude_batch=batch_id)
         assigned = self._assign(batch_df).cache()
 
-        # cross-batch: candidates via the bucket equi-join against kept.
-        # The ledger read excludes this batch's own entries and the
+        # cross-batch: candidates via the bucket equi-join against the
+        # id-only ledger; candidate EMBEDDINGS come from the kept parquet
+        # restricted to the candidate ids (vec_id pushdown — r14). The
+        # ledger/kept reads exclude this batch's own entries and the
         # writes below are idempotent per-batch overwrites (r13 shared
         # protocol) — replay-exact at any crash point
         blocked = set()
         ledger = _read_batches(self.spark, self._ledger_path,
                                exclude_batch=batch_id)
         if ledger is not None:
-            blocked = {
-                r.vec_id for r in (
-                    assigned.join(
-                        ledger.withColumnRenamed("vec_id", "_kept_id")
-                               .withColumnRenamed("embedding", "_kept_vec"),
-                        ["_table", "_bucket"])
-                    .filter(cosine(F.col("_vec"), F.col("_kept_vec"))
-                            >= self.threshold)
-                    .select(F.col("_id").alias("vec_id")).distinct().collect()
-                )
-            }
+            cand = (
+                assigned.join(
+                    ledger.select("_table", "_bucket",
+                                  F.col("vec_id").alias("_kept_id")),
+                    ["_table", "_bucket"])
+                .select("_id", "_vec", "_kept_id")
+                .dropDuplicates(["_id", "_kept_id"]).cache()
+            )
+            cand_ids = [r._kept_id for r in
+                        cand.select("_kept_id").distinct().collect()]
+            if cand_ids:
+                kept_prior = _read_batches(self.spark, self._kept_path,
+                                           exclude_batch=batch_id)
+                if kept_prior is None:
+                    raise FileNotFoundError(
+                        f"bucket ledger under {self._ledger_path} "
+                        "references kept batches that are missing from "
+                        f"{self._kept_path} — corrupted sink state")
+                old = kept_prior.filter(
+                    F.col("vec_id").isin(cand_ids)
+                ).select(F.col("vec_id").alias("_kept_id"),
+                         F.col("embedding").alias("_kept_vec"))
+                blocked = {
+                    r.vec_id for r in (
+                        cand.join(old, "_kept_id")
+                        .filter(cosine(F.col("_vec"), F.col("_kept_vec"))
+                                >= self.threshold)
+                        .select(F.col("_id").alias("vec_id"))
+                        .distinct().collect()
+                    )
+                }
+            cand.unpersist()
 
         # intra-batch: candidate pairs via the bucket self-join
         a = assigned.select(F.col("_id").alias("ia"), F.col("_vec").alias("va"),
@@ -459,11 +623,11 @@ class StreamingSemanticDedup:
             ~F.col("vec_id").isin(removed))
         kept = kept.cache()
         _write_batch_dir(kept, self._kept_path, batch_id)
+        # ids only (r14): ledger state ≈ kept × n_tables IDS, not vectors
         _write_batch_dir(
             self._assign(kept).select(
                 "_table", "_bucket",
                 F.col("_id").alias("vec_id"),
-                F.col("_vec").alias("embedding"),
             ),
             self._ledger_path, batch_id)
         kept.unpersist()
@@ -478,11 +642,12 @@ class StreamingSemanticDedup:
         )
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(*_batch_dirs(self._kept_path))
+        return _read_batches_strict(self.spark, self._kept_path, "kept")
 
     def vacuum(self) -> dict:
-        """Fold per-batch kept/ledger subdirs into ``b-1`` (quiescent
-        streams only — see StreamingCurator.vacuum)."""
+        """Generational fold of per-batch kept/ledger subdirs (quiescent
+        streams only — see StreamingCurator.vacuum; ``vacuum_every=N``
+        for in-flight compaction)."""
         return {
             "kept_dirs_merged": _fold_batch_dirs(self.spark,
                                                  self._kept_path),
@@ -531,11 +696,14 @@ class StreamingTextDedup:
     the verified pair/match graph, bounded by the near-dup rate."""
 
     def __init__(self, spark: SparkSession, root: str, *,
-                 threshold: float = 0.8, n: int = 3):
+                 threshold: float = 0.8, n: int = 3,
+                 vacuum_every: int | None = None):
+        _assert_success_markers(spark)
         self.spark = spark
         self.root = root
         self.threshold = threshold
         self.n = n
+        self.vacuum_every = vacuum_every
         for r in (self._kept_path, self._ledger_path):
             _migrate_flat_root(r)
             _recover_fold(r)
@@ -557,6 +725,13 @@ class StreamingTextDedup:
 
         if batch_df.isEmpty():
             return
+        if (self.vacuum_every and batch_id > 0
+                and batch_id % self.vacuum_every == 0):
+            # in-flight compaction of prior-committed dirs only (r14)
+            _fold_batch_dirs(self.spark, self._kept_path,
+                             exclude_batch=batch_id)
+            _fold_batch_dirs(self.spark, self._ledger_path,
+                             exclude_batch=batch_id)
         batch_df = batch_df.cache()
 
         # ledger + kept reads exclude this batch's own entries; writes
@@ -573,9 +748,16 @@ class StreamingTextDedup:
             )
             old_ids = [r._old for r in cand_old]
             if old_ids:
-                old_docs = _read_batches(
-                    self.spark, self._kept_path, exclude_batch=batch_id
-                ).filter(
+                kept_prior = _read_batches(
+                    self.spark, self._kept_path, exclude_batch=batch_id)
+                if kept_prior is None:
+                    # a non-empty ledger MUST have kept batches behind it
+                    # (r13 ADVICE: fail descriptively, not AttributeError)
+                    raise FileNotFoundError(
+                        f"band ledger under {self._ledger_path} references "
+                        f"kept batches that are missing from "
+                        f"{self._kept_path} — corrupted sink state")
+                old_docs = kept_prior.filter(
                     F.col("doc_id").isin(old_ids)
                 )
                 blocked = {
@@ -611,11 +793,12 @@ class StreamingTextDedup:
         )
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(*_batch_dirs(self._kept_path))
+        return _read_batches_strict(self.spark, self._kept_path, "kept")
 
     def vacuum(self) -> dict:
-        """Fold per-batch kept/ledger subdirs into ``b-1`` (quiescent
-        streams only — see StreamingCurator.vacuum)."""
+        """Generational fold of per-batch kept/ledger subdirs (quiescent
+        streams only — see StreamingCurator.vacuum; ``vacuum_every=N``
+        for in-flight compaction)."""
         return {
             "kept_dirs_merged": _fold_batch_dirs(self.spark,
                                                  self._kept_path),
@@ -700,8 +883,8 @@ class StreamingBloomDedup:
     Layout::
 
         kept/b{batch_id}/                      overwrite per batch
-        kept/b-1/                              fold target (vacuum /
-                                               retract / legacy migration)
+        kept/g{seq}/                           fold generations (vacuum)
+        kept/b-1/                              retract / legacy migration
         bloom_ledger/v{v}_b{bid}_m{m}/base/    resize rebuild (v>0) or fold
         bloom_ledger/v{v}_b{bid}_m{m}/b{id}/   per-batch bit deltas
         bloom_counts/v{v}_b{bid}_m{m}/         counting snapshots
@@ -722,6 +905,7 @@ class StreamingBloomDedup:
                  vacuum_every: int | None = None):
         from next_plaid_spark.operators.dedup import BLOOM_BITS
 
+        _assert_success_markers(spark)
         self.spark = spark
         self.root = root
         self.threshold = threshold
@@ -844,8 +1028,8 @@ class StreamingBloomDedup:
         return _fold_tmp_path(self._kept_root)
 
     def _fold_kept(self, exclude_batch: int | None = None) -> int:
-        """Merge the (committed, non-excluded) kept/b{id} dirs into
-        ``kept/b-1`` — the shared manifest-protected fold protocol
+        """Generationally merge the (committed, non-excluded) kept/b{id}
+        dirs — the shared manifest-protected fold protocol
         (``_fold_batch_dirs``)."""
         return _fold_batch_dirs(self.spark, self._kept_root, exclude_batch)
 
@@ -881,7 +1065,7 @@ class StreamingBloomDedup:
         return self._bits_of(vs[-1], None) if vs else None
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(*self._kept_dirs())
+        return _read_batches_strict(self.spark, self._kept_root, "kept")
 
     # -- the sink ------------------------------------------------------------
 
@@ -916,7 +1100,7 @@ class StreamingBloomDedup:
     def _compact_inflight(self, vs: list, batch_id: int) -> list:
         """Periodic compaction that NEVER touches the in-flight batch
         (``vacuum_every``, the mid-stream counterpart of ``vacuum``):
-        folds the prior-committed kept/b{id} dirs into kept/b-1 and, in
+        generationally folds the prior-committed kept/b{id} dirs and, in
         bit mode, the latest version's committed deltas into a fresh
         ``v{n+1}_b-1`` version. Every input is prior-committed state —
         the in-flight batch's kept dir and delta are excluded — so a

@@ -49,7 +49,12 @@ class StreamingAsofEnricher:
     def __init__(self, spark: SparkSession, root: str, *,
                  keys, ts_col: str, payload_cols,
                  left_filter: Column, right_filter: Column,
-                 tie_col: str | None = None):
+                 tie_col: str | None = None,
+                 vacuum_every: int | None = None):
+        from next_plaid_spark.streaming.curation import (
+            _assert_success_markers, _migrate_flat_root, _recover_fold)
+
+        _assert_success_markers(spark)
         self.spark = spark
         self.root = root
         self.keys = list(keys)
@@ -58,9 +63,7 @@ class StreamingAsofEnricher:
         self.left_filter = left_filter
         self.right_filter = right_filter
         self.tie_col = tie_col
-        from next_plaid_spark.streaming.curation import (_migrate_flat_root,
-                                                         _recover_fold)
-
+        self.vacuum_every = vacuum_every
         # adopt a pre-r13 flat enriched/ dir (old append layout) as b-1 —
         # the per-batch reader would otherwise silently drop it
         _migrate_flat_root(self._enriched_path)
@@ -95,6 +98,16 @@ class StreamingAsofEnricher:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if (self.vacuum_every and batch_id > 0
+                and batch_id % self.vacuum_every == 0):
+            from next_plaid_spark.streaming.curation import _fold_batch_dirs
+
+            # in-flight compaction of the prior-committed enriched/b{id}
+            # output dirs (r14) — pure layout maintenance: the enriched
+            # dirs never feed decisions, and the in-flight batch's own
+            # dir is excluded, so replay is unaffected
+            _fold_batch_dirs(self.spark, self._enriched_path,
+                             exclude_batch=batch_id)
         rights = batch_df.filter(self.right_filter).select(*self._right_cols())
         # replay-exact (r13): base ledger excludes this batch's own
         # snapshot, and the enriched output is an idempotent overwrite
@@ -143,6 +156,16 @@ class StreamingAsofEnricher:
         )
 
     def enriched(self) -> DataFrame:
-        from next_plaid_spark.streaming.curation import _batch_dirs
+        from next_plaid_spark.streaming.curation import _read_batches_strict
 
-        return self.spark.read.parquet(*_batch_dirs(self._enriched_path))
+        return _read_batches_strict(self.spark, self._enriched_path,
+                                    "enriched")
+
+    def vacuum(self) -> dict:
+        """Generational fold of the per-batch enriched/ dirs (quiescent
+        streams only; ``vacuum_every=N`` for in-flight compaction). The
+        versioned ledger snapshots are already pruned per batch."""
+        from next_plaid_spark.streaming.curation import _fold_batch_dirs
+
+        return {"enriched_dirs_merged": _fold_batch_dirs(
+            self.spark, self._enriched_path)}

@@ -46,9 +46,11 @@ class StreamingSearcher:
                  *, root: str | None = None,
                  params: SearchParams | None = None,
                  follow_updates: bool = False, dim: int = 16,
-                 subset: DataFrame | None = None):
+                 subset: DataFrame | None = None,
+                 vacuum_every: int | None = None):
         if index is None and root is None:
             raise ValueError("need an index or a snapshot root")
+        self.vacuum_every = vacuum_every
         self.spark = spark
         self.root = root
         self.dim = dim
@@ -76,6 +78,15 @@ class StreamingSearcher:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if (self._sink_path and self.vacuum_every and batch_id > 0
+                and batch_id % self.vacuum_every == 0):
+            from next_plaid_spark.streaming.curation import _fold_batch_dirs
+
+            # in-flight compaction of prior-committed result dirs (r14);
+            # results never feed decisions and the in-flight batch's own
+            # dir is excluded — replay unaffected
+            _fold_batch_dirs(self.spark, self._sink_path,
+                             exclude_batch=batch_id)
         self._refresh()
         out = self._searcher.search(
             encode_queries(batch_df, dim=self.dim), subset=self.subset
@@ -99,8 +110,9 @@ class StreamingSearcher:
         self._sink_path = sink_path
         if sink_path:
             from next_plaid_spark.streaming.curation import (
-                _migrate_flat_root, _recover_fold)
+                _assert_success_markers, _migrate_flat_root, _recover_fold)
 
+            _assert_success_markers(self.spark)
             # adopt a pre-r13 flat results dir (old append layout) as b-1
             _migrate_flat_root(sink_path)
             _recover_fold(sink_path)
@@ -113,9 +125,20 @@ class StreamingSearcher:
 
     def results_df(self) -> DataFrame:
         """All delivered results (parquet sink mode): union of the
-        per-batch dirs."""
-        from next_plaid_spark.streaming.curation import _batch_dirs
+        per-batch dirs. Raises a descriptive error if no batch has
+        committed yet (r13 ADVICE — not an opaque zero-path read)."""
+        from next_plaid_spark.streaming.curation import _read_batches_strict
 
         if not self._sink_path:
             raise ValueError("no sink_path — results are in .results")
-        return self.spark.read.parquet(*_batch_dirs(self._sink_path))
+        return _read_batches_strict(self.spark, self._sink_path, "result")
+
+    def vacuum(self) -> dict:
+        """Generational fold of the per-batch result dirs (quiescent
+        streams only; ``vacuum_every=N`` for in-flight compaction)."""
+        from next_plaid_spark.streaming.curation import _fold_batch_dirs
+
+        if not self._sink_path:
+            return {"result_dirs_merged": 0}
+        return {"result_dirs_merged": _fold_batch_dirs(
+            self.spark, self._sink_path)}

@@ -580,7 +580,7 @@ def test_bloom_vacuum_bits_mode(spark, tmp_path_factory):
 
     stats = dd.vacuum()
     assert stats["kept_dirs_merged"] == 3 and stats["deltas_folded"] == 3
-    assert [os.path.basename(d) for d in dd._kept_dirs()] == ["b-1"]
+    assert [os.path.basename(d) for d in dd._kept_dirs()] == ["g0"]
     assert len(dd._versions()) == 1
     assert sorted(r.doc_id for r in dd.kept().collect()) == kept_before
     assert {r.pos for r in dd.ledger_bits().collect()} == bits_before
@@ -927,3 +927,286 @@ def test_text_dedup_vacuum_and_legacy_migration(spark, tmp_path_factory):
         [(4, base), (5, "yet another entirely distinct closing line")],
         DOC_SCHEMA), 1)
     assert sorted(r.doc_id for r in dd.kept().collect()) == [1, 3, 5]
+
+
+# ---------------------------------------------------------------------------
+# r14: generational (size-tiered) folds — each byte rewritten O(log batches)
+# times; a settled large generation is never touched by a fold of small
+# newcomers (closes the r13 VERDICT O(corpus)-rewrite watch item)
+# ---------------------------------------------------------------------------
+
+
+def _write_ids(spark, path, lo, hi, files=1):
+    (spark.range(lo, hi).withColumnRenamed("id", "doc_id")
+     .coalesce(files).write.parquet(path))
+
+
+def test_generational_fold_spares_large_generation(spark, tmp_path_factory):
+    """A fold with only small per-batch dirs foldable must NOT rewrite a
+    large settled generation: its files' inodes and mtimes are untouched
+    and it stays listed alongside the new small generation."""
+    from next_plaid_spark.streaming.curation import (_batch_dirs,
+                                                     _fold_batch_dirs)
+
+    root = str(tmp_path_factory.mktemp("genfold") / "state")
+    g0 = os.path.join(root, "g0")
+    _write_ids(spark, g0, 0, 50000, files=2)            # the big generation
+    for i in range(3):                                  # three small batches
+        _write_ids(spark, os.path.join(root, f"b{i}"),
+                   100000 + 10 * i, 100000 + 10 * i + 5)
+
+    stat_before = {
+        f: (os.stat(os.path.join(g0, f)).st_ino,
+            os.stat(os.path.join(g0, f)).st_mtime_ns)
+        for f in os.listdir(g0)
+    }
+    merged = _fold_batch_dirs(spark, root)
+    assert merged == 3                                  # only the b dirs
+    names = sorted(os.path.basename(d) for d in _batch_dirs(root))
+    assert names == ["g0", "g1"]
+    stat_after = {
+        f: (os.stat(os.path.join(g0, f)).st_ino,
+            os.stat(os.path.join(g0, f)).st_mtime_ns)
+        for f in os.listdir(g0)
+    }
+    assert stat_after == stat_before                    # byte-untouched
+    assert spark.read.parquet(*_batch_dirs(root)).count() == 50000 + 15
+
+    # idempotent: nothing new to fold (two stable generations)
+    assert _fold_batch_dirs(spark, root) == 0
+
+    # new small batches + the small g1 promote together into g2; the
+    # big g0 is STILL untouched
+    for i in range(3, 5):
+        _write_ids(spark, os.path.join(root, f"b{i}"),
+                   100000 + 10 * i, 100000 + 10 * i + 5)
+    merged2 = _fold_batch_dirs(spark, root)
+    assert merged2 == 3                                 # b3, b4, g1
+    names = sorted(os.path.basename(d) for d in _batch_dirs(root))
+    assert names == ["g0", "g2"]
+    assert spark.read.parquet(*_batch_dirs(root)).count() == 50000 + 25
+
+
+def test_generational_fold_crash_recovery_new_manifest(spark,
+                                                       tmp_path_factory):
+    """Crash repair with the r14 manifest (first line ``dest=g{seq}``):
+    a staged fold that dropped one source is finished to the named
+    generation; no rows lost."""
+    import shutil
+
+    from next_plaid_spark.streaming.curation import (_batch_dirs,
+                                                     _fold_tmp_path,
+                                                     _recover_fold)
+
+    root = str(tmp_path_factory.mktemp("genfoldcrash") / "state")
+    for i in range(2):
+        _write_ids(spark, os.path.join(root, f"b{i}"), 10 * i, 10 * i + 5)
+    tmp = _fold_tmp_path(root)
+    spark.read.parquet(*_batch_dirs(root)).write.parquet(tmp)
+    with open(os.path.join(tmp, "_FOLDED"), "w") as f:
+        f.write("dest=g4\nb0\nb1")
+    shutil.rmtree(os.path.join(root, "b0"))             # partial drop
+
+    _recover_fold(root)
+    names = sorted(os.path.basename(d) for d in _batch_dirs(root))
+    assert names == ["g4"]
+    assert not os.path.isdir(tmp)
+    assert spark.read.parquet(*_batch_dirs(root)).count() == 10
+
+
+def test_curator_auto_vacuum_matches_unvacuumed(spark, tmp_path_factory):
+    """vacuum_every=N on the curator (r13 VERDICT item 2: extend the
+    Bloom sink's in-flight compaction to the other sinks): identical
+    kept set, bounded dir count, and a replay of the fold-triggering
+    batch converges."""
+    from next_plaid_spark.streaming.curation import StreamingCurator
+
+    tmp = tmp_path_factory.mktemp("curautovac")
+    b3 = [(7, "yet another novel document body", "web"),
+          (8, "the quick brown fox jumps over dogs", "web")]   # dup of 1
+    b4 = [(9, "final fresh unique line of words", "web")]
+    batches = [BATCH1, BATCH2, b3, b4]
+    ev = spark.createDataFrame(EVAL, SCHEMA)
+    plain = StreamingCurator(spark, str(tmp / "plain"), eval_docs=ev,
+                             max_contamination=0.5)
+    auto = StreamingCurator(spark, str(tmp / "auto"), eval_docs=ev,
+                            max_contamination=0.5, vacuum_every=2)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, SCHEMA)
+        plain.process_batch(df, i)
+        auto.process_batch(df, i)
+    kp = sorted(r.doc_id for r in plain.kept().collect())
+    ka = sorted(r.doc_id for r in auto.kept().collect())
+    assert kp == ka
+    from next_plaid_spark.streaming.curation import _batch_dirs
+    assert len(_batch_dirs(str(tmp / "plain" / "kept"))) == 4
+    assert len(_batch_dirs(str(tmp / "auto" / "kept"))) <= 3
+
+    # replay the fold-triggering batch wholesale — converges
+    auto.process_batch(spark.createDataFrame(batches[2], SCHEMA), 2)
+    assert sorted(r.doc_id for r in auto.kept().collect()) == kp
+    kept_rows = [r.doc_id for r in auto.kept().collect()]
+    assert len(kept_rows) == len(set(kept_rows))
+
+
+def test_text_dedup_auto_vacuum_matches_unvacuumed(spark, tmp_path_factory):
+    from next_plaid_spark.streaming.curation import (StreamingTextDedup,
+                                                     _batch_dirs)
+
+    tmp = tmp_path_factory.mktemp("txtautovac")
+    plain = StreamingTextDedup(spark, str(tmp / "plain"), threshold=0.5)
+    auto = StreamingTextDedup(spark, str(tmp / "auto"), threshold=0.5,
+                              vacuum_every=2)
+    for i, rows in enumerate(_five_batches()):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        plain.process_batch(df, i)
+        auto.process_batch(df, i)
+    kp = sorted(r.doc_id for r in plain.kept().collect())
+    ka = sorted(r.doc_id for r in auto.kept().collect())
+    assert kp == ka
+    assert len(_batch_dirs(str(tmp / "plain" / "kept"))) == 5
+    assert len(_batch_dirs(str(tmp / "auto" / "kept"))) <= 3
+
+    # replay of the last fold-triggering batch converges
+    auto.process_batch(
+        spark.createDataFrame(_five_batches()[4], DOC_SCHEMA), 4)
+    assert sorted(r.doc_id for r in auto.kept().collect()) == kp
+
+
+def test_semantic_dedup_auto_vacuum_matches_unvacuumed(spark,
+                                                       tmp_path_factory):
+    from next_plaid_spark.streaming.curation import (StreamingSemanticDedup,
+                                                     _batch_dirs)
+
+    tmp = tmp_path_factory.mktemp("semautovac")
+    b1, b2 = _emb_batches()
+    b3 = [(7, _unit([0.0, 0.0, 0.0, 1.0])),            # isolated
+          (8, _unit([1.0, 0.2, 0.0, 0.1001]))]         # ~1 (kept) → dropped
+    b4 = [(9, _unit([0.5, 0.5, 0.5, 0.5]))]            # isolated
+    batches = [b1, b2, b3, b4]
+    plain = StreamingSemanticDedup(spark, str(tmp / "plain"),
+                                   threshold=0.999, dim=4)
+    auto = StreamingSemanticDedup(spark, str(tmp / "auto"),
+                                  threshold=0.999, dim=4, vacuum_every=2)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EMB_SCHEMA)
+        plain.process_batch(df, i)
+        auto.process_batch(df, i)
+    kp = sorted(r.vec_id for r in plain.kept().collect())
+    ka = sorted(r.vec_id for r in auto.kept().collect())
+    assert kp == ka
+    assert len(_batch_dirs(str(tmp / "plain" / "kept"))) == 4
+    assert len(_batch_dirs(str(tmp / "auto" / "kept"))) <= 3
+
+    auto.process_batch(spark.createDataFrame(batches[2], EMB_SCHEMA), 2)
+    assert sorted(r.vec_id for r in auto.kept().collect()) == kp
+
+
+# ---------------------------------------------------------------------------
+# r14: semantic-dedup ledger de-amplification (ids only; candidate
+# embeddings re-read from the kept parquet with vec_id pushdown)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_ledger_stores_ids_only(spark, tmp_path_factory):
+    """r13 VERDICT item 3: the bucket ledger must carry NO embedding
+    column (state ≈ kept × n_tables IDS), and cross-batch near-dups must
+    still be blocked through the kept-parquet id join."""
+    from next_plaid_spark.streaming.curation import StreamingSemanticDedup
+
+    tmp = tmp_path_factory.mktemp("semidsonly")
+    b1, b2 = _emb_batches()
+    dd = StreamingSemanticDedup(spark, str(tmp / "root"),
+                                threshold=0.999, dim=4)
+    dd.process_batch(spark.createDataFrame(b1, EMB_SCHEMA), 0)
+    ledger = spark.read.parquet(str(tmp / "root" / "bucket_ledger" / "b0"))
+    assert sorted(ledger.columns) == ["_bucket", "_table", "vec_id"]
+
+    dd.process_batch(spark.createDataFrame(b2, EMB_SCHEMA), 1)
+    kept = sorted(r.vec_id for r in dd.kept().collect())
+    assert 4 not in kept and 6 not in kept   # cross-batch dups of 3 and 1
+    assert {1, 3, 5} <= set(kept)
+
+
+def test_semantic_legacy_ledger_with_embeddings_still_read(
+        spark, tmp_path_factory):
+    """A pre-r14 ledger (embedding column present) keeps working: the
+    reads select the id columns only, so no migration is needed."""
+    from next_plaid_spark.streaming.curation import StreamingSemanticDedup
+
+    tmp = tmp_path_factory.mktemp("semlegacyledger")
+    root = tmp / "root"
+    b1, b2 = _emb_batches()
+    legacy = spark.createDataFrame(b1, EMB_SCHEMA)
+    dd = StreamingSemanticDedup(spark, str(root), threshold=0.999, dim=4)
+    # write batch-0 state in the r13 shape: kept rows + a ledger that
+    # STILL carries the embedding payload per (table, bucket)
+    legacy.write.parquet(str(root / "kept" / "b0"))
+    dd._assign(legacy).select(
+        "_table", "_bucket", F.col("_id").alias("vec_id"),
+        F.col("_vec").alias("embedding"),
+    ).write.parquet(str(root / "bucket_ledger" / "b0"))
+
+    dd.process_batch(spark.createDataFrame(b2, EMB_SCHEMA), 1)
+    kept = sorted(r.vec_id for r in dd.kept().collect())
+    assert 4 not in kept and 6 not in kept
+    assert 5 in kept
+
+
+# ---------------------------------------------------------------------------
+# r14 ADVICE closures: strict kept()/results_df() reads and the _SUCCESS
+# marker requirement enforced at construction
+# ---------------------------------------------------------------------------
+
+
+def test_kept_before_any_batch_raises_descriptive(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("keptempty")
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    with _pytest.raises(FileNotFoundError, match="no committed kept batches"):
+        dd.kept()
+
+
+def test_text_dedup_missing_kept_behind_ledger_raises(spark,
+                                                      tmp_path_factory):
+    """r13 ADVICE: a ledger that references kept batches which are gone
+    must raise a descriptive error, not AttributeError on None."""
+    import shutil
+
+    import pytest as _pytest
+
+    from next_plaid_spark.streaming.curation import StreamingTextDedup
+
+    tmp = tmp_path_factory.mktemp("txtmissingkept")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dd = StreamingTextDedup(spark, str(tmp / "root"), threshold=0.5)
+    dd.process_batch(spark.createDataFrame([(1, base)], DOC_SCHEMA), 0)
+    shutil.rmtree(str(tmp / "root" / "kept"))           # corrupt the state
+    with _pytest.raises(FileNotFoundError, match="corrupted sink state"):
+        dd.process_batch(
+            spark.createDataFrame([(2, base + " tail")], DOC_SCHEMA), 1)
+
+
+def test_disabled_success_markers_fail_loudly(spark, tmp_path_factory):
+    """r13 ADVICE: with marksuccessfuljobs=false the protocol would
+    silently drop committed state — construction must fail instead."""
+    import pytest as _pytest
+
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("nomarkers")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = conf.get(key)
+    conf.set(key, "false")
+    try:
+        with _pytest.raises(RuntimeError, match="_SUCCESS"):
+            StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5)
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
