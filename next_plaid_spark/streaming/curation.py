@@ -256,30 +256,26 @@ def _next_gen_name(root: str) -> str:
     return f"g{max(seqs) + 1 if seqs else 0}"
 
 
-def _fold_batch_dirs(spark: SparkSession, root: str,
-                     exclude_batch: int | None = None) -> int:
-    """Generational fold: merge the committed, non-excluded per-batch
-    subdirs — plus any generations small enough to promote
-    (``_fold_sources``) — into a NEW generation ``g{seq}``: union staged
-    next to the root together with a manifest naming the destination and
-    exactly the dirs it covers, then sources dropped and the staging
-    renamed in. Crash-repair in ``_recover_fold`` — without the
-    manifest, re-running after a partial drop would rebuild the union
-    from the SURVIVING dirs only and lose the already-dropped ones."""
+def _stage_swap(root: str, sources: list[str], dest_name: str,
+                write_staged) -> None:
+    """The manifest-protected swap tail shared by the generational fold
+    and the Bloom sink's O(affected)-retract: ``write_staged(tmp)``
+    leaves the intended replacement for ``sources`` at the staging path
+    (their union, or a filtered union); then a manifest naming the
+    destination and exactly the covered dirs is written, the sources
+    dropped, and the staging renamed in. Crash-repair in
+    ``_recover_fold`` — without the manifest, re-running after a
+    partial drop would rebuild from the SURVIVING dirs only and lose
+    the already-dropped ones."""
     import shutil
 
-    _recover_fold(root)
-    dirs = _fold_sources(root, exclude_batch)
-    if len(dirs) < 2:
-        return 0
-    dest_name = _next_gen_name(root)
     tmp = _fold_tmp_path(root)
     shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+    write_staged(tmp)
     with open(os.path.join(tmp, "_FOLDED"), "w") as f:
         f.write(f"dest={dest_name}\n")
-        f.write("\n".join(os.path.basename(d) for d in dirs))
-    for d in dirs:
+        f.write("\n".join(os.path.basename(d) for d in sources))
+    for d in sources:
         shutil.rmtree(d)
     # the manifest rides along through the rename (Spark ignores
     # underscore-prefixed files) and is removed only at the very end —
@@ -293,6 +289,22 @@ def _fold_batch_dirs(spark: SparkSession, root: str,
         shutil.rmtree(dest)
     os.replace(tmp, dest)
     os.remove(os.path.join(dest, "_FOLDED"))
+
+
+def _fold_batch_dirs(spark: SparkSession, root: str,
+                     exclude_batch: int | None = None) -> int:
+    """Generational fold: merge the committed, non-excluded per-batch
+    subdirs — plus any generations small enough to promote
+    (``_fold_sources``) — into a NEW generation ``g{seq}`` via the
+    manifest-protected ``_stage_swap``."""
+    _recover_fold(root)
+    dirs = _fold_sources(root, exclude_batch)
+    if len(dirs) < 2:
+        return 0
+    _stage_swap(
+        root, dirs, _next_gen_name(root),
+        lambda tmp: spark.read.parquet(*dirs)
+        .write.mode("overwrite").parquet(tmp))
     return len(dirs)
 
 
@@ -1208,17 +1220,30 @@ class StreamingBloomDedup:
         (``strict=True``): an underflow always means the tracked state
         diverged and raises instead of corrupting the invariant.
 
+        O(affected) on disk (r14): only the kept dirs that actually
+        CONTAIN a retracted doc are rewritten — their filtered union
+        lands as a new generation via the manifest-protected
+        ``_stage_swap`` — so a takedown of a few docs in a 100 TB kept
+        corpus rewrites a few dirs, not the corpus (the r13 form merged
+        EVERYTHING into one b-1). Affected dirs are found in one job
+        (``input_file_name`` + semi join); untouched dirs keep their
+        bytes. A crash mid-swap is repaired at the next construction; a
+        crash between the counts write and the kept swap leaves counts
+        already decremented — re-running the same retract then raises
+        the strict underflow error (loud) rather than silently
+        double-decrementing.
+
         QUIESCENCE CONTRACT (r13, like ``vacuum``): retract() must only
         run while the stream is stopped with every batch committed. It
-        both stacks a ``b-1`` version on the ledger and MERGES all
-        ``kept/b{id}`` dirs into ``kept/b-1`` — if the last batch were
+        both stacks a ``b-1`` version on the ledger and may fold the
+        last batch's kept dir into a generation — if that batch were
         still uncommitted, its replay could no longer be excluded from
-        the kept/ reads (its docs now live in b-1), so the batch would
-        screen against its own output and rewrite its kept dir
-        near-empty. ``_active_versions`` truncates at the first same-bid
-        version as defense in depth on the ledger side, but the kept/
-        merge is inherently irreversible — run retract only quiescent."""
-        import shutil
+        the kept/ reads, so the batch would screen against its own
+        output and rewrite its kept dir near-empty. ``_active_versions``
+        truncates at the first same-bid version as defense in depth on
+        the ledger side, but the kept/ fold is inherently irreversible —
+        run retract only quiescent."""
+        from urllib.parse import unquote, urlparse
 
         from next_plaid_spark.operators.dedup import bloom_counts_delta
 
@@ -1228,6 +1253,7 @@ class StreamingBloomDedup:
         vs = self._versions()
         if not vs:
             return
+        self._recover_kept_fold()
         ver_no, _bid, m, path = vs[-1]
         kept = self.kept()
         gone = kept.join(remove.select("doc_id"), "doc_id", "left_semi").cache()
@@ -1240,13 +1266,24 @@ class StreamingBloomDedup:
         ).write.parquet(os.path.join(
             self._state_root, f"v{ver_no + 1}_b-1_m{m}"))
 
-        survivors = kept.join(remove.select("doc_id"), "doc_id", "left_anti")
-        tmp = self._kept_root + ".retract_tmp"
-        survivors.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self._kept_root)
-        os.makedirs(self._kept_root)
-        os.replace(tmp, os.path.join(self._kept_root, "b-1"))
+        # dirs holding at least one retracted doc, in one pass
+        hit = (
+            kept.withColumn("_f", F.input_file_name())
+            .join(remove.select("doc_id"), "doc_id", "left_semi")
+            .select("_f").distinct().collect()
+        )
+        affected = sorted({
+            os.path.dirname(unquote(urlparse(r._f).path)) for r in hit
+        })
         gone.unpersist()
+        if not affected:
+            return
+        remove_ids = remove.select("doc_id")
+        _stage_swap(
+            self._kept_root, affected, _next_gen_name(self._kept_root),
+            lambda tmp: self.spark.read.parquet(*affected)
+            .join(remove_ids, "doc_id", "left_anti")
+            .write.mode("overwrite").parquet(tmp))
 
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Compact the sink's per-batch state dirs (r13, closes the

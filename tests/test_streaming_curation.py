@@ -1210,3 +1210,59 @@ def test_disabled_success_markers_fail_loudly(spark, tmp_path_factory):
             conf.unset(key)
         else:
             conf.set(key, old)
+
+
+def test_retract_rewrites_only_affected_dirs(spark, tmp_path_factory):
+    """r14: retract folds ONLY the kept dirs containing retracted docs
+    into a new generation; untouched dirs keep their exact bytes — a
+    takedown of a few docs must not rewrite the whole kept corpus."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("retractaffected")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    fresh = "totally new words appear here nothing repeats at all today"
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             counting=True)
+    for i, rows in enumerate(([(1, base)], [(2, other)], [(3, fresh)])):
+        dd.process_batch(spark.createDataFrame(rows, DOC_SCHEMA), i)
+
+    def _stats(d):
+        return {f: (os.stat(os.path.join(d, f)).st_ino,
+                    os.stat(os.path.join(d, f)).st_mtime_ns)
+                for f in os.listdir(d)}
+
+    b1 = str(tmp / "root" / "kept" / "b1")
+    b2 = str(tmp / "root" / "kept" / "b2")
+    before = (_stats(b1), _stats(b2))
+    dd.retract(spark.createDataFrame([(1, "")], DOC_SCHEMA))  # doc 1 ∈ b0
+    # doc 1's dir was folded away; the other two dirs are byte-untouched
+    names = sorted(os.path.basename(d) for d in dd._kept_dirs())
+    assert "b0" not in names and {"b1", "b2"} <= set(names)
+    assert (_stats(b1), _stats(b2)) == before
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [2, 3]
+
+    # the retracted text passes the screen again; the survivors' still
+    # blocks its own dup
+    dd.process_batch(spark.createDataFrame(
+        [(4, base), (5, other)], DOC_SCHEMA), 3)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [2, 3, 4]
+
+
+def test_retract_all_docs_of_a_dir_leaves_readable_state(spark,
+                                                         tmp_path_factory):
+    """Retracting EVERY doc of an affected dir installs an empty (but
+    schema-bearing) generation; kept() stays readable."""
+    from next_plaid_spark.streaming.curation import StreamingBloomDedup
+
+    tmp = tmp_path_factory.mktemp("retractall")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    dd = StreamingBloomDedup(spark, str(tmp / "root"), threshold=0.5,
+                             counting=True)
+    dd.process_batch(spark.createDataFrame(
+        [(1, base), (2, other)], DOC_SCHEMA), 0)
+    dd.retract(spark.createDataFrame([(1, ""), (2, "")], DOC_SCHEMA))
+    assert dd.kept().count() == 0
+    dd.process_batch(spark.createDataFrame([(3, base)], DOC_SCHEMA), 1)
+    assert sorted(r.doc_id for r in dd.kept().collect()) == [3]
