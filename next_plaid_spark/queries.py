@@ -3317,6 +3317,79 @@ FROM m WHERE side = 1
 """.strip()
 
 
+def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming as-of enricher END-TO-END through the sink (r14,
+    95th gate entry): the event log flows through
+    ``StreamingAsofEnricher.process_batch`` in three time-ordered
+    ts-range batches with the r14 in-flight compaction ON
+    (``vacuum_every=2`` folds the prior-committed enriched dirs
+    mid-stream), and the result is read back through ``enriched()``.
+    For time-ordered arrival the one-row-per-key ledger reproduces the
+    batch as-of join EXACTLY (the stream≡batch theorem,
+    tests/test_streaming_enrich.py), so the oracle is simply
+    ``events_asof``'s batch SQL — putting the enricher's versioned
+    ledger, replay-exclusion reads, per-batch output dirs, and
+    generational fold on the hash path."""
+    import tempfile
+
+    from next_plaid_spark.streaming.enrich import StreamingAsofEnricher
+
+    ev = normalize_event_ts(_t(spark, sf_dir, "events")).withColumn(
+        "view_value", F.col("value"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    root = tempfile.mkdtemp(prefix="enrich_stream_gate_")
+    enr = StreamingAsofEnricher(
+        spark, root, keys=["user_id"], ts_col="ts",
+        payload_cols=["view_value"],
+        left_filter=F.col("event_type") == "purchase",
+        right_filter=F.col("event_type") == "view",
+        tie_col="event_id", vacuum_every=2)
+    conds = [F.col("ts") < b1,
+             (F.col("ts") >= b1) & (F.col("ts") < b2),
+             F.col("ts") >= b2]
+    for i, c in enumerate(conds):
+        enr.process_batch(ev.filter(c), i)
+    return enr.enriched().select(
+        "event_id", "user_id", "ts",
+        F.col("asof_view_value").alias("view_value"),
+        F.col("asof_ts").alias("view_ts"),
+        (F.col("ts") - F.col("asof_ts")).alias("gap_us"),
+    )
+
+
+def q_ingest_stream_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming index writer END-TO-END through the sink (r14, 96th
+    gate entry; S8/U8, documents.rs:223-430's ingestion queue): three
+    doc_id-range batches flow through
+    ``StreamingIndexWriter.process_batch`` with snapshot pruning ON
+    (``retain=2`` — v0 is dropped while the stream runs), and the final
+    snapshot's doclens are read back through ``latest_index``. The
+    oracle recomputes every doc's token count from the raw corpus
+    (INDEPENDENT of the index — unlike the funnel oracles, whose
+    sidecars derive from the index itself), so a replay/self-ingest
+    defect that dropped or duplicated any document would hash-mismatch;
+    this is the ingestion-completeness axis the r13 self-ingest fix
+    protects."""
+    import tempfile
+
+    from next_plaid_spark.streaming.ingest import (StreamingIndexWriter,
+                                                   latest_index)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < UPDATE_END)
+    root = tempfile.mkdtemp(prefix="ingest_stream_gate_")
+    w = StreamingIndexWriter(spark, root, dim=16, nbits=4, seed=42,
+                             retain=2)
+    step = UPDATE_END // 3 + 1
+    for i in range(3):
+        w.process_batch(
+            docs.filter((F.col("doc_id") >= i * step)
+                        & (F.col("doc_id") < (i + 1) * step)), i)
+    idx = latest_index(spark, root)
+    return idx.doclens.select("doc_id", "num_tokens")
+
+
 # ---------------------------------------------------------------------------
 # IR quality evaluation (SURVEY §5: the reference gates quality with ranx
 # MAP/NDCG@k/Recall@k — benchmark_scifact_docker.py:1-60; here the
@@ -4100,6 +4173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_props": q_events_props,
         "events_asof": q_events_asof,
+        "enrich_stream": q_enrich_stream,
+        "ingest_stream_doclens": q_ingest_stream_doclens,
         "events_rolling": q_events_rolling,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
@@ -4158,6 +4233,8 @@ def oracle_sql() -> dict[str, str]:
         "ir_eval_bm25": sql_ir_eval_bm25(),
         "ir_eval_plaid": sql_ir_eval_plaid(),
         "events_asof": SQL_EVENTS_ASOF,
+        "enrich_stream": SQL_EVENTS_ASOF,
+        "ingest_stream_doclens": sql_update_append_doclens(),
         "events_rolling": SQL_EVENTS_ROLLING,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_retention": SQL_EVENTS_RETENTION,
