@@ -3317,6 +3317,91 @@ FROM m WHERE side = 1
 """.strip()
 
 
+EVICT_CAP = 90
+
+
+def q_evict_oldest_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eviction sink END-TO-END through the catalog surface (r14,
+    98th gate entry; S9, handlers/documents.rs:500-560): an index is
+    created over the base corpus via ``IndexCatalog.create``, a
+    ``max_documents`` cap is persisted via ``update_config``, and the
+    follow-up ``update()`` append enforces it by evicting the oldest
+    (lowest-id) documents into a new snapshot. The oracle keeps the
+    newest ``EVICT_CAP`` indexed docs by doc_id and recomputes their
+    token counts from the raw corpus — independent of the index, so a
+    miscount in eviction (wrong cutoff, metadata drift, double-delete)
+    hash-mismatches."""
+    import tempfile
+
+    from next_plaid_spark.catalog import IndexCatalog
+
+    docs = _t(spark, sf_dir, "documents")
+    base = encode_documents(docs.filter(F.col("doc_id") < UPDATE_SPLIT))
+    new = encode_documents(docs.filter(
+        (F.col("doc_id") >= UPDATE_SPLIT) & (F.col("doc_id") < UPDATE_END)))
+    cat = IndexCatalog(spark, tempfile.mkdtemp(prefix="evict_gate_"))
+    cat.create("evict", base)
+    cat.update_config("evict", max_documents=EVICT_CAP)
+    li = cat.open("evict").update(new)
+    return li.index.doclens.select("doc_id", "num_tokens")
+
+
+def sql_evict_oldest_doclens() -> str:
+    return f"""
+WITH lens AS (
+  SELECT doc_id,
+         least(len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')), 48) AS num_tokens
+  FROM documents
+  WHERE doc_id < {UPDATE_END}
+    AND len(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')) > 0
+), ranked AS (
+  SELECT doc_id, num_tokens,
+         row_number() OVER (ORDER BY doc_id DESC) AS rn
+  FROM lens
+)
+SELECT doc_id, num_tokens FROM ranked WHERE rn <= {EVICT_CAP}
+""".strip()
+
+
+def q_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming searcher END-TO-END through the parquet sink (r14,
+    97th gate entry; the online-serving surface of search.rs over a
+    query STREAM): the self-query set flows through
+    ``StreamingSearcher.process_batch`` in three query_id-range batches
+    with the parquet sink bound and the generational fold firing
+    MID-STREAM (``vacuum_every=2``), and results are read back through
+    ``results_df()``. The funnel is per-query independent, so the
+    streamed rows must equal the batch funnel's EXACTLY — the oracle is
+    the full DuckDB funnel recompute of ``plaid_search_topk`` — putting
+    the per-batch result dirs, the mid-stream fold, and the strict
+    reader on the hash path."""
+    import tempfile
+
+    from next_plaid_spark.plans.searcher import SearchParams
+    from next_plaid_spark.streaming.search import StreamingSearcher
+
+    idx = _plaid_index(spark, sf_dir)
+    _write_exact_oracle_sidecar(idx)
+    _write_approx_oracle_sidecar(idx)
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    sink = tempfile.mkdtemp(prefix="search_stream_gate_")
+    srch = StreamingSearcher(
+        spark, idx,
+        params=SearchParams(top_k=MAXSIM_TOPK, n_full_scores=256,
+                            keep_best_cell=True),
+        vacuum_every=2, sink_path=sink)
+    third = N_SELF_QUERIES // 3
+    conds = [F.col("query_id") < third,
+             (F.col("query_id") >= third) & (F.col("query_id") < 2 * third),
+             F.col("query_id") >= 2 * third]
+    for i, c in enumerate(conds):
+        srch.process_batch(queries.filter(c), i)
+    return srch.results_df().select("query_id", "doc_id", "score", "rank")
+
+
 def q_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming as-of enricher END-TO-END through the sink (r14,
     95th gate entry): the event log flows through
@@ -4173,6 +4258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_props": q_events_props,
         "events_asof": q_events_asof,
+        "search_stream": q_search_stream,
+        "evict_oldest_doclens": q_evict_oldest_doclens,
         "enrich_stream": q_enrich_stream,
         "ingest_stream_doclens": q_ingest_stream_doclens,
         "events_rolling": q_events_rolling,
@@ -4233,6 +4320,8 @@ def oracle_sql() -> dict[str, str]:
         "ir_eval_bm25": sql_ir_eval_bm25(),
         "ir_eval_plaid": sql_ir_eval_plaid(),
         "events_asof": SQL_EVENTS_ASOF,
+        "search_stream": sql_plaid_search_topk(),
+        "evict_oldest_doclens": sql_evict_oldest_doclens(),
         "enrich_stream": SQL_EVENTS_ASOF,
         "ingest_stream_doclens": sql_update_append_doclens(),
         "events_rolling": SQL_EVENTS_ROLLING,

@@ -47,7 +47,8 @@ class StreamingSearcher:
                  params: SearchParams | None = None,
                  follow_updates: bool = False, dim: int = 16,
                  subset: DataFrame | None = None,
-                 vacuum_every: int | None = None):
+                 vacuum_every: int | None = None,
+                 sink_path: str | None = None):
         if index is None and root is None:
             raise ValueError("need an index or a snapshot root")
         self.vacuum_every = vacuum_every
@@ -65,6 +66,20 @@ class StreamingSearcher:
         self._searcher = BatchSearcher(self._index, self.params)
         self._sink_path: str | None = None
         self.results: list = []  # driver-side accumulator when no sink path
+        if sink_path:
+            # parquet sink bound at construction (r14) — same protocol
+            # attach() applies, for batch-driven use of process_batch
+            self._bind_sink(sink_path)
+
+    def _bind_sink(self, sink_path: str) -> None:
+        from next_plaid_spark.streaming.curation import (
+            _assert_success_markers, _migrate_flat_root, _recover_fold)
+
+        _assert_success_markers(self.spark)
+        # adopt a pre-r13 flat results dir (old append layout) as b-1
+        _migrate_flat_root(sink_path)
+        _recover_fold(sink_path)
+        self._sink_path = sink_path
 
     def _refresh(self) -> None:
         if not (self.follow_updates and self.root):
@@ -107,15 +122,10 @@ class StreamingSearcher:
     def attach(self, stream_df: DataFrame, checkpoint: str, *,
                sink_path: str | None = None):
         """stream_df(query_id, text) → running StreamingQuery."""
-        self._sink_path = sink_path
         if sink_path:
-            from next_plaid_spark.streaming.curation import (
-                _assert_success_markers, _migrate_flat_root, _recover_fold)
-
-            _assert_success_markers(self.spark)
-            # adopt a pre-r13 flat results dir (old append layout) as b-1
-            _migrate_flat_root(sink_path)
-            _recover_fold(sink_path)
+            self._bind_sink(sink_path)
+        else:
+            self._sink_path = None
         return (
             stream_df.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

@@ -60,6 +60,41 @@ def test_stream_equals_batch(spark, served):
     assert {r.batch_id for r in srch.results} == {0, 1}
 
 
+def test_parquet_sink_stream_equals_batch_with_midstream_fold(spark, served):
+    """Parquet-sink mode driven batch-by-batch: per-batch result dirs,
+    a generational fold firing MID-STREAM (vacuum_every=2), and a
+    replayed batch must together still reproduce the batch search rows
+    exactly (and the replay must rewrite, not append)."""
+    tmp, docs, idx = served
+    params = SearchParams(top_k=5, n_full_scores=64)
+    q = docs.filter(F.col("doc_id") < 9).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    sink = str(tmp / "sink_fold")
+    srch = StreamingSearcher(spark, idx, params=params, vacuum_every=2,
+                             sink_path=sink)
+    splits = [q.filter(F.col("query_id") < 3),
+              q.filter((F.col("query_id") >= 3) & (F.col("query_id") < 6)),
+              q.filter(F.col("query_id") >= 6)]
+    for i, part in enumerate(splits):
+        srch.process_batch(part, i)
+    # crash-replay of the in-flight batch (the only batch Structured
+    # Streaming ever redelivers): its vacuum_every fold re-fires as a
+    # no-op (the prior dirs are already one generation) and its result
+    # dir is REWRITTEN, not appended
+    srch.process_batch(splits[2], 2)
+
+    got = {(r.query_id, r.doc_id, r.score, r.rank)
+           for r in srch.results_df().collect()}
+    want = {(r.query_id, r.doc_id, r.score, r.rank)
+            for r in BatchSearcher(idx, params).search(
+                encode_queries(q)).collect()}
+    assert got == want
+    # the replayed batch REPLACED its rows — total row count is exact,
+    # not inflated by a second copy
+    assert srch.results_df().count() == len(want)
+
+
 def test_follow_updates_swaps_snapshot(spark, served, documents):
     """With follow_updates, a version written between batches serves the
     later batch: a query over a doc only present in v1 finds it."""
