@@ -38,6 +38,21 @@ from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_in
 
 REBUILD_THRESHOLD = 999   # lib.rs:47 start_from_scratch
 BUFFER_THRESHOLD = 100    # update.rs:95-108
+
+#: an old bucket file folds into an append's new file while its rows are
+#: at most this multiple of the accumulated smaller mass — the same
+#: Bentley-Saxe tiering as the streaming sinks' generational fold
+#: (streaming/curation.py), applied per bucket to the token files
+DELTA_FOLD_RATIO = 2.0
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet footer — a driver-side metadata read
+    (no data pages), the tiering key for ``update_index_delta``'s
+    per-bucket file folds."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 EXPAND_PTS_PER_CENTROID = 256
 EXPAND_FACTOR = 4
 
@@ -125,8 +140,8 @@ def update_index(
         )
 
     # bucketed layout: paths (b)/(c) are exactly the fused delta with an
-    # empty delete set — route there so the append rewrites only the
-    # buckets owning a new doc_id instead of snapshotting the corpus
+    # empty delete set — route there so the append writes O(batch) new
+    # bucket files (tiered-file appends) instead of snapshotting the corpus
     if index.meta.n_buckets:
         gone = spark.createDataFrame([], "doc_id long")
         return update_index_delta(spark, index, gone, new_doc_tokens,
@@ -228,13 +243,17 @@ def update_index_delta(
 
     ``delete_from_index`` + ``update_index`` each rewrite the corpus-sized
     token table (scan + bucket shuffle + write, twice per update). But the
-    tokens live in a ``bucketBy(n, doc_id)`` table, and a delete/append
-    only changes the buckets that OWN a deleted or appended doc_id — so
-    this path reads just those buckets' parquet files (file-level pruning
-    by the bucket id Spark encodes in the file name), rewrites them minus
-    gone plus re-encoded rows, and hardlinks every clean bucket's files
-    from the previous snapshot (same discipline as CodeIndex's units/
-    layout). doc_stats merges old-minus-gone with the delta's groupBy
+    tokens live in a ``bucketBy(n, doc_id)`` table whose buckets may hold
+    MULTIPLE files (r14): an append lands each bucket's new rows as an
+    additional bucket file, size-tiering in only the old files small
+    relative to the arriving mass (``DELTA_FOLD_RATIO``), and hardlinks
+    every other file forward from the previous snapshot (same discipline
+    as CodeIndex's units/ layout) — per-append token IO is O(batch) with
+    each byte rewritten O(log appends) times, instead of O(corpus) per
+    append (the r13 bucket-granular rule degenerated to that: Murmur3
+    spreads any realistic batch over every bucket). A delete folds the
+    whole bucket owning each gone doc (its rows live in whichever file
+    its arrival batch wrote). doc_stats merges old-minus-gone with the delta's groupBy
     (delta-sized shuffle only); IVF re-derives from the merged doc_stats
     (per-doc code sets, ~avg_doclen× smaller than tokens); meta counts are
     arithmetic. Centroid-expansion policy matches ``update_index`` path
@@ -281,25 +300,57 @@ def update_index_delta(
 
     # bucket id exactly as Spark's bucketed write assigns it:
     # pmod(Murmur3(doc_id), n) — F.hash IS Murmur3 with the bucketing seed
-    # (pinned by test_update_delta's per-file placement check)
+    # (pinned by test_bucketed_tokens' per-file placement check)
     bucket = F.pmod(F.hash(F.col("doc_id")), F.lit(n))
-    dirty = {int(r.b) for r in gone.select(bucket.alias("b")).distinct().collect()}
-    dirty |= {int(r.b) for r in new_ids.select(bucket.alias("b")).distinct().collect()}
+    del_dirty = {int(r.b) for r in gone.select(bucket.alias("b")).distinct().collect()}
+    new_per_bucket = ({
+        int(r.b): int(r["count"])
+        for r in new_doc_tokens.select(bucket.alias("b"))
+        .groupBy("b").count().collect()
+    } if n_new_tokens else {})
 
     old_dir = os.path.join(index.path, "tokens_bucketed")
-    by_bucket: dict[int, list[str]] = {}
+    by_bucket: dict[int, list[tuple[str, int]]] = {}
     for fn in os.listdir(old_dir):
         if fn.startswith((".", "_")):  # _SUCCESS + hidden .crc sidecars
             continue
         m = re.search(r"_(\d+)\.c\d+", fn)
         if m:
+            p = os.path.join(old_dir, fn)
             by_bucket.setdefault(int(m.group(1)), []).append(
-                os.path.join(old_dir, fn))
-    dirty_files = [p for b in dirty for p in by_bucket.get(b, [])]
+                (p, _parquet_rows(p)))
+
+    # Tiered-file appends (r14): Murmur3 spreads any realistic batch's
+    # doc_ids over EVERY bucket, so the r13 rule — rewrite each bucket
+    # owning a new doc_id — rewrote the whole corpus per append. A
+    # bucket's new rows now land as an ADDITIONAL bucket file, folding
+    # in only the old files that are small relative to the arriving mass
+    # (Bentley-Saxe tiering, the same size-tiered rule as the streaming
+    # sinks' generational fold; tiered on exact footer row counts — file
+    # BYTES under-weight small files, whose size is mostly fixed parquet
+    # overhead): per-append token IO is O(batch), each row is rewritten
+    # O(log appends) times over a snapshot chain, and a settled big file
+    # rides forward as a hardlink. Only a bucket that OWNS a deleted doc
+    # folds entirely — a gone doc's rows live in whichever file its
+    # arrival batch wrote, so file-level pruning of deletes needs the
+    # whole bucket read anyway.
+    folded: set[str] = set()
+    for b, files in by_bucket.items():
+        if b in del_dirty:
+            folded.update(p for p, _ in files)
+            continue
+        acc = new_per_bucket.get(b, 0)
+        if acc <= 0:
+            continue
+        for p, rows_in_file in sorted(files, key=lambda t: t[1]):
+            if rows_in_file > DELTA_FOLD_RATIO * acc:
+                break
+            folded.add(p)
+            acc += rows_in_file
 
     cols = index.tokens.columns
-    if dirty_files:
-        kept_rows = (spark.read.parquet(*dirty_files)
+    if folded:
+        kept_rows = (spark.read.parquet(*sorted(folded))
                      .join(gone, "doc_id", "left_anti").select(*cols))
     else:
         kept_rows = index.tokens.filter(F.lit(False)).select(*cols)
@@ -309,20 +360,22 @@ def update_index_delta(
               + hashlib.md5(os.path.abspath(out_path).encode()).hexdigest()[:12])
     spark.sql(f"DROP TABLE IF EXISTS {bt_new}")
     new_dir = os.path.join(out_path, "tokens_bucketed")
+    touched = del_dirty | set(new_per_bucket)
     (
-        # one partition per dirty bucket → one file per bucket, the
-        # condition write_index documents for shuffle-free downstream reads
-        rows.repartition(max(len(dirty), 1), bucket)
+        # one partition per touched bucket → one new file per touched
+        # bucket, the condition write_index documents for shuffle-free
+        # downstream reads
+        rows.repartition(max(len(touched), 1), bucket)
         .write.mode("overwrite")
         .option("path", new_dir)
         .bucketBy(n, "doc_id")
         .sortBy("doc_id")
         .saveAsTable(bt_new)
     )
-    for b, paths in by_bucket.items():
-        if b in dirty:
-            continue
-        for src in paths:
+    for files in by_bucket.values():
+        for src, _sz in files:
+            if src in folded:
+                continue
             dst = os.path.join(new_dir, os.path.basename(src))
             try:
                 os.link(src, dst)

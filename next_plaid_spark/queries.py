@@ -3456,7 +3456,10 @@ def q_ingest_stream_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidecars derive from the index itself), so a replay/self-ingest
     defect that dropped or duplicated any document would hash-mismatch;
     this is the ingestion-completeness axis the r13 self-ingest fix
-    protects."""
+    protects. Runs BUCKETED (r14), so each append flows through the
+    tiered-file delta (update.py): settled token files hardlink forward
+    and retain-pruning rmtrees v0 mid-stream WHILE newer snapshots still
+    hardlink its files — inode survival is on the hash path."""
     import tempfile
 
     from next_plaid_spark.streaming.ingest import (StreamingIndexWriter,
@@ -3465,7 +3468,7 @@ def q_ingest_stream_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < UPDATE_END)
     root = tempfile.mkdtemp(prefix="ingest_stream_gate_")
     w = StreamingIndexWriter(spark, root, dim=16, nbits=4, seed=42,
-                             retain=2)
+                             bucket_tokens=8, retain=2)
     step = UPDATE_END // 3 + 1
     for i in range(3):
         w.process_batch(

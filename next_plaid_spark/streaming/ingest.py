@@ -89,9 +89,12 @@ class StreamingIndexWriter:
                          bucket_tokens=self.bucket_tokens).build(tokens, out)
         else:
             # on bucketed snapshots update_index routes the append through
-            # the fused delta internally: per-batch IO is O(batch) — only
-            # the buckets owning new doc_ids rewrite, clean ones hardlink
-            # forward (S8 at cluster scale)
+            # the fused delta internally: per-batch IO is O(batch) — each
+            # bucket's new rows land as an additional tiered file, settled
+            # files hardlink forward, small files fold O(log batches)
+            # times (update.py r14; S8 at cluster scale). Hardlinks also
+            # make retain-pruning safe: rmtree of an old snapshot dir
+            # never frees bytes a newer snapshot still references.
             update_index(self.spark, current, tokens, out, seed=self.seed)
         if self.retain is not None:
             # prune old complete snapshots only AFTER this batch's write

@@ -130,9 +130,11 @@ def test_update_and_delete_preserve_bucketed_layout(spark, tmp_path):
 def test_update_index_delta_matches_two_step(spark, tmp_path):
     """The fused bucket-aware delete+append must be value-identical to
     delete_from_index + update_index (tokens, doc_stats, ivf, meta,
-    search results), reuse clean buckets by hardlink (inode identity),
-    and place every row in the bucket its file name claims — which pins
-    the F.hash == bucketBy-placement assumption the dirty-set relies on."""
+    search results), hardlink settled files forward (inode identity; a
+    delete-owning bucket folds entirely, an appended bucket gains one
+    fresh file), and place every row in the bucket its file name claims
+    — which pins the F.hash == bucketBy-placement assumption the
+    delete-fold relies on."""
     import os
     import re
 
@@ -179,18 +181,23 @@ def test_update_index_delta_matches_two_step(spark, tmp_path):
         for r in spark.read.parquet(str(p) + "/ivf").collect())
     assert ivf(tmp_path / "delta") == ivf(tmp_path / "two")
 
-    # clean buckets are hardlinked from the previous snapshot, dirty ones
-    # are fresh files; every file's rows hash into its file-name bucket
+    # r14 tiered-file appends: a bucket owning a DELETED doc folds
+    # entirely (its old inode must not survive); every other bucket's
+    # old file rides forward as a hardlink (appends add files, they
+    # don't rewrite settled ones); buckets receiving new docs gain an
+    # extra fresh file; every file's rows hash into its file-name bucket
     bucket_of = lambda fn: int(re.search(r"_(\d+)\.c\d+", fn).group(1))  # noqa: E731
     old_dir = str(tmp_path / "b0" / "tokens_bucketed")
     new_dir = str(tmp_path / "delta" / "tokens_bucketed")
     old_inodes = {bucket_of(f): os.stat(os.path.join(old_dir, f)).st_ino
                   for f in os.listdir(old_dir)
                   if not f.startswith(("_", "."))}
-    dirty = {r.b for r in gone.unionByName(new.select("doc_id")).select(
+    del_dirty = {r.b for r in gone.select(
         F.pmod(F.hash("doc_id"), F.lit(8)).alias("b")).distinct().collect()}
-    assert dirty and len(dirty) < 8  # the test corpus must leave clean buckets
-    seen_clean = 0
+    new_buckets = {r.b for r in new.select(
+        F.pmod(F.hash("doc_id"), F.lit(8)).alias("b")).distinct().collect()}
+    assert del_dirty and len(del_dirty) < 8
+    inodes_by_bucket: dict[int, set] = {}
     for f in os.listdir(new_dir):
         if f.startswith(("_", ".")):
             continue
@@ -199,10 +206,16 @@ def test_update_index_delta_matches_two_step(spark, tmp_path):
                .select(F.pmod(F.hash("doc_id"), F.lit(8)).alias("b"))
                .distinct().collect()}
         assert got <= {b}
-        if b not in dirty:
-            assert os.stat(os.path.join(new_dir, f)).st_ino == old_inodes[b]
-            seen_clean += 1
-    assert seen_clean == 8 - len(dirty)
+        inodes_by_bucket.setdefault(b, set()).add(
+            os.stat(os.path.join(new_dir, f)).st_ino)
+    for b, ino in old_inodes.items():
+        if b in del_dirty:
+            assert ino not in inodes_by_bucket.get(b, set())
+        else:
+            assert ino in inodes_by_bucket[b]  # hardlinked forward
+    for b in new_buckets - del_dirty:
+        # appended bucket: the settled old file plus one fresh file
+        assert len(inodes_by_bucket[b]) == 2
 
     # end to end: identical search results through the funnel
     qt = toks.filter(F.col("doc_id") % 10 == 3).select(
@@ -235,3 +248,57 @@ def test_full_rebuild_path_keeps_bucketed_layout(spark, tmp_path):
     assert "Exchange" not in _plan(
         rebuilt.tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
     )
+
+
+def test_tiered_appends_spare_settled_files_and_bound_file_count(
+        spark, tmp_path):
+    """r14 tiered-file appends over a snapshot chain: the initial build's
+    big settled file per bucket is NEVER rewritten by a chain of small
+    appends (inode identity survives the whole chain), small append
+    files FOLD together once their accumulated mass justifies it
+    (Bentley-Saxe), so per-bucket file counts stay O(log appends) — and
+    the final chain state is value-identical to one batch build."""
+    import os
+
+    from next_plaid_spark.operators.update import update_index
+
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=400, tokens_per_doc=4, dim=8, n_clusters=8, seed=31
+    )
+    base = toks.filter(F.col("doc_id") < 300)
+    idx = IndexBuilder(spark, k=8, bucket_tokens=2).build(
+        base, str(tmp_path / "v0"))
+    tok_dir = lambda i: str(tmp_path / f"v{i}" / "tokens_bucketed")  # noqa: E731
+
+    def files(d):
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if not f.startswith(("_", "."))}
+
+    settled = set(files(tok_dir(0)).values())
+    assert len(settled) == 2  # one big file per bucket after the build
+
+    n_appends = 8
+    step = (400 - 300) // n_appends
+    for i in range(n_appends):
+        lo = 300 + i * step
+        hi = 400 if i == n_appends - 1 else 300 + (i + 1) * step
+        idx = update_index(
+            spark, idx,
+            toks.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            str(tmp_path / f"v{i + 1}"))
+        assert settled <= set(files(tok_dir(i + 1)).values())
+
+    final_files = files(tok_dir(n_appends))
+    # 8 appends x 2 buckets would be 18 files without folding; tiering
+    # keeps each bucket to the settled file plus a logarithmic tail
+    assert len(final_files) < 2 + 2 * n_appends
+    # and at least one fold actually fired: some append files are gone
+    # (folded into a bigger one) relative to the no-fold projection
+    assert len(final_files) <= 12
+
+    # value contract: the chain equals one batch build of the full corpus
+    want = sorted((r.doc_id, r.num_tokens) for r in IndexBuilder(
+        spark, k=8, bucket_tokens=2).build(
+        toks, str(tmp_path / "full")).doclens.collect())
+    got = sorted((r.doc_id, r.num_tokens) for r in idx.doclens.collect())
+    assert got == want
