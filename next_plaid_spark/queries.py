@@ -448,21 +448,24 @@ FROM f_ranked WHERE rank <= {k}
 # _SIDECAR_STATE above); the Spark query runs before its oracle
 # (per-query in the driver and in tools/check.py).
 EXACT_ORACLE_SIDECAR = _ORACLE_SIDECAR_ROOT + "/quantized_tokens"
+UPDATED_EXACT_SIDECAR = _ORACLE_SIDECAR_ROOT + "/updated_quantized_tokens"
 
 
-def _write_exact_oracle_sidecar(idx) -> None:
+def _write_exact_oracle_sidecar(idx, *, path: str | None = None,
+                                state_key: str = "exact") -> None:
     """Sidecar for the exact-funnel oracles: the SAME decompressed vectors
     the funnel's rerank stage consumes (B7 output)."""
     from next_plaid_spark.operators.codec import decompress
 
+    path = path or EXACT_ORACLE_SIDECAR
     key = (idx.path, _index_fingerprint(idx))
-    if _SIDECAR_STATE.get("exact") == key:
+    if _SIDECAR_STATE.get(state_key) == key:
         return
     decompress(
         idx.tokens.select("doc_id", "code", "residual"),
         idx.centroids_np(), idx.meta.codec,
-    ).select("doc_id", "vec").write.mode("overwrite").parquet(EXACT_ORACLE_SIDECAR)
-    _SIDECAR_STATE["exact"] = key
+    ).select("doc_id", "vec").write.mode("overwrite").parquet(path)
+    _SIDECAR_STATE[state_key] = key
 
 
 def q_plaid_search_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,14 +503,15 @@ def q_plaid_search_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_plaid_search_exact_topk(dim: int = 16, doc_max: int = 48, q_max: int = 8,
                                 n_queries: int = N_SELF_QUERIES,
-                                k: int = MAXSIM_TOPK) -> str:
+                                k: int = MAXSIM_TOPK,
+                                sidecar: str = EXACT_ORACLE_SIDECAR) -> str:
     """Exact MaxSim in DuckDB over the decompressed quantized corpus the
     Spark query just wrote (same doubles, same sorted float64 fold, same
     (score DESC, doc_id ASC) tie-break as sql_maxsim_brute_topk)."""
     return f"""
 {_sql_tokens_cte(dim, doc_max, q_max, n_queries)},
 quant AS (
-  SELECT doc_id, vec FROM '{EXACT_ORACLE_SIDECAR}/*.parquet'
+  SELECT doc_id, vec FROM '{sidecar}/*.parquet'
 ),
 dots AS (
   SELECT qt.query_id, q.doc_id, qt.token_idx AS q_token_idx,
@@ -3317,6 +3321,49 @@ FROM m WHERE side = 1
 """.strip()
 
 
+def q_plaid_updated_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over a DELTA-UPDATED bucketed snapshot (r14, 99th gate
+    entry): a bucketed base index over docs < UPDATE_SPLIT gets a
+    tiered-file append of [UPDATE_SPLIT, UPDATE_END) — the r14 LSM-style
+    layout where the batch lands as additional bucket files and settled
+    files hardlink forward (operators/update.py) — and the funnel then
+    runs over the UPDATED snapshot in its exact configuration (n_probe =
+    K, t_cs = −∞, survivor budget ≥ N), so the result must equal exact
+    MaxSim over the updated corpus's decompressed vectors. This puts the
+    multi-file bucket READ path (scan over hardlinked + fresh files,
+    bucket-spec distribution) on the DuckDB hash path end-to-end; the
+    doclens-only delta entries cannot see a search-path regression."""
+    import tempfile
+
+    from next_plaid_spark.operators.update import update_index
+    from next_plaid_spark.plans.builder import IndexBuilder
+    from next_plaid_spark.plans.searcher import BatchSearcher, SearchParams
+
+    docs = _t(spark, sf_dir, "documents")
+    base = encode_documents(docs.filter(F.col("doc_id") < UPDATE_SPLIT))
+    new = encode_documents(docs.filter(
+        (F.col("doc_id") >= UPDATE_SPLIT) & (F.col("doc_id") < UPDATE_END)))
+    root = tempfile.mkdtemp(prefix="plaid_upd_search_")
+    idx = IndexBuilder(spark, nbits=4, seed=42, bucket_tokens=8).build(
+        base, f"{root}/v0")
+    idx2 = update_index(spark, idx, new, f"{root}/v1")
+    _write_exact_oracle_sidecar(idx2, path=UPDATED_EXACT_SIDECAR,
+                                state_key="updated_exact")
+    queries = docs.filter(F.col("doc_id") < N_SELF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    n_docs = idx2.meta.num_documents
+    searcher = BatchSearcher(idx2, SearchParams(
+        top_k=MAXSIM_TOPK,
+        n_ivf_probe=idx2.meta.k,
+        n_full_scores=4 * n_docs,
+        centroid_score_threshold=float("-inf"),
+    ))
+    return searcher.search(encode_queries(queries)).select(
+        "query_id", "doc_id", "score", "rank"
+    )
+
+
 EVICT_CAP = 90
 
 
@@ -4262,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "events_asof": q_events_asof,
         "search_stream": q_search_stream,
+        "plaid_updated_search_topk": q_plaid_updated_search_topk,
         "evict_oldest_doclens": q_evict_oldest_doclens,
         "enrich_stream": q_enrich_stream,
         "ingest_stream_doclens": q_ingest_stream_doclens,
@@ -4324,6 +4372,8 @@ def oracle_sql() -> dict[str, str]:
         "ir_eval_plaid": sql_ir_eval_plaid(),
         "events_asof": SQL_EVENTS_ASOF,
         "search_stream": sql_plaid_search_topk(),
+        "plaid_updated_search_topk": sql_plaid_search_exact_topk(
+            sidecar=UPDATED_EXACT_SIDECAR),
         "evict_oldest_doclens": sql_evict_oldest_doclens(),
         "enrich_stream": SQL_EVENTS_ASOF,
         "ingest_stream_doclens": sql_update_append_doclens(),
