@@ -37,10 +37,12 @@ class StreamingSearcher:
     """foreachBatch sink: query stream → top-k result stream.
 
     Results land in an in-memory accumulator table (tests) or — via
-    ``attach(..., sink_path=...)`` — as idempotent per-batch parquet
-    overwrites under ``<sink_path>/b{batch_id}`` (r13: a replayed batch
-    rewrites its results instead of appending a second copy; read back
-    with ``results_df()``). Rows carry ``batch_id``."""
+    ``attach(..., sink_path=...)`` or the ``sink_path=`` constructor
+    argument (r14, for batch-driven ``process_batch`` use) — as
+    idempotent per-batch parquet overwrites under
+    ``<sink_path>/b{batch_id}`` (r13: a replayed batch rewrites its
+    results instead of appending a second copy; read back with
+    ``results_df()``). Rows carry ``batch_id``."""
 
     def __init__(self, spark: SparkSession, index: PlaidIndex | None = None,
                  *, root: str | None = None,
