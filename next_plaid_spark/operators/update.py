@@ -53,6 +53,24 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_minmax(path: str, col: str) -> tuple[int, int] | None:
+    """(min, max) of ``col`` from the parquet footer's row-group
+    statistics, or None when any row group lacks them (the caller must
+    then treat the file as possibly containing anything)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.names.index(col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (int(lo), int(hi))
 EXPAND_PTS_PER_CENTROID = 256
 EXPAND_FACTOR = 4
 
@@ -391,12 +409,65 @@ def update_index_delta(
         F.count("*").alias("num_tokens"),
         F.array_sort(F.collect_set("code")).alias("codes"),
     )
-    (
-        old_stats.join(gone, "doc_id", "left_anti")
-        .unionByName(new_stats)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_path, "doc_stats"))
-    )
+
+    # doc_stats gets the SAME tiered-file economy as the tokens (r14):
+    # the new docs' stats land as a fresh file; an old file folds in only
+    # when (a) its footer doc_id range may contain a DELETED doc (row-
+    # group min/max pruning — with ordered intake, deletes fold few
+    # files) or (b) it is small relative to the arriving row count
+    # (Bentley-Saxe); everything else hardlinks forward. All consumers
+    # (doclens, doc_codes, the IVF derivation's sort_array fold) are
+    # row-order-insensitive, so layout is invisible to values. IVF
+    # itself is still rewritten per snapshot — its postings change with
+    # every append and a stale tier could resurface deleted docs, so the
+    # per-snapshot derive from doc_stats stays the correctness anchor.
+    old_sd = os.path.join(index.path, "doc_stats")
+    new_sd = os.path.join(out_path, "doc_stats")
+    stat_files = []
+    for fn in os.listdir(old_sd):
+        if fn.startswith((".", "_")):
+            continue
+        p = os.path.join(old_sd, fn)
+        stat_files.append((p, _parquet_rows(p), _parquet_minmax(p, "doc_id")))
+    gone_rows = ([] if not int(gone_agg.nd)
+                 else [int(r.doc_id) for r in gone.collect()]
+                 if int(gone_agg.nd) <= 100_000 else None)
+
+    def _may_contain_gone(mm):
+        if not int(gone_agg.nd):
+            return False
+        if mm is None or gone_rows is None:  # no stats / huge delete set
+            return True
+        lo, hi = mm
+        return any(lo <= g <= hi for g in gone_rows)
+
+    sd_folded: set[str] = set()
+    acc = n_new_docs
+    for p, rows_in_file, mm in sorted(stat_files, key=lambda t: t[1]):
+        if _may_contain_gone(mm):
+            sd_folded.add(p)
+        elif acc and rows_in_file <= DELTA_FOLD_RATIO * acc:
+            sd_folded.add(p)
+            acc += rows_in_file
+    if sd_folded:
+        fold_stats = (spark.read.parquet(*sorted(sd_folded))
+                      .join(gone, "doc_id", "left_anti"))
+    else:
+        fold_stats = old_stats.filter(F.lit(False))
+    # one file per snapshot hop: the union is delta-sized (new stats +
+    # folded small files), and one file IS the LSM tier granularity —
+    # without this, each append would emit one tiny file per shuffle
+    # partition and the tier structure would be noise-sized
+    (fold_stats.unionByName(new_stats).coalesce(1)
+     .write.mode("overwrite").parquet(new_sd))
+    for p, _rows, _mm in stat_files:
+        if p in sd_folded:
+            continue
+        dst = os.path.join(new_sd, os.path.basename(p))
+        try:
+            os.link(p, dst)
+        except OSError:
+            shutil.copy2(p, dst)
     write_ivf_from_doc_stats(spark, out_path, centroids.shape[0])
     write_centroids(spark, out_path, centroids)
 

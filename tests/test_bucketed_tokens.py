@@ -296,6 +296,19 @@ def test_tiered_appends_spare_settled_files_and_bound_file_count(
     # (folded into a bigger one) relative to the no-fold projection
     assert len(final_files) <= 12
 
+    # doc_stats gets the same economy (r14): the base build's stats
+    # files all survive the FIRST append by inode (each holds far more
+    # rows than 2x the 12-doc batch, so no tier fold touches them; no
+    # delete fires here), and by chain end at least one fold has fired
+    # so the file count sits below the no-fold projection. (Unlike the
+    # per-bucket token files, base stats files are small enough that the
+    # accumulated append mass may LEGITIMATELY fold them later in the
+    # chain — that is the O(log) rewrite schedule, not a defect.)
+    sd_dir = lambda i: str(tmp_path / f"v{i}" / "doc_stats")  # noqa: E731
+    sd0 = files(sd_dir(0))
+    assert set(sd0.values()) <= set(files(sd_dir(1)).values())
+    assert len(files(sd_dir(n_appends))) < len(sd0) + n_appends
+
     # value contract: the chain equals one batch build of the full corpus
     want = sorted((r.doc_id, r.num_tokens) for r in IndexBuilder(
         spark, k=8, bucket_tokens=2).build(

@@ -54,16 +54,20 @@ def _files(d: str) -> list[tuple[str, int, int, int]]:
     return out
 
 
-def _meta_bytes(root: str, v: int) -> int:
-    total = 0
+def _meta_files(root: str, v: int) -> list[tuple[int, int]]:
+    """(inode, size) of every metadata file of snapshot v — doc_stats is
+    tiered+hardlinked since r14, so new-inode accounting applies to it
+    exactly as to the token files."""
+    out = []
     vd = os.path.join(root, f"v{v}")
     for name in ("doc_stats", "ivf", "centroids"):
         p = os.path.join(vd, name)
         if os.path.isdir(p):
             for dirpath, _dirs, files in os.walk(p):
-                total += sum(os.path.getsize(os.path.join(dirpath, f))
-                             for f in files)
-    return total
+                for f in files:
+                    st = os.stat(os.path.join(dirpath, f))
+                    out.append((st.st_ino, st.st_size))
+    return out
 
 
 def run(spark, docs, *, bucket_tokens):
@@ -72,9 +76,11 @@ def run(spark, docs, *, bucket_tokens):
                              bucket_tokens=bucket_tokens)
     per_batch = []
     prev_inodes: set[int] = set()
+    prev_meta_inodes: set[int] = set()
     for i in range(N_BATCHES):
         w.process_batch(docs.filter(F.col("doc_id") % N_BATCHES == i), i)
         fs = _files(_tok_dir(root, i))
+        mf = _meta_files(root, i)
         per_batch.append({
             "batch": i,
             # rows are the overhead-immune metric: a tiny bucket file is
@@ -86,9 +92,11 @@ def run(spark, docs, *, bucket_tokens):
                                    if ino not in prev_inodes),
             "total_token_bytes": sum(sz for _f, _i, sz, _r in fs),
             "n_token_files": len(fs),
-            "meta_bytes": _meta_bytes(root, i),
+            "new_meta_bytes": sum(sz for ino, sz in mf
+                                  if ino not in prev_meta_inodes),
         })
         prev_inodes = {ino for _f, ino, _s, _r in fs}
+        prev_meta_inodes = {ino for ino, _s in mf}
     return per_batch
 
 
@@ -116,6 +124,10 @@ def main() -> None:
             sum(r["new_token_bytes"] for r in flat[1:]),
         "row_write_amplification_ratio_flat_over_bucketed":
             round(f_append / b_append, 2) if b_append else None,
+        "bucketed_append_meta_bytes":
+            sum(r["new_meta_bytes"] for r in bucketed[1:]),
+        "flat_append_meta_bytes":
+            sum(r["new_meta_bytes"] for r in flat[1:]),
         "bucketed_final_token_files": bucketed[-1]["n_token_files"],
         "bucketed_per_batch": bucketed,
         "flat_per_batch": flat,
