@@ -315,3 +315,66 @@ def test_tiered_appends_spare_settled_files_and_bound_file_count(
         toks, str(tmp_path / "full")).doclens.collect())
     got = sorted((r.doc_id, r.num_tokens) for r in idx.doclens.collect())
     assert got == want
+
+
+def test_delete_folds_only_range_hit_stats_files(spark, tmp_path):
+    """r14 doc_stats delete folds are pruned by parquet footer doc_id
+    min/max: deleting base-range docs folds the base build's stats files
+    (hash-partitioned, so their ranges span everything) but every
+    append-tier stats file whose doc_id range is disjoint from the
+    deleted ids survives by inode — a takedown must not rewrite the
+    whole stats history. Values stay exact (doclens vs the expected
+    survivor set)."""
+    import os
+
+    from next_plaid_spark.operators.update import (
+        _parquet_minmax,
+        update_index,
+        update_index_delta,
+    )
+
+    toks, _ = clustered_token_corpus(
+        spark, n_docs=350, tokens_per_doc=4, dim=8, n_clusters=8, seed=37
+    )
+    idx = IndexBuilder(spark, k=8, bucket_tokens=2).build(
+        toks.filter(F.col("doc_id") < 300), str(tmp_path / "v0"))
+    # one append: its 50-doc stats file has a [300, 349] footer range,
+    # disjoint from the base's hash-partitioned [0, 299]-spanning files
+    # (the base files are too big for the 50-doc tier fold, so all three
+    # coexist in v1 — a later same-size fold cascade would merge them,
+    # which is the legitimate O(log) schedule, just not this scenario)
+    idx = update_index(
+        spark, idx,
+        toks.filter(F.col("doc_id") >= 300), str(tmp_path / "v1"))
+
+    sd = lambda v: str(tmp_path / v / "doc_stats")  # noqa: E731
+
+    def stats_files(d):
+        return {f: (os.stat(os.path.join(d, f)).st_ino,
+                    _parquet_minmax(os.path.join(d, f), "doc_id"))
+                for f in os.listdir(d) if not f.startswith(("_", "."))}
+
+    before = stats_files(sd("v1"))
+    gone_ids = [5, 6]
+    gone = spark.createDataFrame([(i,) for i in gone_ids], "doc_id long")
+    empty = spark.createDataFrame(
+        [], "doc_id long, token_idx int, vec array<float>")
+    idx3 = update_index_delta(spark, idx, gone, empty, str(tmp_path / "v2"))
+
+    after_inodes = {ino for ino, _mm in stats_files(sd("v2")).values()}
+    survivors = folded = 0
+    for _f, (ino, mm) in before.items():
+        assert mm is not None
+        lo, hi = mm
+        if hi < min(gone_ids) or lo > max(gone_ids):
+            assert ino in after_inodes  # range-disjoint: hardlinked
+            survivors += 1
+        else:
+            assert ino not in after_inodes  # range-hit: folded
+            folded += 1
+    assert survivors >= 1 and folded >= 1  # both behaviors exercised
+
+    want = sorted((r.doc_id, r.num_tokens) for r in idx.doclens.collect()
+                  if r.doc_id not in gone_ids)
+    got = sorted((r.doc_id, r.num_tokens) for r in idx3.doclens.collect())
+    assert got == want
