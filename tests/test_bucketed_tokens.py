@@ -378,3 +378,26 @@ def test_delete_folds_only_range_hit_stats_files(spark, tmp_path):
                   if r.doc_id not in gone_ids)
     got = sorted((r.doc_id, r.num_tokens) for r in idx3.doclens.collect())
     assert got == want
+
+
+def test_parquet_minmax_without_statistics_returns_none(tmp_path):
+    """A parquet file written without column statistics must report None
+    (the delete-fold then conservatively treats it as range-hit) while
+    the footer row count still reads exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from next_plaid_spark.operators.update import (
+        _parquet_minmax,
+        _parquet_rows,
+    )
+
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(pa.table({"doc_id": [7, 3, 9]}), p,
+                   write_statistics=False)
+    assert _parquet_minmax(p, "doc_id") is None
+    assert _parquet_rows(p) == 3
+
+    p2 = str(tmp_path / "stats.parquet")
+    pq.write_table(pa.table({"doc_id": [7, 3, 9]}), p2)
+    assert _parquet_minmax(p2, "doc_id") == (3, 9)
