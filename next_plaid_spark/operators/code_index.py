@@ -404,8 +404,14 @@ class CodeIndex:
             gone_paths, old_units["file"] == gone_paths["path"], "left_anti")
         new_raw = parse_code_units(
             new_files.join(changed_paths, "path", "left_semi"))
+        # cache the merged parse: every downstream consumer (the unit count,
+        # the call-graph/embed-text derivation, the rebuild path's write)
+        # otherwise re-runs the survivors scan + changed-file re-parse per
+        # action — measured r14: the update ran 184 stages, most of them
+        # repeated evaluations of this subtree (guide §5 cache criterion:
+        # reused AND expensive to recompute)
         merged_raw = survivors.select(*_RAW_COLS).unionByName(
-            new_raw.select(*_RAW_COLS))
+            new_raw.select(*_RAW_COLS)).cache()
 
         # parse emits one row per unit, so the row count IS the unit count
         # ((file, line, name) is not guaranteed unique — one-line overloads)
@@ -414,11 +420,14 @@ class CodeIndex:
             # full rebuild keeps the stored layout too (bucket_tokens rides
             # the meta; the incremental path below inherits it sticky via
             # update_index)
-            return CodeIndex._build_from_units(
-                spark, merged_raw, new_state, out_path,
-                nbits=self.meta["nbits"], seed=self.meta["seed"],
-                dim=self.meta["dim"],
-                bucket_tokens=self.meta.get("bucket_tokens"))
+            try:
+                return CodeIndex._build_from_units(
+                    spark, merged_raw, new_state, out_path,
+                    nbits=self.meta["nbits"], seed=self.meta["seed"],
+                    dim=self.meta["dim"],
+                    bucket_tokens=self.meta.get("bucket_tokens"))
+            finally:
+                merged_raw.unpersist()
 
         # -- incremental path ------------------------------------------------
         from next_plaid_spark.encoding import encode_tokens
@@ -438,11 +447,16 @@ class CodeIndex:
             F.col("embed_text").alias("_old_embed"),
             F.col("called_by").alias("_old_cb"))
         merged_o = merged.withColumn("_m", F.row_number().over(_w_key))
+        # cached: unchanged/changed/fresh/cb_ripple and the units write are
+        # all filters over this one frame — without the cache each of them
+        # re-ran the call-graph aggregation, the embed-text derivation and
+        # both id-recovery windows from the parse up (the other half of the
+        # r14 184-stage profile)
         joined = merged_o.join(
             old_ids,
             (merged_o["file"] == old_ids["_f"]) & (merged_o["line"] == old_ids["_l"])
             & (merged_o["name"] == old_ids["_n"]) & (merged_o["_m"] == old_ids["_o"]),
-            "left").drop("_f", "_l", "_n", "_o", "_m")
+            "left").drop("_f", "_l", "_n", "_o", "_m").cache()
         max_id = (old_units.agg(F.max("unit_id")).collect()[0][0] or 0)
         w_new = Window.orderBy("file", "line", "name", "end_line", "code")
         fresh = joined.filter(F.col("unit_id").isNull()).drop("unit_id")
@@ -451,11 +465,14 @@ class CodeIndex:
         kept = joined.filter(F.col("unit_id").isNotNull())
         unchanged = kept.filter(F.col("embed_text") == F.col("_old_embed"))
         changed = kept.filter(F.col("embed_text") != F.col("_old_embed"))
+        # no cache here: with `joined` cached above this union is three
+        # cheap cached-scan filters, and it has exactly one consumer (the
+        # bucket write below) before being re-bound to the written parquet
         units_out = (
             unchanged.drop("_old_embed", "_old_cb")
             .unionByName(changed.drop("_old_embed", "_old_cb"))
             .unionByName(fresh.drop("_old_embed", "_old_cb"))
-        ).cache()
+        )
 
         # delta-only units rewrite: Spark writes ONLY the file-hash buckets
         # that own a delta; every clean bucket's parquet files are
@@ -554,6 +571,11 @@ class CodeIndex:
         post_new = toks_new.groupBy("term", "doc_id").agg(
             F.count("*").alias("tf"))
         dl_new = toks_new.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        # NOT cached (measured r14: caching these three before save() read
+        # consistently SLOWER, ~46 s vs ~38 s update wall — the cache fills
+        # cost more than the saved re-evaluations; each re-evaluation is
+        # only a parquet scan + a broadcast semi-join on the tiny
+        # unchanged-id list)
         postings = self.bm25.postings.join(
             unchanged_ids, "doc_id", "left_semi").unionByName(post_new)
         doclens = self.bm25.doclens.join(
@@ -575,7 +597,8 @@ class CodeIndex:
 
         with open(os.path.join(out_path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
-        units_out.unpersist()
+        merged_raw.unpersist()
+        joined.unpersist()
         unchanged_ids.unpersist()
         new_state.unpersist()
         changes.unpersist()

@@ -187,11 +187,13 @@ def assign_and_quantize(doc_tokens: DataFrame, centroids: np.ndarray,
     ) + ", code long, residual binary"
 
     def enc(batches):
+        from next_plaid_spark.operators.kmeans import _argmax_codes
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
-            codes = np.argmax(x @ c.T, axis=1).astype(np.int64)
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            codes = _argmax_codes(x, c)
             res = x - c[codes]
             idx = np.searchsorted(cutoffs, res, side="left")
             out = pdf.drop(columns=[vec_col]).copy()

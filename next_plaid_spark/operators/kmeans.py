@@ -29,6 +29,34 @@ DEFAULT_SEED = 42
 DEFAULT_ITERS = 4
 MAX_POINTS_PER_CENTROID = 256  # kmeans.rs:58-71
 
+# assignment-kernel score-matrix budget: argmax over X@Cᵀ materializes an
+# [n, K] f32 block; beyond this many bytes the kernel row-chunks the GEMM.
+# r14 measurement: at K≈5-8k a full-partition batch allocates a 190-670 MB
+# score matrix per Python worker; 32 workers allocating simultaneously
+# triggered a page-fault/THP-compaction storm (reproduced OUTSIDE Spark:
+# 32 concurrent processes' first GEMM+argmax of this shape took 22-34 s
+# each vs 0.15 s for the row-chunked form) and the fused encode stage read
+# 115-968 s of executor time across runs. Chunking bounds every worker's
+# transient to ~32 MB (malloc reuses the freed block across iterations) and
+# is ~2× faster even single-process — the argmax scan is memory-bound.
+# Gate-scale partitions (sf0.01: ≤1k rows × K=2048 ≈ 6 MB) stay under the
+# threshold on the exact single-GEMM path, bit-identical to prior rounds;
+# above it, row-chunking can shift a score by ≤1 ulp (BLAS blocking differs
+# with m), which both assignment kernels share identically via this helper.
+ASSIGN_CHUNK_BYTES = 32 * 1024 * 1024
+
+
+def _argmax_codes(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """argmax(X @ Cᵀ) with the score matrix bounded to ASSIGN_CHUNK_BYTES."""
+    n, k = x.shape[0], c.shape[0]
+    if n * k * 4 <= ASSIGN_CHUNK_BYTES:
+        return np.argmax(x @ c.T, axis=1).astype(np.int64)
+    bs = max(1, ASSIGN_CHUNK_BYTES // (k * 4))
+    codes = np.empty(n, dtype=np.int64)
+    for s in range(0, n, bs):
+        codes[s : s + bs] = np.argmax(x[s : s + bs] @ c.T, axis=1)
+    return codes
+
 
 def estimate_k(total_tokens: int) -> int:
     """2^⌊log2(16·√tokens)⌋ (kmeans.rs:303-309); ≥1."""
@@ -190,10 +218,10 @@ def assign_codes(doc_tokens: DataFrame, centroids: np.ndarray,
 
     def assign(batches):
         for pdf in batches:
-            x = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
-            if len(x):
+            if len(pdf):
+                x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
                 pdf = pdf.copy()
-                pdf["code"] = np.argmax(x @ c.T, axis=1).astype(np.int64)
+                pdf["code"] = _argmax_codes(x, c)
             else:
                 pdf = pdf.assign(code=pd.Series([], dtype="int64"))
             yield pdf

@@ -36,8 +36,29 @@ from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_in
 
 class IndexBuilder:
     # driver-sample ceiling for the coarse-quantizer trainer; beyond it the
-    # "auto" strategy switches to the fully distributed pyspark.ml path
+    # "auto" strategy switches to the fully distributed pyspark.ml path.
+    # The binding limit is driver MEMORY, not a row count, so the effective
+    # cap is derived from a byte budget over the actual vector width
+    # (``_driver_sample_cap``); this flat row count is only its floor.
+    # r14 measurement behind the change: the sf0.1 code corpus
+    # (~300k narrow dim-16 tokens, ~33 MB as f64) tripped the flat cap and
+    # paid ~190 s of executor time in MLlib k-means‖ for a sample the
+    # driver Lloyd's trains in seconds; a 100 TB-shaped corpus
+    # (budget ≫ the byte cap at any width) still routes to 'distributed'.
     KMEANS_DRIVER_SAMPLE_CAP = 262_144
+    KMEANS_DRIVER_SAMPLE_BYTES = 256 * 1024 * 1024
+
+    @classmethod
+    def _driver_sample_cap(cls, dim: int) -> int:
+        """Row cap for the driver-side trainer sample: the byte budget
+        (env ``SPARK_GRAFT_KMEANS_SAMPLE_MB`` overrides, for clusters with
+        bigger/smaller drivers) over the f64 collect width, floored at the
+        historical flat cap so wide-vector corpora keep their behavior."""
+        import os
+
+        mb = os.environ.get("SPARK_GRAFT_KMEANS_SAMPLE_MB")
+        budget = (int(mb) * 1024 * 1024 if mb else cls.KMEANS_DRIVER_SAMPLE_BYTES)
+        return max(cls.KMEANS_DRIVER_SAMPLE_CAP, budget // (max(dim, 1) * 8))
 
     def __init__(self, spark: SparkSession, *, nbits: int = 4, seed: int = 42,
                  k: int | None = None, kmeans_iters: int = 4,
@@ -70,9 +91,10 @@ class IndexBuilder:
             F.col("vec"),
         ).cache()
         stats = doc_tokens.agg(
-            F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")
+            F.count("*").alias("n"), F.countDistinct("doc_id").alias("d"),
+            F.max(F.size("vec")).alias("dim"),
         ).collect()[0]
-        n_tokens, n_docs = stats.n, stats.d
+        n_tokens, n_docs, vec_dim = stats.n, stats.d, int(stats.dim or 1)
 
         from next_plaid_spark.operators.kmeans import (
             sample_token_budget, train_kmeans_distributed)
@@ -80,7 +102,7 @@ class IndexBuilder:
         strategy = self.kmeans_strategy
         if strategy == "auto":
             budget = sample_token_budget(n_docs, n_tokens / max(n_docs, 1))
-            strategy = ("sample" if budget <= self.KMEANS_DRIVER_SAMPLE_CAP
+            strategy = ("sample" if budget <= self._driver_sample_cap(vec_dim)
                         else "distributed")
         if strategy == "distributed":
             model = train_kmeans_distributed(

@@ -433,6 +433,32 @@ def test_builder_auto_strategy_threshold(spark, documents, tmp_path):
     assert sample_token_budget(1_000_000, 300.0) > IndexBuilder.KMEANS_DRIVER_SAMPLE_CAP
 
 
+def test_driver_sample_cap_is_dim_aware(monkeypatch):
+    """The effective driver-sample cap is a byte budget over the vector
+    width (r14): a narrow dim-16 corpus the flat row cap would push to
+    MLlib k-means‖ stays on the driver path, wide vectors keep the flat
+    floor, and a 100 TB-shaped budget still exceeds the cap at any width."""
+    from next_plaid_spark.operators.kmeans import sample_token_budget
+    from next_plaid_spark.plans.builder import IndexBuilder
+
+    # sf0.1 code-corpus shape: ~6.3k docs × ~44 tokens → budget ~280k rows,
+    # just over the flat cap but tiny in bytes at dim 16
+    code_budget = sample_token_budget(6_300, 44.0)
+    assert code_budget > IndexBuilder.KMEANS_DRIVER_SAMPLE_CAP
+    assert code_budget <= IndexBuilder._driver_sample_cap(16)
+    # wide vectors: the byte budget binds and the flat cap is the floor
+    assert IndexBuilder._driver_sample_cap(128) == max(
+        IndexBuilder.KMEANS_DRIVER_SAMPLE_CAP,
+        IndexBuilder.KMEANS_DRIVER_SAMPLE_BYTES // (128 * 8))
+    # 100 TB shape: budget far beyond the byte cap at every width
+    assert sample_token_budget(1_000_000_000, 300.0) \
+        > IndexBuilder._driver_sample_cap(16)
+    # env override parameterizes the budget for bigger drivers
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_SAMPLE_MB", "1024")
+    assert IndexBuilder._driver_sample_cap(16) \
+        == 1024 * 1024 * 1024 // (16 * 8)
+
+
 def test_spread_small_is_scale_gated(spark, built_index):
     """The kernel-input spread (searcher.py::_spread_small) must engage on
     tiny corpora (parallelize the numpy kernels) and be a STRICT no-op
@@ -453,3 +479,24 @@ def test_spread_small_is_scale_gated(spark, built_index):
         assert s._spread_small(df) is df  # identical plan, no exchange
     finally:
         idx.meta.num_embeddings = old
+
+
+def test_argmax_codes_chunked_matches_full(monkeypatch):
+    """The assignment kernel's score-matrix chunking (r14) must return the
+    same argmax codes as the single-GEMM path on deterministic unit
+    vectors — and must not engage at all under the byte threshold."""
+    import numpy as np
+
+    from next_plaid_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((513, 16)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    x = rng.standard_normal((4001, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    full = np.argmax(x @ c.T, axis=1).astype(np.int64)
+    assert np.array_equal(km._argmax_codes(x, c), full)  # under threshold
+
+    monkeypatch.setattr(km, "ASSIGN_CHUNK_BYTES", 64 * 513 * 4)  # force chunks
+    assert np.array_equal(km._argmax_codes(x, c), full)
