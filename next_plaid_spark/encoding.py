@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from next_plaid_spark.session import local_df
 from next_plaid_spark.functions.text import tokenize_unicode61
 from next_plaid_spark.functions.vector import l2_normalize
 
@@ -167,11 +168,11 @@ def clustered_token_corpus(spark, *, n_docs: int = 2000,
         for d in range(n_docs)
         for t in range(tokens_per_doc)
     ]
-    toks = spark.createDataFrame(
-        rows, "doc_id long, token_idx int, vec array<float>"
+    toks = local_df(
+        spark, rows, "doc_id long, token_idx int, vec array<float>"
     )
-    clusters = spark.createDataFrame(
-        [(int(d), int(c)) for d, c in enumerate(doc_cluster)],
+    clusters = local_df(
+        spark, [(int(d), int(c)) for d, c in enumerate(doc_cluster)],
         "doc_id long, cluster int",
     )
     return toks, clusters

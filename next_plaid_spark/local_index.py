@@ -39,6 +39,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from next_plaid_spark.session import local_df
 from next_plaid_spark.filtering import MetadataStore
 from next_plaid_spark.operators.update import delete_from_index, update_index
 from next_plaid_spark.plans.builder import IndexBuilder
@@ -146,8 +147,8 @@ class LocalIndex:
                 f"dimension {self.embedding_dim()}"
             )
         rows = [(0, i, [float(x) for x in v]) for i, v in enumerate(q)]
-        qt = self.spark.createDataFrame(
-            rows, schema="query_id long, token_idx int, vec array<double>"
+        qt = local_df(
+            self.spark, rows, "query_id long, token_idx int, vec array<double>"
         )
         return self.search_batch(qt, params, subset=subset).drop("query_id")
 
@@ -323,8 +324,8 @@ class LocalIndex:
         before = self.num_documents()
         out = self._next_path()
         delete_from_index(self.spark, self.index, ids, out)
-        drop = self.spark.createDataFrame(
-            [(i,) for i in ids], "doc_id long"
+        drop = local_df(
+            self.spark, [(i,) for i in ids], "doc_id long"
         ) if delete_metadata else None
         self._write_meta(out, None, drop_ids=drop)
         self.reload()
@@ -344,9 +345,9 @@ class LocalIndex:
         model-backed mapInPandas seam (operators/encode_udf)."""
         from next_plaid_spark.encoding import encode_queries
 
-        qdf = self.spark.createDataFrame(
-            [(i, t) for i, t in enumerate(texts)],
-            schema="query_id long, text string",
+        qdf = local_df(
+            self.spark, [(i, t) for i, t in enumerate(texts)],
+            "query_id long, text string",
         )
         qt = encoder(qdf) if encoder is not None else encode_queries(qdf)
         return self.search_batch(qt, params, subset=subset)
@@ -359,14 +360,15 @@ class LocalIndex:
         from next_plaid_spark.encoding import encode_queries
         from next_plaid_spark.operators.rerank import rerank
 
-        qdf = self.spark.createDataFrame(
-            [(0, query_text)], schema="query_id long, text string"
+        qdf = local_df(
+            self.spark, [(0, query_text)], "query_id long, text string"
         )
         qt = encoder(qdf) if encoder is not None else encode_queries(qdf)
         recon = self.reconstruct(list(doc_ids)).select(
             "doc_id", "token_idx", F.col("vec")
         )
-        pairs = self.spark.createDataFrame(
-            [(0, int(d)) for d in doc_ids], schema="query_id long, doc_id long"
+        pairs = local_df(
+            self.spark, [(0, int(d)) for d in doc_ids],
+            "query_id long, doc_id long"
         )
         return rerank(qt, recon, pairs=pairs)

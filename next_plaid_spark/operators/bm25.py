@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from next_plaid_spark.functions.text import tokenize_trigram, tokenize_unicode61
+from next_plaid_spark.session import local_df
 
 K1 = 1.2
 B = 0.75
@@ -419,10 +420,9 @@ class BM25Index:
         theta_pairs = [(q, t) for q, lst in ubs.items()
                        for _, t in lst[-_PRUNE_THETA_TERMS:]]
         theta_terms = sorted({t for _, t in theta_pairs})
-        tp_df = spark.createDataFrame(
-            theta_pairs, "query_id long, term string")
-        df_local = spark.createDataFrame(
-            [(t, d) for t, (d, _) in ts.items()], "term string, df long")
+        tp_df = local_df(spark, theta_pairs, "query_id long, term string")
+        df_local = local_df(
+            spark, [(t, d) for t, (d, _) in ts.items()], "term string, df long")
         p1 = (
             qterms.join(F.broadcast(tp_df), ["query_id", "term"])
             .join(self.postings.filter(F.col("term").isin(theta_terms)),
@@ -476,8 +476,7 @@ class BM25Index:
         ess_terms = sorted({t for _, t in ess_pairs})
         cand = (
             F.broadcast(
-                spark.createDataFrame(
-                    ess_pairs, "query_id long, term string"))
+                local_df(spark, ess_pairs, "query_id long, term string"))
             .join(self.postings.filter(F.col("term").isin(ess_terms))
                   .select("term", "doc_id"), "term")
             .select("query_id", "doc_id")
@@ -572,7 +571,7 @@ class BM25Index:
         # the postings-scan pushdown term list falls out of the same job
         rows = qterms.limit(_TERM_PUSHDOWN_CAP + 1).collect()
         if len(rows) <= _TERM_PUSHDOWN_CAP:
-            qterms = queries.sparkSession.createDataFrame(rows, qterms.schema)
+            qterms = local_df(queries.sparkSession, rows, qterms.schema)
             postings_src = self.postings.filter(
                 F.col("term").isin(sorted({r["term"] for r in rows})))
         else:
@@ -784,7 +783,7 @@ class BM25Index:
         # to cache + broadcast-join pruning.
         rows = pterms.limit(_TERM_PUSHDOWN_CAP + 1).collect()
         if len(rows) <= _TERM_PUSHDOWN_CAP:
-            pterms = queries.sparkSession.createDataFrame(rows, pterms.schema)
+            pterms = local_df(queries.sparkSession, rows, pterms.schema)
             positions_src = self.positions.filter(
                 F.col("term").isin(sorted({r["term"] for r in rows})))
         else:

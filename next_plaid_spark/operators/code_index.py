@@ -48,6 +48,7 @@ from next_plaid_spark.operators.colgrep import (
     apply_ranking,
     build_embedding_text,
 )
+from next_plaid_spark.session import local_df
 
 # reference query_length for code search (the gate oracles slice the same 16)
 CODE_QUERY_MAX_TOKENS = 16
@@ -267,8 +268,8 @@ class CodeIndex:
         if self._searcher is not None:
             self._searcher.release()
 
-        qdf = self.spark.createDataFrame(
-            [(0, query_text)], "query_id long, text string")
+        qdf = local_df(self.spark,
+                       [(0, query_text)], "query_id long, text string")
         qt = encode_queries(qdf, dim=self.meta["dim"],
                             max_tokens=self.meta["query_max_tokens"])
 

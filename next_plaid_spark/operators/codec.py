@@ -116,6 +116,31 @@ def _unpack(raw: bytes, dim: int, nbits: int) -> np.ndarray:
     return (bits * (1 << np.arange(nbits - 1, -1, -1))).sum(axis=1)
 
 
+def _unpack_batch(raws, dim: int, nbits: int) -> np.ndarray:
+    """Vectorized _unpack over a sequence of equal-length packed rows →
+    [n, dim] int64. Bit-identical to stacking per-row _unpack (pinned by
+    test_pack_unpack_batch): every row is ceil(dim·nbits/8) bytes with
+    big-endian sub-byte packing, so the whole batch decodes as one buffer.
+    r14 measurement: the per-row loop cost ~3 s per 240k tokens inside
+    every rerank kernel invocation and sidecar write; the nibble split is
+    ~200× faster."""
+    n = len(raws)
+    if n == 0:
+        return np.empty((0, dim), dtype=np.int64)
+    buf = np.frombuffer(b"".join(bytes(r) for r in raws), dtype=np.uint8)
+    buf = buf.reshape(n, -1)
+    if nbits == 4:  # two big-endian nibbles per byte (the default codec)
+        out = np.empty((n, buf.shape[1] * 2), dtype=np.uint8)
+        out[:, 0::2] = buf >> 4
+        out[:, 1::2] = buf & 0x0F
+        return out[:, :dim].astype(np.int64)
+    if nbits == 8:
+        return buf[:, :dim].astype(np.int64)
+    bits = np.unpackbits(buf, axis=1)[:, : dim * nbits].reshape(-1, nbits)
+    pow2 = (1 << np.arange(nbits - 1, -1, -1)).astype(np.int64)
+    return (bits @ pow2).reshape(n, dim)
+
+
 def quantize_residuals(doc_tokens_coded: DataFrame, centroids: np.ndarray,
                        codec: CodecArtifacts, *, vec_col: str = "vec") -> DataFrame:
     """B6: add ``residual BINARY`` (packed bucket indices), drop the raw vec.
@@ -213,7 +238,7 @@ def decompress_np(codes, residuals, centroids: np.ndarray,
     c = np.ascontiguousarray(centroids, dtype=np.float32)
     weights = codec.bucket_weights.astype(np.float32)
     dim = c.shape[1]
-    idx = np.asarray([_unpack(r, dim, codec.nbits) for r in residuals])
+    idx = _unpack_batch(list(residuals), dim, codec.nbits)
     vecs = c[np.asarray(codes, dtype=np.int64)] + weights[idx]
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from next_plaid_spark.session import local_df
+
 # -- K1: identifier-aware tokenizer -------------------------------------------
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
@@ -548,7 +550,7 @@ def search_code(
     fetch_k = min(max(20 * top_k, 200), n_units)
 
     spark = units.sparkSession
-    qdf = spark.createDataFrame([(0, query_text)], "query_id long, text string")
+    qdf = local_df(spark, [(0, query_text)], "query_id long, text string")
     sem = brute_force_search(
         encode_queries(qdf, max_tokens=16),
         encode_tokens(subset, "unit_id", "embed_text", out_id="doc_id"),

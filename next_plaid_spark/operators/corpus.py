@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from next_plaid_spark.session import local_df
 from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
 from next_plaid_spark.operators.dedup import HASH_HEX_LEN, shingles
 
@@ -750,7 +751,8 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]], *,
     Words beyond the training cap fall back to character count (their
     untrained segmentation). The corpus shuffles once, by doc_id."""
     spark = docs.sparkSession
-    pieces = spark.createDataFrame(
+    pieces = local_df(
+        spark,
         bpe_word_pieces(docs, merges, id_col=id_col, text_col=text_col),
         "term string, n_pieces int",
     )

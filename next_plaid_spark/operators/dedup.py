@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from next_plaid_spark.session import local_df
 from next_plaid_spark.functions.text import TOKEN_SPLIT_RE, tokenize_unicode61
 
 # 60-bit hashes: 15 hex chars of md5 → fits BIGINT exactly in both engines.
@@ -1296,7 +1297,8 @@ def semdedup_removals(embeddings: DataFrame, *, n_cells: int = 32,
         cmat = train_ivf_cells(embeddings, n_cells, seed=seed,
                                id_col=id_col, vec_col=vec_col)
         spark = embeddings.sparkSession
-        centers = F.broadcast(spark.createDataFrame(
+        centers = F.broadcast(local_df(
+            spark,
             [(i, [float(x) for x in row]) for i, row in enumerate(cmat)],
             "cell int, cv array<float>"))
         assigned = (

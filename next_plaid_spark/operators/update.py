@@ -32,6 +32,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from next_plaid_spark.session import local_df
 from next_plaid_spark.operators.codec import quantize_residuals
 from next_plaid_spark.operators.kmeans import assign_codes, lloyds
 from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_index
@@ -207,8 +208,8 @@ def delete_from_index(
         # set — only the buckets owning a deleted doc are rewritten
         gone = (doc_ids.select(F.col("doc_id").cast("long"))
                 if isinstance(doc_ids, DataFrame)
-                else spark.createDataFrame(
-                    [(int(i),) for i in doc_ids], "doc_id long"))
+                else local_df(
+                    spark, [(int(i),) for i in doc_ids], "doc_id long"))
         empty = spark.createDataFrame(
             [], "doc_id long, token_idx int, vec array<float>")
         return update_index_delta(spark, index, gone, empty, out_path)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from next_plaid_spark.session import local_df
+
 
 def normalize_url(col: Column) -> Column:
     """Canonical form: lowercase, scheme/www./fragment stripped, trailing
@@ -53,8 +55,8 @@ def filter_by_domain_blocklist(docs: DataFrame, blocklist, *,
     broadcast blocklist — corpus scanned once, never shuffled."""
     spark = docs.sparkSession
     if not isinstance(blocklist, DataFrame):
-        blocklist = spark.createDataFrame(
-            [(d,) for d in blocklist], "_bad string")
+        blocklist = local_df(
+            spark, [(d,) for d in blocklist], "_bad string")
     bad = blocklist.select(
         F.lower(F.trim(F.col(blocklist.columns[0]))).alias("_bad")
     )

@@ -38,6 +38,7 @@ from next_plaid_spark.functions.vector import dot
 from next_plaid_spark.operators.codec import decompress
 from next_plaid_spark.operators.maxsim import maxsim_scores_relational, topk
 from next_plaid_spark.sources.index_store import PlaidIndex
+from next_plaid_spark.session import local_df
 
 
 def _seq_centroid_scores(q64: np.ndarray, c64: np.ndarray,
@@ -475,9 +476,8 @@ class BatchSearcher:
         # candidates for anyone — a broadcast semi-join on the (small)
         # union of surviving cell ids; no query_id explode
         cand_cell_codes = sorted(int(x) for x in np.nonzero(cell_mask.any(axis=0))[0])
-        codes_df = spark.createDataFrame(
-            [(x,) for x in cand_cell_codes], schema="code long"
-        )
+        codes_df = local_df(
+            spark, [(x,) for x in cand_cell_codes], "code long")
         cand_docs = (
             F.broadcast(codes_df).join(ivf, "code")
             .select(F.explode("doc_ids").alias("doc_id"))

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from next_plaid_spark.session import local_df
 from next_plaid_spark.encoding import (
     encode_documents,
     encode_queries,
@@ -282,9 +283,10 @@ def _write_approx_oracle_sidecar(idx, *, path: str | None = None,
     if _SIDECAR_STATE.get(state_key) == key:
         return
     c = idx.centroids_np().astype(np.float64)  # f32 → f64 exact
-    cent = idx.spark.createDataFrame(
+    cent = local_df(
+        idx.spark,
         [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
-        schema="code long, cvec array<double>",
+        "code long, cvec array<double>",
     )
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     dc = idx.doc_codes
@@ -298,8 +300,8 @@ def _write_approx_oracle_sidecar(idx, *, path: str | None = None,
     # doc_codes: on an index with zero-token docs the two diverge, and the
     # searcher's Q4 probe scaling uses meta (searcher.py) — the oracle must
     # scale off the same N
-    idx.spark.createDataFrame(
-        [(int(idx.meta.num_documents),)], schema="num_documents long"
+    local_df(
+        idx.spark, [(int(idx.meta.num_documents),)], "num_documents long"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     _SIDECAR_STATE[state_key] = key
 
@@ -772,7 +774,7 @@ def q_delta_update_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="plaid_delta_")
     idx = IndexBuilder(spark, nbits=4, seed=42, bucket_tokens=32).build(
         base_tokens, f"{root}/v0")
-    gone = spark.createDataFrame([(int(i),) for i in DELETE_IDS], "doc_id long")
+    gone = local_df(spark, [(int(i),) for i in DELETE_IDS], "doc_id long")
     idx2 = update_index_delta(spark, idx, gone, new_tokens, f"{root}/v1")
     return idx2.doclens.select("doc_id", "num_tokens")
 
@@ -1939,8 +1941,8 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = train_bpe(docs, n_merges=BPE_N_MERGES)
-    spark.createDataFrame(
-        bpe_word_pieces(docs, merges), "term string, n_pieces int"
+    local_df(
+        spark, bpe_word_pieces(docs, merges), "term string, n_pieces int"
     ).write.mode("overwrite").parquet(BPE_SIDECAR)
     return bpe_token_counts(docs, merges)
 
@@ -2409,12 +2411,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("corpus vocabulary exceeds the sidecar guard")
     h = HashingTF(numFeatures=QUALITY_FEATURES)
     w = model.coefficients
-    spark.createDataFrame(
-        [(t, float(w[h.indexOf(t)])) for t in terms],
+    local_df(
+        spark, [(t, float(w[h.indexOf(t)])) for t in terms],
         "term string, weight double",
     ).coalesce(1).write.mode("overwrite").parquet(QUALITY_SIDECAR + "/terms")
-    spark.createDataFrame(
-        [(float(model.intercept),)], "intercept double"
+    local_df(
+        spark, [(float(model.intercept),)], "intercept double"
     ).coalesce(1).write.mode("overwrite").parquet(QUALITY_SIDECAR + "/meta")
 
     out = pareto_quality_filter(
@@ -2535,8 +2537,8 @@ def _write_lsh_oracle_sidecar(spark: SparkSession, *, dim: int) -> None:
         for t in range(ANN_LSH_TABLES)
         for b, p in enumerate(_planes(dim, ANN_LSH_BITS, ANN_SEED, t))
     ]
-    spark.createDataFrame(
-        rows, "tbl int, bit int, pvec array<double>"
+    local_df(
+        spark, rows, "tbl int, bit int, pvec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(LSH_ORACLE_SIDECAR)
     _SIDECAR_STATE["lsh"] = key
 
@@ -2550,8 +2552,8 @@ def _write_ivf_oracle_sidecar(spark: SparkSession, cmat) -> None:
     key = ("ivf", hashlib.sha1(c.tobytes()).hexdigest()[:12])
     if _SIDECAR_STATE.get("ivf") == key:
         return
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
+    local_df(
+        spark, [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
         "cell int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(IVF_ORACLE_SIDECAR)
     _SIDECAR_STATE["ivf"] = key

@@ -34,6 +34,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from next_plaid_spark.session import local_df
 from next_plaid_spark.operators.codec import CodecArtifacts
 
 
@@ -242,7 +243,8 @@ def write_index(
 
 
 def write_centroids(spark: SparkSession, path: str, centroids: np.ndarray) -> None:
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
         "code long, vec array<float>",
     )

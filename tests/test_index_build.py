@@ -500,3 +500,22 @@ def test_argmax_codes_chunked_matches_full(monkeypatch):
 
     monkeypatch.setattr(km, "ASSIGN_CHUNK_BYTES", 64 * 513 * 4)  # force chunks
     assert np.array_equal(km._argmax_codes(x, c), full)
+
+
+def test_pack_unpack_batch():
+    """_unpack_batch must be bit-identical to per-row _unpack for every
+    nbits fast path (4-bit nibbles, 8-bit bytes, generic) and for dims
+    that don't byte-align."""
+    import numpy as np
+
+    from next_plaid_spark.operators.codec import _pack, _unpack, _unpack_batch
+
+    rng = np.random.default_rng(3)
+    for nbits, dim in ((4, 16), (4, 5), (2, 16), (2, 7), (8, 3)):
+        idxs = rng.integers(0, 2 ** nbits, size=(97, dim))
+        raws = [_pack(r, nbits) for r in idxs]
+        per_row = np.asarray([_unpack(r, dim, nbits) for r in raws])
+        assert np.array_equal(_unpack_batch(raws, dim, nbits), per_row), (nbits, dim)
+        assert np.array_equal(
+            _unpack_batch([bytearray(r) for r in raws], dim, nbits), per_row)
+    assert _unpack_batch([], 16, 4).shape == (0, 16)
