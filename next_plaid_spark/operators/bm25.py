@@ -270,11 +270,23 @@ class BM25Index:
                 and "max_sat" in self.term_stats.columns):
             df_src = self.term_stats
         else:
+            # derive df + max_sat from the STAGED parquet just written, not
+            # from self.postings/self.doclens: for a hand-constructed index
+            # (the incremental-update merge) every evaluation of those
+            # frames re-runs the old-store scan + semi-join + new-postings
+            # aggregation — r14 measured the bm25 leg of a 2-file update at
+            # 32 stages, most of them such re-evaluations. The staged files
+            # hold the identical rows (they ARE the frames, written above),
+            # and max/countDistinct are row-order-insensitive, so the
+            # derived stats are bit-identical.
+            spark = self.postings.sparkSession
+            staged_post = spark.read.parquet(os.path.join(path, "postings"))
+            staged_dl = spark.read.parquet(os.path.join(path, "doclens"))
             base = (self.term_stats if self.term_stats is not None else
-                    self.postings.groupBy("term").agg(
+                    staged_post.groupBy("term").agg(
                         F.countDistinct("doc_id").alias("df")))
             df_src = base.join(
-                self.postings.join(self.doclens, "doc_id")
+                staged_post.join(staged_dl, "doc_id")
                 .groupBy("term")
                 .agg(F.max(_sat_expr(self.avgdl)).alias("max_sat")),
                 "term",

@@ -393,6 +393,9 @@ class CodeIndex:
         if rebuild_threshold is None:
             rebuild_threshold = REBUILD_THRESHOLD
         spark = self.spark
+        # labeled phases (guide §1.5) — the r14 profiles could not
+        # attribute the update's stages without them
+        spark.sparkContext.setJobDescription("ci-update: detect+parse+merge")
         new_state = file_state(new_files).cache()
         changes = detect_changes(self.files, new_state).cache()
         gone_paths = changes.filter(
@@ -433,6 +436,7 @@ class CodeIndex:
         # -- incremental path ------------------------------------------------
         from next_plaid_spark.encoding import encode_tokens
 
+        spark.sparkContext.setJobDescription("ci-update: id recovery")
         merged = build_embedding_text(build_call_graph(merged_raw))
         # survivors keep their unit_id (stable-id discipline, update.py);
         # new units take max_id + dense rank. (file, line, name) alone is
@@ -504,6 +508,7 @@ class CodeIndex:
             # pre-bucketing flat snapshot: no clean buckets to reuse —
             # write the full table once, upgrading the layout
             dirty = set(range(UNITS_BUCKETS))
+        spark.sparkContext.setJobDescription("ci-update: units write")
         out_b = units_out.withColumn("ub", _units_bucket(F.col("file")))
         if dirty:
             out_b = out_b.filter(F.col("ub").isin(*[int(b) for b in dirty]))
@@ -536,6 +541,7 @@ class CodeIndex:
             "unit_id", "left_anti")
 
         # PLAID: delete everything not kept verbatim, append the re-encoded
+        spark.sparkContext.setJobDescription("ci-update: plaid delta")
         gone_doc = self.plaid.doclens.select("doc_id").join(
             unchanged_ids, "doc_id", "left_anti")
         new_tokens = encode_tokens(
@@ -565,6 +571,7 @@ class CodeIndex:
             shutil.rmtree(del_path, ignore_errors=True)
 
         # BM25: unchanged units' postings ride along; changed/new re-tokenize
+        spark.sparkContext.setJobDescription("ci-update: bm25 merge+save")
         toks_new = reindex.select(
             F.col("unit_id").cast("long").alias("doc_id"),
             F.posexplode(identifier_tokens(F.col("embed_text"))).alias(
@@ -598,6 +605,7 @@ class CodeIndex:
 
         with open(os.path.join(out_path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
+        spark.sparkContext.setJobDescription(None)
         merged_raw.unpersist()
         joined.unpersist()
         unchanged_ids.unpersist()

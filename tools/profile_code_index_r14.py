@@ -33,6 +33,16 @@ def dump_stages(lo: int, label: str, wall: float, top: int = 25) -> None:
     tot = sum(s.get("executorRunTime", 0) for s in stages)
     print(f"\n=== {label}: wall {wall:.2f}s | {len(stages)} stages | "
           f"executor-run {tot/1000:.1f}s ===")
+    by_desc: dict = {}
+    for s in stages:
+        d = (s.get("description") or "?")[:40]
+        agg = by_desc.setdefault(d, [0, 0, 0])
+        agg[0] += s.get("executorRunTime", 0)
+        agg[1] += s.get("executorCpuTime", 0)
+        agg[2] += 1
+    for d, (run, cpu, ns) in sorted(by_desc.items(), key=lambda kv: -kv[1][0]):
+        print(f"    phase {d:<42s} run {run/1000:7.1f}s cpu {cpu/1e9:7.1f}s "
+              f"{ns:3d} stages")
     for s in sorted(stages, key=lambda s: -s.get("executorRunTime", 0))[:top]:
         print(f"  st{s['stageId']:>5} {s.get('numCompleteTasks', 0):>4}t "
               f"run {s.get('executorRunTime', 0)/1000:7.2f}s "
