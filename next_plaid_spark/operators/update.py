@@ -301,9 +301,19 @@ def update_index_delta(
     new_doc_tokens = new_doc_tokens.select(
         F.col("doc_id").cast("long"), F.col("token_idx").cast("int"), "vec"
     ).cache()
-    new_ids = new_doc_tokens.select("doc_id").distinct()
-    n_new_docs = new_ids.count()
-    n_new_tokens = new_doc_tokens.count()
+    # one aggregation job yields the doc/token counts AND the per-bucket
+    # new-row histogram the tiering rule needs below (was three separate
+    # actions — this runs once per streaming-ingest batch, so driver
+    # round-trips are a per-batch stream cost, guide §5). doc_id determines
+    # its bucket, so summing per-bucket distinct doc counts is exact.
+    bucket = F.pmod(F.hash(F.col("doc_id")), F.lit(n))
+    _hist = (new_doc_tokens.select(bucket.alias("b"), "doc_id")
+             .groupBy("b")
+             .agg(F.count("*").alias("nt"),
+                  F.countDistinct("doc_id").alias("nd"))
+             .collect())
+    n_new_docs = sum(int(r.nd) for r in _hist)
+    n_new_tokens = sum(int(r.nt) for r in _hist)
 
     centroids = index.centroids_np()
     if n_new_tokens:
@@ -319,14 +329,11 @@ def update_index_delta(
 
     # bucket id exactly as Spark's bucketed write assigns it:
     # pmod(Murmur3(doc_id), n) — F.hash IS Murmur3 with the bucketing seed
-    # (pinned by test_bucketed_tokens' per-file placement check)
-    bucket = F.pmod(F.hash(F.col("doc_id")), F.lit(n))
+    # (pinned by test_bucketed_tokens' per-file placement check).
+    # new_per_bucket falls out of the single stats aggregation above; the
+    # del_dirty collect stays its own (bucket-distinct, ≤ n rows) job.
     del_dirty = {int(r.b) for r in gone.select(bucket.alias("b")).distinct().collect()}
-    new_per_bucket = ({
-        int(r.b): int(r["count"])
-        for r in new_doc_tokens.select(bucket.alias("b"))
-        .groupBy("b").count().collect()
-    } if n_new_tokens else {})
+    new_per_bucket = {int(r.b): int(r.nt) for r in _hist}
 
     old_dir = os.path.join(index.path, "tokens_bucketed")
     by_bucket: dict[int, list[tuple[str, int]]] = {}
