@@ -673,7 +673,8 @@ class BatchSearcher:
     def _approx_chunked(self, query_tokens: DataFrame, n_probe: int,
                         p: "SearchParams", ivf: DataFrame,
                         prune_to: int | None = None,
-                        eligible_mask: np.ndarray | None = None) -> DataFrame:
+                        eligible_mask: np.ndarray | None = None,
+                        ntok: int | None = None) -> DataFrame:
         """Broadcast kernel over budget-sized chunks of whole queries.
 
         Splitting by query id keeps every per-query invariant of
@@ -685,7 +686,11 @@ class BatchSearcher:
         filter is a range predicate that pushes into the token scan."""
         import math
 
-        est = query_tokens.count() * self.index.meta.k * 8
+        # the caller's strategy resolution already counted the batch's
+        # tokens — don't pay a second count job per search (r14)
+        if ntok is None:
+            ntok = query_tokens.count()
+        est = ntok * self.index.meta.k * 8
         n_chunks = max(1, math.ceil(est / self.broadcast_budget_bytes))
         qids = sorted(
             r.query_id for r in query_tokens.select("query_id").distinct().collect()
@@ -971,7 +976,7 @@ class BatchSearcher:
             else:
                 approx = self._approx_chunked(
                     query_tokens, n_probe, p, ivf, prune_to=cut,
-                    eligible_mask=eligible_mask,
+                    eligible_mask=eligible_mask, ntok=int(qstats["ntok"]),
                 )
         else:
             # Q1+Q2+Q3 fused in one grouped kernel (was: probe mapInPandas →
