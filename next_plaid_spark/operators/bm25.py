@@ -247,19 +247,40 @@ class BM25Index:
             except OSError:
                 pass
 
-        (self.postings.repartitionByRange(F.col("term"))
-         .sortWithinPartitions("term", "doc_id")
-         .write.mode("overwrite").parquet(os.path.join(path, "postings")))
-        _heartbeat()
-        self.doclens.write.mode("overwrite").parquet(
-            os.path.join(path, "doclens"))
-        _heartbeat()
-        if self.positions is not None:
+        # the three stores are independent writes to disjoint dirs — submit
+        # them concurrently so each job's straggler tail back-fills with the
+        # others' tasks (guide §2.6 overlap-independent-jobs; measured r14:
+        # the save wall is job-dispatch-bound, not compute-bound, at any
+        # realistic index size). Job descriptions are thread-local, so each
+        # thread labels its own jobs; term_stats below waits for postings +
+        # doclens (it derives from the staged files) but not positions.
+        def _write_postings() -> None:
+            (self.postings.repartitionByRange(F.col("term"))
+             .sortWithinPartitions("term", "doc_id")
+             .write.mode("overwrite").parquet(os.path.join(path, "postings")))
+            _heartbeat()
+
+        def _write_doclens() -> None:
+            self.doclens.write.mode("overwrite").parquet(
+                os.path.join(path, "doclens"))
+            _heartbeat()
+
+        def _write_positions() -> None:
             (self.positions.repartitionByRange(F.col("term"))
              .sortWithinPartitions("term", "doc_id", "pos")
              .write.mode("overwrite").parquet(
                  os.path.join(path, "positions")))
             _heartbeat()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        writers = [_write_postings, _write_doclens]
+        if self.positions is not None:
+            writers.append(_write_positions)
+        with ThreadPoolExecutor(len(writers)) as ex:
+            futs = [ex.submit(w) for w in writers]
+            for f in futs:  # re-raise the first failure; others complete
+                f.result()
         # persist per-term stats (df + the max_sat prune bound) so a
         # loaded index never re-aggregates the postings per query;
         # hand-constructed indexes (e.g. the incremental-update merge)

@@ -173,12 +173,30 @@ class CodeIndex:
             "unit_id", "embed_text", dim=dim,
             max_tokens=DOC_MAX_TOKENS, out_id="doc_id",
         ).select("doc_id", "token_idx", "vec")
-        IndexBuilder(spark, nbits=nbits, seed=seed,
-                     bucket_tokens=bucket_tokens).build(
-            tokens, os.path.join(path, "plaid"))
-        BM25Index.build(units, id_col="unit_id", text_col="embed_text",
-                        tokenizer="identifier_aware").save(
-            os.path.join(path, "bm25"))
+
+        # the PLAID build and the BM25 build are independent pipelines over
+        # the same written units parquet, each a chain of bounded jobs that
+        # underfills the cluster between its shuffles — run them
+        # concurrently so one leg's scheduling gaps back-fill with the
+        # other's tasks (guide §2.6; job descriptions are thread-local)
+        def _plaid_leg() -> None:
+            spark.sparkContext.setJobDescription("ci-build: plaid")
+            IndexBuilder(spark, nbits=nbits, seed=seed,
+                         bucket_tokens=bucket_tokens).build(
+                tokens, os.path.join(path, "plaid"))
+
+        def _bm25_leg() -> None:
+            spark.sparkContext.setJobDescription("ci-build: bm25")
+            BM25Index.build(units, id_col="unit_id", text_col="embed_text",
+                            tokenizer="identifier_aware").save(
+                os.path.join(path, "bm25"))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(_plaid_leg), ex.submit(_bm25_leg)]
+            for fut in futs:
+                fut.result()
 
         meta = {"dim": dim, "doc_max_tokens": DOC_MAX_TOKENS,
                 "query_max_tokens": CODE_QUERY_MAX_TOKENS,
@@ -540,68 +558,92 @@ class CodeIndex:
             unchanged_ids.withColumnRenamed("doc_id", "unit_id"),
             "unit_id", "left_anti")
 
-        # PLAID: delete everything not kept verbatim, append the re-encoded
-        spark.sparkContext.setJobDescription("ci-update: plaid delta")
-        gone_doc = self.plaid.doclens.select("doc_id").join(
-            unchanged_ids, "doc_id", "left_anti")
-        new_tokens = encode_tokens(
-            reindex, "unit_id", "embed_text", dim=self.meta["dim"],
-            max_tokens=self.meta["doc_max_tokens"], out_id="doc_id",
-        ).select("doc_id", "token_idx", "vec")
-        if self.plaid.meta.n_buckets:
-            # bucketed layout (the default): fused delete+append rewrites
-            # only the buckets owning a gone/re-encoded unit and hardlinks
-            # the clean ones — O(delta) token IO instead of the two-step
-            # form's two corpus-sized snapshot writes
-            update_index_delta(spark, self.plaid, gone_doc, new_tokens,
-                               os.path.join(out_path, "plaid"),
-                               seed=self.meta["seed"])
-        else:
-            del_path = os.path.join(out_path, "_plaid_del")
-            shrunk = delete_from_index(spark, self.plaid, gone_doc, del_path)
-            update_index(spark, shrunk, new_tokens,
-                         os.path.join(out_path, "plaid"),
-                         seed=self.meta["seed"])
-            # the shrunken snapshot was only update_index's input — the
-            # new index at plaid/ is fully materialized, so drop the
-            # intermediate (it is corpus-sized; leaving it would double
-            # every update's footprint)
-            import shutil
+        # force the cache both legs share BEFORE forking so neither thread
+        # races the fill (Spark's block locks make a race harmless but it
+        # can double-compute partitions; one tiny cached-scan count is
+        # cheaper and deterministic)
+        unchanged_ids.count()
 
-            shutil.rmtree(del_path, ignore_errors=True)
+        # The PLAID delta and the BM25 merge+save are independent pipelines
+        # (disjoint output dirs; both read only `reindex`, `unchanged_ids`
+        # and the old stores) and each is a cascade of bounded jobs whose
+        # wall is dispatch-dominated at delta sizes — run them concurrently
+        # so one leg's scheduling gaps back-fill with the other's tasks
+        # (guide §2.6; labels are thread-local, so each leg keeps its own)
+        def _plaid_leg() -> None:
+            # PLAID: delete everything not kept verbatim, append re-encoded
+            spark.sparkContext.setJobDescription("ci-update: plaid delta")
+            gone_doc = self.plaid.doclens.select("doc_id").join(
+                unchanged_ids, "doc_id", "left_anti")
+            new_tokens = encode_tokens(
+                reindex, "unit_id", "embed_text", dim=self.meta["dim"],
+                max_tokens=self.meta["doc_max_tokens"], out_id="doc_id",
+            ).select("doc_id", "token_idx", "vec")
+            if self.plaid.meta.n_buckets:
+                # bucketed layout (the default): fused delete+append
+                # rewrites only the buckets owning a gone/re-encoded unit
+                # and hardlinks the clean ones — O(delta) token IO instead
+                # of the two-step form's two corpus-sized snapshot writes
+                update_index_delta(spark, self.plaid, gone_doc, new_tokens,
+                                   os.path.join(out_path, "plaid"),
+                                   seed=self.meta["seed"])
+            else:
+                del_path = os.path.join(out_path, "_plaid_del")
+                shrunk = delete_from_index(
+                    spark, self.plaid, gone_doc, del_path)
+                update_index(spark, shrunk, new_tokens,
+                             os.path.join(out_path, "plaid"),
+                             seed=self.meta["seed"])
+                # the shrunken snapshot was only update_index's input — the
+                # new index at plaid/ is fully materialized, so drop the
+                # intermediate (it is corpus-sized; leaving it would double
+                # every update's footprint)
+                import shutil
 
-        # BM25: unchanged units' postings ride along; changed/new re-tokenize
-        spark.sparkContext.setJobDescription("ci-update: bm25 merge+save")
-        toks_new = reindex.select(
-            F.col("unit_id").cast("long").alias("doc_id"),
-            F.posexplode(identifier_tokens(F.col("embed_text"))).alias(
-                "pos", "term"))
-        post_new = toks_new.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf"))
-        dl_new = toks_new.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        # NOT cached (measured r14: caching these three before save() read
-        # consistently SLOWER, ~46 s vs ~38 s update wall — the cache fills
-        # cost more than the saved re-evaluations; each re-evaluation is
-        # only a parquet scan + a broadcast semi-join on the tiny
-        # unchanged-id list)
-        postings = self.bm25.postings.join(
-            unchanged_ids, "doc_id", "left_semi").unionByName(post_new)
-        doclens = self.bm25.doclens.join(
-            unchanged_ids, "doc_id", "left_semi").unionByName(dl_new)
-        stats = doclens.agg(F.count("*").alias("n"),
-                            F.sum("dl").alias("total")).collect()[0]
-        # positional postings (if the index was built with them) merge the
-        # same way: unchanged units ride along, reindexed units re-derive —
-        # an update must not silently drop phrase-search capability
-        positions = None
-        if self.bm25.positions is not None:
-            positions = self.bm25.positions.join(
-                unchanged_ids, "doc_id", "left_semi").unionByName(
-                toks_new.select("term", "doc_id", "pos"))
-        BM25Index(postings, doclens, stats.n or 0,
-                  (stats.total / stats.n) if stats.n else 0.0,
-                  "identifier_aware", positions).save(
-                      os.path.join(out_path, "bm25"))
+                shutil.rmtree(del_path, ignore_errors=True)
+
+        def _bm25_leg() -> None:
+            # BM25: unchanged units' postings ride along; changed/new
+            # re-tokenize
+            spark.sparkContext.setJobDescription("ci-update: bm25 merge+save")
+            toks_new = reindex.select(
+                F.col("unit_id").cast("long").alias("doc_id"),
+                F.posexplode(identifier_tokens(F.col("embed_text"))).alias(
+                    "pos", "term"))
+            post_new = toks_new.groupBy("term", "doc_id").agg(
+                F.count("*").alias("tf"))
+            dl_new = toks_new.groupBy("doc_id").agg(F.count("*").alias("dl"))
+            # NOT cached (measured r14: caching these three before save()
+            # read consistently SLOWER, ~46 s vs ~38 s update wall — the
+            # cache fills cost more than the saved re-evaluations; each
+            # re-evaluation is only a parquet scan + a broadcast semi-join
+            # on the tiny unchanged-id list)
+            postings = self.bm25.postings.join(
+                unchanged_ids, "doc_id", "left_semi").unionByName(post_new)
+            doclens = self.bm25.doclens.join(
+                unchanged_ids, "doc_id", "left_semi").unionByName(dl_new)
+            stats = doclens.agg(F.count("*").alias("n"),
+                                F.sum("dl").alias("total")).collect()[0]
+            # positional postings (if the index was built with them) merge
+            # the same way: unchanged units ride along, reindexed units
+            # re-derive — an update must not silently drop phrase-search
+            # capability
+            positions = None
+            if self.bm25.positions is not None:
+                positions = self.bm25.positions.join(
+                    unchanged_ids, "doc_id", "left_semi").unionByName(
+                    toks_new.select("term", "doc_id", "pos"))
+            BM25Index(postings, doclens, stats.n or 0,
+                      (stats.total / stats.n) if stats.n else 0.0,
+                      "identifier_aware", positions).save(
+                          os.path.join(out_path, "bm25"))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(_plaid_leg), ex.submit(_bm25_leg)]
+            for fut in futs:
+                fut.result()
 
         with open(os.path.join(out_path, "meta.json"), "w") as f:
             json.dump(self.meta, f)

@@ -384,30 +384,37 @@ def update_index_delta(
 
     bt_new = ("nps_tokens_"
               + hashlib.md5(os.path.abspath(out_path).encode()).hexdigest()[:12])
-    spark.sql(f"DROP TABLE IF EXISTS {bt_new}")
     new_dir = os.path.join(out_path, "tokens_bucketed")
     touched = del_dirty | set(new_per_bucket)
-    (
-        # one partition per touched bucket → one new file per touched
-        # bucket, the condition write_index documents for shuffle-free
-        # downstream reads
-        rows.repartition(max(len(touched), 1), bucket)
-        .write.mode("overwrite")
-        .option("path", new_dir)
-        .bucketBy(n, "doc_id")
-        .sortBy("doc_id")
-        .saveAsTable(bt_new)
-    )
-    for files in by_bucket.values():
-        for src, _sz in files:
-            if src in folded:
-                continue
-            dst = os.path.join(new_dir, os.path.basename(src))
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
-    spark.sql(f"REFRESH TABLE {bt_new}")
+
+    def _tokens_leg() -> None:
+        # the corpus-facing leg: bucketed delta write + hardlink carry.
+        # Independent of the doc_stats/IVF/centroids chain below (disjoint
+        # dirs; both evaluate `quantized` from the CACHED new-token frame),
+        # so the two legs run concurrently — guide §2.6; each leg's
+        # scheduling gaps back-fill with the other's tasks
+        spark.sql(f"DROP TABLE IF EXISTS {bt_new}")
+        (
+            # one partition per touched bucket → one new file per touched
+            # bucket, the condition write_index documents for shuffle-free
+            # downstream reads
+            rows.repartition(max(len(touched), 1), bucket)
+            .write.mode("overwrite")
+            .option("path", new_dir)
+            .bucketBy(n, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(bt_new)
+        )
+        for files in by_bucket.values():
+            for src, _sz in files:
+                if src in folded:
+                    continue
+                dst = os.path.join(new_dir, os.path.basename(src))
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        spark.sql(f"REFRESH TABLE {bt_new}")
 
     old_stats = spark.read.parquet(os.path.join(index.path, "doc_stats"))
     gone_agg = old_stats.join(gone, "doc_id", "left_semi").agg(
@@ -462,22 +469,33 @@ def update_index_delta(
                       .join(gone, "doc_id", "left_anti"))
     else:
         fold_stats = old_stats.filter(F.lit(False))
-    # one file per snapshot hop: the union is delta-sized (new stats +
-    # folded small files), and one file IS the LSM tier granularity —
-    # without this, each append would emit one tiny file per shuffle
-    # partition and the tier structure would be noise-sized
-    (fold_stats.unionByName(new_stats).coalesce(1)
-     .write.mode("overwrite").parquet(new_sd))
-    for p, _rows, _mm in stat_files:
-        if p in sd_folded:
-            continue
-        dst = os.path.join(new_sd, os.path.basename(p))
-        try:
-            os.link(p, dst)
-        except OSError:
-            shutil.copy2(p, dst)
-    write_ivf_from_doc_stats(spark, out_path, centroids.shape[0])
-    write_centroids(spark, out_path, centroids)
+
+    def _stats_leg() -> None:
+        # one file per snapshot hop: the union is delta-sized (new stats +
+        # folded small files), and one file IS the LSM tier granularity —
+        # without this, each append would emit one tiny file per shuffle
+        # partition and the tier structure would be noise-sized
+        (fold_stats.unionByName(new_stats).coalesce(1)
+         .write.mode("overwrite").parquet(new_sd))
+        for p, _rows, _mm in stat_files:
+            if p in sd_folded:
+                continue
+            dst = os.path.join(new_sd, os.path.basename(p))
+            try:
+                os.link(p, dst)
+            except OSError:
+                shutil.copy2(p, dst)
+        # IVF derives from the doc_stats just written; centroids are a
+        # driver-local table — both stay chained behind the stats write
+        # inside this leg
+        write_ivf_from_doc_stats(spark, out_path, centroids.shape[0])
+        write_centroids(spark, out_path, centroids)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        for fut in [ex.submit(_tokens_leg), ex.submit(_stats_leg)]:
+            fut.result()
 
     n_docs = index.meta.num_documents - int(gone_agg.nd) + n_new_docs
     n_tok = index.meta.num_embeddings - int(gone_agg.nt) + n_new_tokens
