@@ -177,24 +177,32 @@ def train_codec_from_tokens(doc_tokens: DataFrame, centroids: np.ndarray,
     assigned — the same row set (and therefore bit-identical artifacts) as
     sampling an assigned corpus, since assignment is row-wise pure, but the
     full-corpus assign pass (and its cache) disappears from the build."""
-    from next_plaid_spark.operators.kmeans import assign_codes
+    from next_plaid_spark.operators.kmeans import _argmax_codes
 
     n = n_rows if n_rows is not None else doc_tokens.count()
     frac = min(1.0, max(HELDOUT_FRAC, HELDOUT_CAP / max(n, 1)))
     sampled = doc_tokens.select(vec_col)
     if frac < 1.0:
         sampled = sampled.sample(fraction=min(1.0, frac * 1.1), seed=seed)
-    coded_sample = assign_codes(sampled, centroids, vec_col=vec_col)
     # Arrow transfer (same partition-ordered rows as collect(), ~10× faster
-    # for wide vector columns)
-    pdf = coded_sample.limit(HELDOUT_CAP * 2).toPandas()
+    # for wide vector columns). The sample is assigned on the DRIVER with
+    # the same `_argmax_codes` kernel the executors use: the sample is
+    # bounded (≤ 2·HELDOUT_CAP rows by the limit), so routing it through a
+    # mapInPandas assign stage paid a full executor Python round-trip —
+    # 32 tasks × worker dispatch + Arrow both ways — to run a GEMM the
+    # driver does in milliseconds (r14 profile: the assign+toPandas stage
+    # was the single largest stage of the build, ~1.7 s/task of Python
+    # wait for ~1.7k rows/task of work; guide §4.1 — control how many
+    # columns/rows cross, and don't cross twice).
+    pdf = sampled.limit(HELDOUT_CAP * 2).toPandas()
     vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
-    codes = pdf["code"].to_numpy(dtype=np.int64)
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    codes = (_argmax_codes(vecs, c) if len(vecs)
+             else np.empty(0, dtype=np.int64))
     if len(vecs) > HELDOUT_CAP:
         rng = np.random.default_rng(seed)
         keep = rng.choice(len(vecs), size=HELDOUT_CAP, replace=False)
         vecs, codes = vecs[keep], codes[keep]
-    c = np.ascontiguousarray(centroids, dtype=np.float32)
     return _artifacts_from_residuals(vecs - c[codes], nbits)
 
 

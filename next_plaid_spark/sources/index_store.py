@@ -164,8 +164,15 @@ def write_index(
 ) -> PlaidIndex:
     os.makedirs(path, exist_ok=True)
     import hashlib as _hl
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import functions as F
+
+    # centroids are a driver-local table with no dependency on the token
+    # write — overlap its (dispatch-dominated) job with the corpus-sized
+    # tokens write below (guide §2.6 overlap-independent-jobs)
+    cent_pool = ThreadPoolExecutor(1)
+    cent_fut = cent_pool.submit(write_centroids, spark, path, centroids)
 
     if bucket_tokens:
         # doc_id-bucketed catalog table: ONE shuffle at write time buys
@@ -217,7 +224,8 @@ def write_index(
             shutil.rmtree(stale_pb, ignore_errors=True)
         meta.bucket_table = None
         meta.n_buckets = None
-    write_centroids(spark, path, centroids)
+    cent_fut.result()
+    cent_pool.shutdown()
 
     tokens = (tokens_src if tokens_src is not None
               else spark.read.parquet(os.path.join(path, "tokens")))
