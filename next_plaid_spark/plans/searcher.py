@@ -674,7 +674,7 @@ class BatchSearcher:
                         p: "SearchParams", ivf: DataFrame,
                         prune_to: int | None = None,
                         eligible_mask: np.ndarray | None = None,
-                        ntok: int | None = None) -> DataFrame:
+                        ntok: int | None = None, qt_pdf=None) -> DataFrame:
         """Broadcast kernel over budget-sized chunks of whole queries.
 
         Splitting by query id keeps every per-query invariant of
@@ -683,18 +683,32 @@ class BatchSearcher:
         to a single oversized broadcast. Driver memory is bounded by one
         chunk's score matrix at a time. Chunk ranges come from sorted
         distinct query ids (8 bytes/query driver-side), so the per-chunk
-        filter is a range predicate that pushes into the token scan."""
+        filter is a range predicate that pushes into the token scan.
+
+        When the caller already collected the batch's raw token pdf (it is
+        dim/K times smaller than the score matrix that forced chunking, so
+        it usually fits the same budget — search() collects it for the
+        rerank anyway), the chunk slices come from that pdf driver-side:
+        no per-chunk toPandas jobs (each re-ran the query encode) and no
+        distinct-qids job — r14, guide §5 driver round-trips. A sorted-pdf
+        range slice is exactly the rows the range filter selects, in the
+        same (query_id, token_idx) order, so the union stays bit-identical."""
         import math
 
         # the caller's strategy resolution already counted the batch's
         # tokens — don't pay a second count job per search (r14)
         if ntok is None:
-            ntok = query_tokens.count()
+            ntok = (len(qt_pdf) if qt_pdf is not None
+                    else query_tokens.count())
         est = ntok * self.index.meta.k * 8
         n_chunks = max(1, math.ceil(est / self.broadcast_budget_bytes))
-        qids = sorted(
-            r.query_id for r in query_tokens.select("query_id").distinct().collect()
-        )
+        if qt_pdf is not None:
+            qids = sorted(np.unique(qt_pdf["query_id"].to_numpy()).tolist())
+        else:
+            qids = sorted(
+                r.query_id
+                for r in query_tokens.select("query_id").distinct().collect()
+            )
         if not qids:
             return self._approx_broadcast(
                 query_tokens, n_probe, p, ivf, prune_to=prune_to,
@@ -708,13 +722,17 @@ class BatchSearcher:
             sub = query_tokens.filter(
                 (F.col("query_id") >= lo) & (F.col("query_id") <= hi)
             )
+            sub_pdf = None
+            if qt_pdf is not None:
+                q = qt_pdf["query_id"]
+                sub_pdf = qt_pdf[(q >= lo) & (q <= hi)].reset_index(drop=True)
             # spread=False: per-chunk kernels are quarter-size, and paying
             # the round-robin exchange once per chunk measured net-NEGATIVE
             # at sf0.1 (chunked4 8.3 s → 11.6 s with it; the union of
             # chunk outputs restores cross-chunk parallelism anyway)
             part = self._approx_broadcast(
                 sub, n_probe, p, ivf, prune_to=prune_to,
-                eligible_mask=eligible_mask, spread=False,
+                eligible_mask=eligible_mask, qt_pdf=sub_pdf, spread=False,
             )
             out = part if out is None else out.unionByName(part)
         return out
@@ -977,6 +995,7 @@ class BatchSearcher:
                 approx = self._approx_chunked(
                     query_tokens, n_probe, p, ivf, prune_to=cut,
                     eligible_mask=eligible_mask, ntok=int(qstats["ntok"]),
+                    qt_pdf=qt_pdf,
                 )
         else:
             # Q1+Q2+Q3 fused in one grouped kernel (was: probe mapInPandas →

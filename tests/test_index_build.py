@@ -250,6 +250,32 @@ def test_approx_strategies_agree(spark, built_index):
     assert chunked == results["broadcast"]
 
 
+def test_chunked_pdf_slicing_matches_per_chunk_collect(spark, built_index):
+    """The chunked strategy's driver-side pdf slicing (used when search()
+    already holds the batch's token pdf — r14) must yield exactly the rows
+    the per-chunk toPandas path collects: same (query_id, doc_id,
+    approx_score) multiset from the same chunk boundaries."""
+    idx, docs, dt = built_index
+    queries = docs.limit(12).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    p = SearchParams(top_k=10, n_full_scores=256)
+    searcher = BatchSearcher(idx, p, approx_strategy="chunked",
+                             broadcast_budget_bytes=1024)
+    try:
+        qtc = qt.select("query_id", "token_idx", "vec").cache()
+        pdf = qtc.sort("query_id", "token_idx").toPandas()
+        via_collect = sorted(
+            map(tuple, searcher._approx_chunked(
+                qtc, p.n_ivf_probe, p, idx.ivf).collect()))
+        via_slices = sorted(
+            map(tuple, searcher._approx_chunked(
+                qtc, p.n_ivf_probe, p, idx.ivf, qt_pdf=pdf).collect()))
+        assert via_slices == via_collect
+        qtc.unpersist()
+    finally:
+        searcher.release()
+
+
 def test_search_without_doc_codes_artifact(spark, built_index, tmp_path):
     """Indexes written before the doc_codes table existed fall back to
     aggregating the tokens table — identical results."""
