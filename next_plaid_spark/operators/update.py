@@ -162,8 +162,9 @@ def update_index(
     # empty delete set — route there so the append writes O(batch) new
     # bucket files (tiered-file appends) instead of snapshotting the corpus
     if index.meta.n_buckets:
-        gone = spark.createDataFrame([], "doc_id long")
-        return update_index_delta(spark, index, gone, new_doc_tokens,
+        # gone=None declares the pure append statically: no delete
+        # bookkeeping job, no anti-joins (r14 opt)
+        return update_index_delta(spark, index, None, new_doc_tokens,
                                   out_path, seed=seed,
                                   buffer_threshold=buffer_threshold)
 
@@ -250,7 +251,7 @@ def dense_id_mapping(index: PlaidIndex) -> DataFrame:
 def update_index_delta(
     spark: SparkSession,
     index: PlaidIndex,
-    gone_docs: DataFrame,
+    gone_docs: DataFrame | None,
     new_doc_tokens: DataFrame,
     out_path: str,
     *,
@@ -281,7 +282,10 @@ def update_index_delta(
 
     Preconditions (same contract as the two-step form): ``gone_docs`` ⊆
     indexed docs; ``new_doc_tokens`` doc_ids must not collide with kept
-    docs (re-encoded docs appear in both gone and new).
+    docs (re-encoded docs appear in both gone and new). ``gone_docs=None``
+    declares a pure append statically — the delete bookkeeping job and the
+    anti-joins are skipped entirely (one fewer doc_stats scan per
+    streaming-ingest batch).
     """
     import hashlib
     import re
@@ -297,7 +301,8 @@ def update_index_delta(
         raise ValueError("update_index_delta requires a doc_id-bucketed index; "
                          "use delete_from_index + update_index for plain layouts")
 
-    gone = gone_docs.select(F.col("doc_id").cast("long")).distinct().cache()
+    gone = (None if gone_docs is None
+            else gone_docs.select(F.col("doc_id").cast("long")).distinct().cache())
     new_doc_tokens = new_doc_tokens.select(
         F.col("doc_id").cast("long"), F.col("token_idx").cast("int"), "vec"
     ).cache()
@@ -330,9 +335,24 @@ def update_index_delta(
     # bucket id exactly as Spark's bucketed write assigns it:
     # pmod(Murmur3(doc_id), n) — F.hash IS Murmur3 with the bucketing seed
     # (pinned by test_bucketed_tokens' per-file placement check).
-    # new_per_bucket falls out of the single stats aggregation above; the
-    # del_dirty collect stays its own (bucket-distinct, ≤ n rows) job.
-    del_dirty = {int(r.b) for r in gone.select(bucket.alias("b")).distinct().collect()}
+    # new_per_bucket falls out of the single stats aggregation above.
+    # The delete-side bookkeeping (dirty buckets + gone doc/token totals)
+    # is likewise ONE bucket-grouped aggregation over the gone docs' stats
+    # rows (gone ⊆ indexed docs per contract, so the semi-join drops
+    # nothing) instead of two separate driver actions — and a delete-free
+    # append (every streaming ingest batch) pays for neither beyond this
+    # single empty-result job (guide §5: driver round-trips are a
+    # per-batch stream cost).
+    old_stats = spark.read.parquet(os.path.join(index.path, "doc_stats"))
+    _dhist = ([] if gone is None else
+              (old_stats.join(gone, "doc_id", "left_semi")
+               .select(bucket.alias("b"), "num_tokens")
+               .groupBy("b")
+               .agg(F.count("*").alias("nd"), F.sum("num_tokens").alias("nt"))
+               .collect()))
+    del_dirty = {int(r.b) for r in _dhist}
+    gone_nd = sum(int(r.nd) for r in _dhist)
+    gone_nt = sum(int(r.nt) for r in _dhist)
     new_per_bucket = {int(r.b): int(r.nt) for r in _hist}
 
     old_dir = os.path.join(index.path, "tokens_bucketed")
@@ -376,8 +396,10 @@ def update_index_delta(
 
     cols = index.tokens.columns
     if folded:
-        kept_rows = (spark.read.parquet(*sorted(folded))
-                     .join(gone, "doc_id", "left_anti").select(*cols))
+        kept_rows = spark.read.parquet(*sorted(folded))
+        if gone is not None:
+            kept_rows = kept_rows.join(gone, "doc_id", "left_anti")
+        kept_rows = kept_rows.select(*cols)
     else:
         kept_rows = index.tokens.filter(F.lit(False)).select(*cols)
     rows = kept_rows.unionByName(quantized.select(*cols))
@@ -416,10 +438,6 @@ def update_index_delta(
                     shutil.copy2(src, dst)
         spark.sql(f"REFRESH TABLE {bt_new}")
 
-    old_stats = spark.read.parquet(os.path.join(index.path, "doc_stats"))
-    gone_agg = old_stats.join(gone, "doc_id", "left_semi").agg(
-        F.count("*").alias("nd"), F.coalesce(F.sum("num_tokens"), F.lit(0)).alias("nt")
-    ).collect()[0]
     new_stats = quantized.groupBy("doc_id").agg(
         F.count("*").alias("num_tokens"),
         F.array_sort(F.collect_set("code")).alias("codes"),
@@ -444,12 +462,12 @@ def update_index_delta(
             continue
         p = os.path.join(old_sd, fn)
         stat_files.append((p, _parquet_rows(p), _parquet_minmax(p, "doc_id")))
-    gone_rows = ([] if not int(gone_agg.nd)
+    gone_rows = ([] if not gone_nd
                  else [int(r.doc_id) for r in gone.collect()]
-                 if int(gone_agg.nd) <= 100_000 else None)
+                 if gone_nd <= 100_000 else None)
 
     def _may_contain_gone(mm):
-        if not int(gone_agg.nd):
+        if not gone_nd:
             return False
         if mm is None or gone_rows is None:  # no stats / huge delete set
             return True
@@ -465,8 +483,9 @@ def update_index_delta(
             sd_folded.add(p)
             acc += rows_in_file
     if sd_folded:
-        fold_stats = (spark.read.parquet(*sorted(sd_folded))
-                      .join(gone, "doc_id", "left_anti"))
+        fold_stats = spark.read.parquet(*sorted(sd_folded))
+        if gone is not None:
+            fold_stats = fold_stats.join(gone, "doc_id", "left_anti")
     else:
         fold_stats = old_stats.filter(F.lit(False))
 
@@ -497,8 +516,8 @@ def update_index_delta(
         for fut in [ex.submit(_tokens_leg), ex.submit(_stats_leg)]:
             fut.result()
 
-    n_docs = index.meta.num_documents - int(gone_agg.nd) + n_new_docs
-    n_tok = index.meta.num_embeddings - int(gone_agg.nt) + n_new_tokens
+    n_docs = index.meta.num_documents - gone_nd + n_new_docs
+    n_tok = index.meta.num_embeddings - gone_nt + n_new_tokens
     meta = IndexMeta(
         k=centroids.shape[0], dim=index.meta.dim, nbits=index.meta.nbits,
         num_documents=n_docs, num_embeddings=n_tok,

@@ -28,11 +28,26 @@ from next_plaid_spark.operators.maxsim import brute_force_search
 from next_plaid_spark.operators.similarity import cosine_topk
 
 
+# lazy-frame memo for the static testdata tables (r14 opt): every
+# `spark.read.parquet` call runs a small file-listing + footer-inference
+# Spark job before the frame is even used — one per _t call, several per
+# declared query. The inputs are immutable for a given sf_dir, so reuse
+# the lazy DataFrame (plan reuse only — every action still scans the
+# parquet files; nothing is cached/persisted). Keyed on the session object
+# so a restarted session gets fresh frames.
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS); the driver may hand us a
-    # session without our defaults, and this conf is runtime-settable
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark, os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")))
+    df = _T_CACHE.get(key)
+    if df is None:
+        # events.parquet carries TIMESTAMP(NANOS); the driver may hand us a
+        # session without our defaults, and this conf is runtime-settable
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(key[1])
+        _T_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,25 @@ class PlaidIndex:
         self.spark = spark
         self.path = path
         self.meta = meta
+        # per-instance memos (r14 opt): a snapshot's dirs are immutable
+        # once the PlaidIndex over them exists (updates/deletes/evictions
+        # always write a NEW snapshot dir and return a NEW handle), so the
+        # file-listing + footer-inference job `spark.read.parquet` runs on
+        # every property access — one small Spark job per call, several
+        # calls per search — resolves to the same frame every time. Memoize
+        # the lazy DataFrame per dir (plan reuse only: every action still
+        # scans the parquet files). The catalog-table branch of `tokens` is
+        # NOT memoized — catalog state is session-mutable and the lookup
+        # runs no job.
+        self._df_memo: dict = {}
+        self._centroids_memo = None
+
+    def _read_memo(self, key: str, path: str) -> DataFrame:
+        df = self._df_memo.get(key)
+        if df is None:
+            df = self.spark.read.parquet(path)
+            self._df_memo[key] = df
+        return df
 
     # -- tables ------------------------------------------------------------
     @property
@@ -105,24 +124,24 @@ class PlaidIndex:
             # rebuild's tokens/ (write_index also deletes it, belt+braces).
             pb = os.path.join(self.path, "tokens_bucketed")
             if os.path.isdir(pb):
-                return self.spark.read.parquet(pb)
-        return self.spark.read.parquet(os.path.join(self.path, "tokens"))
+                return self._read_memo("tokens_bucketed", pb)
+        return self._read_memo("tokens", os.path.join(self.path, "tokens"))
 
     @property
     def centroids_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "centroids"))
+        return self._read_memo("centroids", os.path.join(self.path, "centroids"))
 
     @property
     def ivf(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "ivf"))
+        return self._read_memo("ivf", os.path.join(self.path, "ivf"))
 
     @property
     def doclens(self) -> DataFrame:
         p = os.path.join(self.path, "doc_stats")
         if os.path.exists(p):
             # Parquet column pruning: the codes arrays are never scanned
-            return self.spark.read.parquet(p).select("doc_id", "num_tokens")
-        return self.spark.read.parquet(os.path.join(self.path, "doclens"))
+            return self._read_memo("doc_stats", p).select("doc_id", "num_tokens")
+        return self._read_memo("doclens", os.path.join(self.path, "doclens"))
 
     @property
     def doc_codes(self) -> DataFrame | None:
@@ -135,15 +154,24 @@ class PlaidIndex:
         this table existed (searcher falls back to aggregating)."""
         p = os.path.join(self.path, "doc_stats")
         if os.path.exists(p):
-            return self.spark.read.parquet(p).select("doc_id", "codes")
+            return self._read_memo("doc_stats", p).select("doc_id", "codes")
         p = os.path.join(self.path, "doc_codes")
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        return self._read_memo("doc_codes", p)
 
     def centroids_np(self) -> np.ndarray:
-        rows = self.centroids_df.orderBy("code").collect()
-        return np.asarray([r.vec for r in rows], dtype=np.float32)
+        # collected once per handle (the reference mmaps centroids at index
+        # load and keeps them resident; K·dim floats is load-time metadata).
+        # The sort moved driver-side: `orderBy("code").collect()` on this
+        # tiny frame cost 3 Spark jobs (range-partitioner sampling, sort
+        # shuffle, result) per call — codes are unique ints, so a Python
+        # sort is value-identical for 1 job.
+        if self._centroids_memo is None:
+            rows = sorted(self.centroids_df.collect(), key=lambda r: r.code)
+            self._centroids_memo = np.asarray(
+                [r.vec for r in rows], dtype=np.float32)
+        return self._centroids_memo
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PlaidIndex":
