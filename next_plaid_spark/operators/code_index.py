@@ -513,10 +513,12 @@ class CodeIndex:
         dirty_rows = (changed.select("file")
                       .unionByName(fresh.select("file"))
                       .unionByName(cb_ripple.select("file"))
-                      .select(_units_bucket(F.col("file")).alias("ub")))
+                      .select(_units_bucket(F.col("file")).alias("ub"))
+                      .unionByName(changes.select(
+                          _units_bucket(F.col("path")).alias("ub"))))
+        # ONE distinct+collect for both dirty sources (unit deltas + changed
+        # paths) — the two-collect form paid a second driver job per update
         dirty = {r.ub for r in dirty_rows.distinct().collect()}
-        dirty |= {r.ub for r in changes.select(
-            _units_bucket(F.col("path")).alias("ub")).distinct().collect()}
 
         old_units_dir = os.path.join(self.path, "units")
         new_units_dir = os.path.join(out_path, "units")
@@ -602,14 +604,21 @@ class CodeIndex:
 
                 shutil.rmtree(del_path, ignore_errors=True)
 
+        # delta-sized (reindexed units' exploded tokens) but its derivation
+        # — units scan + anti-join + tokenize — fed FOUR evaluations (the
+        # stats agg, and the postings/doclens/positions writes inside
+        # save()); cached here so it runs once (r14 profile: ~4 × 5-6 s of
+        # executor time per 2-file update). Built outside the leg closure
+        # so the post-legs cleanup can release it.
+        toks_new = reindex.select(
+            F.col("unit_id").cast("long").alias("doc_id"),
+            F.posexplode(identifier_tokens(F.col("embed_text"))).alias(
+                "pos", "term")).cache()
+
         def _bm25_leg() -> None:
             # BM25: unchanged units' postings ride along; changed/new
             # re-tokenize
             spark.sparkContext.setJobDescription("ci-update: bm25 merge+save")
-            toks_new = reindex.select(
-                F.col("unit_id").cast("long").alias("doc_id"),
-                F.posexplode(identifier_tokens(F.col("embed_text"))).alias(
-                    "pos", "term"))
             post_new = toks_new.groupBy("term", "doc_id").agg(
                 F.count("*").alias("tf"))
             dl_new = toks_new.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -653,4 +662,5 @@ class CodeIndex:
         unchanged_ids.unpersist()
         new_state.unpersist()
         changes.unpersist()
+        toks_new.unpersist()
         return CodeIndex(spark, out_path, dict(self.meta))

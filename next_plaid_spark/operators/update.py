@@ -33,12 +33,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from next_plaid_spark.session import local_df
-from next_plaid_spark.operators.codec import quantize_residuals
+from next_plaid_spark.operators.codec import assign_and_quantize, quantize_residuals
 from next_plaid_spark.operators.kmeans import assign_codes, lloyds
 from next_plaid_spark.sources.index_store import IndexMeta, PlaidIndex, write_index
 
 REBUILD_THRESHOLD = 999   # lib.rs:47 start_from_scratch
 BUFFER_THRESHOLD = 100    # update.rs:95-108
+
+#: target rows per assign+quantize kernel task in the delta path — small
+#: enough that a realistic append still parallelizes, large enough that a
+#: tiny delta doesn't pay one Python-worker dispatch per source-scan split
+_KERNEL_ROWS_PER_TASK = 65_536
 
 #: an old bucket file folds into an append's new file while its rows are
 #: at most this multiple of the accumulated smaller mass — the same
@@ -142,21 +147,27 @@ def update_index(
     """U1 dispatcher + U4 append re-index → new snapshot at ``out_path``."""
     new_doc_tokens = new_doc_tokens.select(
         F.col("doc_id").cast("long"), F.col("token_idx").cast("int"), "vec"
-    ).cache()
-    n_new_docs = new_doc_tokens.select("doc_id").distinct().count()
-    n_new_tokens = new_doc_tokens.count()
-    total_docs = index.meta.num_documents + n_new_docs
+    )
+    n_new_docs = None
+    if full_rebuild_tokens is not None:
+        # the rebuild-threshold check is the only pre-routing consumer of
+        # the new-doc count; when the caller passes no rebuild frame (the
+        # streaming-ingest hot path) the count jobs are skipped entirely —
+        # update_index_delta derives every count from its own single
+        # bucket-histogram aggregation (guide §5: driver round-trips are a
+        # per-batch stream cost)
+        new_doc_tokens = new_doc_tokens.cache()
+        n_new_docs = new_doc_tokens.select("doc_id").distinct().count()
+        # path (a): small corpus → rebuild everything with fresh k-means
+        # (sticky layout: a bucketed index rebuilds bucketed)
+        if index.meta.num_documents + n_new_docs <= rebuild_threshold:
+            from next_plaid_spark.plans.builder import IndexBuilder
 
-    # path (a): small corpus → rebuild everything with fresh k-means
-    # (sticky layout: a bucketed index rebuilds bucketed)
-    if total_docs <= rebuild_threshold and full_rebuild_tokens is not None:
-        from next_plaid_spark.plans.builder import IndexBuilder
-
-        allt = full_rebuild_tokens.unionByName(new_doc_tokens)
-        return IndexBuilder(spark, nbits=index.meta.nbits, seed=seed,
-                            bucket_tokens=index.meta.n_buckets).build(
-            allt, out_path
-        )
+            allt = full_rebuild_tokens.unionByName(new_doc_tokens)
+            return IndexBuilder(spark, nbits=index.meta.nbits, seed=seed,
+                                bucket_tokens=index.meta.n_buckets).build(
+                allt, out_path
+            )
 
     # bucketed layout: paths (b)/(c) are exactly the fused delta with an
     # empty delete set — route there so the append writes O(batch) new
@@ -167,6 +178,17 @@ def update_index(
         return update_index_delta(spark, index, None, new_doc_tokens,
                                   out_path, seed=seed,
                                   buffer_threshold=buffer_threshold)
+
+    if n_new_docs is None:
+        new_doc_tokens = new_doc_tokens.cache()
+        # one fused aggregation for both counts (was two separate jobs)
+        _row = new_doc_tokens.agg(
+            F.countDistinct("doc_id").alias("d"), F.count("*").alias("n")
+        ).collect()[0]
+        n_new_docs, n_new_tokens = int(_row.d), int(_row.n)
+    else:
+        n_new_tokens = new_doc_tokens.count()
+    total_docs = index.meta.num_documents + n_new_docs
 
     centroids = index.centroids_np()
     # path (c): enough new docs → centroid expansion on outliers
@@ -327,8 +349,26 @@ def update_index_delta(
                 new_doc_tokens, centroids, index.meta.codec.cluster_threshold
             )
             centroids = expand_centroids(outliers, centroids, seed=seed)
-        coded = assign_codes(new_doc_tokens, centroids)
-        quantized = quantize_residuals(coded, centroids, index.meta.codec)
+        # Kernel parallelism follows the DELTA size, not the source scan's
+        # split count: the cached new-token frame inherits its upstream
+        # partitioning (e.g. 32 bucket files for a 2-file code-index
+        # delta), so a tiny delta paid 32 Python-worker dispatches per
+        # kernel pass. Coalesce to ~rows/_KERNEL_ROWS_PER_TASK tasks
+        # (row-wise pure kernel — partition layout can't change values;
+        # the bucketed write re-shuffles by bucket anyway, and within-doc
+        # row order is preserved by coalesce's in-order concatenation).
+        src = new_doc_tokens
+        m = max(1, -(-n_new_tokens // _KERNEL_ROWS_PER_TASK))
+        if m < src.rdd.getNumPartitions():
+            src = src.coalesce(m)
+        # one FUSED Arrow pass (B4+B6; values identical to assign_codes →
+        # quantize_residuals composed), cached and filled ONCE before the
+        # two write legs fork — the unfused, uncached form crossed the
+        # Python boundary twice per pass and evaluated the whole pass
+        # twice (token write + doc_stats), r14 profile: 2 × 32 tasks of
+        # ~0.3-0.9 s pure worker dispatch per 2-file update.
+        quantized = assign_and_quantize(src, centroids, index.meta.codec).cache()
+        quantized.count()
     else:  # delete-only: no rows to encode
         quantized = index.tokens.filter(F.lit(False))
 
@@ -515,6 +555,14 @@ def update_index_delta(
     with ThreadPoolExecutor(2) as ex:
         for fut in [ex.submit(_tokens_leg), ex.submit(_stats_leg)]:
             fut.result()
+
+    # per-batch caches must not outlive the batch (a long-lived stream
+    # would otherwise accumulate one cached frame set per ingest batch)
+    new_doc_tokens.unpersist()
+    if gone is not None:
+        gone.unpersist()
+    if n_new_tokens:
+        quantized.unpersist()
 
     n_docs = index.meta.num_documents - gone_nd + n_new_docs
     n_tok = index.meta.num_embeddings - gone_nt + n_new_tokens
