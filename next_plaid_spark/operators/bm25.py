@@ -803,32 +803,71 @@ class BM25Index:
             F.col("_p._gid").alias("_gid"),
             F.col("_p._N").alias("_N"),
         )
-        pterms = ph.select(
-            "query_id", "pid",
-            F.posexplode(tok_fn(F.col("_ptext"))).alias("j", "term"),
-        )
         # phrase-term table is inherently tiny (queries × phrase length):
         # ONE driver collect turns it into a local relation — no per-call
         # cache to leak in a long-lived serve process (the multi-consumer
         # plan below would otherwise re-parse the queries per branch), and
         # the positions-scan pushdown term list falls out of the same job
-        # instead of a second collect. A degenerate mega-batch falls back
-        # to cache + broadcast-join pruning.
-        rows = pterms.limit(_TERM_PUSHDOWN_CAP + 1).collect()
-        if len(rows) <= _TERM_PUSHDOWN_CAP:
-            pterms = local_df(queries.sparkSession, rows, pterms.schema)
-            positions_src = self.positions.filter(
-                F.col("term").isin(sorted({r["term"] for r in rows})))
-        else:
-            pterms = pterms.cache()
-            positions_src = _term_pruned(self.positions, pterms)
-        # j is a posexplode ordinal — unique per (query_id, pid) — so
-        # count(*) IS countDistinct(j); plain counts keep the aggregates
-        # map-side combinable (no Expand two-phase distinct rewrite on
-        # what is the largest shuffle of the whole query)
-        plens = pterms.groupBy("query_id", "pid").agg(
-            F.count("*").alias("_plen")
+        # instead of a second collect. The collect ALSO carries each
+        # phrase's NEAR-group id (outer-explode, so a phrase whose text
+        # tokenizes to nothing still contributes a sentinel row): phrase
+        # lengths, the conjunctive phrase counts, and — decisively — the
+        # has-NEAR decision all fall out driver-side. Without the static
+        # decision the relational NEAR gate's shuffle stages materialize
+        # the occurrence subtree two extra times even when NO query has a
+        # NEAR group (AQE builds the leaf stages of the anchors/group_ok
+        # chains before the empty ph_near broadcast can prune them — r14
+        # profile: three identical 5.8 MB occurrence shuffles per call).
+        # A degenerate mega-batch falls back to cache + broadcast pruning.
+        pt_full = ph.select(
+            "query_id", "pid", "_gid",
+            F.posexplode_outer(tok_fn(F.col("_ptext"))).alias("j", "term"),
         )
+        rows = pt_full.limit(_TERM_PUSHDOWN_CAP + 1).collect()
+        spark = queries.sparkSession
+        has_near = True  # over-cap fallback: keep the relational gate
+        if len(rows) <= _TERM_PUSHDOWN_CAP:
+            has_near = any(r["_gid"] >= 0 for r in rows)
+            term_rows = [(r["query_id"], r["pid"], r["j"], r["term"])
+                         for r in rows if r["term"] is not None]
+            pterms = local_df(spark, term_rows,
+                              "query_id long, pid int, j int, term string")
+            positions_src = self.positions.filter(
+                F.col("term").isin(
+                    sorted({r["term"] for r in rows
+                            if r["term"] is not None})))
+            # phrase lengths and per-query phrase counts, driver-side from
+            # the same rows (two fewer aggregation subtrees in the plan);
+            # empty phrases carry no plens row (no occurrences possible)
+            # but DO count toward the conjunctive gate, exactly as the
+            # relational form counted them from ph
+            _pl: dict = {}
+            _np: dict = {}
+            for r in rows:
+                _np.setdefault(r["query_id"], set()).add(r["pid"])
+                if r["term"] is not None:
+                    key = (r["query_id"], r["pid"])
+                    _pl[key] = _pl.get(key, 0) + 1
+            plens = local_df(
+                spark, [(q, p, c) for (q, p), c in sorted(_pl.items())],
+                "query_id long, pid int, _plen long")
+            n_ph_local = local_df(
+                spark, [(q, len(ps)) for q, ps in sorted(_np.items())],
+                "query_id long, _np long")
+        else:
+            pterms = ph.select(
+                "query_id", "pid",
+                F.posexplode(tok_fn(F.col("_ptext"))).alias("j", "term"),
+            ).cache()
+            positions_src = _term_pruned(self.positions, pterms)
+            # j is a posexplode ordinal — unique per (query_id, pid) — so
+            # count(*) IS countDistinct(j); plain counts keep the
+            # aggregates map-side combinable (no Expand two-phase distinct
+            # rewrite on what is the largest shuffle of the whole query)
+            plens = pterms.groupBy("query_id", "pid").agg(
+                F.count("*").alias("_plen")
+            )
+            n_ph_local = None
         # one equi-join on term; a full diagonal = one phrase occurrence.
         # Within a (query, pid, doc, _start) group each j appears at most
         # once (the posting row (term, doc, pos=_start+j) is unique), so
@@ -867,10 +906,11 @@ class BM25Index:
             # window row count is the number of matched phrases. The
             # previous groupBy+semi-join-back re-ran the whole occurrence
             # pipeline a second time just to decide which docs keep all
-            # phrases.
-            n_ph = ph.groupBy("query_id").agg(
-                F.countDistinct("pid").alias("_np")
-            )
+            # phrases. The per-query phrase count comes from the driver
+            # rows when they were collected (one fewer aggregation).
+            n_ph = (n_ph_local if n_ph_local is not None
+                    else ph.groupBy("query_id").agg(
+                        F.countDistinct("pid").alias("_np")))
             matched = (
                 matched.withColumn(
                     "_mp",
@@ -881,13 +921,31 @@ class BM25Index:
                 .filter(F.col("_mp") == F.col("_np"))
                 .drop("_mp", "_np")
             )
-        # NEAR gate, fully relational (no driver collect, no group-shape
-        # limits): a group matches a doc iff some ANCHOR occurrence has,
-        # for every member phrase, an occurrence with end ≥ anchor end and
-        # start ≤ anchor end + N + 1 (⇔ ∃ selection with all pairwise gaps
-        # ≤ N — see the docstring's FTS5-pinned semantics). One
-        # occurrence-level self-join per doc-group, scoped by the
-        # conjunctive gate to docs containing every phrase.
+        # NEAR gate, fully relational (no group-shape limits): a group
+        # matches a doc iff some ANCHOR occurrence has, for every member
+        # phrase, an occurrence with end ≥ anchor end and start ≤ anchor
+        # end + N + 1 (⇔ ∃ selection with all pairwise gaps ≤ N — see the
+        # docstring's FTS5-pinned semantics). One occurrence-level
+        # self-join per doc-group, scoped by the conjunctive gate to docs
+        # containing every phrase. Statically skipped when the collected
+        # phrase rows show no NEAR group anywhere — the anchors/group_ok
+        # chains would otherwise re-materialize the occurrence subtree's
+        # shuffle twice before AQE's empty-relation propagation could
+        # prune them. When a group IS present, ``occ`` is cached for the
+        # three consumers (matched + anchors + group_ok) — single-slot,
+        # released on the next search_phrases call, same discipline as
+        # the MaxScore candidate cache.
+        if not has_near:
+            prev = getattr(self, "_phrase_occ_cache", None)
+            if prev is not None:
+                prev.unpersist()
+                self._phrase_occ_cache = None
+            return self._score_phrases(matched, k, score_mode)
+        occ = occ.cache()
+        prev = getattr(self, "_phrase_occ_cache", None)
+        if prev is not None:
+            prev.unpersist()
+        self._phrase_occ_cache = occ
         ph_near = ph.filter(F.col("_gid") >= 0).select(
             "query_id", "pid", "_gid", "_N")
         occg = occ.join(F.broadcast(ph_near), ["query_id", "pid"]).select(
@@ -943,6 +1001,12 @@ class BM25Index:
             .filter(F.col("_hasg").isNull() | F.col("_okn").isNotNull())
             .drop("_hasg", "_okn")
         )
+        return self._score_phrases(matched, k, score_mode)
+
+    def _score_phrases(self, matched: DataFrame, k: int,
+                       score_mode: str) -> DataFrame:
+        """Shared scoring tail of ``search_phrases``: per-phrase BM25
+        contributions folded in sorted order, rounded, ranked."""
         n, avgdl = float(self.n_docs), float(self.avgdl)
         if score_mode == "fts5":
             raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
