@@ -529,6 +529,23 @@ class BatchSearcher:
         plan (approx scan stays codes-only, metadata filters stay pushed —
         plan-audit A1/A2 see the full lineage)."""
         idx = self.index
+        surv_by_doc = survivors.groupBy("doc_id").agg(
+            F.collect_list("query_id").alias("qids")
+        )
+        packed = (
+            idx.tokens.join(
+                F.broadcast(surv_by_doc.select("doc_id")), "doc_id", "left_semi"
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("code", "residual")).alias("crs"))
+            .join(F.broadcast(surv_by_doc), "doc_id")
+        )
+        return self._rerank_kernel_over(packed, qt_pdf)
+
+    def _rerank_kernel_over(self, packed: DataFrame, qt_pdf) -> DataFrame:
+        """The Q9 kernel itself over ``packed(doc_id, crs, qids)`` rows —
+        shared by the survivor-driven and all-pairs packings."""
+        idx = self.index
         schema = "query_id long, doc_id long, score double"
 
         # query side, deduped by vector identity (np.unique needs no token
@@ -538,7 +555,7 @@ class BatchSearcher:
 
         qv, qi_mat, qi_ok, qids = query_side_arrays(qt_pdf)
 
-        sc = survivors.sparkSession.sparkContext
+        sc = packed.sparkSession.sparkContext
         b_qv = sc.broadcast(qv)
         b_qi = sc.broadcast((qi_mat, qi_ok, qids))
         b_cent = sc.broadcast(np.ascontiguousarray(self._centroids,
@@ -636,18 +653,30 @@ class BatchSearcher:
                     )
                     start = end
 
-        surv_by_doc = survivors.groupBy("doc_id").agg(
-            F.collect_list("query_id").alias("qids")
-        )
-        packed = (
-            idx.tokens.join(
-                F.broadcast(surv_by_doc.select("doc_id")), "doc_id", "left_semi"
-            )
-            .groupBy("doc_id")
-            .agg(F.collect_list(F.struct("code", "residual")).alias("crs"))
-            .join(F.broadcast(surv_by_doc), "doc_id")
-        )
         return self._spread_small(packed).mapInPandas(kern, schema=schema)
+
+    def _rerank_all_pairs(self, qt_pdf, subset: DataFrame | None) -> DataFrame:
+        """Q9 for the exact configuration: every indexed doc (∩ subset) is a
+        survivor of every query, so the survivor bookkeeping collapses —
+        per-doc query lists are ONE literal array (the batch's query ids)
+        instead of a cross-join + groupBy + two broadcasts, and the packed
+        token lists come straight from the corpus. Values are identical to
+        ``_rerank_broadcast`` over the all-pairs survivor set: the kernel
+        receives the same (crs, qids) rows."""
+        idx = self.index
+        all_qids = sorted(int(x) for x in np.unique(qt_pdf["query_id"].to_numpy()))
+        toks = idx.tokens
+        if subset is not None:
+            toks = toks.join(subset, "doc_id", "left_semi")
+        packed = (
+            toks.groupBy("doc_id")
+            .agg(F.collect_list(F.struct("code", "residual")).alias("crs"))
+            .withColumn(
+                "qids",
+                F.array(*[F.lit(q).cast("long") for q in all_qids]),
+            )
+        )
+        return self._rerank_kernel_over(packed, qt_pdf)
 
     def _spread_small(self, df: DataFrame) -> DataFrame:
         """Round-robin a SMALL kernel input across the cluster's cores.
@@ -981,11 +1010,26 @@ class BatchSearcher:
                         .toPandas()
                     )
 
+        # Exact configuration shortcut (probe_all + survivor cut ≥ corpus):
+        # every candidate doc of every query survives the Q7/Q8 cut, so the
+        # whole approximate phase — the driver [V, K] score matrix, the
+        # codes-only kernel, the rank window and the survivors cache — is a
+        # no-op selector whose scores are entirely discarded. Q9 runs
+        # directly over all (query, candidate-doc) pairs: under probe_all
+        # the candidates are exactly the indexed docs (∩ subset), and the
+        # per-doc query lists are one literal array. Bit-identical results
+        # (the rerank kernel receives the same rows); pinned by
+        # test_exact_all_pairs_shortcut_matches_funnel.
+        _cut = min(p.n_full_scores, max(p.n_full_scores // 4, p.top_k))
+        if (probe_all and qt_pdf is not None and len(qt_pdf)
+                and _cut >= idx.meta.num_documents):
+            return topk(self._rerank_all_pairs(qt_pdf, subset), p.top_k)
+
         if strategy in ("broadcast", "chunked"):
             # Q1–Q6 in one shot: probe/prune driver-side, candidacy and
             # approx scoring in the doc-parallel kernel; chunk-local
             # pre-prune to the Q7/Q8 cut
-            cut = min(p.n_full_scores, max(p.n_full_scores // 4, p.top_k))
+            cut = _cut
             if strategy == "broadcast":
                 approx = self._approx_broadcast(
                     query_tokens, n_probe, p, ivf, prune_to=cut,

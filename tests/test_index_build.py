@@ -371,6 +371,38 @@ def test_exact_funnel_config_equals_brute_over_quantized(spark, built_index):
     assert funnel == brute
 
 
+def test_exact_all_pairs_shortcut_matches_funnel(spark, built_index):
+    """The exact-configuration shortcut (probe_all + cut ≥ corpus skips the
+    approx phase and reranks all (query, doc) pairs directly) must be
+    bit-identical to the un-shortcut funnel — forced here via the
+    relational strategy, which collects no query pdf and therefore keeps
+    the full Q1-Q8 path. Checked with and without a subset filter."""
+    idx, docs, dt = built_index
+    queries = docs.limit(6).select(F.col("doc_id").alias("query_id"), "text")
+    qt = encode_queries(queries).cache()
+    p = SearchParams(
+        top_k=10, n_ivf_probe=idx.meta.k,
+        n_full_scores=4 * idx.meta.num_documents,
+        centroid_score_threshold=float("-inf"),
+    )
+    subset = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    for sub in (None, subset):
+        fast = BatchSearcher(idx, p)  # auto → broadcast pdf → shortcut
+        slow = BatchSearcher(idx, p, approx_strategy="relational")
+        got = sorted(
+            (r.query_id, r.doc_id, r.rank, r.score)
+            for r in fast.search(qt, subset=sub).collect()
+        )
+        want = sorted(
+            (r.query_id, r.doc_id, r.rank, r.score)
+            for r in slow.search(qt, subset=sub).collect()
+        )
+        assert got == want
+        fast.release()
+        slow.release()
+    qt.unpersist()
+
+
 def test_funnel_on_skewed_corpus(spark, tmp_path_factory):
     """SURVEY §7 risk: Zipfian corpora put most docs in a few IVF cells.
     A corpus where 80% of docs are near-identical (one hot cell) must
