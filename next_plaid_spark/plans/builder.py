@@ -85,11 +85,21 @@ class IndexBuilder:
 
     def build(self, doc_tokens: DataFrame, path: str) -> PlaidIndex:
         """doc_tokens(doc_id, token_idx, vec) → persisted PlaidIndex."""
+        # When the caller already persisted the token frame (the bench's
+        # shared sidecar cache, a streaming batch's cached delta), a second
+        # InMemoryRelation over a trivial projection of the first doubles
+        # the storage write and memory for zero reuse benefit — the
+        # projection consumers read through the caller's cache just as
+        # fast. Only cache here when the input carries no storage level.
+        lvl = doc_tokens.storageLevel
+        src_cached = bool(lvl.useMemory or lvl.useDisk)
         doc_tokens = doc_tokens.select(
             F.col("doc_id").cast("long"),
             F.col("token_idx").cast("int"),
             F.col("vec"),
-        ).cache()
+        )
+        if not src_cached:
+            doc_tokens = doc_tokens.cache()
         stats = doc_tokens.agg(
             F.count("*").alias("n"), F.countDistinct("doc_id").alias("d"),
             F.max(F.size("vec")).alias("dim"),
@@ -135,5 +145,6 @@ class IndexBuilder:
             centroids=model.centroids, meta=meta,
             bucket_tokens=self.bucket_tokens,
         )
-        doc_tokens.unpersist()
+        if not src_cached:
+            doc_tokens.unpersist()
         return idx

@@ -262,17 +262,30 @@ def write_index(
     # encode (and with bucketed tokens, not even that: the bucket spec
     # satisfies the groupBy's distribution requirement); readers project
     # just the column they need (Parquet pruning), so doclens consumers
-    # never touch the codes arrays
-    (
+    # never touch the codes arrays. The pass runs ONCE into a (num_docs-
+    # row) cache that feeds BOTH the doc_stats write and the IVF
+    # derivation — the IVF used to re-read the just-written doc_stats
+    # parquet, serializing the two writes behind a redundant scan; now
+    # they overlap from a 2-thread pool (guide §2.6).
+    stats_df = (
         tokens.groupBy("doc_id")
         .agg(
             F.count("*").alias("num_tokens"),
             F.array_sort(F.collect_set("code")).alias("codes"),
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "doc_stats"))
+        .cache()
     )
-    write_ivf_from_doc_stats(spark, path, meta.k)
+    stats_df.count()  # fill before the fork so the legs never race it
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(
+                lambda: stats_df.write.mode("overwrite")
+                .parquet(os.path.join(path, "doc_stats"))),
+            ex.submit(write_ivf_from_stats_df, stats_df, path, meta.k),
+        ]
+        for fut in futs:
+            fut.result()
+    stats_df.unpersist()
     with open(os.path.join(path, "meta.json"), "w") as f:
         f.write(meta.to_json())
     return PlaidIndex(spark, path, meta)
@@ -292,7 +305,13 @@ def write_ivf_from_doc_stats(spark: SparkSession, path: str, k: int) -> None:
     derived from ``path``/doc_stats — input is each doc's distinct codes
     (≤ doclen rows after explode), not the full token table, and
     (code, doc_id) pairs arrive pre-deduped so collect_list suffices."""
-    doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+    write_ivf_from_stats_df(
+        spark.read.parquet(os.path.join(path, "doc_stats")), path, k)
+
+
+def write_ivf_from_stats_df(doc_stats: DataFrame, path: str, k: int) -> None:
+    """IVF derivation from an in-memory doc_stats frame (the builder's
+    cached aggregation) — same values as the path-reading form."""
     (
         doc_stats.select("doc_id", F.explode("codes").alias("code"))
         .groupBy("code")
