@@ -564,18 +564,31 @@ def main() -> None:
         errors["__suite__"] = traceback.format_exc(limit=5).splitlines()[-1]
     finally:
         total = round(sum(v for v in timings.values() if v >= 0), 3)
-        out = {
-            "metric": "headline_suite_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "extras": extras,
-            "sf": sf,
-        }
+        # r15 (VERDICT r14 item 2): the driver's bench record retains only
+        # the LAST ~2000 chars of stdout, and r13's record lost its headline
+        # dict (and with it the round's geomean) because the verbose extras
+        # pushed the contract fields out of that window. Still ONE JSON
+        # line (the parse contract), but (a) compact separators, (b) the
+        # bulky extras/stats keys serialized FIRST and the contract fields
+        # (queries/metric/value/unit/sf/cpus) LAST, so any tail-truncation
+        # clips verbose extras, never the headline dict; (c) "cpus" records
+        # the effective core count (sc.defaultParallelism) so the driver's
+        # scaling check is machine-checkable against the contract.
+        out = {}
+        out["extras"] = extras
         out.update(stats)
         if errors:
             out["errors"] = errors
-        print(json.dumps(out))
+        out["queries"] = timings
+        out["metric"] = "headline_suite_wall"
+        out["value"] = total
+        out["unit"] = "sec"
+        out["sf"] = sf
+        try:
+            out["cpus"] = spark.sparkContext.defaultParallelism
+        except Exception:
+            out["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -2761,16 +2761,49 @@ def parse_code_units(files: DataFrame, *, path_col: str = "path",
     return files.mapInPandas(run, schema=UNITS_OUT_SCHEMA)
 
 
-def with_unit_ids(units: DataFrame) -> DataFrame:
+def with_unit_ids(units: DataFrame, *, start: int = 0,
+                  id_col: str = "unit_id") -> DataFrame:
     """Deterministic unit_id: dense rank over (file, line, name) with
     (end_line, code) tiebreakers — (file, line, name) alone is not unique
     (same-name one-line overloads), and an untied row_number would assign
-    those ids nondeterministically across runs."""
+    those ids nondeterministically across runs.
+
+    r15 (VERDICT r14 item 1): the ids used to come from a global-order
+    ``Window.orderBy(...)`` with no partitionBy — a single-partition sort
+    of the whole unit table, the clearest 100 TB scale-killer in the
+    code-index path. Because ``file`` is the LEADING sort key, the global
+    row number decomposes exactly:
+
+        id = start + (#units in files that sort before this file)
+                   + 0-based rank within the file
+
+    so it is computed distributed: one count-per-file aggregation (one row
+    per FILE — metadata-sized at any corpus scale, the same assumption the
+    update path's dirty-bucket collect and ``file_state`` already make), a
+    running sum over THAT table (the only remaining global-order step,
+    ranging over files rather than units), broadcast back, and a window
+    PARTITIONED by file for the within-file rank. Ids are bit-identical to
+    the old global window's by construction (pinned by
+    ``test_unit_ids_match_global_window``). ``file`` is never NULL by the
+    parser contract (every unit carries its source path); the inner
+    broadcast join relies on that."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("file", "line", "name", "end_line", "code")
-    return units.withColumn("unit_id", F.row_number().over(w).cast("long") - 1)
+    fcounts = units.groupBy("file").agg(F.count(F.lit(1)).alias("_fn"))
+    w_files = Window.orderBy("file").rowsBetween(
+        Window.unboundedPreceding, -1)
+    foffs = fcounts.select(
+        "file",
+        F.coalesce(F.sum("_fn").over(w_files), F.lit(0)).alias("_foff"))
+    w_in_file = Window.partitionBy("file").orderBy(
+        "line", "name", "end_line", "code")
+    return (units.join(F.broadcast(foffs), "file")
+            .withColumn(
+                id_col,
+                (F.lit(int(start)).cast("long") + F.col("_foff")
+                 + F.row_number().over(w_in_file) - 1).cast("long"))
+            .select(*units.columns, id_col))
 
 
 def build_call_graph(units: DataFrame) -> DataFrame:

@@ -148,74 +148,84 @@ def update_index(
     new_doc_tokens = new_doc_tokens.select(
         F.col("doc_id").cast("long"), F.col("token_idx").cast("int"), "vec"
     )
-    n_new_docs = None
-    if full_rebuild_tokens is not None:
-        # the rebuild-threshold check is the only pre-routing consumer of
-        # the new-doc count; when the caller passes no rebuild frame (the
-        # streaming-ingest hot path) the count jobs are skipped entirely —
-        # update_index_delta derives every count from its own single
-        # bucket-histogram aggregation (guide §5: driver round-trips are a
-        # per-batch stream cost)
-        new_doc_tokens = new_doc_tokens.cache()
-        n_new_docs = new_doc_tokens.select("doc_id").distinct().count()
-        # path (a): small corpus → rebuild everything with fresh k-means
-        # (sticky layout: a bucketed index rebuilds bucketed)
-        if index.meta.num_documents + n_new_docs <= rebuild_threshold:
-            from next_plaid_spark.plans.builder import IndexBuilder
+    # every return path below has materialized its snapshot before
+    # returning, so the finally-unpersist (r15, ADVICE) releases the
+    # per-call cache on ALL paths — a long-lived driver used to accumulate
+    # one cached frame per rebuild/non-bucketed call, at odds with the
+    # "per-batch caches must not outlive the batch" discipline
+    _cached: DataFrame | None = None
+    try:
+        n_new_docs = None
+        if full_rebuild_tokens is not None:
+            # the rebuild-threshold check is the only pre-routing consumer of
+            # the new-doc count; when the caller passes no rebuild frame (the
+            # streaming-ingest hot path) the count jobs are skipped entirely —
+            # update_index_delta derives every count from its own single
+            # bucket-histogram aggregation (guide §5: driver round-trips are a
+            # per-batch stream cost)
+            new_doc_tokens = _cached = new_doc_tokens.cache()
+            n_new_docs = new_doc_tokens.select("doc_id").distinct().count()
+            # path (a): small corpus → rebuild everything with fresh k-means
+            # (sticky layout: a bucketed index rebuilds bucketed)
+            if index.meta.num_documents + n_new_docs <= rebuild_threshold:
+                from next_plaid_spark.plans.builder import IndexBuilder
 
-            allt = full_rebuild_tokens.unionByName(new_doc_tokens)
-            return IndexBuilder(spark, nbits=index.meta.nbits, seed=seed,
-                                bucket_tokens=index.meta.n_buckets).build(
-                allt, out_path
+                allt = full_rebuild_tokens.unionByName(new_doc_tokens)
+                return IndexBuilder(spark, nbits=index.meta.nbits, seed=seed,
+                                    bucket_tokens=index.meta.n_buckets).build(
+                    allt, out_path
+                )
+
+        # bucketed layout: paths (b)/(c) are exactly the fused delta with an
+        # empty delete set — route there so the append writes O(batch) new
+        # bucket files (tiered-file appends) instead of snapshotting the corpus
+        if index.meta.n_buckets:
+            # gone=None declares the pure append statically: no delete
+            # bookkeeping job, no anti-joins (r14 opt)
+            return update_index_delta(spark, index, None, new_doc_tokens,
+                                      out_path, seed=seed,
+                                      buffer_threshold=buffer_threshold)
+
+        if n_new_docs is None:
+            new_doc_tokens = _cached = new_doc_tokens.cache()
+            # one fused aggregation for both counts (was two separate jobs)
+            _row = new_doc_tokens.agg(
+                F.countDistinct("doc_id").alias("d"), F.count("*").alias("n")
+            ).collect()[0]
+            n_new_docs, n_new_tokens = int(_row.d), int(_row.n)
+        else:
+            n_new_tokens = new_doc_tokens.count()
+        total_docs = index.meta.num_documents + n_new_docs
+
+        centroids = index.centroids_np()
+        # path (c): enough new docs → centroid expansion on outliers
+        if n_new_docs >= buffer_threshold:
+            outliers = find_outliers(
+                new_doc_tokens, centroids, index.meta.codec.cluster_threshold
             )
+            centroids = expand_centroids(outliers, centroids, seed=seed)
 
-    # bucketed layout: paths (b)/(c) are exactly the fused delta with an
-    # empty delete set — route there so the append writes O(batch) new
-    # bucket files (tiered-file appends) instead of snapshotting the corpus
-    if index.meta.n_buckets:
-        # gone=None declares the pure append statically: no delete
-        # bookkeeping job, no anti-joins (r14 opt)
-        return update_index_delta(spark, index, None, new_doc_tokens,
-                                  out_path, seed=seed,
-                                  buffer_threshold=buffer_threshold)
+        # append-encode with (possibly expanded) codebook + existing codec
+        coded = assign_codes(new_doc_tokens, centroids)
+        quantized = quantize_residuals(coded, centroids, index.meta.codec)
+        all_tokens = index.tokens.unionByName(quantized)
 
-    if n_new_docs is None:
-        new_doc_tokens = new_doc_tokens.cache()
-        # one fused aggregation for both counts (was two separate jobs)
-        _row = new_doc_tokens.agg(
-            F.countDistinct("doc_id").alias("d"), F.count("*").alias("n")
-        ).collect()[0]
-        n_new_docs, n_new_tokens = int(_row.d), int(_row.n)
-    else:
-        n_new_tokens = new_doc_tokens.count()
-    total_docs = index.meta.num_documents + n_new_docs
-
-    centroids = index.centroids_np()
-    # path (c): enough new docs → centroid expansion on outliers
-    if n_new_docs >= buffer_threshold:
-        outliers = find_outliers(
-            new_doc_tokens, centroids, index.meta.codec.cluster_threshold
+        meta = IndexMeta(
+            k=centroids.shape[0], dim=index.meta.dim, nbits=index.meta.nbits,
+            num_documents=total_docs,
+            num_embeddings=index.meta.num_embeddings + n_new_tokens,
+            avg_doclen=(index.meta.num_embeddings + n_new_tokens) / max(total_docs, 1),
+            codec=index.meta.codec,
         )
-        centroids = expand_centroids(outliers, centroids, seed=seed)
-
-    # append-encode with (possibly expanded) codebook + existing codec
-    coded = assign_codes(new_doc_tokens, centroids)
-    quantized = quantize_residuals(coded, centroids, index.meta.codec)
-    all_tokens = index.tokens.unionByName(quantized)
-
-    meta = IndexMeta(
-        k=centroids.shape[0], dim=index.meta.dim, nbits=index.meta.nbits,
-        num_documents=total_docs,
-        num_embeddings=index.meta.num_embeddings + n_new_tokens,
-        avg_doclen=(index.meta.num_embeddings + n_new_tokens) / max(total_docs, 1),
-        codec=index.meta.codec,
-    )
-    # the source's storage layout is sticky: a bucketed index stays
-    # bucketed across append snapshots (the layout is the 100 TB search
-    # contract, not a per-snapshot accident)
-    return write_index(spark, out_path, tokens_coded=all_tokens,
-                       centroids=centroids, meta=meta,
-                       bucket_tokens=index.meta.n_buckets)
+        # the source's storage layout is sticky: a bucketed index stays
+        # bucketed across append snapshots (the layout is the 100 TB search
+        # contract, not a per-snapshot accident)
+        return write_index(spark, out_path, tokens_coded=all_tokens,
+                           centroids=centroids, meta=meta,
+                           bucket_tokens=index.meta.n_buckets)
+    finally:
+        if _cached is not None:
+            _cached.unpersist()
 
 
 def delete_from_index(

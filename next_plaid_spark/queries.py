@@ -39,13 +39,22 @@ _T_CACHE: dict = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark, os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")))
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    # keyed on the path's mtime too (r15, ADVICE): the memoized frame froze
+    # its file listing at first read, so a table regenerated IN PLACE within
+    # one session would silently serve stale rows / vanished files; one
+    # stat() per call makes in-place regeneration invalidate the memo
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark, path, mtime)
     df = _T_CACHE.get(key)
     if df is None:
         # events.parquet carries TIMESTAMP(NANOS); the driver may hand us a
         # session without our defaults, and this conf is runtime-settable
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(key[1])
+        df = spark.read.parquet(path)
         _T_CACHE[key] = df
     return df
 
@@ -3739,8 +3748,14 @@ def _code_units(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle output otherwise lands on few partitions)
         files = _code_corpus(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism)
-        units = with_unit_ids(build_call_graph(parse_code_units(files)))
+        # cached: with_unit_ids makes two passes over its input (the
+        # per-file counts + the id-attach join), and build_call_graph
+        # already references the parse subtree three times — without the
+        # cache each reference re-runs the mapInPandas parse (r15)
+        units_cg = build_call_graph(parse_code_units(files)).cache()
+        units = with_unit_ids(units_cg)
         units.coalesce(1).write.mode("overwrite").parquet(CODE_UNITS_SIDECAR)
+        units_cg.unpersist()
         _CODE_UNITS_CACHE.update(
             key=key, df=spark.read.parquet(CODE_UNITS_SIDECAR))
     return _CODE_UNITS_CACHE["df"]

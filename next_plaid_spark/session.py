@@ -75,6 +75,19 @@ def local_df(spark: SparkSession, rows, schema):
     rows = list(rows)
     if not rows:
         return spark.createDataFrame(rows, schema)
+    if __debug__:
+        # cheap contract guard (r15, ADVICE): a None slipping into a call
+        # site would become NaN through pandas and silently diverge from
+        # the list path instead of erroring. Identity scan (never ==, which
+        # would broadcast over array-valued cells). Top-level cells only —
+        # nested Nones are out of the documented contract but not scanned.
+        first = rows[0]
+        if isinstance(first, (tuple, list)):
+            for r in rows:
+                if any(v is None for v in r):
+                    raise ValueError(
+                        "local_df contract violation: NULL cell in driver "
+                        "rows (use the createDataFrame list path instead)")
     import pandas as pd
 
     return spark.createDataFrame(pd.DataFrame(rows), schema)

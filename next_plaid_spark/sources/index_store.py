@@ -201,59 +201,65 @@ def write_index(
     # tokens write below (guide §2.6 overlap-independent-jobs)
     cent_pool = ThreadPoolExecutor(1)
     cent_fut = cent_pool.submit(write_centroids, spark, path, centroids)
+    # try/finally (r15, ADVICE): if the token write below raises, the
+    # centroids future must still be joined — otherwise its own exception
+    # is swallowed and the non-daemon pool thread leaks past the failure
+    try:
+        if bucket_tokens:
+            # doc_id-bucketed catalog table: ONE shuffle at write time buys
+            # shuffle-free groupBy(doc_id)/join(doc_id) for every downstream
+            # consumer (doc_stats build below, the rerank kernel's per-doc
+            # packing, reconstruction) — the cluster-scale layout the module
+            # docstring promises. Data lives inside the index directory
+            # (external table); the bucket METADATA lives in the session
+            # catalog, so other sessions fall back to plain parquet reads of
+            # the same files unless a persistent metastore carries it.
+            bt = f"nps_tokens_{_hl.md5(os.path.abspath(path).encode()).hexdigest()[:12]}"
+            spark.sql(f"DROP TABLE IF EXISTS {bt}")
+            (
+                # repartition on the bucket column first: each task then writes
+                # exactly ONE file per bucket — the condition under which
+                # Spark's scan exposes the sortBy order to sort-merge joins
+                # (multiple files per bucket force a corpus re-sort above the
+                # scan), and it avoids the writers-x-buckets small-file blowup
+                tokens_coded.repartition(bucket_tokens, F.col("doc_id"))
+                .write.mode("overwrite")
+                .option("path", os.path.join(path, "tokens_bucketed"))
+                .bucketBy(bucket_tokens, "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(bt)
+            )
+            meta.bucket_table = bt
+            meta.n_buckets = bucket_tokens
+            tokens_src = spark.table(bt)
+        else:
+            # No repartition before the write: nothing downstream relies on
+            # doc-co-located token FILES (plain parquet carries no partitioning
+            # metadata), so a hash shuffle of the corpus's biggest table here
+            # would be pure cost. ``token_partitions`` remains for explicit
+            # output-file-count control (round-robin, cheaper than hash).
+            out = tokens_coded
+            if token_partitions:
+                out = out.repartition(token_partitions)
+            out.write.mode("overwrite").parquet(os.path.join(path, "tokens"))
+            tokens_src = None
+            # in-place rebuild hygiene: a stale bucketed table/dir from a prior
+            # bucketed build of the same path would otherwise keep serving the
+            # OLD corpus through the tokens property's bucketed fast path
+            stale_bt = f"nps_tokens_{_hl.md5(os.path.abspath(path).encode()).hexdigest()[:12]}"
+            spark.sql(f"DROP TABLE IF EXISTS {stale_bt}")
+            stale_pb = os.path.join(path, "tokens_bucketed")
+            if os.path.isdir(stale_pb):
+                import shutil
 
-    if bucket_tokens:
-        # doc_id-bucketed catalog table: ONE shuffle at write time buys
-        # shuffle-free groupBy(doc_id)/join(doc_id) for every downstream
-        # consumer (doc_stats build below, the rerank kernel's per-doc
-        # packing, reconstruction) — the cluster-scale layout the module
-        # docstring promises. Data lives inside the index directory
-        # (external table); the bucket METADATA lives in the session
-        # catalog, so other sessions fall back to plain parquet reads of
-        # the same files unless a persistent metastore carries it.
-        bt = f"nps_tokens_{_hl.md5(os.path.abspath(path).encode()).hexdigest()[:12]}"
-        spark.sql(f"DROP TABLE IF EXISTS {bt}")
-        (
-            # repartition on the bucket column first: each task then writes
-            # exactly ONE file per bucket — the condition under which
-            # Spark's scan exposes the sortBy order to sort-merge joins
-            # (multiple files per bucket force a corpus re-sort above the
-            # scan), and it avoids the writers-x-buckets small-file blowup
-            tokens_coded.repartition(bucket_tokens, F.col("doc_id"))
-            .write.mode("overwrite")
-            .option("path", os.path.join(path, "tokens_bucketed"))
-            .bucketBy(bucket_tokens, "doc_id")
-            .sortBy("doc_id")
-            .saveAsTable(bt)
-        )
-        meta.bucket_table = bt
-        meta.n_buckets = bucket_tokens
-        tokens_src = spark.table(bt)
-    else:
-        # No repartition before the write: nothing downstream relies on
-        # doc-co-located token FILES (plain parquet carries no partitioning
-        # metadata), so a hash shuffle of the corpus's biggest table here
-        # would be pure cost. ``token_partitions`` remains for explicit
-        # output-file-count control (round-robin, cheaper than hash).
-        out = tokens_coded
-        if token_partitions:
-            out = out.repartition(token_partitions)
-        out.write.mode("overwrite").parquet(os.path.join(path, "tokens"))
-        tokens_src = None
-        # in-place rebuild hygiene: a stale bucketed table/dir from a prior
-        # bucketed build of the same path would otherwise keep serving the
-        # OLD corpus through the tokens property's bucketed fast path
-        stale_bt = f"nps_tokens_{_hl.md5(os.path.abspath(path).encode()).hexdigest()[:12]}"
-        spark.sql(f"DROP TABLE IF EXISTS {stale_bt}")
-        stale_pb = os.path.join(path, "tokens_bucketed")
-        if os.path.isdir(stale_pb):
-            import shutil
-
-            shutil.rmtree(stale_pb, ignore_errors=True)
-        meta.bucket_table = None
-        meta.n_buckets = None
-    cent_fut.result()
-    cent_pool.shutdown()
+                shutil.rmtree(stale_pb, ignore_errors=True)
+            meta.bucket_table = None
+            meta.n_buckets = None
+    finally:
+        try:
+            cent_fut.result()
+        finally:
+            cent_pool.shutdown()
 
     tokens = (tokens_src if tokens_src is not None
               else spark.read.parquet(os.path.join(path, "tokens")))

@@ -316,3 +316,43 @@ def test_pool_factor_one_noop(spark):
         [(1, 0, [1.0, 0.0])], "doc_id long, token_idx int, vec array<double>"
     )
     assert pool_doc_tokens(dt, pool_factor=1) is dt
+
+
+def test_unit_ids_match_global_window(spark):
+    """r15 (VERDICT r14 item 1): with_unit_ids' distributed form (per-file
+    offsets + file-partitioned window) must assign bit-identical ids to the
+    old global-order Window.orderBy(file, line, name, end_line, code) —
+    including same-name one-line overload ties and a start offset."""
+    from pyspark.sql.window import Window
+
+    rows = []
+    # several files, out-of-order names, duplicate (file, line, name) keys
+    # differing only in end_line/code (the overload tie case)
+    for f in ("z/last.py", "a/first.py", "m/mid.py"):
+        rows.append((f, "beta", 10, 11, "def beta(): pass"))
+        rows.append((f, "alpha", 10, 10, "def alpha(): a"))
+        rows.append((f, "alpha", 10, 12, "def alpha(): b"))
+        rows.append((f, "gamma", 2, 3, "def gamma(): g"))
+    units = spark.createDataFrame(
+        rows, "file string, name string, line int, end_line int, code string"
+    ).repartition(5)
+
+    new = with_unit_ids(units)
+    w = Window.orderBy("file", "line", "name", "end_line", "code")
+    old = units.withColumn(
+        "unit_id", F.row_number().over(w).cast("long") - 1)
+    key = ("file", "line", "name", "end_line", "code")
+    got = {tuple(r[k] for k in key): r.unit_id for r in new.collect()}
+    want = {tuple(r[k] for k in key): r.unit_id for r in old.collect()}
+    assert got == want and len(got) == len(rows)
+    assert new.columns == units.columns + ["unit_id"]
+
+    # start offset: the update path's fresh-unit ids (max_id + 1-based rank)
+    shifted = {tuple(r[k] for k in key): r.unit_id
+               for r in with_unit_ids(units, start=100).collect()}
+    assert shifted == {k: v + 100 for k, v in want.items()}
+
+    # the per-UNIT window is partitioned by file (distributed); the only
+    # single-partition step ranges over the per-FILE counts table
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(file" in plan
