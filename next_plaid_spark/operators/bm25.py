@@ -137,6 +137,11 @@ class BM25Index:
     # it, so unpruned searches never pay the postings⋈doclens pass. With
     # term_stats=None entirely, the prune silently disables itself.
     term_stats: DataFrame | None = None
+    # Σ dl over the corpus (r15): lets ``save_delta`` update n_docs/avgdl
+    # by EXACT integer arithmetic (total' = total − gone + new) instead of
+    # a corpus-sized doclens scan per update. None on hand-constructed or
+    # legacy-loaded indexes — save()/save_delta derive it once when absent.
+    total_dl: int | None = None
 
     @classmethod
     def build(cls, docs: DataFrame, *, id_col: str = "doc_id",
@@ -168,7 +173,8 @@ class BM25Index:
         term_stats = postings.groupBy("term").agg(
             F.count("*").alias("df")).cache()
         return cls(postings, doclens.cache(), n_docs, avgdl,
-                   tokenizer, positions, term_stats)
+                   tokenizer, positions, term_stats,
+                   total_dl=int(stats.total or 0))
 
     # -- persistence (S6: the FTS index is an on-disk artifact in the
     # reference — text_search.rs builds a SQLite file once and serves many
@@ -180,12 +186,17 @@ class BM25Index:
         the corpus — the prebuilt-index half of every search entry point
         (e.g. ``CodeIndex``). Overwrites any index already at ``path``.
 
-        Postings and positions are laid out range-partitioned + sorted by
-        term, so every parquet row group covers a narrow term range and a
-        loaded index's term-filtered scans (keyword join, phrase search)
-        skip the row groups that can't match via min/max stats — the
-        posting-list locality a native FTS engine gets from its inverted
-        layout. Build-time cost only; queries never pay the sort.
+        Postings and positions are laid out range-partitioned by DOC_ID
+        across files with rows sorted by term inside each file (r15; they
+        were term-range-partitioned across files before). Term-filtered
+        scans (keyword join, phrase search) still skip row groups via the
+        per-row-group term min/max stats — the IO-skipping granularity is
+        the row group either way, so the posting-list locality a native
+        FTS engine gets from its inverted layout is preserved — while the
+        per-FILE doc_id min/max now gives ``save_delta`` delete locality:
+        an update folds only the files whose doc range may own a deleted
+        doc (the same footer-stats economy as the plaid doc_stats tiers).
+        Build-time cost only; queries never pay the sort.
 
         Safe to save ONTO the index's own load path (in-place upgrade,
         e.g. adding the max_sat bound to a pre-r12 store): everything is
@@ -255,18 +266,19 @@ class BM25Index:
         # thread labels its own jobs; term_stats below waits for postings +
         # doclens (it derives from the staged files) but not positions.
         def _write_postings() -> None:
-            (self.postings.repartitionByRange(F.col("term"))
+            (self.postings.repartitionByRange(F.col("doc_id"))
              .sortWithinPartitions("term", "doc_id")
              .write.mode("overwrite").parquet(os.path.join(path, "postings")))
             _heartbeat()
 
         def _write_doclens() -> None:
-            self.doclens.write.mode("overwrite").parquet(
-                os.path.join(path, "doclens"))
+            (self.doclens.repartitionByRange(F.col("doc_id"))
+             .sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(os.path.join(path, "doclens")))
             _heartbeat()
 
         def _write_positions() -> None:
-            (self.positions.repartitionByRange(F.col("term"))
+            (self.positions.repartitionByRange(F.col("doc_id"))
              .sortWithinPartitions("term", "doc_id", "pos")
              .write.mode("overwrite").parquet(
                  os.path.join(path, "positions")))
@@ -316,8 +328,18 @@ class BM25Index:
          .sortWithinPartitions("term")
          .write.mode("overwrite").parquet(os.path.join(path, "term_stats")))
         _heartbeat()
+        total_dl = self.total_dl
+        if total_dl is None:
+            # derive once from the staged files (exact integer sum) so the
+            # persisted store can update avgdl arithmetically (save_delta)
+            spark = self.postings.sparkSession
+            total_dl = int(
+                spark.read.parquet(os.path.join(path, "doclens"))
+                .agg(F.sum("dl")).collect()[0][0] or 0)
+            self.total_dl = total_dl
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
+                       "total_dl": total_dl,
                        "tokenizer": self.tokenizer,
                        "with_positions": self.positions is not None}, f)
         # swap the staged store in (all the writes above are complete):
@@ -363,6 +385,207 @@ class BM25Index:
             self.term_stats = spark.read.parquet(
                 os.path.join(final, "term_stats"))
 
+    def save_delta(self, out_path: str, *, gone_docs: DataFrame | None,
+                   post_new: DataFrame, dl_new: DataFrame,
+                   pos_new: DataFrame | None = None) -> None:
+        """Tiered-store update (r15, VERDICT r14 item 3): persist a NEW
+        snapshot of this LOADED index at ``out_path`` with ``gone_docs``
+        removed and the new postings/doclens(/positions) appended, writing
+        O(delta) bytes instead of save()'s full-store rewrite.
+
+        Every store file covers a doc_id range (save()'s r15 layout), so
+        the fold rule is the plaid doc_stats economy: an old file is
+        rewritten only when (a) its footer doc_id min/max may contain a
+        deleted doc — all of a gone doc's rows live in such files, so no
+        stale row can survive a fold, which also makes delete-then-re-add
+        of the same doc_id safe — or (b) it is small relative to the
+        arriving mass (Bentley-Saxe, ``DELTA_FOLD_RATIO``); every other
+        file hardlinks forward. Per-update IO is O(batch) with each byte
+        rewritten O(log appends) times; a legacy term-range-partitioned
+        store (pre-r15 save()) folds entirely ONCE (its files span the
+        full doc range) and is doc-ranged thereafter.
+
+        ``term_stats`` stays the per-snapshot correctness anchor (the
+        BM25 analog of the plaid IVF re-derive): df and max_sat are
+        recomputed from the snapshot's own postings⋈doclens — max_sat
+        depends on the NEW avgdl, so no stale tier can loosen or
+        under-read the prune bound — and n_docs/avgdl update by exact
+        integer arithmetic (meta ``total_dl``; legacy metas pay one
+        doclens scan to derive it).
+
+        Preconditions: ``self`` was ``load()``-ed (needs the old store's
+        files), ``out_path`` is a DIFFERENT directory (immutable-snapshot
+        discipline — in-place upgrades keep using save()), ``gone_docs``
+        ⊆ indexed docs, and new doc_ids don't collide with kept docs
+        (re-encoded docs appear in both gone and new)."""
+        import json
+        import shutil
+
+        from next_plaid_spark.operators.update import (
+            DELTA_FOLD_RATIO,
+            _parquet_minmax,
+            _parquet_rows,
+        )
+
+        old = getattr(self, "_store_path", None)
+        if not old:
+            raise ValueError("save_delta requires a load()-ed index "
+                             "(hand-built indexes have no old store); "
+                             "use save()")
+        out_path = out_path.rstrip("/")
+        if os.path.abspath(out_path) == old:
+            raise ValueError("save_delta writes a NEW snapshot dir; "
+                             "in-place saves go through save()")
+        spark = self.postings.sparkSession
+
+        # -- delete set, collected when bounded (footer-pruning needs the
+        # ids driver-side; over the cap every old file folds conservatively)
+        gone_df = None
+        gone_rows: list[int] | None = []
+        if gone_docs is not None:
+            gone_df = gone_docs.select(
+                F.col("doc_id").cast("long")).distinct().cache()
+            gone_rows = [int(r.doc_id)
+                         for r in gone_df.limit(100_001).collect()]
+            if not gone_rows:
+                gone_df.unpersist()
+                gone_df, gone_rows = None, []
+            elif len(gone_rows) > 100_000:
+                gone_rows = None  # huge delete set: fold everything
+
+        def _may_contain_gone(mm) -> bool:
+            if gone_df is None:
+                return False
+            if mm is None or gone_rows is None:
+                return True
+            lo, hi = mm
+            return any(lo <= g <= hi for g in gone_rows)
+
+        # -- delta masses for the Bentley-Saxe rule + meta arithmetic:
+        # positions rows == Σ new dl by construction, so two delta-sized
+        # aggs cover all three components
+        _dl = dl_new.agg(F.count("*").alias("nd"),
+                         F.sum("dl").alias("sdl")).collect()[0]
+        n_new_docs, new_dl_sum = int(_dl.nd or 0), int(_dl.sdl or 0)
+        n_new_post = post_new.count()
+
+        def _list_files(name: str):
+            d = os.path.join(old, name)
+            out = []
+            for fn in os.listdir(d):
+                if fn.startswith((".", "_")):
+                    continue
+                p = os.path.join(d, fn)
+                out.append((p, _parquet_rows(p), _parquet_minmax(p, "doc_id")))
+            return out
+
+        def _fold_set(files, acc0: int) -> set[str]:
+            folded: set[str] = set()
+            acc = acc0
+            for p, rows, mm in sorted(files, key=lambda t: t[1]):
+                if _may_contain_gone(mm):
+                    folded.add(p)
+                elif acc and rows <= DELTA_FOLD_RATIO * acc:
+                    folded.add(p)
+                    acc += rows
+            return folded
+
+        def _write_component(name: str, new_rows: DataFrame,
+                             sort_cols: list[str], acc0: int):
+            files = _list_files(name)
+            folded = _fold_set(files, acc0)
+            cols = new_rows.columns
+            if folded:
+                kept = spark.read.parquet(*sorted(folded))
+                if gone_df is not None:
+                    kept = kept.join(gone_df, "doc_id", "left_anti")
+                merged = kept.select(*cols).unionByName(new_rows)
+            else:
+                merged = new_rows
+            new_dir = os.path.join(out_path, name)
+            # one file per snapshot hop is the tier granularity (the
+            # doc_stats discipline); a corpus-sized fold (legacy-layout
+            # upgrade) splits so no single write task owns the store
+            n_merged = acc0 + sum(r for p, r, _ in files if p in folded)
+            npart = max(1, n_merged // 4_000_000)
+            (merged.coalesce(npart).sortWithinPartitions(*sort_cols)
+             .write.mode("overwrite").parquet(new_dir))
+            for p, _r, _mm in files:
+                if p in folded:
+                    continue
+                dst = os.path.join(new_dir, os.path.basename(p))
+                try:
+                    os.link(p, dst)
+                except OSError:
+                    shutil.copy2(p, dst)
+
+        # the component writes are independent jobs over disjoint dirs —
+        # overlap them (guide §2.6), same as save()
+        from concurrent.futures import ThreadPoolExecutor
+
+        writers = [
+            lambda: _write_component(
+                "postings", post_new.select("term", "doc_id", "tf"),
+                ["term", "doc_id"], n_new_post),
+            lambda: _write_component(
+                "doclens", dl_new.select("doc_id", "dl"),
+                ["doc_id"], n_new_docs),
+        ]
+        if self.positions is not None:
+            if pos_new is None:
+                raise ValueError("index has positions; pass pos_new so an "
+                                 "update can't silently drop phrase search")
+            writers.append(lambda: _write_component(
+                "positions", pos_new.select("term", "doc_id", "pos"),
+                ["term", "doc_id", "pos"], new_dl_sum))
+        with ThreadPoolExecutor(len(writers)) as ex:
+            for fut in [ex.submit(w) for w in writers]:
+                fut.result()
+
+        # -- meta by exact integer arithmetic. All of a gone doc's rows
+        # live in files the doclens fold rewrote, so the gone mass is one
+        # delta-sized agg over those files ∩ gone.
+        gone_n = gone_sum = 0
+        if gone_df is not None:
+            dl_files = _list_files("doclens")
+            gone_src = [p for p, _r, mm in dl_files if _may_contain_gone(mm)]
+            if gone_src:
+                _g = (spark.read.parquet(*sorted(gone_src))
+                      .join(gone_df, "doc_id", "left_semi")
+                      .agg(F.count("*").alias("n"),
+                           F.sum("dl").alias("s")).collect()[0])
+                gone_n, gone_sum = int(_g.n or 0), int(_g.s or 0)
+        old_total = self.total_dl
+        if old_total is None:  # legacy meta: one corpus scan, then stored
+            old_total = int(
+                self.doclens.agg(F.sum("dl")).collect()[0][0] or 0)
+        n_docs = self.n_docs - gone_n + n_new_docs
+        total_dl = old_total - gone_sum + new_dl_sum
+        avgdl = (total_dl / n_docs) if n_docs else 0.0
+
+        # -- term_stats: re-derived from the snapshot's own files (exact df
+        # + the max_sat bound under the NEW avgdl), one fused aggregation —
+        # postings are unique per (term, doc_id), so the doclens join is
+        # 1:1 and count(*) IS df
+        staged_post = spark.read.parquet(os.path.join(out_path, "postings"))
+        staged_dl = spark.read.parquet(os.path.join(out_path, "doclens"))
+        (staged_post.join(staged_dl, "doc_id")
+         .groupBy("term")
+         .agg(F.count("*").alias("df"),
+              F.max(_sat_expr(avgdl)).alias("max_sat"))
+         .repartitionByRange(F.col("term"))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_path, "term_stats")))
+
+        with open(os.path.join(out_path, "meta.json"), "w") as f:
+            json.dump({"n_docs": n_docs, "avgdl": avgdl,
+                       "total_dl": total_dl,
+                       "tokenizer": self.tokenizer,
+                       "with_positions": self.positions is not None}, f)
+        if gone_df is not None:
+            gone_df.unpersist()
+
     @classmethod
     def load(cls, spark, path: str) -> "BM25Index":
         import json
@@ -384,6 +607,8 @@ class BM25Index:
             spark.read.parquet(os.path.join(path, "doclens")),
             int(meta["n_docs"]), float(meta["avgdl"]),
             meta.get("tokenizer", "unicode61"), positions, term_stats,
+            total_dl=(int(meta["total_dl"])
+                      if meta.get("total_dl") is not None else None),
         )
         # remembered so save() onto this same path knows it's an IN-PLACE
         # swap and re-points the instance at the new files (see save())

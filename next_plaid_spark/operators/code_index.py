@@ -671,36 +671,25 @@ class CodeIndex:
                 "pos", "term")).cache()
 
         def _bm25_leg() -> None:
-            # BM25: unchanged units' postings ride along; changed/new
-            # re-tokenize
-            spark.sparkContext.setJobDescription("ci-update: bm25 merge+save")
+            # BM25 (r15, VERDICT r14 item 3): tiered-store delta instead of
+            # the merged-frames full rewrite — unchanged units' postings
+            # ride forward as hardlinked files, only the files owning a
+            # reindexed/gone unit fold, the delta lands as fresh files, and
+            # n_docs/avgdl update by exact integer arithmetic inside
+            # save_delta. gone = everything not kept verbatim (re-encoded
+            # units appear in both gone and the new postings — the store's
+            # doc-range fold rule makes that delete-then-re-add safe).
+            spark.sparkContext.setJobDescription("ci-update: bm25 delta")
             post_new = toks_new.groupBy("term", "doc_id").agg(
                 F.count("*").alias("tf"))
             dl_new = toks_new.groupBy("doc_id").agg(F.count("*").alias("dl"))
-            # NOT cached (measured r14: caching these three before save()
-            # read consistently SLOWER, ~46 s vs ~38 s update wall — the
-            # cache fills cost more than the saved re-evaluations; each
-            # re-evaluation is only a parquet scan + a broadcast semi-join
-            # on the tiny unchanged-id list)
-            postings = self.bm25.postings.join(
-                unchanged_ids, "doc_id", "left_semi").unionByName(post_new)
-            doclens = self.bm25.doclens.join(
-                unchanged_ids, "doc_id", "left_semi").unionByName(dl_new)
-            stats = doclens.agg(F.count("*").alias("n"),
-                                F.sum("dl").alias("total")).collect()[0]
-            # positional postings (if the index was built with them) merge
-            # the same way: unchanged units ride along, reindexed units
-            # re-derive — an update must not silently drop phrase-search
-            # capability
-            positions = None
-            if self.bm25.positions is not None:
-                positions = self.bm25.positions.join(
-                    unchanged_ids, "doc_id", "left_semi").unionByName(
-                    toks_new.select("term", "doc_id", "pos"))
-            BM25Index(postings, doclens, stats.n or 0,
-                      (stats.total / stats.n) if stats.n else 0.0,
-                      "identifier_aware", positions).save(
-                          os.path.join(out_path, "bm25"))
+            gone_bm25 = self.bm25.doclens.select("doc_id").join(
+                unchanged_ids, "doc_id", "left_anti")
+            pos_new = (toks_new.select("term", "doc_id", "pos")
+                       if self.bm25.positions is not None else None)
+            self.bm25.save_delta(
+                os.path.join(out_path, "bm25"), gone_docs=gone_bm25,
+                post_new=post_new, dl_new=dl_new, pos_new=pos_new)
 
         from concurrent.futures import ThreadPoolExecutor
 
