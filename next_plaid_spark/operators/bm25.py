@@ -387,7 +387,8 @@ class BM25Index:
 
     def save_delta(self, out_path: str, *, gone_docs: DataFrame | None,
                    post_new: DataFrame, dl_new: DataFrame,
-                   pos_new: DataFrame | None = None) -> None:
+                   pos_new: DataFrame | None = None,
+                   new_counts: tuple[int, int, int] | None = None) -> None:
         """Tiered-store update (r15, VERDICT r14 item 3): persist a NEW
         snapshot of this LOADED index at ``out_path`` with ``gone_docs``
         removed and the new postings/doclens(/positions) appended, writing
@@ -463,11 +464,17 @@ class BM25Index:
 
         # -- delta masses for the Bentley-Saxe rule + meta arithmetic:
         # positions rows == Σ new dl by construction, so two delta-sized
-        # aggs cover all three components
-        _dl = dl_new.agg(F.count("*").alias("nd"),
-                         F.sum("dl").alias("sdl")).collect()[0]
-        n_new_docs, new_dl_sum = int(_dl.nd or 0), int(_dl.sdl or 0)
-        n_new_post = post_new.count()
+        # aggs cover all three components. ``new_counts`` (n_postings,
+        # n_docs, Σdl) lets a caller that already holds the token delta
+        # supply all three from ONE fused agg (CodeIndex.update does).
+        if new_counts is not None:
+            n_new_post, n_new_docs, new_dl_sum = (
+                int(new_counts[0]), int(new_counts[1]), int(new_counts[2]))
+        else:
+            _dl = dl_new.agg(F.count("*").alias("nd"),
+                             F.sum("dl").alias("sdl")).collect()[0]
+            n_new_docs, new_dl_sum = int(_dl.nd or 0), int(_dl.sdl or 0)
+            n_new_post = post_new.count()
 
         def _list_files(name: str):
             d = os.path.join(old, name)

@@ -621,6 +621,34 @@ class CodeIndex:
         # cheaper and deterministic)
         unchanged_ids.count()
 
+        # ONE shared gone computation (r15, VERDICT r14 item 5): both
+        # stores index the same unit set, so "docs not kept verbatim" is
+        # one list — the union of the two doclens id columns (belt+braces:
+        # a unit could in principle tokenize to zero tokens under one
+        # tokenizer only) anti-joined once against the kept ids, collected
+        # once (delta-sized for any realistic update), and handed to both
+        # legs as a driver-local frame. Each leg used to re-derive its own
+        # gone set with a separate doclens scan + anti-join + dedup job.
+        # An empty list routes both legs onto their pure-append fast
+        # paths; over the cap (degenerate almost-everything-changed
+        # updates) fall back to the distributed frames.
+        _GONE_CAP = 200_000
+        gone_rows = (self.plaid.doclens.select("doc_id")
+                     .unionByName(self.bm25.doclens.select("doc_id"))
+                     .join(unchanged_ids, "doc_id", "left_anti")
+                     .distinct().limit(_GONE_CAP + 1).collect())
+        if len(gone_rows) > _GONE_CAP:
+            gone_plaid = self.plaid.doclens.select("doc_id").join(
+                unchanged_ids, "doc_id", "left_anti")
+            gone_bm25 = self.bm25.doclens.select("doc_id").join(
+                unchanged_ids, "doc_id", "left_anti")
+        elif gone_rows:
+            gone_local = local_df(
+                spark, [(int(r.doc_id),) for r in gone_rows], "doc_id long")
+            gone_plaid = gone_bm25 = gone_local
+        else:
+            gone_plaid = gone_bm25 = None
+
         # The PLAID delta and the BM25 merge+save are independent pipelines
         # (disjoint output dirs; both read only `reindex`, `unchanged_ids`
         # and the old stores) and each is a cascade of bounded jobs whose
@@ -630,8 +658,7 @@ class CodeIndex:
         def _plaid_leg() -> None:
             # PLAID: delete everything not kept verbatim, append re-encoded
             spark.sparkContext.setJobDescription("ci-update: plaid delta")
-            gone_doc = self.plaid.doclens.select("doc_id").join(
-                unchanged_ids, "doc_id", "left_anti")
+            gone_doc = gone_plaid
             new_tokens = encode_tokens(
                 reindex, "unit_id", "embed_text", dim=self.meta["dim"],
                 max_tokens=self.meta["doc_max_tokens"], out_id="doc_id",
@@ -647,7 +674,10 @@ class CodeIndex:
             else:
                 del_path = os.path.join(out_path, "_plaid_del")
                 shrunk = delete_from_index(
-                    spark, self.plaid, gone_doc, del_path)
+                    spark, self.plaid,
+                    gone_doc if gone_doc is not None else
+                    self.plaid.doclens.select("doc_id").filter(F.lit(False)),
+                    del_path)
                 update_index(spark, shrunk, new_tokens,
                              os.path.join(out_path, "plaid"),
                              seed=self.meta["seed"])
@@ -683,13 +713,21 @@ class CodeIndex:
             post_new = toks_new.groupBy("term", "doc_id").agg(
                 F.count("*").alias("tf"))
             dl_new = toks_new.groupBy("doc_id").agg(F.count("*").alias("dl"))
-            gone_bm25 = self.bm25.doclens.select("doc_id").join(
-                unchanged_ids, "doc_id", "left_anti")
             pos_new = (toks_new.select("term", "doc_id", "pos")
                        if self.bm25.positions is not None else None)
+            # single-pass delta manifest (r15, item 5): one agg over the
+            # cached token delta yields all three component masses —
+            # postings rows, doc rows, Σdl (= positions rows) — instead of
+            # save_delta running its own agg + count jobs
+            _m = toks_new.agg(
+                F.count("*").alias("sdl"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.countDistinct("term", "doc_id").alias("np"),
+            ).collect()[0]
             self.bm25.save_delta(
                 os.path.join(out_path, "bm25"), gone_docs=gone_bm25,
-                post_new=post_new, dl_new=dl_new, pos_new=pos_new)
+                post_new=post_new, dl_new=dl_new, pos_new=pos_new,
+                new_counts=(int(_m.np), int(_m.nd), int(_m.sdl)))
 
         from concurrent.futures import ThreadPoolExecutor
 
